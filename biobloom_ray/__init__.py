@@ -1,0 +1,17 @@
+"""biobloom_ray — a from-scratch, Ray-Data-native sketch /
+approximate-aggregation engine for web text, with the query and
+data-processing capabilities of bcgsc/biobloom (studied read-only at
+/root/reference; see SURVEY.md for the operator inventory and
+citations).
+
+Layers:
+- ``hashing``     — vectorized ntHash-style rolling k-shingle multi-hash
+- ``sketches``    — mergeable Bloom / HLL / CMS / KLL / MinHash / SimHash
+- ``scoring``     — exact SeqEval.h per-read decision semantics, batch-vectorized
+- ``stages``      — map_batches UDFs / actor-pool classes
+- ``pipelines``   — build (biobloommaker), categorize (biobloomcategorizer),
+                    dedup, text stats, ANN
+- ``state``       — sketch artifacts + per-partition lineage/checkpoints
+"""
+
+__version__ = "0.1.0"

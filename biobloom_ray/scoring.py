@@ -1,0 +1,361 @@
+"""Batch scorers with exact SeqEval semantics (``Common/SeqEval.h``).
+
+The reference evaluates one read at a time against a Bloom filter with a
+stateful loop: streak bonuses, an anti-score early-reject, and the
+"jumping k-mer" heuristic (on a miss after a streak of
+``opt::streakThreshold`` = 3 adjacent hits, skip k frames —
+``Common/Options.cpp:9``, ``README.md:185``).  Early accept/reject only
+short-circuits *within* the sequential loop, and the jump changes which
+frames are examined, so decisions are genuinely order-dependent per row.
+
+We vectorize ACROSS rows instead: a lockstep state machine advances every
+still-undecided row one frame per iteration with pure numpy ops, exactly
+reproducing the per-row sequential semantics (including early exits,
+which here *remove rows from the working set* — the vector analogue of
+short-circuiting).  Iteration count is bounded by the longest row; work
+shrinks as rows decide.
+
+Deviation (documented per SURVEY.md §7.4): the reference's simple /
+harmonic scorers construct ``ntHashIterator(rec, kmerSize, kmerSize)`` —
+passing ``kmerSize`` where ``hashNum`` is expected (``SeqEval.h:50,129``)
+while minMatchLen uses ``getHashNum()`` (``SeqEval.h:302``).  We always
+probe with the filter's true ``hash_num`` (reproduce the behavior, not
+the bug).
+
+Scoring methods (dispatch mirrors ``SeqEval.h:493-524`` /
+``Common/Options.h:35``): simple, harmonic, binomial, length.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+
+import numpy as np
+
+STREAK_THRESHOLD = 3  # opt::streakThreshold default (Common/Options.cpp:9)
+
+METHODS = ("simple", "harmonic", "binomial", "length")
+
+
+# --------------------------------------------------------------------------
+# binomial tail helpers (replaces boost::math::binomial, SeqEval.h:199-216)
+# --------------------------------------------------------------------------
+
+@lru_cache(maxsize=4096)
+def _binom_sf_table(n: int, p: float) -> np.ndarray:
+    """sf[x] = P(X > x) for X ~ Binomial(n, p), x = 0..n.
+
+    pmf computed in log space via a cumulative-sum of log binomial ratios
+    (no scipy in this environment); the tail sum is taken high-to-low so
+    small survival probabilities keep full relative accuracy.
+    """
+    if n == 0:
+        return np.zeros(1)
+    j = np.arange(1, n + 1, dtype=np.float64)
+    log_choose = np.concatenate([[0.0], np.cumsum(np.log((n - j + 1.0) / j))])
+    jj = np.arange(0, n + 1, dtype=np.float64)
+    if p <= 0.0:
+        pmf = np.zeros(n + 1)
+        pmf[0] = 1.0
+    elif p >= 1.0:
+        pmf = np.zeros(n + 1)
+        pmf[n] = 1.0
+    else:
+        log_pmf = log_choose + jj * math.log(p) + (n - jj) * math.log1p(-p)
+        pmf = np.exp(log_pmf)
+    # sf[x] = sum_{j=x+1..n} pmf[j], accumulated from the top for accuracy
+    sf = np.zeros(n + 1)
+    sf[:-1] = np.cumsum(pmf[::-1])[::-1][1:]
+    return sf
+
+
+def binom_sf(n: int, p: float, x: int) -> float:
+    """P(X > x) — ``calcProbMatches`` (SeqEval.h:209-216)."""
+    if x >= n:
+        return 0.0
+    if x < 0:
+        return 1.0
+    return float(_binom_sf_table(n, round(p, 12))[x])
+
+
+@lru_cache(maxsize=65536)
+def calc_min_count(frame_len: int, bf_fpr: float, min_fpr: float) -> int:
+    """Smallest c with P(X > c) <= min_fpr, floored at 1 —
+    ``SeqEval.h:199-207`` (boost quantile(complement(...)) with the
+    integer_round_up discrete policy)."""
+    if frame_len == 0:
+        return 1
+    sf = _binom_sf_table(frame_len, round(bf_fpr, 12))
+    idx = np.nonzero(sf <= min_fpr)[0]
+    c = int(idx[0]) if len(idx) else frame_len + 1
+    return max(c, 1)
+
+
+# --------------------------------------------------------------------------
+# lockstep batch evaluation
+# --------------------------------------------------------------------------
+
+def _seg_starts(n_frames: np.ndarray) -> np.ndarray:
+    seg = np.zeros(len(n_frames), dtype=np.int64)
+    if len(n_frames) > 1:
+        np.cumsum(n_frames[:-1], out=seg[1:])
+    return seg
+
+
+def _thresholds(method: str, n_frames: np.ndarray, threshold: float,
+                bf_fpr: float | None) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row (accept_thres, anti_thres).
+
+    simple/harmonic: thres = threshold·F; antiThres = floor((1−threshold)·F)
+    (``denormalizeScore``, SeqEval.h:28-45).  binomial: thres from the
+    binomial inverse tail at the filter's realized FPR; antiThres = F −
+    thres, never-reject when thres > F (the reference's unsigned
+    underflow makes antiThres huge — SeqEval.h:224-227)."""
+    F = n_frames.astype(np.float64)
+    if method in ("simple", "harmonic"):
+        thres = threshold * F
+        anti = np.floor((1.0 - threshold) * F)
+        return thres, anti
+    if method == "binomial":
+        if bf_fpr is None:
+            raise ValueError("binomial scoring needs the filter's realized FPR")
+        uniq = np.unique(n_frames)
+        tmap = {int(f): calc_min_count(int(f), bf_fpr, threshold) for f in uniq}
+        thres = np.array([tmap[int(f)] for f in n_frames], dtype=np.float64)
+        anti = np.where(thres <= F, F - thres, np.inf)
+        return thres, anti
+    raise ValueError(f"no thresholds for method {method!r}")
+
+
+def eval_batch(
+    hits: np.ndarray,
+    n_frames: np.ndarray,
+    k: int,
+    method: str = "simple",
+    threshold: float = 0.15,
+    bf_fpr: float | None = None,
+    subtract_hits: np.ndarray | None = None,
+    mask: np.ndarray | None = None,
+    streak_threshold: int = STREAK_THRESHOLD,
+) -> np.ndarray:
+    """Per-row boolean match decision, exact ``evalSimple`` /
+    ``evalHarmonic`` / ``evalBinomial`` / ``evalMinMatchLen`` semantics.
+
+    ``hits``: concatenated per-row frame-hit booleans (filter membership
+    of each k-shingle); ``n_frames``: frames per row; ``subtract_hits``:
+    frames present in the subtract filter (score-gated, J2 broadcast
+    anti-join); ``mask``: frames to treat as misses (SDUST analogue,
+    ``SeqEval.h:53``).  ``threshold`` is the normalized score for
+    simple/harmonic, the min-FPR for binomial, and the minimum match
+    length (in characters) for length.
+    """
+    n_frames = np.asarray(n_frames, dtype=np.int64)
+    if mask is not None:
+        hits = hits & ~mask
+    if method == "length":
+        return _minmatchlen_scores(hits, n_frames, k, subtract_hits) >= round(threshold)
+
+    n = len(n_frames)
+    out = np.zeros(n, dtype=bool)
+    if n == 0:
+        return out
+    thres, anti_thres = _thresholds(method, n_frames, threshold, bf_fpr)
+    seg = _seg_starts(n_frames)
+
+    # working set: rows with at least one frame (L < k → empty iterator →
+    # return false, SeqEval.h:52)
+    alive = np.nonzero(n_frames > 0)[0]
+    pos = np.zeros(len(alive), dtype=np.int64)
+    score = np.zeros(len(alive), dtype=np.float64)
+    anti = np.zeros(len(alive), dtype=np.float64)
+    streak = np.zeros(len(alive), dtype=np.int64)
+    skip_left = np.zeros(len(alive), dtype=np.int64)
+
+    row_seg = seg[alive]
+    row_F = n_frames[alive]
+    row_thres = thres[alive]
+    row_anti_thres = anti_thres[alive]
+    use_sub = subtract_hits is not None
+
+    while len(alive):
+        in_skip = skip_left > 0
+        look = ~in_skip
+        idx = row_seg + pos
+        hit = np.zeros(len(alive), dtype=bool)
+        hit[look] = hits[idx[look]]
+
+        if use_sub:
+            counted = hit.copy()
+            counted[hit] = ~subtract_hits[idx[hit]]
+        else:
+            counted = hit
+
+        # --- hit branch -----------------------------------------------------
+        if method == "simple":
+            gain = np.where(streak == 0, 0.5, 1.0)
+        elif method == "harmonic":
+            gain = np.where(streak == 0, 0.5, 1.0 - 1.0 / (1.0 + streak))
+        else:  # binomial
+            gain = np.ones(len(alive))
+        score = np.where(counted, score + gain, score)
+        accept = hit & (row_thres <= score)
+
+        # --- miss branch (incl. forced-skip steps) ---------------------------
+        miss = ~hit
+        anti = np.where(miss, anti + 1.0, anti)
+        reject = miss & (row_anti_thres <= anti)
+
+        # jump heuristic: miss after streak >= streak_threshold skips k
+        # frames; this step consumed the first of the k
+        start_skip = miss & ~in_skip & (streak >= streak_threshold)
+        skip_left = np.where(start_skip, k - 1,
+                             np.where(in_skip, skip_left - 1, skip_left))
+        streak = np.where(hit, streak + 1, 0)
+        pos += 1
+
+        done = accept | reject | (pos >= row_F)
+        out[alive[accept]] = True
+        if done.any():
+            keep = ~done
+            alive = alive[keep]
+            pos = pos[keep]
+            score = score[keep]
+            anti = anti[keep]
+            streak = streak[keep]
+            skip_left = skip_left[keep]
+            row_seg = row_seg[keep]
+            row_F = row_F[keep]
+            row_thres = row_thres[keep]
+            row_anti_thres = row_anti_thres[keep]
+    return out
+
+
+def score_batch(
+    hits: np.ndarray,
+    n_frames: np.ndarray,
+    k: int,
+    method: str = "simple",
+    bf_fpr: float | None = None,
+    subtract_hits: np.ndarray | None = None,
+    mask: np.ndarray | None = None,
+    streak_threshold: int = STREAK_THRESHOLD,
+) -> np.ndarray:
+    """Exhaustive per-row scores — ``evalSimpleScore`` /
+    ``evalHarmonicScore`` / ``evalBinomialScore`` / ``evalMinMatchLenScore``
+    (SeqEval.h:334-491): no early exit, jump heuristic still applies
+    (except length).  simple/harmonic are normalized by F; binomial is
+    reported as −10·log10(P(X > matches)) like ``evalScore``
+    (SeqEval.h:545,558); length is the max contiguous matched length.
+    """
+    n_frames = np.asarray(n_frames, dtype=np.int64)
+    if mask is not None:
+        hits = hits & ~mask
+    if method == "length":
+        return _minmatchlen_scores(hits, n_frames, k, subtract_hits).astype(np.float64)
+
+    n = len(n_frames)
+    raw = np.zeros(n, dtype=np.float64)
+    seg = _seg_starts(n_frames)
+    alive = np.nonzero(n_frames > 0)[0]
+    pos = np.zeros(len(alive), dtype=np.int64)
+    score = np.zeros(len(alive), dtype=np.float64)
+    streak = np.zeros(len(alive), dtype=np.int64)
+    skip_left = np.zeros(len(alive), dtype=np.int64)
+    row_seg = seg[alive]
+    row_F = n_frames[alive]
+    use_sub = subtract_hits is not None
+
+    while len(alive):
+        in_skip = skip_left > 0
+        look = ~in_skip
+        idx = row_seg + pos
+        hit = np.zeros(len(alive), dtype=bool)
+        hit[look] = hits[idx[look]]
+        if use_sub:
+            counted = hit.copy()
+            counted[hit] = ~subtract_hits[idx[hit]]
+        else:
+            counted = hit
+        if method == "simple":
+            gain = np.where(streak == 0, 0.5, 1.0)
+        elif method == "harmonic":
+            gain = np.where(streak == 0, 0.5, 1.0 - 1.0 / (1.0 + streak))
+        else:
+            gain = np.ones(len(alive))
+        score = np.where(counted, score + gain, score)
+        miss = ~hit
+        start_skip = miss & ~in_skip & (streak >= streak_threshold)
+        skip_left = np.where(start_skip, k - 1,
+                             np.where(in_skip, skip_left - 1, skip_left))
+        streak = np.where(hit, streak + 1, 0)
+        pos += 1
+        done = pos >= row_F
+        if done.any():
+            raw[alive[done]] = score[done]
+            keep = ~done
+            alive = alive[keep]
+            pos = pos[keep]
+            score = score[keep]
+            streak = streak[keep]
+            skip_left = skip_left[keep]
+            row_seg = row_seg[keep]
+            row_F = row_F[keep]
+
+    if method in ("simple", "harmonic"):
+        out = np.zeros(n, dtype=np.float64)
+        nz = n_frames > 0
+        out[nz] = raw[nz] / n_frames[nz]
+        return out
+    # binomial: −10·log10 P(X > matches); rows with no frames score
+    # −10·log10(1.0) = 0 (evalBinomialScore returns 1.0 for short reads)
+    if bf_fpr is None:
+        raise ValueError("binomial scoring needs the filter's realized FPR")
+    out = np.zeros(n, dtype=np.float64)
+    for i in np.nonzero(n_frames > 0)[0]:
+        p = binom_sf(int(n_frames[i]), bf_fpr, int(raw[i]))
+        out[i] = -10.0 * math.log10(p) if p > 0 else math.inf
+    return out
+
+
+def _minmatchlen_scores(
+    hits: np.ndarray,
+    n_frames: np.ndarray,
+    k: int,
+    subtract_hits: np.ndarray | None = None,
+) -> np.ndarray:
+    """Max contiguous matched length per row — ``evalMinMatchLenScore``
+    (SeqEval.h:421-448), fully vectorized over runs.
+
+    Within a maximal run of consecutive filter-hit frames, the first
+    *non-subtract* hit sets matchLen = k and every later non-subtract hit
+    adds 1; subtract hits leave matchLen unchanged (the reference has no
+    reset in that branch — quirk preserved); a miss resets to 0.  So a
+    run with t >= 1 counted hits peaks at k + t − 1.
+    """
+    n = len(n_frames)
+    out = np.zeros(n, dtype=np.int64)
+    total = int(n_frames.sum())
+    if total == 0 or n == 0:
+        return out
+    seg = _seg_starts(n_frames)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), n_frames)
+    prev = np.empty(total, dtype=bool)
+    prev[0] = False
+    prev[1:] = hits[:-1]
+    starts_mask = seg[n_frames > 0]
+    prev[starts_mask] = False  # runs do not span rows
+    run_start = hits & ~prev
+    run_id = np.cumsum(run_start) - 1
+    hit_pos = np.nonzero(hits)[0]
+    if len(hit_pos) == 0:
+        return out
+    counted = np.ones(len(hit_pos), dtype=np.int64)
+    if subtract_hits is not None:
+        counted = (~subtract_hits[hit_pos]).astype(np.int64)
+    n_runs = int(run_id[hit_pos[-1]]) + 1
+    t = np.bincount(run_id[hit_pos], weights=counted, minlength=n_runs).astype(np.int64)
+    run_val = np.where(t > 0, k + t - 1, 0)
+    run_rows = row_of[np.nonzero(run_start)[0]]
+    np.maximum.at(out, run_rows, run_val)
+    return out

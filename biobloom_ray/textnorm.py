@@ -1,0 +1,72 @@
+"""Deterministic extraction + normalization (the webtext analogue of
+``Common/Sequence.cpp`` reverse-complement / IUPAC normalization, per
+SURVEY.md §2.2 M4).
+
+BASELINE.json input_hint invariant: extracted text must be
+**byte-identical per url** across runs and retries.  Everything here is
+pure byte/str manipulation with compiled regexes — no locale, no
+Unicode-version-dependent tables (``casefold``/``lower`` on ASCII only
+via explicit translation), pinned by golden sha256 fixtures in tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_TAG_RE = re.compile(rb"<[^>]*>")
+_WS_RE = re.compile(r"[ \t\r\n\f\v]+")
+_ASCII_LOWER = bytes(
+    (c + 32) if 65 <= c <= 90 else c for c in range(256)
+)
+
+
+def extract_text(html: bytes) -> str:
+    """html → text: strip tags, decode UTF-8 (surrogate-safe), collapse
+    ASCII whitespace runs to single spaces, trim.  Deterministic and
+    byte-stable for a given input."""
+    raw = _TAG_RE.sub(b" ", html)
+    text = raw.decode("utf-8", errors="replace")
+    return _WS_RE.sub(" ", text).strip()
+
+
+def extract_batch(html_col: pa.Array) -> pa.Array:
+    """Vectorized-ish extraction over a binary column (regex per row —
+    the regex engine is C; rows are independent so this stage scales out
+    with `map_batches`)."""
+    if isinstance(html_col, pa.ChunkedArray):
+        html_col = html_col.combine_chunks()
+    out = [None if v is None else extract_text(v) for v in html_col.to_pylist()]
+    return pa.array(out, type=pa.large_string())
+
+
+def normalize_batch(text_col: pa.Array) -> pa.Array:
+    """Shingling pre-pass: ASCII lowercase + whitespace collapse, done
+    with pyarrow compute kernels (zero-copy columnar).  This is the
+    pinned normalization applied before hashing (SURVEY.md §2.2 M4)."""
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    t = pc.utf8_lower(text_col)
+    t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+    return pc.utf8_trim_whitespace(t)
+
+
+def text_sha256(text: str) -> str:
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()
+
+
+def content_md5_batch(text_col: pa.Array) -> np.ndarray:
+    """Per-row md5 hex digest of the UTF-8 text — the exact-dedup /
+    fingerprint content key (matches DuckDB's ``md5(text)`` for the
+    oracle)."""
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    return np.array(
+        [hashlib.md5(v.encode("utf-8")).hexdigest() if v is not None else ""
+         for v in text_col.to_pylist()],
+        dtype=object,
+    )

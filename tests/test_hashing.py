@@ -1,0 +1,116 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from biobloom_ray.hashing import (
+    BASE_A,
+    BASE_A_INV,
+    derive_hashes,
+    hash_strings,
+    shingle_hashes,
+    splitmix64,
+)
+
+MASK = (1 << 64) - 1
+
+
+def brute_poly_hash(s: bytes) -> int:
+    h = 0
+    for b in s:
+        h = (h * BASE_A + b) & MASK
+    return h
+
+
+def test_mod_inverse():
+    assert (BASE_A * BASE_A_INV) & MASK == 1
+
+
+def test_rolling_matches_brute_force():
+    text = "the quick brown fox jumps over the lazy dog"
+    k = 7
+    h1, h2, nf = shingle_hashes([text], k)
+    assert nf[0] == len(text) - k + 1
+    # reconstruct: h1 = splitmix64(raw + seed); check raw determinism by
+    # comparing positionally-equal shingles
+    shingles = [text[i:i + k] for i in range(len(text) - k + 1)]
+    solo = [shingle_hashes([s], k)[0][0] for s in shingles]
+    assert np.array_equal(h1, np.array(solo, dtype=np.uint64))
+
+
+def test_equal_shingles_equal_hashes_across_rows():
+    k = 5
+    h1a, _, _ = shingle_hashes(["abcdefgh"], k)
+    h1b, _, _ = shingle_hashes(["zzz", "xabcdefghy"], k)
+    # "abcde" appears at row1 pos 1
+    assert h1a[0] == h1b[1]
+
+
+def test_frames_per_row_and_short_rows():
+    h1, h2, nf = shingle_hashes(["abc", "abcd", "", "abcde"], 4)
+    assert list(nf) == [0, 1, 0, 2]
+    assert len(h1) == 3
+    assert len(h2) == 3
+
+
+def test_seed_changes_hashes():
+    a = shingle_hashes(["hello world"], 4, seed=1)[0]
+    b = shingle_hashes(["hello world"], 4, seed=2)[0]
+    assert not np.array_equal(a, b)
+
+
+def test_determinism():
+    a = shingle_hashes(["deterministic please"], 6)[0]
+    b = shingle_hashes(["deterministic please"], 6)[0]
+    assert np.array_equal(a, b)
+
+
+def test_sliced_arrow_array():
+    arr = pa.array(["aaaa", "bbbb", "cccc", "dddd"])
+    full = shingle_hashes(arr, 3)[0]
+    sliced = shingle_hashes(arr.slice(2, 2), 3)[0]
+    assert np.array_equal(full[4:], sliced)
+
+
+def test_nulls_are_empty():
+    arr = pa.array(["abcd", None, "efgh"])
+    h1, _, nf = shingle_hashes(arr, 3)
+    assert list(nf) == [2, 0, 2]
+
+
+def test_h2_is_odd():
+    _, h2, _ = shingle_hashes(["some text here"], 4)
+    assert np.all(h2 & np.uint64(1) == 1)
+
+
+def test_derive_hashes_distinct():
+    h1, h2, _ = shingle_hashes(["some text here for derivation"], 6)
+    d0 = derive_hashes(h1, h2, 0)
+    d1 = derive_hashes(h1, h2, 1)
+    d2 = derive_hashes(h1, h2, 2)
+    assert np.array_equal(d0, h1)
+    assert not np.array_equal(d1, d2)
+
+
+def test_hash_strings_whole():
+    hs = hash_strings(["foo", "bar", "foo", ""])
+    assert hs[0] == hs[2]
+    assert hs[0] != hs[1]
+    assert len(set(hs.tolist())) == 3
+
+
+def test_hash_uniformity():
+    # chi-square-ish sanity: bucket 64k hashes of distinct strings into 64
+    vals = hash_strings([f"tok{i}" for i in range(65536)])
+    counts = np.bincount((vals % np.uint64(64)).astype(np.int64), minlength=64)
+    expected = 65536 / 64
+    assert abs(counts - expected).max() < expected * 0.2
+
+
+def test_splitmix_avalanche():
+    x = np.arange(1000, dtype=np.uint64)
+    y = splitmix64(x)
+    z = splitmix64(x + np.uint64(1))
+    diffbits = np.unpackbits((y[:-1] ^ y[1:]).view(np.uint8)).mean()
+    assert 0.4 < diffbits < 0.6
+    assert len(np.unique(y)) == 1000
+    assert not np.array_equal(y, z)
