@@ -1,0 +1,294 @@
+"""Categorize stage — the biobloomcategorizer classify loop as a
+stateful actor-pool ``map_batches`` (SURVEY.md §3.2 "Ray rebuild").
+
+Reference lifecycle (``BioBloomCategorizer.cpp:145`` →
+``BioBloomClassifier.cpp:950-971``): load every filter once, then OpenMP
+threads share a locked reader and run one of the ``evaluateRead*``
+dispatchers per record, tallying with atomic counters.
+
+Ray design: the filter bank is ``ray.put`` once on the driver and every
+actor ``ray.get``s it in ``__init__`` — one zero-copy plasma copy per
+node, amortized across all batches (T1).  The per-record loops become
+the vectorized lockstep scorers of :mod:`biobloom_ray.scoring`; the
+atomic counters become a post-hoc aggregation over appended columns.
+
+Multi-filter modes (``BioBloomClassifier.cpp:1145-1237``):
+
+- ``std``      — every filter evaluated, all hits collected (M14)
+- ``ordered``  — first filter in bank order that matches wins (M15)
+- ``besthit``  — argmax of exhaustive score, ties → multiMatch (M16)
+- ``scores``   — std hits + full per-filter exhaustive score vector (M17)
+
+Appended columns: ``label`` (noMatch / filter_id / multiMatch, the
+ResultsManager routing of ``ResultsManager.hpp:41-89``), ``hit_mask``
+(uint64 bitmask of matching filters — this engine supports ≤ 64 filters
+per categorize run), ``score`` (besthit max score, else 0), and
+optionally ``scores`` (list<double>, one per filter).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from biobloom_ray.config import CategorizeConfig
+from biobloom_ray.hashing import shingle_hashes
+from biobloom_ray.scoring import eval_batch, score_batch
+from biobloom_ray.sketches.bloom import BloomFilter
+from biobloom_ray.textnorm import normalize_batch
+
+NO_MATCH = "noMatch"
+MULTI_MATCH = "multiMatch"
+
+
+def broadcast_bank(filters: list[BloomFilter]) -> "ray.ObjectRef":
+    """One plasma copy of the whole filter bank, shared by all actors on
+    a node (J1 broadcast semi-join — never a shuffle)."""
+    return ray.put(filters)
+
+
+def labels_from_hits(hit_matrix: np.ndarray, filter_ids: list[str]) -> np.ndarray:
+    """ResultsManager label routing (``ResultsManager.hpp:41-89``):
+    0 hits → noMatch, 1 hit → that filter, ≥2 → multiMatch."""
+    n_hits = hit_matrix.sum(axis=1)
+    first = np.argmax(hit_matrix, axis=1)
+    ids = np.array(filter_ids, dtype=object)
+    out = np.where(n_hits == 0, NO_MATCH,
+                   np.where(n_hits > 1, MULTI_MATCH, ids[first]))
+    return out.astype(object)
+
+
+def _hit_mask(hit_matrix: np.ndarray) -> np.ndarray:
+    weights = (np.uint64(1) << np.arange(hit_matrix.shape[1], dtype=np.uint64))
+    with np.errstate(over="ignore"):
+        return (hit_matrix.astype(np.uint64) * weights[None, :]).sum(
+            axis=1, dtype=np.uint64)
+
+
+class CategorizerActor:
+    """Actor-pool callable for ``map_batches(CategorizerActor,
+    concurrency=N, batch_size=B, batch_format="pyarrow")``."""
+
+    def __init__(self, bank_ref, cfg: CategorizeConfig, text_col: str = "text",
+                 subtract_ref=None, normalize: bool = True,
+                 kmer_size: int | None = None, seed: int | None = None):
+        bank = ray.get(bank_ref) if isinstance(bank_ref, ray.ObjectRef) else bank_ref
+        if len(bank) > 64:
+            raise ValueError("hit_mask supports at most 64 filters per run")
+        self.bank: list[BloomFilter] = bank
+        self.cfg = cfg
+        self.text_col = text_col
+        self.normalize = normalize
+        self.k = kmer_size if kmer_size is not None else bank[0].kmer_size
+        self.seed = seed if seed is not None else bank[0].seed
+        for bf in bank:
+            if bf.kmer_size != self.k or bf.seed != self.seed:
+                raise ValueError("all filters in a bank must share (k, seed)")
+        self.subtract = (ray.get(subtract_ref)
+                         if isinstance(subtract_ref, ray.ObjectRef)
+                         else subtract_ref)
+        # realized FPR per filter, precomputed once (getFPRPrecompute,
+        # SeqEval.h:225) — binomial min-count tables memoize per frame
+        # length in scoring.calc_min_count (T6 analogue)
+        self.fprs = [bf.fpr_realized() for bf in bank]
+
+    # -- per-batch core --------------------------------------------------------
+    def _frame_hits(self, texts: pa.Array):
+        if self.normalize:
+            texts = normalize_batch(texts)
+        h1, h2, nf = shingle_hashes(texts, self.k, self.seed)
+        sub_hits = None
+        if self.subtract is not None:
+            sub_hits = self.subtract.contains(h1, h2)
+        per_filter = [bf.contains(h1, h2) for bf in self.bank]
+        return per_filter, sub_hits, nf
+
+    def _decide(self, per_filter, sub_hits, nf) -> np.ndarray:
+        cfg = self.cfg
+        cols = []
+        for i, fh in enumerate(per_filter):
+            cols.append(eval_batch(
+                fh, nf, self.k, method=cfg.scoring_method,
+                threshold=cfg.score_threshold, bf_fpr=self.fprs[i],
+                subtract_hits=sub_hits,
+                streak_threshold=cfg.streak_threshold))
+        return np.stack(cols, axis=1) if cols else np.zeros((len(nf), 0), bool)
+
+    def _score_all(self, per_filter, sub_hits, nf) -> np.ndarray:
+        cfg = self.cfg
+        cols = []
+        for i, fh in enumerate(per_filter):
+            cols.append(score_batch(
+                fh, nf, self.k, method=cfg.scoring_method,
+                bf_fpr=self.fprs[i], subtract_hits=sub_hits,
+                streak_threshold=cfg.streak_threshold))
+        return np.stack(cols, axis=1) if cols else np.zeros((len(nf), 0))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        per_filter, sub_hits, nf = self._frame_hits(texts)
+        cfg = self.cfg
+        n = len(nf)
+        fids = [bf.filter_id for bf in self.bank]
+        scores_matrix = None
+        best_score = np.zeros(n)
+
+        if cfg.mode == "std":
+            hits = self._decide(per_filter, sub_hits, nf)
+        elif cfg.mode == "ordered":
+            # first matching filter wins (BioBloomClassifier.cpp:1145-1153);
+            # evaluate in bank order, masking rows already matched so later
+            # filters aren't probed for them (same result, less work)
+            hits = np.zeros((n, len(fids)), dtype=bool)
+            undecided = np.ones(n, dtype=bool)
+            for i, fh in enumerate(per_filter):
+                if not undecided.any():
+                    break
+                m = eval_batch(fh, nf, self.k, method=cfg.scoring_method,
+                               threshold=cfg.score_threshold, bf_fpr=self.fprs[i],
+                               subtract_hits=sub_hits,
+                               streak_threshold=cfg.streak_threshold)
+                hits[:, i] = m & undecided
+                undecided &= ~m
+        elif cfg.mode == "besthit":
+            # argmax of exhaustive score; ties all flagged (multiMatch);
+            # maxScore 0 → no hits (BioBloomClassifier.cpp:1194-1218)
+            scores_matrix = self._score_all(per_filter, sub_hits, nf)
+            best_score = scores_matrix.max(axis=1) if scores_matrix.size else best_score
+            hits = (scores_matrix == best_score[:, None]) & (best_score[:, None] > 0)
+        elif cfg.mode == "scores":
+            hits = self._decide(per_filter, sub_hits, nf)
+            scores_matrix = self._score_all(per_filter, sub_hits, nf)
+        else:
+            raise ValueError(f"unknown mode {cfg.mode!r}")
+
+        label = labels_from_hits(hits, fids)
+        out = batch.append_column("label", pa.array(label, type=pa.large_string()))
+        out = out.append_column("hit_mask", pa.array(_hit_mask(hits)))
+        out = out.append_column("score", pa.array(best_score, type=pa.float64()))
+        if cfg.with_scores or cfg.mode == "scores":
+            if scores_matrix is None:
+                scores_matrix = self._score_all(per_filter, sub_hits, nf)
+            flat = pa.array(scores_matrix.reshape(-1), type=pa.float64())
+            out = out.append_column(
+                "scores", pa.FixedSizeListArray.from_arrays(flat, len(fids)))
+        return out
+
+
+class PairedCategorizerActor(CategorizerActor):
+    """Paired evaluation (M18): a row carries two texts; a filter matches
+    the pair iff it matches BOTH mates (default AND,
+    ``BioBloomClassifier.cpp:1159-1180``) or EITHER (``-i`` inclusive →
+    union, ``ResultsManager.hpp:91-152``).  ``ordered`` short-circuits on
+    the first filter whose combined test passes."""
+
+    def __init__(self, bank_ref, cfg: CategorizeConfig,
+                 text_col: str = "text_1", text_col2: str = "text_2", **kw):
+        super().__init__(bank_ref, cfg, text_col=text_col, **kw)
+        self.text_col2 = text_col2
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        t1 = batch[self.text_col]
+        t2 = batch[self.text_col2]
+        if isinstance(t1, pa.ChunkedArray):
+            t1 = t1.combine_chunks()
+        if isinstance(t2, pa.ChunkedArray):
+            t2 = t2.combine_chunks()
+        pf1, sub1, nf1 = self._frame_hits(t1)
+        pf2, sub2, nf2 = self._frame_hits(t2)
+        fids = [bf.filter_id for bf in self.bank]
+        n = len(nf1)
+
+        def decide(per_filter, sub, nf, i):
+            return eval_batch(per_filter[i], nf, self.k,
+                              method=cfg.scoring_method,
+                              threshold=cfg.score_threshold, bf_fpr=self.fprs[i],
+                              subtract_hits=sub,
+                              streak_threshold=cfg.streak_threshold)
+
+        hits = np.zeros((n, len(fids)), dtype=bool)
+        if cfg.mode == "ordered":
+            undecided = np.ones(n, dtype=bool)
+            for i in range(len(fids)):
+                if not undecided.any():
+                    break
+                m1 = decide(pf1, sub1, nf1, i)
+                m2 = decide(pf2, sub2, nf2, i)
+                m = (m1 | m2) if cfg.inclusive else (m1 & m2)
+                hits[:, i] = m & undecided
+                undecided &= ~m
+        else:
+            for i in range(len(fids)):
+                m1 = decide(pf1, sub1, nf1, i)
+                m2 = decide(pf2, sub2, nf2, i)
+                hits[:, i] = (m1 | m2) if cfg.inclusive else (m1 & m2)
+
+        label = labels_from_hits(hits, fids)
+        out = batch.append_column("label", pa.array(label, type=pa.large_string()))
+        out = out.append_column("hit_mask", pa.array(_hit_mask(hits)))
+        out = out.append_column("score",
+                                pa.array(np.zeros(n), type=pa.float64()))
+        return out
+
+
+def summary_partial(batch: pa.Table, n_filters: int) -> pa.Table:
+    """Per-block partial of the summary counters (A4) — pre-aggregation so
+    the final reduce sees one tiny row per block instead of every record."""
+    mask = batch["hit_mask"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    label = batch["label"].to_numpy(zero_copy_only=False)
+    above = [int(((mask >> np.uint64(i)) & np.uint64(1)).sum())
+             for i in range(n_filters)]
+    n_hits = np.zeros(len(mask), dtype=np.int64)
+    for i in range(n_filters):
+        n_hits += ((mask >> np.uint64(i)) & np.uint64(1)).astype(np.int64)
+    unique = [int(((n_hits == 1) & (((mask >> np.uint64(i)) & np.uint64(1)) == 1)).sum())
+              for i in range(n_filters)]
+    return pa.table({
+        "above": pa.array([above], type=pa.list_(pa.int64())),
+        "unique": pa.array([unique], type=pa.list_(pa.int64())),
+        "multi": pa.array([int((label == MULTI_MATCH).sum())]),
+        "no": pa.array([int((label == NO_MATCH).sum())]),
+        "total": pa.array([len(mask)]),
+    })
+
+
+def summary_table(labeled_ds, filter_ids: list[str]):
+    """Reference summary.tsv shape (``ResultsManager.hpp:191-237``):
+    one row per filter + multiMatch + noMatch, columns
+    filter_id, hits, misses, shared, rate_hit, rate_miss, rate_shared."""
+    import pandas as pd
+
+    nf = len(filter_ids)
+    partials = labeled_ds.map_batches(
+        lambda b: summary_partial(b, nf), batch_format="pyarrow").take_all()
+    above = np.zeros(nf, dtype=np.int64)
+    unique = np.zeros(nf, dtype=np.int64)
+    multi = no = total = 0
+    for row in partials:
+        above += np.asarray(row["above"], dtype=np.int64)
+        unique += np.asarray(row["unique"], dtype=np.int64)
+        multi += row["multi"]
+        no += row["no"]
+        total += row["total"]
+    rows = []
+    denom = float(total) if total else float("nan")
+    for i, fid in enumerate(filter_ids):
+        hits = int(above[i])
+        rows.append({
+            "filter_id": fid, "hits": hits, "misses": total - hits,
+            "shared": hits - int(unique[i]),
+            "rate_hit": hits / denom, "rate_miss": (total - hits) / denom,
+            "rate_shared": (hits - int(unique[i])) / denom,
+        })
+    rows.append({"filter_id": MULTI_MATCH, "hits": multi, "misses": total - multi,
+                 "shared": 0, "rate_hit": multi / denom,
+                 "rate_miss": (total - multi) / denom, "rate_shared": 0.0})
+    rows.append({"filter_id": NO_MATCH, "hits": no, "misses": total - no,
+                 "shared": 0, "rate_hit": no / denom,
+                 "rate_miss": (total - no) / denom, "rate_shared": 0.0})
+    return pd.DataFrame(rows)

@@ -1,0 +1,180 @@
+"""End-to-end build → categorize tests on deterministic fixtures
+(translated from Tests/SystemTests/systemTest.pl per SURVEY.md §5)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from biobloom_ray.config import BuildConfig, CategorizeConfig
+from biobloom_ray.pages import generate_pages, generate_ref_corpora
+from biobloom_ray.pipelines import build_filters, categorize, expected_entries
+from biobloom_ray.stages.categorize import summary_table
+
+K = 8
+BUILD_CFG = BuildConfig(kmer_size=K, desired_fpr=0.0078125, batch_size=512)
+
+
+@pytest.fixture(scope="module")
+def corpora_bank(ray_session):
+    ref = generate_ref_corpora()
+    ds = ray.data.from_arrow(ref)
+    built = build_filters(ds, text_col="doc", label_col="filter_id",
+                          cfg=BUILD_CFG)
+    bank = [built[fid]["filter"] for fid in sorted(built)]
+    return built, bank
+
+
+@pytest.fixture(scope="module")
+def pages_ds(ray_session):
+    return ray.data.from_arrow(generate_pages(2000, seed=42))
+
+
+def test_build_per_label_filters(corpora_bank):
+    built, bank = corpora_bank
+    assert sorted(built) == ["de", "en", "es", "fr"]
+    for fid, d in built.items():
+        bf = d["filter"]
+        assert bf.m % 64 == 0
+        assert bf.n_distinct > 0
+        # observed FPR within configured bound (BASELINE metric)
+        assert bf.fpr_realized() <= 0.0078125 * 1.2
+        # HLL distinct estimate close to Bloom's lower-bound counter
+        if d["hll"] is not None:
+            est = d["hll"].estimate()
+            assert est == pytest.approx(bf.n_distinct, rel=0.1)
+
+
+def test_expected_entries_matches_exact(ray_session):
+    ref = generate_ref_corpora(docs_per_lang=5)
+    ds = ray.data.from_arrow(ref)
+    got = expected_entries(ds, "doc", K, "filter_id")
+    pdf = ref.to_pandas()
+    for fid, grp in pdf.groupby("filter_id"):
+        # normalization is a no-op on these fixtures (already lowercase,
+        # single-spaced), so raw lengths give the exact frame count
+        want = int((grp["doc"].str.len() - K + 1).clip(lower=0).sum())
+        assert got[fid] == want
+
+
+def test_categorize_std_assigns_langs(corpora_bank, pages_ds):
+    _, bank = corpora_bank
+    cfg = CategorizeConfig(scoring_method="simple", score_threshold=0.15,
+                           mode="std", batch_size=512, concurrency=2)
+    labeled = categorize(pages_ds, bank, cfg).to_pandas()
+    assert set(labeled.columns) >= {"label", "hit_mask", "score", "lang"}
+    # positive pages (non-zz) should overwhelmingly match their own lang
+    pos = labeled[labeled.lang != "zz"]
+    own = (pos.label == pos.lang) | (pos.label == "multiMatch")
+    assert own.mean() > 0.95
+    # negative-control pages must essentially never match (FPR gate)
+    neg = labeled[labeled.lang == "zz"]
+    assert (neg.label == "noMatch").mean() > 0.99
+
+
+def test_categorize_deterministic(corpora_bank, pages_ds):
+    _, bank = corpora_bank
+    cfg = CategorizeConfig(mode="std", batch_size=256, concurrency=2)
+    a = categorize(pages_ds, bank, cfg).to_pandas().sort_values("url")
+    b = categorize(pages_ds, bank, cfg).to_pandas().sort_values("url")
+    assert (a.label.values == b.label.values).all()
+    assert (a.hit_mask.values == b.hit_mask.values).all()
+
+
+def test_ordered_mode_priority(corpora_bank, pages_ds):
+    built, bank = corpora_bank
+    cfg = CategorizeConfig(mode="ordered", batch_size=512, concurrency=2)
+    labeled = categorize(pages_ds, bank, cfg).to_pandas()
+    # ordered can never produce multiMatch (first match short-circuits,
+    # BioBloomClassifier.cpp:1145-1153)
+    assert (labeled.label != "multiMatch").all()
+    # every row matched in std stays matched in ordered
+    std = categorize(pages_ds, bank, CategorizeConfig(mode="std",
+                     batch_size=512, concurrency=2)).to_pandas()
+    assert ((labeled.label != "noMatch") == (std.label != "noMatch")).all()
+    # ordered label = first set bit of std's hit mask
+    fids = sorted(built)
+    m = std.hit_mask.values.astype(np.uint64)
+    has = m != 0
+    first_bit = np.zeros(len(m), dtype=np.int64)
+    mm = m.copy()
+    for i in range(len(fids)):
+        first_bit[(mm & np.uint64(1 << i)) != 0] = i
+        mm[(mm & np.uint64(1 << i)) != 0] = 0  # keep only first
+    want = np.where(has, np.array(fids, dtype=object)[first_bit], "noMatch")
+    assert (labeled.label.values == want).all()
+
+
+def test_besthit_mode(corpora_bank, pages_ds):
+    _, bank = corpora_bank
+    cfg = CategorizeConfig(mode="besthit", batch_size=512, concurrency=2)
+    labeled = categorize(pages_ds, bank, cfg).to_pandas()
+    matched = labeled[labeled.label != "noMatch"]
+    assert (matched.score > 0).all()
+    # besthit assigns non-zz pages to their own lang more often than std
+    pos = labeled[(labeled.lang != "zz")]
+    assert (pos.label == pos.lang).mean() > 0.9
+
+
+def test_scores_mode_emits_vector(corpora_bank, pages_ds):
+    _, bank = corpora_bank
+    cfg = CategorizeConfig(mode="scores", batch_size=512, concurrency=2)
+    labeled = categorize(pages_ds.limit(200), bank, cfg).to_pandas()
+    assert "scores" in labeled.columns
+    assert len(labeled.scores.iloc[0]) == len(bank)
+
+
+def test_summary_table_shape(corpora_bank, pages_ds):
+    _, bank = corpora_bank
+    cfg = CategorizeConfig(mode="std", batch_size=512, concurrency=2)
+    labeled = categorize(pages_ds, bank, cfg)
+    fids = [bf.filter_id for bf in bank]
+    summary = summary_table(labeled, fids)
+    assert list(summary.columns) == ["filter_id", "hits", "misses", "shared",
+                                     "rate_hit", "rate_miss", "rate_shared"]
+    assert list(summary.filter_id) == fids + ["multiMatch", "noMatch"]
+    total = 2000
+    assert (summary.hits + summary.misses == total).all()
+    # invariant: unique_i = hits_i - shared_i; sum(unique) + multi + no = total
+    uniq = (summary.hits - summary.shared)[:len(fids)].sum()
+    multi = summary[summary.filter_id == "multiMatch"].hits.iloc[0]
+    no = summary[summary.filter_id == "noMatch"].hits.iloc[0]
+    assert uniq + multi + no == total
+
+
+def test_paired_combinators(corpora_bank, ray_session):
+    import pyarrow as pa
+    _, bank = corpora_bank
+    pages = generate_pages(600, seed=7).to_pandas()
+    half = len(pages) // 2
+    paired = pa.table({
+        "text_1": pages.text[:half].tolist(),
+        "text_2": pages.text[half:2 * half].tolist(),
+        "lang_1": pages.lang[:half].tolist(),
+        "lang_2": pages.lang[half:2 * half].tolist(),
+    })
+    ds = ray.data.from_arrow(paired)
+    and_cfg = CategorizeConfig(mode="std", inclusive=False, batch_size=256,
+                               concurrency=2)
+    or_cfg = CategorizeConfig(mode="std", inclusive=True, batch_size=256,
+                              concurrency=2)
+    a = categorize(ds, bank, and_cfg, text_col="text_1",
+                   text_col2="text_2").to_pandas()
+    o = categorize(ds, bank, or_cfg, text_col="text_1",
+                   text_col2="text_2").to_pandas()
+    # AND hits are a subset of OR hits, row-wise
+    assert ((a.hit_mask.values & ~o.hit_mask.values) == 0).all()
+    # rows whose mates are the same lang should AND-match that lang
+    same = a[(a.lang_1 == a.lang_2) & (a.lang_1 != "zz")]
+    assert ((same.label == same.lang_1) | (same.label == "multiMatch")).mean() > 0.9
+
+
+def test_subtract_filter(corpora_bank, pages_ds, ray_session):
+    built, bank = corpora_bank
+    # subtracting a filter from itself: every hit shingle is score-gated →
+    # nothing can reach threshold against that filter (J2 anti-join)
+    en = [b for b in bank if b.filter_id == "en"][0]
+    cfg = CategorizeConfig(mode="std", batch_size=512, concurrency=2)
+    labeled = categorize(pages_ds, [en], cfg, subtract=en).to_pandas()
+    assert (labeled.label == "noMatch").all()
