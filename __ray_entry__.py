@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship biobloom pipeline (build per-lang Bloom filters →
+categorize → reference-shaped summary) on sf0.001.
+``queries()`` — one entry per implemented operator/pipeline from
+SURVEY.md §2 (+ the training-data graft additions); each callable takes
+``sf_dir`` and returns a Dataset / pandas DataFrame / pyarrow Table.
+``oracle_sql()`` — DuckDB-equivalent SQL for the SQL-expressible subset;
+sketch/LSH pipelines are rows-only checked here and bound-checked in
+pytest instead.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +18,285 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF0001 = "/root/testdata/sf0.001"
+
+_BANK_CACHE: dict = {}
+
+
+def _flagship(sf_dir: str):
+    """Build per-lang filters from a deterministic training subset of
+    `documents` (doc_id % 3 == 0 — the 'reference fasta' role), then
+    categorize every document against the bank (std mode, simple scorer)."""
+    import ray.data
+
+    from biobloom_ray.config import BuildConfig, CategorizeConfig
+    from biobloom_ray.pipelines import build_filters, categorize
+    from biobloom_ray.stages.categorize import summary_table
+
+    if sf_dir not in _BANK_CACHE:
+        import pyarrow as pa
+
+        def train_split(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % 3 == 0))
+
+        train = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        ).map_batches(train_split, batch_format="pyarrow")
+        built = build_filters(
+            train, text_col="text", label_col="lang",
+            cfg=BuildConfig(kmer_size=8, desired_fpr=0.0078125, batch_size=1024))
+        _BANK_CACHE[sf_dir] = [built[fid]["filter"] for fid in sorted(built)]
+    bank = _BANK_CACHE[sf_dir]
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "lang"])
+    cfg = CategorizeConfig(scoring_method="simple", score_threshold=0.15,
+                           mode="std", batch_size=1024, concurrency=2)
+    labeled = categorize(docs, bank, cfg)
+    return labeled, [bf.filter_id for bf in bank]
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    labeled, fids = _flagship(SF0001)
+    from biobloom_ray.stages.categorize import summary_table
+
+    return summary_table(labeled, fids)
+
+
+def _categorize_summary(sf_dir: str):
+    labeled, fids = _flagship(sf_dir)
+    from biobloom_ray.stages.categorize import summary_table
+
+    return summary_table(labeled, fids)
+
+
+def _categorize_labels(sf_dir: str):
+    labeled, _ = _flagship(sf_dir)
+    return labeled.select_columns(["doc_id", "label", "score"]).to_pandas()
+
+
+def _bloom_build_info(sf_dir: str):
+    import pandas as pd
+    import ray.data
+
+    from biobloom_ray.config import BuildConfig
+    from biobloom_ray.pipelines import build_filters
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text", "lang"])
+    built = build_filters(docs, text_col="text", label_col="lang",
+                          cfg=BuildConfig(kmer_size=8, desired_fpr=0.0078125,
+                                          batch_size=1024))
+    rows = []
+    for fid in sorted(built):
+        bf = built[fid]["filter"]
+        rows.append({
+            "filter_id": fid, "m": bf.m, "hash_num": bf.hash_num,
+            "kmer_size": bf.kmer_size, "n_distinct": bf.n_distinct,
+            "n_redundant": bf.n_redundant,
+            "fpr_realized": bf.fpr_realized(),
+            "expected_entries": built[fid]["expected_entries"],
+        })
+    return pd.DataFrame(rows)
+
+
+def _minhash_pairs(sf_dir: str):
+    import ray.data
+
+    from biobloom_ray.stages.dedup import minhash_neardup_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return minhash_neardup_pairs(docs, threshold=0.6)
+
+
+def _simhash_pairs(sf_dir: str):
+    import ray.data
+
+    from biobloom_ray.stages.dedup import simhash_neardup_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return simhash_neardup_pairs(docs, max_hamming=3)
+
+
+def _ngram_jaccard(sf_dir: str):
+    import ray.data
+
+    from biobloom_ray.stages.dedup import ngram_jaccard_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+def _embedding_neardup(sf_dir: str):
+    import ray.data
+
+    from biobloom_ray.stages.ann import embedding_neardup_pairs
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return embedding_neardup_pairs(emb, threshold=0.9, n_bits=8)
+
+
+def _query_vec(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    import numpy as np
+
+    ids = t["vec_id"].to_numpy()
+    i = int(np.nonzero(ids == 0)[0][0])
+    return np.asarray(t["embedding"][i].as_py(), dtype=np.float64)
+
+
+def _ann_topk(sf_dir: str):
+    import ray.data
+
+    from biobloom_ray.stages.ann import brute_force_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    top = brute_force_topk(emb, _query_vec(sf_dir), k=10)
+    return top.select_columns(["vec_id"]).to_pandas()
+
+
+def _ann_ivf(sf_dir: str):
+    import ray.data
+
+    from biobloom_ray.stages.ann import ivf_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    top = ivf_topk(emb, _query_vec(sf_dir), k=10, n_lists=8, n_probe=4)
+    return top.select_columns(["vec_id", "cos_sim"]).to_pandas()
+
+
+def _lang_id(sf_dir: str):
+    import ray
+    import ray.data
+
+    from biobloom_ray.stages.textstats import LangIdActor, NGramLangProfiles
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "lang"])
+    pdf = docs.to_pandas()
+    train = pdf[pdf["doc_id"] % 3 == 0]
+    model = NGramLangProfiles(n=3).fit(train["text"], train["lang"])
+    ref = ray.put(model)
+    out = docs.map_batches(LangIdActor, fn_constructor_kwargs={
+        "profiles_ref": ref}, batch_format="pyarrow", concurrency=2)
+    return out.select_columns(["doc_id", "lang", "lang_pred"]).to_pandas()
+
+
+def _multimodal_features(sf_dir: str):
+    """Binary-payload plumbing demo: documents' text bytes as an opaque
+    payload through the decode actor pool (FakeCodec — real codecs absent
+    in this environment, see stages/multimodal.py)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from biobloom_ray.stages.multimodal import DecodeFeatureActor
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def to_payload(b: pa.Table) -> pa.Table:
+        payload = pa.array([t.encode() for t in b["text"].to_pylist()],
+                           type=pa.large_binary())
+        return pa.table({"doc_id": b["doc_id"], "payload": payload})
+
+    ds = docs.map_batches(to_payload, batch_format="pyarrow")
+    out = ds.map_batches(DecodeFeatureActor,
+                         fn_constructor_kwargs={"feature_dim": 16},
+                         batch_size=256, concurrency=2,
+                         batch_format="pyarrow")
+    return out.to_pandas()
+
+
+def _exact_dedup_ds(sf_dir: str):
+    from biobloom_ray.pipelines.analytics import exact_dedup_docs
+
+    return exact_dedup_docs(sf_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from biobloom_ray.pipelines import analytics as A
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # SQL-oracled
+        "lang_counts": A.lang_counts,
+        "frame_counts": A.frame_counts,
+        "median_nchars_by_lang": A.median_nchars_by_lang,
+        "events_hourly": A.events_hourly,
+        "exact_dedup": _exact_dedup_ds,
+        "distinct_text_per_lang": A.distinct_text_per_lang,
+        "token_counts": A.token_counts,
+        "quality_scores": A.quality_scores,
+        "doc_fingerprint": A.doc_fingerprints,
+        "heavy_tokens_topk": A.heavy_tokens_topk,
+        "ann_topk": _ann_topk,
+        # sketch / LSH / model pipelines (rows-only here; bound-checked in pytest)
+        "bloom_build_info": _bloom_build_info,
+        "categorize_summary": _categorize_summary,
+        "categorize_labels": _categorize_labels,
+        "hll_distinct_per_lang": A.hll_distinct_shingles_per_lang,
+        "cms_heavy_hitters": A.cms_heavy_hitters,
+        "kll_nchars_quantiles": A.kll_nchars_quantiles,
+        "minhash_neardup_pairs": _minhash_pairs,
+        "simhash_neardup_pairs": _simhash_pairs,
+        "ngram_jaccard_pairs": _ngram_jaccard,
+        "embedding_neardup_pairs": _embedding_neardup,
+        "ann_ivf_topk": _ann_ivf,
+        "lang_id_pred": _lang_id,
+        "multimodal_features": _multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    K = 25  # frame_counts shingle size (matches analytics.K_DEFAULT)
+    return {
+        "lang_counts":
+            "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang",
+        "frame_counts":
+            f"SELECT lang, SUM(GREATEST(LENGTH(text) - {K - 1}, 0)) AS frames "
+            "FROM documents GROUP BY lang",
+        "median_nchars_by_lang":
+            "SELECT lang, quantile_cont(n_chars, 0.5) AS median_nchars "
+            "FROM documents GROUP BY lang",
+        "events_hourly":
+            "SELECT event_type, date_trunc('hour', ts) AS hour, "
+            "COUNT(*) AS n, MIN(value) AS min_value, MAX(value) AS max_value "
+            "FROM events GROUP BY event_type, date_trunc('hour', ts)",
+        "exact_dedup":
+            "SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text",
+        "distinct_text_per_lang":
+            "SELECT lang, COUNT(DISTINCT text) AS n_distinct "
+            "FROM documents GROUP BY lang",
+        "token_counts":
+            "SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens "
+            "FROM documents",
+        "quality_scores":
+            "SELECT doc_id, LENGTH(text) AS n_chars_calc, "
+            "LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha, "
+            "LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) "
+            "/ GREATEST(LENGTH(text), 1) AS alpha_ratio "
+            "FROM documents",
+        "doc_fingerprint":
+            "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+        "heavy_tokens_topk":
+            "SELECT token, COUNT(*) AS cnt FROM ("
+            "SELECT unnest(regexp_extract_all(text, '\\S+')) AS token "
+            "FROM documents) GROUP BY token "
+            "ORDER BY cnt DESC, token ASC LIMIT 20",
+        "ann_topk":
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
+            "SELECT vec_id FROM ("
+            "SELECT e.vec_id AS vec_id, "
+            "list_cosine_similarity(e.embedding, q.qe) AS sim "
+            "FROM embeddings e, q) "
+            "ORDER BY sim DESC, vec_id ASC LIMIT 10",
+    }

@@ -35,8 +35,9 @@ class CategorizeConfig:
     inclusive: bool = False          # paired -i flag
     streak_threshold: int = 3
     batch_size: int = 1024
-    concurrency: int | tuple = 8
+    concurrency: int | tuple | None = None  # None → task pool (elastic)
     with_scores: bool = False
+    use_actors: bool = False  # tasks + worker-local cache by default
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,275 @@
+"""Oracle-checkable analytics pipelines over the driver test tables
+(documents / embeddings / events).  Each function takes ``sf_dir`` and
+returns a small result (Dataset → pandas/Arrow by the caller); the
+matching ANSI-SQL oracles live in ``__ray_entry__.oracle_sql``.
+
+Scale notes: every reader prunes columns at the parquet read; per-batch
+work is vectorized (pyarrow.compute / pandas C kernels / numpy);
+aggregations pre-reduce inside map_batches so shuffles move partial rows
+only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from biobloom_ray.stages.dedup import add_content_hash
+
+K_DEFAULT = 25
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# -- simple grouped aggregates ------------------------------------------------
+
+def lang_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["lang"])
+    out = ds.groupby("lang").aggregate(Count(alias_name="n"))
+    return out.to_pandas()
+
+
+def frame_counts(sf_dir: str, k: int = K_DEFAULT):
+    """A1 pre-pass as a query: Σ max(len−k+1, 0) frames per lang (raw
+    text length, no normalization — matches the SQL oracle)."""
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(b["text"]).to_numpy(zero_copy_only=False)
+        frames = np.maximum(lens.astype(np.int64) - k + 1, 0)
+        df = pd.DataFrame({"lang": b["lang"].to_pandas(), "frames": frames})
+        agg = df.groupby("lang", as_index=False)["frames"].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("lang").aggregate(Sum("frames", alias_name="frames")))
+    return out.to_pandas()
+
+
+def median_nchars_by_lang(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "lang": [g["lang"].iloc[0]],
+            "median_nchars": [float(np.quantile(
+                g["n_chars"].to_numpy(np.float64), 0.5, method="linear"))],
+        })
+
+    return ds.groupby("lang").map_groups(med, batch_format="pandas").to_pandas()
+
+
+def events_hourly(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def trunc(b: pa.Table) -> pa.Table:
+        return b.append_column("hour", pc.floor_temporal(b["ts"], unit="hour")) \
+                .drop_columns(["ts"])
+
+    out = (ds.map_batches(trunc, batch_format="pyarrow")
+           .groupby(["event_type", "hour"])
+           .aggregate(Count(alias_name="n"),
+                      Min("value", alias_name="min_value"),
+                      Max("value", alias_name="max_value")))
+    return out.to_pandas()
+
+
+# -- dedup / distinct ---------------------------------------------------------
+
+def exact_dedup_docs(sf_dir: str):
+    """First-wins exact text dedup (D1 exact variant): min doc_id per
+    distinct text."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    hashed = ds.map_batches(add_content_hash, batch_format="pyarrow")
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.sort_values("doc_id").head(1)
+        return r[["doc_id", "text"]]
+
+    return (hashed.groupby("fp_md5")
+            .map_groups(keep_first, batch_format="pandas").to_pandas())
+
+
+def distinct_text_per_lang(sf_dir: str):
+    """Exact COUNT(DISTINCT text) per lang: per-batch (lang, hash) dedup
+    → global dedup via groupby → count per lang.  (The HLL variant is
+    the approximate twin — see hll_distinct_per_lang.)"""
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        h = add_content_hash(b)
+        df = pd.DataFrame({"lang": h["lang"].to_pandas(),
+                           "fp": h["fp_md5"].to_pandas()})
+        return pa.Table.from_pandas(df.drop_duplicates(), preserve_index=False)
+
+    uniq = (ds.map_batches(pairs, batch_format="pyarrow")
+            .groupby(["lang", "fp"])
+            .map_groups(lambda g: g.head(1), batch_format="pandas"))
+    out = uniq.groupby("lang").aggregate(Count(alias_name="n_distinct"))
+    return out.to_pandas()[["lang", "n_distinct"]]
+
+
+# -- text stats ---------------------------------------------------------------
+
+def token_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        s = b["text"].to_pandas()
+        n = s.str.count(r"\S+").fillna(0).astype(np.int64)
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_tokens": pa.array(n.to_numpy())})
+
+    return ds.map_batches(f, batch_format="pyarrow").to_pandas()
+
+
+def quality_scores(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        s = b["text"].to_pandas()
+        n_chars = s.str.len().fillna(0).astype(np.int64).to_numpy()
+        n_alpha = s.str.count(r"[A-Za-z]").fillna(0).astype(np.int64).to_numpy()
+        ratio = n_alpha / np.maximum(n_chars, 1)
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_chars_calc": pa.array(n_chars),
+                         "n_alpha": pa.array(n_alpha),
+                         "alpha_ratio": pa.array(ratio)})
+
+    return ds.map_batches(f, batch_format="pyarrow").to_pandas()
+
+
+def doc_fingerprints(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        h = add_content_hash(b)
+        return pa.table({"doc_id": b["doc_id"],
+                         "fp_md5": h["fp_md5"].cast(pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow").to_pandas()
+
+
+def heavy_tokens_topk(sf_dir: str, k: int = 20):
+    """Exact heavy hitters: per-batch token value_counts (pre-agg) →
+    groupby(token).sum → deterministic top-k (count desc, token asc).
+    The CMS twin is cms_heavy_hitters."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = b["text"].to_pandas()
+        toks = s.str.findall(r"\S+").explode().dropna()
+        vc = toks.value_counts()
+        return pa.table({"token": pa.array(vc.index.astype(str), type=pa.string()),
+                         "cnt": pa.array(vc.to_numpy().astype(np.int64))})
+
+    summed = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("token").aggregate(Sum("cnt", alias_name="cnt")))
+    top = summed.sort(["cnt", "token"], descending=[True, False]).limit(k)
+    return top.to_pandas()
+
+
+# -- sketch (rows-only) queries ----------------------------------------------
+
+def hll_distinct_shingles_per_lang(sf_dir: str, k: int = 8, p: int = 14):
+    """North-rule query: HLL distinct k-shingle cardinality per lang.
+    Per-batch partial HLL rows → groupby(lang) register-max merge."""
+    from biobloom_ray.hashing import shingle_hashes
+    from biobloom_ray.sketches.hll import HLL
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        langs = b["lang"].to_pandas().to_numpy()
+        texts = b["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        h1, _, nf = shingle_hashes(texts, k)
+        row_of = np.repeat(np.arange(len(nf)), nf)
+        out_l, out_b = [], []
+        for lang in np.unique(langs):
+            sel = (langs == lang)[row_of] if len(row_of) else np.zeros(0, bool)
+            h = HLL(p=p)
+            h.update(h1[sel])
+            out_l.append(str(lang))
+            out_b.append(h.serialize())
+        return pa.table({"lang": pa.array(out_l, type=pa.string()),
+                         "blob": pa.array(out_b, type=pa.large_binary())})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        acc = HLL.deserialize(g["blob"].iloc[0])
+        for blob in g["blob"].iloc[1:]:
+            acc.merge(HLL.deserialize(blob))
+        return pd.DataFrame({"lang": [g["lang"].iloc[0]],
+                             "distinct_shingles_est": [acc.estimate()]})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("lang").map_groups(merge, batch_format="pandas")
+            .to_pandas())
+
+
+def cms_heavy_hitters(sf_dir: str, k: int = 20, eps: float = 0.001,
+                      delta: float = 0.01):
+    """CMS heavy hitters: per-batch partial CMS + local candidate tokens →
+    merged CMS estimates the final counts; top-k by estimate."""
+    from biobloom_ray.hashing import hash_strings
+    from biobloom_ray.sketches.cms import CountMinSketch
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = b["text"].to_pandas()
+        toks = s.str.findall(r"\S+").explode().dropna()
+        vc = toks.value_counts()
+        cms = CountMinSketch.for_error(eps, delta)
+        keys = hash_strings(vc.index.tolist())
+        cms.update(keys, vc.to_numpy().astype(np.int64))
+        cands = vc.head(4 * k)
+        return pa.table({
+            "kind": pa.array(["cms"] + ["cand"] * len(cands)),
+            "token": pa.array([""] + cands.index.astype(str).tolist()),
+            "cnt": pa.array([0] + cands.to_numpy().astype(np.int64).tolist()),
+            "blob": pa.array([cms.serialize()] + [b""] * len(cands),
+                             type=pa.large_binary()),
+        })
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    cms_all = None
+    cand_tokens = set()
+    for r in rows:
+        if r["kind"] == "cms":
+            c = CountMinSketch.deserialize(r["blob"])
+            cms_all = c if cms_all is None else cms_all.merge(c)
+        else:
+            cand_tokens.add(r["token"])
+    cand = sorted(cand_tokens)
+    est = cms_all.query(hash_strings(cand)) if cand else np.empty(0, np.int64)
+    df = pd.DataFrame({"token": cand, "est_cnt": est})
+    df = df.sort_values(["est_cnt", "token"], ascending=[False, True]).head(k)
+    return df.reset_index(drop=True)
+
+
+def kll_nchars_quantiles(sf_dir: str, qs=(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)):
+    """Page-length quantiles via merged per-block KLL partials."""
+    from biobloom_ray.sketches.kll import KLL
+
+    ds = _read(sf_dir, "documents", columns=["n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        sk = KLL(k=200)
+        sk.update(b["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64))
+        return pa.table({"blob": pa.array([sk.serialize()], type=pa.large_binary())})
+
+    blobs = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    acc = KLL.deserialize(blobs[0]["blob"])
+    for r in blobs[1:]:
+        acc.merge(KLL.deserialize(r["blob"]))
+    return pd.DataFrame({"q": list(qs),
+                         "n_chars_est": [acc.quantile(q) for q in qs]})

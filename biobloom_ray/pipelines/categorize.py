@@ -35,19 +35,32 @@ def categorize(
     cfg = cfg or CategorizeConfig()
     bank_ref = bank if isinstance(bank, ray.ObjectRef) else broadcast_bank(bank)
     sub_ref = ray.put(subtract) if subtract is not None else None
-    cls = PairedCategorizerActor if text_col2 else CategorizerActor
-    kwargs = dict(bank_ref=bank_ref, cfg=cfg, text_col=text_col,
-                  subtract_ref=sub_ref, normalize=normalize)
-    if text_col2:
-        kwargs["text_col2"] = text_col2
-    return ds.map_batches(
-        cls,
-        fn_constructor_kwargs=kwargs,
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        concurrency=cfg.concurrency,
-        num_cpus=1,
-    )
+    if cfg.use_actors:
+        # explicit actor pool (T1): pays one process + import per actor —
+        # worth it only for very expensive per-actor state
+        cls = PairedCategorizerActor if text_col2 else CategorizerActor
+        kwargs = dict(bank_ref=bank_ref, cfg=cfg, text_col=text_col,
+                      subtract_ref=sub_ref, normalize=normalize)
+        if text_col2:
+            kwargs["text_col2"] = text_col2
+        return ds.map_batches(
+            cls,
+            fn_constructor_kwargs=kwargs,
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=cfg.concurrency or (2, 8),
+            num_cpus=1,
+        )
+    # default: stateless tasks on the prestarted worker pool; categorizer
+    # state is rebuilt once per worker from the broadcast ref and cached
+    # (zero-copy plasma read — see stages/categorize._WORKER_CACHE)
+    from biobloom_ray.stages.categorize import make_categorizer_fn
+
+    fn = make_categorizer_fn(bank_ref, cfg, text_col=text_col,
+                             text_col2=text_col2, subtract_ref=sub_ref,
+                             normalize=normalize)
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          batch_size=cfg.batch_size, num_cpus=1)
 
 
 def categorize_with_summary(

@@ -128,6 +128,156 @@ def _thresholds(method: str, n_frames: np.ndarray, threshold: float,
     raise ValueError(f"no thresholds for method {method!r}")
 
 
+def _jump_walk_decide(
+    hits: np.ndarray,
+    n_frames: np.ndarray,
+    seg: np.ndarray,
+    method: str,
+    thres: np.ndarray,
+    anti_thres: np.ndarray,
+    k: int,
+    streak_threshold: int,
+) -> np.ndarray:
+    """Exact evalSimple/evalBinomial decisions, one JUMP per vectorized
+    round instead of one frame per loop iteration.
+
+    Key observations that make this exact:
+
+    - Between jumps the walk visits consecutive frames, so score and
+      anti-score are prefix-sum differences of per-frame gains computed
+      once from the raw bitmap (for the simple scorer the only frame whose
+      gain differs after a resume is the resume frame itself: it restarts
+      a streak, so a mid-run hit gains 0.5 instead of 1.0 — a single
+      per-row correction).  Gains are halves/ones, so everything is kept
+      in DOUBLED INTEGER arithmetic: `thres <= score` ⟺
+      `score2 >= ceil(2·thres)` exactly, eliminating any float-rounding
+      drift from the reference's own accumulated-float comparison.
+    - All prefix sums are globally monotone → the first threshold crossing
+      of every alive row is ONE vectorized ``searchsorted``.
+    - The walk's jump triggers are exactly the raw bitmap's triggers
+      (miss with >= streak_threshold raw hits immediately before) at
+      positions >= resume + streak_threshold: the 3-hit window then lies
+      inside the walk, and closer triggers can't reach streak 3.
+    - A reject exactly at the trigger frame fires before the skip
+      (SeqEval.h:94-108), so crossing <= trigger decides the row.
+
+    Rounds = max jumps taken by any row before its decision.
+    """
+    n = len(n_frames)
+    out = np.zeros(n, dtype=bool)
+    total = len(hits)
+    if total == 0 or n == 0:
+        return out
+    is_simple = method == "simple"
+
+    nz = n_frames > 0
+    row_starts_all = seg[nz]
+
+    prev = np.empty(total, dtype=bool)
+    prev[0] = False
+    prev[1:] = hits[:-1]
+    prev[row_starts_all] = False
+    first_of_run = hits & ~prev
+
+    if is_simple:  # doubled gains: 1 for a streak-opening hit, 2 after
+        gains2 = np.where(first_of_run, 1, 2) * hits
+    else:
+        gains2 = hits.astype(np.int64)
+    CS = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(gains2, out=CS[1:])
+    CA = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(~hits, out=CA[1:])
+
+    trig = ~hits
+    for b in range(1, streak_threshold + 1):
+        t = np.empty(total, dtype=bool)
+        t[:b] = False
+        t[b:] = hits[:-b]
+        trig &= t
+    # windows crossing row boundaries are invalid
+    pos_in_row = np.arange(total, dtype=np.int64) \
+        - np.repeat(row_starts_all, n_frames[nz])
+    trig &= pos_in_row >= streak_threshold
+    CT = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(trig, out=CT[1:])
+
+    INF = np.iinfo(np.int64).max
+    SENT = np.int64(1) << np.int64(62)        # "never reject" sentinel
+    scale = 2.0 if is_simple else 1.0
+
+    alive = np.nonzero(nz)[0]
+    p = seg[alive].copy()                     # current flat position
+    score2 = np.zeros(len(alive), dtype=np.int64)
+    anti = np.zeros(len(alive), dtype=np.int64)
+    r_end = seg[alive] + n_frames[alive]      # flat row end (exclusive)
+    # exact integer thresholds: thres <= score ⟺ score2 >= ceil(scale·thres)
+    r_thres2 = np.ceil(scale * thres[alive]).astype(np.int64)
+    a = anti_thres[alive]
+    r_anti = np.where(np.isfinite(a), a, float(SENT)).astype(np.int64)
+
+    while len(alive):
+        if is_simple:
+            corr2 = (hits[p] & ~first_of_run[p]).astype(np.int64)
+        else:
+            corr2 = 0
+        # first accept frame: smallest q with CS[q+1] >= target (all int)
+        acc_target = CS[p] + (r_thres2 - score2) + corr2
+        q_acc = np.searchsorted(CS, acc_target, side="left") - 1
+        # first reject frame (reject fires on ++antiScore, so level >= 1)
+        rej_level = np.maximum(r_anti - anti, 1)
+        q_rej = np.searchsorted(CA, CA[p] + rej_level, side="left") - 1
+        # first walk trigger: raw trigger at >= p + streak_threshold
+        s = np.minimum(p + streak_threshold, r_end)
+        q_trig = np.searchsorted(CT, CT[s] + 1, side="left") - 1
+
+        e_acc = np.where(q_acc < r_end, q_acc, INF)
+        e_rej = np.where(q_rej < r_end, q_rej, INF)
+        e_trig = np.where(q_trig < r_end, q_trig, INF)
+
+        decision = np.minimum(e_acc, e_rej)
+        decided = decision <= e_trig          # INF <= INF → walk ends, False
+        matched_now = decided & (e_acc < e_rej)
+
+        out[alive[matched_now]] = True
+
+        live = ~decided
+        if decided.any():
+            alive = alive[live]
+            if len(alive) == 0:
+                break
+            p = p[live]
+            score2 = score2[live]
+            anti = anti[live]
+            r_end = r_end[live]
+            r_thres2 = r_thres2[live]
+            r_anti = r_anti[live]
+            e_trig = e_trig[live]
+            if is_simple:
+                corr2 = corr2[live]
+
+        # take the jump at T = e_trig (< r_end for every live row)
+        T = e_trig
+        score2 = score2 + (CS[T + 1] - CS[p]) - corr2
+        anti = anti + (CA[T + 1] - CA[p])
+        # skip consumes positions T+1 .. T+k-1 (T itself already counted),
+        # clipped to the row end, each counted as a miss with reject check
+        cnt = np.clip(r_end - (T + 1), 0, k - 1)
+        rej_in_skip = anti + cnt >= np.maximum(r_anti, 1)
+        anti = anti + cnt
+        p = T + k
+        done2 = rej_in_skip | (p >= r_end)    # neither outcome matches
+        if done2.any():
+            live = ~done2
+            alive = alive[live]
+            p = p[live]
+            score2 = score2[live]
+            anti = anti[live]
+            r_end = r_end[live]
+            r_thres2 = r_thres2[live]
+            r_anti = r_anti[live]
+    return out
+
+
 def eval_batch(
     hits: np.ndarray,
     n_frames: np.ndarray,
@@ -163,8 +313,16 @@ def eval_batch(
     thres, anti_thres = _thresholds(method, n_frames, threshold, bf_fpr)
     seg = _seg_starts(n_frames)
 
-    # working set: rows with at least one frame (L < k → empty iterator →
-    # return false, SeqEval.h:52)
+    # ---- jump-walk (one vectorized round per jump) for the common case ----
+    # simple/binomial without a subtract filter and with a positive accept
+    # threshold (a zero threshold accepts on a zero-gain hit frame, which
+    # prefix sums can't see); harmonic gains depend on the absolute streak
+    # and stay on the exact frame loop below.
+    if subtract_hits is None and method in ("simple", "binomial") \
+            and (thres > 0).all():
+        return _jump_walk_decide(hits, n_frames, seg, method, thres,
+                                 anti_thres, k, streak_threshold)
+
     alive = np.nonzero(n_frames > 0)[0]
     pos = np.zeros(len(alive), dtype=np.int64)
     score = np.zeros(len(alive), dtype=np.float64)

@@ -37,6 +37,10 @@ from biobloom_ray.hashing import DEFAULT_SEED, U64
 _ONE = U64(1)
 _SIX = U64(6)
 _M63 = U64(63)
+#: probe/insert chunk: keeps per-probe temporaries (~6 arrays × 8 B) inside
+#: the per-core cache instead of streaming them through DRAM — the limiting
+#: resource when ~32 workers run this kernel concurrently on one node
+_CHUNK = 1 << 15
 
 
 def calc_optimal_size(entries: int, fpr: float, hash_num: int) -> int:
@@ -144,36 +148,47 @@ class BloomFilter:
         distinct = int((~pre).sum())
         redundant = n - distinct
         with np.errstate(over="ignore"):
-            for i in range(self.hash_num):
-                idx = self._positions(h1, h2, i)
-                np.bitwise_or.at(self.words, (idx >> _SIX).astype(np.int64),
-                                 _ONE << (idx & _M63))
+            for lo in range(0, n, _CHUNK):
+                ch1 = h1[lo:lo + _CHUNK]
+                ch2 = h2[lo:lo + _CHUNK]
+                for i in range(self.hash_num):
+                    idx = (ch1 + U64(i) * ch2) % U64(self.m)
+                    np.bitwise_or.at(self.words,
+                                     (idx >> _SIX).astype(np.int64),
+                                     _ONE << (idx & _M63))
         self.n_inserted += n
         self.n_distinct += distinct
         self.n_redundant += redundant
         return distinct, redundant
 
     def contains(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
-        """Vectorized membership: AND over h bit probes, with shrinking
-        candidate set (early exit per probe round)."""
+        """Vectorized membership: AND over h bit probes, with a shrinking
+        candidate set (early exit per probe round).  Processed in
+        cache-sized chunks so probe temporaries never hit DRAM."""
         n = len(h1)
         out = np.zeros(n, dtype=bool)
         if n == 0:
             return out
-        alive = np.arange(n, dtype=np.int64)
-        ch1, ch2 = h1, h2
         with np.errstate(over="ignore"):
-            for i in range(self.hash_num):
-                idx = (ch1 + U64(i) * ch2) % U64(self.m)
-                hit = (self.words[(idx >> _SIX).astype(np.int64)]
-                       >> (idx & _M63)) & _ONE
-                keep = hit.astype(bool)
-                alive = alive[keep]
-                if len(alive) == 0:
-                    return out
-                ch1 = ch1[keep]
-                ch2 = ch2[keep]
-        out[alive] = True
+            for lo in range(0, n, _CHUNK):
+                sl = slice(lo, min(lo + _CHUNK, n))
+                ch1, ch2 = h1[sl], h2[sl]
+                alive = np.arange(lo, sl.stop, dtype=np.int64)
+                for i in range(self.hash_num):
+                    idx = ch1 + U64(i) * ch2
+                    idx %= U64(self.m)
+                    widx = (idx >> _SIX).astype(np.int64)
+                    hit = self.words[widx]
+                    hit >>= idx & _M63
+                    keep = (hit & _ONE).astype(bool)
+                    alive = alive[keep]
+                    if len(alive) == 0:
+                        break
+                    ch1 = ch1[keep]
+                    ch2 = ch2[keep]
+                else:
+                    out[alive] = True
+                    continue
         return out
 
     # -- merge (the UDAF combine) ----------------------------------------------

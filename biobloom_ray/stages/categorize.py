@@ -77,6 +77,19 @@ class CategorizerActor:
         bank = ray.get(bank_ref) if isinstance(bank_ref, ray.ObjectRef) else bank_ref
         if len(bank) > 64:
             raise ValueError("hit_mask supports at most 64 filters per run")
+        # Copy the (small, corpus-sized) bit arrays out of the plasma mmap
+        # into worker-private heap: measured on this environment, holding
+        # plasma-backed numpy views while running allocation-heavy kernels
+        # inflates worker CPU ~10x under 32-way concurrency (shm mmap ×
+        # allocator interaction).  The copy is once per worker and costs
+        # ~m/8 bytes per filter; the broadcast still ships ONE plasma copy
+        # per node.  For a bank too big to copy, revert to the zero-copy
+        # views and accept the per-batch cost.
+        import numpy as _np
+
+        for f in bank:
+            if not f.words.flags.writeable or f.words.base is not None:
+                f.words = _np.array(f.words, copy=True)
         self.bank: list[BloomFilter] = bank
         self.cfg = cfg
         self.text_col = text_col
@@ -106,7 +119,27 @@ class CategorizerActor:
         return per_filter, sub_hits, nf
 
     def _decide(self, per_filter, sub_hits, nf) -> np.ndarray:
+        """One fused eval_batch call over all filters: the per-filter hit
+        bitmaps are concatenated into F× the rows, so the lockstep loop's
+        per-numpy-op overhead is amortized across the whole bank instead
+        of paid once per filter."""
         cfg = self.cfg
+        F = len(per_filter)
+        if F == 0:
+            return np.zeros((len(nf), 0), bool)
+        same_fpr = (cfg.scoring_method != "binomial"
+                    or len(set(self.fprs)) == 1)
+        if same_fpr:
+            fused_hits = np.concatenate(per_filter)
+            fused_nf = np.tile(nf, F)
+            fused_sub = (np.tile(sub_hits, F) if sub_hits is not None else None)
+            m = eval_batch(fused_hits, fused_nf, self.k,
+                           method=cfg.scoring_method,
+                           threshold=cfg.score_threshold,
+                           bf_fpr=self.fprs[0] if self.fprs else None,
+                           subtract_hits=fused_sub,
+                           streak_threshold=cfg.streak_threshold)
+            return m.reshape(F, len(nf)).T
         cols = []
         for i, fh in enumerate(per_filter):
             cols.append(eval_batch(
@@ -114,7 +147,7 @@ class CategorizerActor:
                 threshold=cfg.score_threshold, bf_fpr=self.fprs[i],
                 subtract_hits=sub_hits,
                 streak_threshold=cfg.streak_threshold))
-        return np.stack(cols, axis=1) if cols else np.zeros((len(nf), 0), bool)
+        return np.stack(cols, axis=1)
 
     def _score_all(self, per_filter, sub_hits, nf) -> np.ndarray:
         cfg = self.cfg
@@ -234,6 +267,38 @@ class PairedCategorizerActor(CategorizerActor):
         out = out.append_column("score",
                                 pa.array(np.zeros(n), type=pa.float64()))
         return out
+
+
+# Worker-local categorizer cache for the task-based path: tasks run on
+# Ray's long-lived prestarted workers, so caching by (bank ref, config)
+# amortizes construction exactly like an actor's __init__ would — without
+# paying a fresh actor process (and a fresh import of the whole stack)
+# per map_batches stage.  ray.get of the bank inside a worker is a
+# zero-copy plasma read; the numpy bit arrays are never copied.
+_WORKER_CACHE: dict = {}
+
+
+def make_categorizer_fn(bank_ref, cfg: CategorizeConfig, text_col: str = "text",
+                        text_col2: str | None = None, subtract_ref=None,
+                        normalize: bool = True):
+    key = (bank_ref.hex() if hasattr(bank_ref, "hex") else id(bank_ref),
+           cfg, text_col, text_col2, normalize)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        actor = _WORKER_CACHE.get(key)
+        if actor is None:
+            if text_col2:
+                actor = PairedCategorizerActor(
+                    bank_ref, cfg, text_col=text_col, text_col2=text_col2,
+                    subtract_ref=subtract_ref, normalize=normalize)
+            else:
+                actor = CategorizerActor(
+                    bank_ref, cfg, text_col=text_col,
+                    subtract_ref=subtract_ref, normalize=normalize)
+            _WORKER_CACHE[key] = actor
+        return actor(batch)
+
+    return fn
 
 
 def summary_partial(batch: pa.Table, n_filters: int) -> pa.Table:

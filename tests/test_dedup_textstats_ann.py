@@ -1,0 +1,216 @@
+"""Training-data pipeline operators: dedup variants, text stats, ANN."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from biobloom_ray.sketches.minhash import (
+    exact_jaccard_from_hashes,
+    minhash_signatures,
+    signature_jaccard,
+)
+from biobloom_ray.sketches.simhash import hamming_distance, simhash_fingerprints
+from biobloom_ray.hashing import shingle_hashes
+from biobloom_ray.stages.ann import brute_force_topk, embedding_neardup_pairs, ivf_topk
+from biobloom_ray.stages.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    minhash_neardup_pairs,
+    simhash_neardup_pairs,
+)
+from biobloom_ray.stages.multimodal import DecodeFeatureActor, FakeCodec
+from biobloom_ray.stages.textstats import (
+    LangIdActor,
+    NGramLangProfiles,
+    quality_score_batch,
+    token_count_batch,
+)
+
+
+def _mutate(text: str, rate: float, seed: int) -> str:
+    rng = np.random.default_rng(seed)
+    chars = list(text)
+    for i in range(len(chars)):
+        if rng.random() < rate:
+            chars[i] = chr(ord("a") + int(rng.integers(26)))
+    return "".join(chars)
+
+
+@pytest.fixture(scope="module")
+def dup_docs(ray_session):
+    rng = np.random.default_rng(11)
+    base = [" ".join(f"w{int(rng.integers(500)):03d}" for _ in range(80))
+            for _ in range(40)]
+    rows = []
+    did = 0
+    for b in base:
+        rows.append((did, b)); did += 1
+        rows.append((did, b)); did += 1                      # exact dup
+        rows.append((did, _mutate(b, 0.02, did))); did += 1  # near dup
+        rows.append((did, " ".join(f"z{int(rng.integers(500)):03d}"
+                                   for _ in range(80)))); did += 1  # unrelated
+    tbl = pa.table({"doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                    "text": pa.array([r[1] for r in rows], type=pa.string())})
+    return ray.data.from_arrow(tbl), rows
+
+
+class TestMinHashKernels:
+    def test_signature_estimates_jaccard(self):
+        a = "the quick brown fox jumps over the lazy dog " * 5
+        b = "the quick brown fox jumped over a lazy dog " * 5
+        h1a, _, nfa = shingle_hashes([a], 5)
+        h1b, _, nfb = shingle_hashes([b], 5)
+        true_j = exact_jaccard_from_hashes(h1a, h1b)
+        sig = minhash_signatures(np.concatenate([h1a, h1b]),
+                                 np.array([nfa[0], nfb[0]]), num_perm=256)
+        est = signature_jaccard(sig[0], sig[1])
+        assert abs(est - true_j) < 0.12
+
+    def test_identical_sets_full_match(self):
+        h1, _, nf = shingle_hashes(["identical text here"], 4)
+        sig = minhash_signatures(np.concatenate([h1, h1]),
+                                 np.array([nf[0], nf[0]]), num_perm=64)
+        assert (sig[0] == sig[1]).all()
+
+
+class TestSimHashKernels:
+    def test_similar_docs_low_hamming(self):
+        a = "word soup with many common tokens repeated often " * 10
+        b = a.replace("common", "shared", 2)
+        c = "completely different content about other matters entirely " * 10
+        h1, _, nf = shingle_hashes([a, b, c], 5)
+        fp = simhash_fingerprints(h1, nf)
+        d_ab = hamming_distance(fp[:1], fp[1:2])[0]
+        d_ac = hamming_distance(fp[:1], fp[2:3])[0]
+        assert d_ab < d_ac
+
+
+class TestDedupPipelines:
+    def test_exact_dedup_first_wins(self, dup_docs):
+        ds, rows = dup_docs
+        out = exact_dedup(ds).to_pandas()
+        texts = [r[1] for r in rows]
+        assert len(out) == len(set(texts))
+        # winner is the smallest doc_id of each text group
+        expect = (pd.DataFrame(rows, columns=["doc_id", "text"])
+                  .groupby("text")["doc_id"].min())
+        got = out.set_index("text")["doc_id"]
+        assert got.sort_index().equals(expect.sort_index())
+
+    def test_minhash_finds_exact_and_near_dups(self, dup_docs):
+        ds, rows = dup_docs
+        pairs = minhash_neardup_pairs(ds, threshold=0.6)
+        found = set(zip(pairs.id_a, pairs.id_b))
+        # every exact-dup pair (4i, 4i+1) must be found
+        for i in range(0, len(rows), 4):
+            assert (i, i + 1) in found, f"exact dup pair {(i, i+1)} missed"
+        # near-dups (4i, 4i+2): most should be found at 2% mutation
+        near_found = sum((i, i + 2) in found or (i + 1, i + 2) in found
+                         for i in range(0, len(rows), 4))
+        assert near_found >= 0.8 * (len(rows) // 4)
+        # unrelated docs never pair with their base
+        for i in range(0, len(rows), 4):
+            assert (i, i + 3) not in found
+
+    def test_minhash_dedup_drops_dupes(self, dup_docs):
+        ds, rows = dup_docs
+        kept = minhash_dedup(ds, threshold=0.6).to_pandas()
+        kept_ids = set(kept.doc_id)
+        for i in range(0, len(rows), 4):
+            assert i in kept_ids           # base kept (lowest id)
+            assert i + 1 not in kept_ids   # exact dup dropped
+            assert i + 3 in kept_ids       # unrelated kept
+
+    def test_simhash_finds_exact_dups(self, dup_docs):
+        ds, rows = dup_docs
+        pairs = simhash_neardup_pairs(ds, max_hamming=3)
+        found = set(zip(pairs.id_a, pairs.id_b))
+        for i in range(0, len(rows), 4):
+            assert (i, i + 1) in found
+
+
+class TestTextStats:
+    def test_token_and_quality(self, ray_session):
+        tbl = pa.table({"doc_id": [0, 1], "text": ["a bb  ccc", "Hello, World!"]})
+        out = token_count_batch(tbl)
+        assert out["n_tokens"].to_pylist() == [3, 2]
+        q = quality_score_batch(tbl)
+        assert q["n_chars_calc"].to_pylist() == [9, 13]
+        assert q["n_alpha"].to_pylist() == [6, 10]
+        assert q["punct_ratio"].to_pylist()[1] == pytest.approx(2 / 13)
+
+    def test_langid_separates_disjoint_vocab(self, ray_session):
+        rng = np.random.default_rng(5)
+        pools = {"aa": [f"aa{i}" for i in range(50)],
+                 "bb": [f"bb{i}" for i in range(50)]}
+        docs, langs = [], []
+        for lang, pool in pools.items():
+            for _ in range(30):
+                docs.append(" ".join(rng.choice(pool, 40)))
+                langs.append(lang)
+        model = NGramLangProfiles(n=3).fit(docs, langs)
+        actor = LangIdActor(model)
+        out = actor(pa.table({"text": docs}))
+        pred = out["lang_pred"].to_pylist()
+        acc = np.mean([p == l for p, l in zip(pred, langs)])
+        assert acc > 0.95
+
+
+class TestANN:
+    @pytest.fixture(scope="class")
+    def emb_ds(self, ray_session):
+        rng = np.random.default_rng(17)
+        m = rng.standard_normal((400, 32)).astype(np.float64)
+        # plant near-dup pairs: vectors 0/1 and 2/3 nearly parallel
+        m[1] = m[0] + 0.01 * rng.standard_normal(32)
+        m[3] = m[2] + 0.01 * rng.standard_normal(32)
+        flat = pa.array(m.reshape(-1), type=pa.float64())
+        tbl = pa.table({"vec_id": pa.array(np.arange(400), type=pa.int64()),
+                        "embedding": pa.FixedSizeListArray.from_arrays(flat, 32)})
+        return ray.data.from_arrow(tbl), m
+
+    def test_brute_force_matches_numpy(self, emb_ds):
+        ds, m = emb_ds
+        q = m[0]
+        top = brute_force_topk(ds, q, k=5).to_pandas()
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = mn @ (q / np.linalg.norm(q))
+        want = np.lexsort((np.arange(len(sims)), -sims))[:5]
+        assert top.vec_id.tolist() == want.tolist()
+
+    def test_ivf_recall(self, emb_ds):
+        ds, m = emb_ds
+        q = m[0]
+        exact = set(brute_force_topk(ds, q, k=10).to_pandas().vec_id)
+        approx = set(ivf_topk(ds, q, k=10, n_lists=8, n_probe=4,
+                              train_sample=400).to_pandas().vec_id)
+        assert len(exact & approx) >= 6  # recall >= 0.6 with 4/8 probes
+
+    def test_embedding_neardup(self, emb_ds):
+        ds, m = emb_ds
+        pairs = embedding_neardup_pairs(ds, threshold=0.95, n_bits=8)
+        found = set(zip(pairs.id_a, pairs.id_b))
+        assert (0, 1) in found
+        assert (2, 3) in found
+
+
+class TestMultimodal:
+    def test_decode_actor_plumbing(self, ray_session):
+        payloads = [b"some bytes", b"", b"other data longer payload"]
+        tbl = pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                        "payload": pa.array(payloads, type=pa.large_binary())})
+        ds = ray.data.from_arrow(tbl)
+        out = ds.map_batches(DecodeFeatureActor,
+                             fn_constructor_kwargs={"feature_dim": 8},
+                             batch_size=2, concurrency=1,
+                             batch_format="pyarrow").to_pandas()
+        assert "features" in out.columns and "payload" not in out.columns
+        assert len(out.features.iloc[0]) == 8
+        # determinism
+        again = FakeCodec(8).decode(payloads[0])
+        got = np.asarray(out[out.doc_id == 0].features.iloc[0])
+        assert np.allclose(got, again)

@@ -1,0 +1,92 @@
+"""Mimics the driver's correctness gate: run each queries() entry at
+sf0.01 and compare against its oracle_sql() via DuckDB — row count,
+column names and order-insensitive values."""
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def entrymod(ray_session):
+    import __ray_entry__ as m
+
+    return m
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def _to_pandas(res):
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+SQL_CHECKED = [
+    "lang_counts", "frame_counts", "median_nchars_by_lang", "events_hourly",
+    "exact_dedup", "distinct_text_per_lang", "token_counts", "quality_scores",
+    "doc_fingerprint", "heavy_tokens_topk", "ann_topk",
+]
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_sql_parity(entrymod, con, name):
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    got = _canon(_to_pandas(q(SF_DIR)))
+    want = _canon(con.sql(sql).df())
+    assert list(got.columns) == list(want.columns), (got.columns, want.columns)
+    assert len(got) == len(want), (len(got), len(want))
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
+            assert np.allclose(g.astype(float), w.astype(float),
+                               rtol=0, atol=0), f"{name}.{c}"
+        else:
+            assert (g.to_numpy() == w.to_numpy()).all(), f"{name}.{c}"
+
+
+def test_rows_only_queries_run(entrymod):
+    qs = entrymod.queries()
+    oracles = set(entrymod.oracle_sql())
+    for name, fn in qs.items():
+        if name in oracles:
+            continue
+        res = _to_pandas(fn(SF_DIR))
+        assert res is not None
+        assert len(res.columns) > 0
+
+
+def test_entry_smoke(entrymod):
+    out = entrymod.entry()
+    df = _to_pandas(out)
+    assert len(df) >= 0
+    assert "filter_id" in df.columns

@@ -1,0 +1,77 @@
+"""Checkpoint/resume test (FIXTURES.md F6): kill after partition i, re-run,
+byte-identical output, no recompute of finished partitions."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from biobloom_ray.config import BuildConfig, CategorizeConfig
+from biobloom_ray.pages import generate_pages, generate_ref_corpora, pages_path
+from biobloom_ray.pipelines import build_filters
+from biobloom_ray.pipelines.resumable import run_partitioned_categorize
+from biobloom_ray.state.lineage import completed_partitions, read_manifest
+
+
+@pytest.fixture(scope="module")
+def setup(ray_session, tmp_path_factory):
+    input_dir = pages_path(4000, seed=9, cache_dir=str(
+        tmp_path_factory.mktemp("pages")), n_files=4)
+    ref = ray.data.from_arrow(generate_ref_corpora(docs_per_lang=30))
+    built = build_filters(ref, text_col="doc", label_col="filter_id",
+                          cfg=BuildConfig(kmer_size=8, batch_size=1024))
+    bank = [built[f]["filter"] for f in sorted(built)]
+    cfg = CategorizeConfig(mode="std", batch_size=512)
+    return input_dir, bank, cfg
+
+
+def _all_rows(out_dir):
+    import pandas as pd
+
+    frames = []
+    for name in sorted(os.listdir(out_dir)):
+        pdir = os.path.join(out_dir, name)
+        if not name.startswith("part="):
+            continue
+        for f in sorted(os.listdir(pdir)):
+            if f.endswith(".parquet"):
+                frames.append(pq.read_table(os.path.join(pdir, f)).to_pandas())
+    return (pd.concat(frames).sort_values("url").reset_index(drop=True)
+            if frames else pd.DataFrame())
+
+
+def test_kill_and_resume_byte_identical(setup, tmp_path):
+    input_dir, bank, cfg = setup
+    out_a = str(tmp_path / "killed_run")
+    out_b = str(tmp_path / "clean_run")
+
+    # simulate a crash after 2 fresh partitions
+    r1 = run_partitioned_categorize(input_dir, out_a, bank, cfg, fail_after=2)
+    assert r1["completed"] == [0, 1]
+    assert completed_partitions(out_a) == {0, 1}
+
+    # record mtimes of finished outputs
+    p0 = os.path.join(out_a, "part=0")
+    mtimes = {f: os.path.getmtime(os.path.join(p0, f)) for f in os.listdir(p0)}
+
+    # resume: skips 0/1, completes 2/3
+    r2 = run_partitioned_categorize(input_dir, out_a, bank, cfg)
+    assert r2["skipped"] == [0, 1]
+    assert r2["completed"] == [2, 3]
+    assert completed_partitions(out_a) == {0, 1, 2, 3}
+    for f, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(p0, f)) == m, "partition 0 was recomputed"
+
+    # uninterrupted reference run → byte-identical rows
+    r3 = run_partitioned_categorize(input_dir, out_b, bank, cfg)
+    assert r3["completed"] == [0, 1, 2, 3]
+    a = _all_rows(out_a)
+    b = _all_rows(out_b)
+    assert a.equals(b)
+
+    # manifests carry lineage
+    m = read_manifest(out_a, 2)
+    assert m.complete and m.row_count == 1000
+    assert m.inputs and m.inputs[0].endswith(".parquet")
