@@ -223,6 +223,162 @@ def _exact_dedup_ds(sf_dir: str):
     return exact_dedup_docs(sf_dir)
 
 
+def _progressive_info(sf_dir: str):
+    """T4 progressive recruitment over documents: seed with the first 20
+    'en' docs, stream everything, report growth stats (rows-only)."""
+    import pandas as pd
+    import ray.data
+
+    from biobloom_ray.config import BuildConfig
+    from biobloom_ray.pipelines.progressive import progressive_build
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "lang"])
+    pdf_seed = (docs.to_pandas().query("lang == 'en'")
+                .sort_values("doc_id").head(20))
+    bf, recruited = progressive_build(
+        docs, pdf_seed["text"].tolist(),
+        BuildConfig(kmer_size=8), threshold=0.3,
+        expected_entries=500_000, strict_order=True, batch_size=256)
+    return pd.DataFrame([{
+        "filter_id": bf.filter_id, "n_distinct": bf.n_distinct,
+        "n_recruited_reads": recruited, "m": bf.m,
+        "fpr_realized": bf.fpr_realized(),
+    }])
+
+
+def _paired_categorize(sf_dir: str):
+    """M6/M18/T7: synthesize mate pairs from documents (doc 2i = /1,
+    doc 2i+1 = /2), re-unite with the groupby smart-pair join, AND-combine
+    against the per-lang bank (rows-only)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from biobloom_ray.config import CategorizeConfig
+    from biobloom_ray.pipelines import categorize
+    from biobloom_ray.stages.pairs import pair_up
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def to_mates(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        urls = [f"p{int(i) // 2:06d}/{int(i) % 2 + 1}" for i in ids]
+        return pa.table({"url": pa.array(urls, type=pa.large_string()),
+                         "text": b["text"]})
+
+    mates = docs.map_batches(to_mates, batch_format="pyarrow")
+    pairs = pair_up(mates)
+    _flagship(sf_dir)  # ensure the per-lang bank is cached
+    bank = _BANK_CACHE[sf_dir]
+    cfg = CategorizeConfig(mode="std", inclusive=False, batch_size=512)
+    labeled = categorize(pairs, bank, cfg, text_col="text_1",
+                         text_col2="text_2")
+    return labeled.select_columns(["pair_key", "label"]).to_pandas()
+
+
+def _masked_categorize(sf_dir: str):
+    """M5 analogue: categorize with in-document repetition masking on
+    (rows-only; masked shingles score as misses like SDUST)."""
+    import ray.data
+
+    from biobloom_ray.config import CategorizeConfig
+    from biobloom_ray.pipelines import categorize
+
+    _flagship(sf_dir)  # ensure bank cached
+    bank = _BANK_CACHE[sf_dir]
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    cfg = CategorizeConfig(mode="std", batch_size=512, mask_repetition=4)
+    labeled = categorize(docs, bank, cfg)
+    return labeled.select_columns(["doc_id", "label"]).to_pandas()
+
+
+def _tdigest_quantiles(sf_dir: str):
+    """Page-length quantiles via merged per-block t-digests (rows-only;
+    the KLL twin is kll_nchars_quantiles)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from biobloom_ray.sketches.tdigest import TDigest
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        td = TDigest()
+        td.update(b["n_chars"].to_numpy(zero_copy_only=False).astype(float))
+        return pa.table({"blob": pa.array([td.serialize()],
+                                          type=pa.large_binary())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    acc = TDigest.deserialize(rows[0]["blob"])
+    for r in rows[1:]:
+        acc.merge(TDigest.deserialize(r["blob"]))
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    return pd.DataFrame({"q": qs, "n_chars_est": [acc.quantile(q) for q in qs]})
+
+
+def _spaced_seed_distinct(sf_dir: str):
+    """M3: distinct spaced-seed frame hashes per lang (HLL), seeds hash
+    only the care positions (rows-only)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from biobloom_ray.hashing import spaced_seed_hashes
+    from biobloom_ray.sketches.hll import HLL
+
+    SEEDS = ["1101001011", "1010010011"]
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        langs = b["lang"].to_pandas().to_numpy()
+        h, nf = spaced_seed_hashes(b["text"].combine_chunks()
+                                   if isinstance(b["text"], pa.ChunkedArray)
+                                   else b["text"], SEEDS)
+        row_of = np.repeat(np.arange(len(nf)), nf)
+        out_l, out_b = [], []
+        for lang in np.unique(langs):
+            sel = (langs == lang)[row_of] if len(row_of) else np.zeros(0, bool)
+            hl = HLL(p=12)
+            hl.update(h[sel].reshape(-1))
+            out_l.append(str(lang))
+            out_b.append(hl.serialize())
+        return pa.table({"lang": pa.array(out_l, type=pa.string()),
+                         "blob": pa.array(out_b, type=pa.large_binary())})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        acc = HLL.deserialize(g["blob"].iloc[0])
+        for blob in g["blob"].iloc[1:]:
+            acc.merge(HLL.deserialize(blob))
+        return pd.DataFrame({"lang": [g["lang"].iloc[0]],
+                             "spaced_distinct_est": [acc.estimate()]})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("lang").map_groups(merge, batch_format="pandas")
+            .to_pandas())
+
+
+def _user_event_counts(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "value"])
+    out = (ds.groupby("user_id")
+           .aggregate(Count(alias_name="n"),
+                      Min("value", alias_name="min_value"),
+                      Max("value", alias_name="max_value")))
+    return out.to_pandas()
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from biobloom_ray.pipelines import analytics as A
 
@@ -239,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": A.doc_fingerprints,
         "heavy_tokens_topk": A.heavy_tokens_topk,
         "ann_topk": _ann_topk,
+        "user_event_counts": _user_event_counts,
         # sketch / LSH / model pipelines (rows-only here; bound-checked in pytest)
         "bloom_build_info": _bloom_build_info,
         "categorize_summary": _categorize_summary,
@@ -253,6 +410,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _ann_ivf,
         "lang_id_pred": _lang_id,
         "multimodal_features": _multimodal_features,
+        "progressive_build_info": _progressive_info,
+        "paired_categorize": _paired_categorize,
+        "masked_categorize": _masked_categorize,
+        "tdigest_nchars_quantiles": _tdigest_quantiles,
+        "spaced_seed_distinct": _spaced_seed_distinct,
     }
 
 
@@ -292,6 +454,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT unnest(regexp_extract_all(text, '\\S+')) AS token "
             "FROM documents) GROUP BY token "
             "ORDER BY cnt DESC, token ASC LIMIT 20",
+        "user_event_counts":
+            "SELECT user_id, COUNT(*) AS n, MIN(value) AS min_value, "
+            "MAX(value) AS max_value FROM events GROUP BY user_id",
         "ann_topk":
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
             "SELECT vec_id FROM ("

@@ -38,6 +38,9 @@ class CategorizeConfig:
     concurrency: int | tuple | None = None  # None → task pool (elastic)
     with_scores: bool = False
     use_actors: bool = False  # tasks + worker-local cache by default
+    #: SDUST analogue (M5): mask frames whose shingle repeats more than
+    #: this many times within a document; None disables (like opt::dust)
+    mask_repetition: int | None = None
 
 
 @dataclass(frozen=True)

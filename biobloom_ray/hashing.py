@@ -275,6 +275,63 @@ def hash_strings(values, seed: int = DEFAULT_SEED) -> np.ndarray:
         return splitmix64(raw + s)
 
 
+def parse_seed_string(seed: str) -> np.ndarray:
+    """Spaced-seed pattern → int positions of the care ('1') slots —
+    ``MIBloomFilter::parseSeedString`` analogue (``MIBFGen.hpp:140``,
+    design tool ``util/designSS.py``)."""
+    if not seed or any(c not in "01" for c in seed):
+        raise ValueError("seed must be a non-empty string of 0s and 1s")
+    return np.flatnonzero(np.frombuffer(seed.encode(), np.uint8) == ord("1"))
+
+
+def spaced_seed_hashes(
+    texts: "pa.Array | pa.ChunkedArray | list[str]",
+    seeds: list[str],
+    global_seed: int = DEFAULT_SEED,
+) -> tuple[np.ndarray, np.ndarray]:
+    """One 64-bit hash per (frame, spaced seed), hashing ONLY the '1'
+    positions of each seed (``stHashIterator`` analogue, used at
+    ``MIBFGen.hpp:418-422`` / ``MIBFClassifier.hpp:788-790``).
+
+    Returns ``(hashes, n_frames)`` with ``hashes`` shaped
+    ``(total_frames, len(seeds))``; frames are windows of
+    ``len(seeds[0])`` bytes (all seeds must share one length, as in the
+    reference).  Two windows whose care positions agree hash equally no
+    matter what the don't-care positions contain.
+
+    O(|care positions| · n) vectorized adds — no rolling trick exists
+    for non-contiguous windows, but the care set is small by design.
+    """
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(list(texts), type=pa.large_string())
+    k = len(seeds[0])
+    if any(len(s) != k for s in seeds):
+        raise ValueError("all spaced seeds must have the same length")
+    data, starts, ends = string_column_bytes(texts)
+    lens = ends - starts
+    n_frames = np.maximum(lens - k + 1, 0)
+    total = int(n_frames.sum())
+    out = np.empty((total, len(seeds)), dtype=U64)
+    if total == 0:
+        return out, n_frames
+    lo = int(starts.min())
+    region = data[lo:int(ends.max())]
+    first = np.repeat(starts - lo, n_frames)
+    cum = np.zeros(len(starts), dtype=np.int64)
+    np.cumsum(n_frames[:-1], out=cum[1:])
+    pos = np.arange(total, dtype=np.int64) - np.repeat(cum, n_frames) + first
+    s = U64(global_seed & _MASK64)
+    with np.errstate(over="ignore"):
+        for si, seed in enumerate(seeds):
+            care = parse_seed_string(seed)
+            acc = np.full(total, s + U64(si), dtype=U64)
+            for j in care:
+                acc *= U64(BASE_A)
+                acc += region[pos + int(j)]
+            out[:, si] = splitmix64(acc)
+    return out, n_frames
+
+
 def derive_hashes(h1: np.ndarray, h2: np.ndarray, i: int) -> np.ndarray:
     """i-th derived hash ``h1 + i*h2`` (mod 2**64) — ntHash-style multi-hash."""
     with np.errstate(over="ignore"):

@@ -86,6 +86,21 @@ def build_filters(
         fid = bf.filter_id if bf.filter_id != "__all__" else filter_id
         bf.filter_id = fid
         hll = HLL.deserialize(row["hll"]) if row["hll"] else None
+        # redundancy warning (A3): ratio of redundant to unique shingles
+        # minus the expected redundancy FPR — high values suggest the
+        # input itself is highly repetitive (BioBloomMaker.cpp:527-540)
+        if bf.n_distinct > 0:
+            from biobloom_ray.sketches.bloom import calc_redundancy_fpr
+
+            red_fpr = calc_redundancy_fpr(bf.m, bf.n_distinct, bf.hash_num)
+            ratio = bf.n_redundant / bf.n_distinct - red_fpr
+            if ratio > 0.25:
+                import warnings
+
+                warnings.warn(
+                    f"filter {fid!r}: redundant/unique shingle ratio "
+                    f"{ratio:.2f} exceeds 0.25 — input is highly repetitive "
+                    "(reference warning, BioBloomMaker.cpp:527-540)")
         out[fid] = {
             "filter": bf,
             "hll": hll,

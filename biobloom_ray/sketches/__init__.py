@@ -19,9 +19,10 @@ from biobloom_ray.sketches.simhash import (
     simhash_band_keys,
     simhash_fingerprints,
 )
+from biobloom_ray.sketches.tdigest import TDigest
 
 __all__ = [
-    "BloomFilter", "HLL", "CountMinSketch", "KLL",
+    "BloomFilter", "HLL", "CountMinSketch", "KLL", "TDigest",
     "calc_approx_fpr", "calc_optimal_hash_num", "calc_optimal_size",
     "calc_redundancy_fpr",
     "minhash_signatures", "lsh_band_keys", "signature_jaccard",

@@ -116,6 +116,13 @@ class CategorizerActor:
         if self.subtract is not None:
             sub_hits = self.subtract.contains(h1, h2)
         per_filter = [bf.contains(h1, h2) for bf in self.bank]
+        if self.cfg.mask_repetition is not None:
+            # SDUST analogue (M5): masked frames become misses everywhere,
+            # exactly like `!(sduster->isLowComp) && contains` (SeqEval.h:53)
+            from biobloom_ray.stages.masking import repetition_mask
+
+            mask = repetition_mask(h1, nf, self.cfg.mask_repetition)
+            per_filter = [fh & ~mask for fh in per_filter]
         return per_filter, sub_hits, nf
 
     def _decide(self, per_filter, sub_hits, nf) -> np.ndarray:

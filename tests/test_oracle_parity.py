@@ -53,7 +53,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 SQL_CHECKED = [
     "lang_counts", "frame_counts", "median_nchars_by_lang", "events_hourly",
     "exact_dedup", "distinct_text_per_lang", "token_counts", "quality_scores",
-    "doc_fingerprint", "heavy_tokens_topk", "ann_topk",
+    "doc_fingerprint", "heavy_tokens_topk", "ann_topk", "user_event_counts",
 ]
 
 
