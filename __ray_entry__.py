@@ -366,6 +366,31 @@ def _spaced_seed_distinct(sf_dir: str):
             .to_pandas())
 
 
+def _mibf_classify(sf_dir: str):
+    """T5/T6: one multi-index Bloom filter over all langs (3-pass build,
+    deterministic fair ownership, saturation), classify every document
+    (rows-only)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from biobloom_ray.pipelines.mibf import build_mibf, classify_mibf
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "lang"])
+
+    def train_split(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 3 == 0))
+
+    train = docs.map_batches(train_split, batch_format="pyarrow")
+    mibf = build_mibf(train, text_col="text", label_col="lang",
+                      kmer_size=8, hash_num=3)
+    out = classify_mibf(docs, mibf, min_fpr=0.01)
+    return out.select_columns(
+        ["doc_id", "label", "best_count", "second_count"]).to_pandas()
+
+
 def _user_event_counts(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count, Max, Min
@@ -415,6 +440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "masked_categorize": _masked_categorize,
         "tdigest_nchars_quantiles": _tdigest_quantiles,
         "spaced_seed_distinct": _spaced_seed_distinct,
+        "mibf_classify": _mibf_classify,
     }
 
 

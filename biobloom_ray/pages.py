@@ -34,8 +34,14 @@ def _word_pools() -> dict[str, list[str]]:
     pools = {}
     shared = [f"common{i:03d}" for i in range(SHARED_WORDS)]
     for lang in LANGS:
-        own = [f"{lang}word{i:03d}" for i in range(POOL_WORDS)]
-        pools[lang] = own if lang == "zz" else own + shared
+        if lang == "zz":
+            # negative control: NO k-shingle overlap with any other pool —
+            # (the other pools all contain the substring "word", so the
+            # control must not; 8-gram windows then never coincide)
+            pools[lang] = [f"neg{i:03d}ctrl" for i in range(POOL_WORDS)]
+        else:
+            own = [f"{lang}word{i:03d}" for i in range(POOL_WORDS)]
+            pools[lang] = own + shared
     return pools
 
 
@@ -104,7 +110,7 @@ def pages_path(n_rows: int, seed: int = 42,
                n_files: int = 16) -> str:
     """Materialize (once) a deterministic pages table as a directory of
     parquet shards; returns the directory path.  Used by bench/tests."""
-    d = os.path.join(cache_dir, f"pages_n{n_rows}_s{seed}")
+    d = os.path.join(cache_dir, f"pages_v2_n{n_rows}_s{seed}")
     marker = os.path.join(d, "_complete")
     if os.path.exists(marker):
         return d

@@ -1,0 +1,323 @@
+"""miBF build (3-pass) and classify — biobloommimaker /
+biobloommicategorizer analogues (T5/T6; ``MIBFGen.hpp:132-415``,
+``MIBFClassifier.hpp:201-617``).
+
+Build passes, each a Ray Data sweep whose partials merge order-free:
+
+1. **bit vector**: per-block partial bit arrays OR-merge (exactly the
+   plain-Bloom UDAF); rank array built once on the merged vector.
+2. **ID assignment**: per block, every (frame, id) probes its slots and
+   bids ``ownership_key(slot, id)``; the minimum bid per slot wins.
+   min is associative+commutative → any merge order yields the same
+   filter (deterministic stand-in for the reference's sequential RNG
+   fair assignment — documented in sketches/mibf.py).
+3. **saturation**: (frame, id) pairs that lost every slot mark their
+   slots saturated (``MIBFGen.hpp:252-258``) — per-block sparse slot
+   sets, OR-merged.
+
+Classification (``MIBFClassifier.hpp``): per read, count frames
+supporting each ID (a frame supports an ID when any of the h probes
+reports it); best ID matches when its frame count clears the binomial
+minimum count at that ID's frame probability (memoized per frame
+length, ``:773-795``); best-vs-secondary gap ≤ ``multi_thresh`` →
+multiMatch (the ``-m`` knob, ``Doc/MultiIndex.md:156``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from biobloom_ray.hashing import shingle_hashes
+from biobloom_ray.scoring import binom_sf, calc_min_count
+from biobloom_ray.sketches.mibf import (
+    EMPTY,
+    ID_MASK,
+    MAX_IDS,
+    SATURATED,
+    MIBloomFilter,
+    ownership_key,
+)
+from biobloom_ray.textnorm import normalize_batch
+
+NO_MATCH = "noMatch"
+MULTI_MATCH = "multiMatch"
+U64_ROW = np.uint64(0x9E3779B97F4A7C15)  # row-mixing multiplier
+
+
+def _texts(batch: pa.Table, text_col: str, normalize: bool) -> pa.Array:
+    t = batch[text_col]
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    return normalize_batch(t) if normalize else t
+
+
+def build_mibf(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    label_col: str = "filter_id",
+    kmer_size: int = 8,
+    hash_num: int = 3,
+    occupancy: float = 0.5,
+    seed: int | None = None,
+    normalize: bool = True,
+    batch_size: int = 2048,
+) -> MIBloomFilter:
+    from biobloom_ray.hashing import DEFAULT_SEED
+
+    seed = DEFAULT_SEED if seed is None else seed
+
+    # id table from distinct labels (≤ 32767, Doc/MultiIndex.md:165)
+    names = sorted(ds.select_columns([label_col]).unique(label_col))
+    if len(names) > MAX_IDS:
+        raise ValueError(f"miBF supports at most {MAX_IDS} labels")
+    name_to_id = {n: i + 1 for i, n in enumerate(names)}
+
+    # size for the target occupancy from the DISTINCT shingle count
+    # (HLL pre-pass): popcount/m = occupancy ⇒ m = n·h / ln(1/(1−occ))
+    import math
+
+    from biobloom_ray.sketches.hll import HLL
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        hll = HLL(p=14)
+        h1, _, _ = shingle_hashes(_texts(b, text_col, normalize),
+                                  kmer_size, seed)
+        hll.update(h1)
+        return pa.table({"blob": pa.array([hll.serialize()],
+                                          type=pa.large_binary())})
+
+    rows = ds.map_batches(distinct_partial, batch_format="pyarrow",
+                          batch_size=batch_size).take_all()
+    hacc = HLL.deserialize(rows[0]["blob"])
+    for r in rows[1:]:
+        hacc.merge(HLL.deserialize(r["blob"]))
+    n_distinct = max(int(hacc.estimate()), 64)
+    m = int(n_distinct * hash_num / math.log(1.0 / (1.0 - occupancy)))
+    m += 64 - m % 64
+
+    proto = MIBloomFilter(m=m, hash_num=hash_num, kmer_size=kmer_size,
+                          seed=seed, id_names=names)
+
+    # ---- pass 1: bit vector (OR-merge partials) ---------------------------
+    def pass1(b: pa.Table) -> pa.Table:
+        part = MIBloomFilter(m=m, hash_num=hash_num, kmer_size=kmer_size,
+                             seed=seed)
+        texts = _texts(b, text_col, normalize)
+        h1, h2, _ = shingle_hashes(texts, kmer_size, seed)
+        part.set_bits(part.positions(h1, h2))
+        return pa.table({"words": pa.array([part.words.tobytes()],
+                                           type=pa.large_binary())})
+
+    for r in ds.map_batches(pass1, batch_format="pyarrow",
+                            batch_size=batch_size).take_all():
+        np.bitwise_or(proto.words,
+                      np.frombuffer(r["words"], dtype=np.uint64),
+                      out=proto.words)
+    proto.build_rank()
+    n_slots = proto.n_slots
+
+    # ---- pass 2: deterministic fair ownership (min-merge partials) --------
+    snap_ref = ray.put(proto)
+    ids_np = np.array([name_to_id[n] for n in names], dtype=np.uint16)
+    name_map_ref = ray.put(name_to_id)
+
+    def pass2(b: pa.Table) -> pa.Table:
+        snap: MIBloomFilter = ray.get(snap_ref)
+        nmap = ray.get(name_map_ref)
+        texts = _texts(b, text_col, normalize)
+        h1, h2, nf = shingle_hashes(texts, kmer_size, seed)
+        labels = b[label_col].to_pandas().to_numpy()
+        row_ids = np.array([nmap[l] for l in labels], dtype=np.uint16)
+        frame_ids = np.repeat(row_ids, nf)
+        slots = snap.rank(snap.positions(h1, h2))          # (n, h)
+        flat_slots = slots.reshape(-1)
+        flat_ids = np.repeat(frame_ids, hash_num)
+        keys = ownership_key(flat_slots, flat_ids)
+        # local min per slot
+        order = np.lexsort((keys, flat_slots))
+        s_sorted = flat_slots[order]
+        first = np.empty(len(order), dtype=bool)
+        if len(order):
+            first[0] = True
+            first[1:] = s_sorted[1:] != s_sorted[:-1]
+        win = order[first]
+        return pa.table({
+            "slot": pa.array(flat_slots[win]),
+            "key": pa.array(keys[win].astype(np.int64)),
+            "id": pa.array(flat_ids[win].astype(np.int32)),
+        })
+
+    best_key = np.full(n_slots, np.iinfo(np.uint64).max, dtype=np.uint64)
+    best_id = np.zeros(n_slots, dtype=np.uint16)
+    parts = ds.map_batches(pass2, batch_format="pyarrow",
+                           batch_size=batch_size)
+    for blk in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        slot = blk["slot"].to_numpy(zero_copy_only=False)
+        key = blk["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        idv = blk["id"].to_numpy(zero_copy_only=False).astype(np.uint16)
+        better = key < best_key[slot]
+        bs = slot[better]
+        best_key[bs] = key[better]
+        best_id[bs] = idv[better]
+    proto.ids = best_id.copy()
+
+    # ---- pass 3: saturation (OR-merge sparse slot sets) --------------------
+    snap2_ref = ray.put(proto)
+
+    def pass3(b: pa.Table) -> pa.Table:
+        snap: MIBloomFilter = ray.get(snap2_ref)
+        nmap = ray.get(name_map_ref)
+        texts = _texts(b, text_col, normalize)
+        h1, h2, nf = shingle_hashes(texts, kmer_size, seed)
+        labels = b[label_col].to_pandas().to_numpy()
+        row_ids = np.array([nmap[l] for l in labels], dtype=np.uint16)
+        frame_ids = np.repeat(row_ids, nf)
+        slots = snap.rank(snap.positions(h1, h2))
+        owners = snap.ids[slots] & ID_MASK
+        lost = (owners != frame_ids[:, None]).all(axis=1)   # frame lost all
+        sat_slots = np.unique(slots[lost].reshape(-1))
+        return pa.table({"slot": pa.array(sat_slots)})
+
+    sat = np.zeros(n_slots, dtype=bool)
+    for blk in ds.map_batches(pass3, batch_format="pyarrow",
+                              batch_size=batch_size).iter_batches(
+                                  batch_size=None, batch_format="pyarrow"):
+        sat[blk["slot"].to_numpy(zero_copy_only=False)] = True
+    proto.ids[sat] |= SATURATED
+    return proto
+
+
+class MIBFClassifierActor:
+    """Actor/task callable: label each row against a broadcast miBF."""
+
+    def __init__(self, mibf_ref, min_fpr: float = 0.01,
+                 multi_thresh: int = 0, text_col: str = "text",
+                 normalize: bool = True):
+        mibf = ray.get(mibf_ref) if isinstance(mibf_ref, ray.ObjectRef) else mibf_ref
+        # worker-private copies (see categorize.py plasma note)
+        mibf.words = np.array(mibf.words, copy=True)
+        mibf.ids = np.array(mibf.ids, copy=True)
+        mibf.rank_acc = np.array(mibf.rank_acc, copy=True)
+        self.mibf = mibf
+        self.min_fpr = min_fpr
+        self.multi_thresh = multi_thresh
+        self.text_col = text_col
+        self.normalize = normalize
+        self.frame_probs = mibf.frame_probs()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mibf = self.mibf
+        texts = _texts(batch, self.text_col, self.normalize)
+        h1, h2, nf = shingle_hashes(texts, mibf.kmer_size, mibf.seed)
+        n = len(nf)
+        pos = mibf.positions(h1, h2)
+        # a frame only reports IDs when it is a full member (all h probes
+        # set — the reference's query(itr) membership precondition); this
+        # is what keeps the per-frame false-support rate at occ^h·share
+        member = mibf.contains(pos).all(axis=1)
+        ids_mat = np.zeros(pos.shape, dtype=np.uint16)
+        if member.any():
+            slots = mibf.rank(pos[member])
+            ids_mat[member] = mibf.ids[slots] & ID_MASK
+        row_of = np.repeat(np.arange(n, dtype=np.int64), nf)
+
+        # Support counting is per DISTINCT shingle, not per frame: web text
+        # repeats shingles heavily (boilerplate), and a single
+        # false-positive shingle repeated r times would otherwise count as
+        # r independent Bernoulli trials and blow past the binomial gate.
+        # (Deviation from the reference's per-frame counts, documented —
+        # trials below are distinct shingles per row to match.)
+        frame_idx = np.repeat(np.arange(len(h1), dtype=np.int64),
+                              mibf.hash_num)
+        flat_ids = ids_mat.reshape(-1).astype(np.int64)
+        keep = flat_ids != 0
+        fi = frame_idx[keep]
+        fid = flat_ids[keep]
+        from biobloom_ray.hashing import splitmix64
+
+        with np.errstate(over="ignore"):
+            trip_key = (splitmix64(h1[fi] + U64_ROW * row_of[fi].astype(np.uint64))
+                        ^ splitmix64(fid.astype(np.uint64)))
+        _, first_idx = np.unique(trip_key, return_index=True)
+        p_row = row_of[fi[first_idx]]
+        p_id = fid[first_idx]
+
+        # trials per row = distinct member... distinct shingles in the row
+        with np.errstate(over="ignore"):
+            row_shingle = splitmix64(h1 + U64_ROW * row_of.astype(np.uint64))
+        n_trials = np.zeros(n, dtype=np.int64)
+        uniq_rs_idx = np.unique(row_shingle, return_index=True)[1]
+        np.add.at(n_trials, row_of[uniq_rs_idx], 1)
+
+        best_id = np.zeros(n, dtype=np.int64)
+        best_cnt = np.zeros(n, dtype=np.int64)
+        second_cnt = np.zeros(n, dtype=np.int64)
+        if len(p_row):
+            rid = np.unique(p_row * (MAX_IDS + 1) + p_id, return_counts=True)
+            rkey, counts = rid
+            rows = rkey // (MAX_IDS + 1)
+            idv = rkey % (MAX_IDS + 1)
+            # top-2 per row (O2: best vs secondary gap)
+            order = np.lexsort((-counts, rows))
+            rows_o = rows[order]
+            first_mask = np.empty(len(order), dtype=bool)
+            first_mask[0] = True
+            first_mask[1:] = rows_o[1:] != rows_o[:-1]
+            firsts = np.nonzero(first_mask)[0]
+            best_id[rows_o[firsts]] = idv[order][firsts]
+            best_cnt[rows_o[firsts]] = counts[order][firsts]
+            seconds = firsts + 1
+            valid2 = (seconds < len(order))
+            s_ok = seconds[valid2]
+            same_row = rows_o[s_ok] == rows_o[firsts[valid2]]
+            s_ok = s_ok[same_row]
+            second_cnt[rows_o[s_ok]] = counts[order][s_ok]
+
+        # binomial acceptance at the best ID's frame probability, memoized
+        # per (frame length, prob) by calc_min_count's lru_cache
+        labels = np.full(n, NO_MATCH, dtype=object)
+        scores = np.zeros(n, dtype=np.float64)
+        names = np.array([""] + list(mibf.id_names), dtype=object)
+        for i in range(n):
+            F = int(n_trials[i])
+            if F == 0 or best_id[i] == 0:
+                continue
+            p = float(self.frame_probs[best_id[i]])
+            need = calc_min_count(F, round(p, 12), self.min_fpr)
+            if best_cnt[i] >= need:
+                if best_cnt[i] - second_cnt[i] <= self.multi_thresh \
+                        and second_cnt[i] > 0:
+                    labels[i] = MULTI_MATCH
+                else:
+                    labels[i] = names[best_id[i]]
+                sf = binom_sf(F, round(p, 12), int(best_cnt[i]) - 1)
+                scores[i] = -10.0 * np.log10(sf) if sf > 0 else np.inf
+
+        out = batch.append_column("label",
+                                  pa.array(labels, type=pa.large_string()))
+        out = out.append_column("best_count",
+                                pa.array(best_cnt))
+        out = out.append_column("second_count", pa.array(second_cnt))
+        out = out.append_column("mibf_score", pa.array(scores))
+        return out
+
+
+def classify_mibf(ds, mibf: MIBloomFilter, min_fpr: float = 0.01,
+                  multi_thresh: int = 0, text_col: str = "text",
+                  batch_size: int = 1024):
+    ref = ray.put(mibf)
+    _cache: dict = {}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        actor = _cache.get("a")
+        if actor is None:
+            actor = MIBFClassifierActor(ref, min_fpr, multi_thresh, text_col)
+            _cache["a"] = actor
+        return actor(batch)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
