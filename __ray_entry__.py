@@ -404,6 +404,41 @@ def _user_event_counts(sf_dir: str):
     return out.to_pandas()
 
 
+def _top_users_by_events(sf_dir: str):
+    """Deterministic global top-10: count per user → sort(count desc,
+    user asc) → limit (the O3 top-k pattern on a non-text table)."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+    counts = ds.groupby("user_id").aggregate(Count(alias_name="n"))
+    return counts.sort(["n", "user_id"],
+                       descending=[True, False]).limit(10).to_pandas()
+
+
+def _event_type_daily(sf_dir: str):
+    """Second time-bucketed aggregate (per day) exercising timestamp
+    truncation + two-key groupby."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts"])
+
+    def trunc(b: pa.Table) -> pa.Table:
+        return b.append_column("day",
+                               pc.floor_temporal(b["ts"], unit="day")) \
+                .drop_columns(["ts"])
+
+    out = (ds.map_batches(trunc, batch_format="pyarrow")
+           .groupby(["event_type", "day"]).aggregate(Count(alias_name="n")))
+    return out.to_pandas()
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from biobloom_ray.pipelines import analytics as A
 
@@ -421,6 +456,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_tokens_topk": A.heavy_tokens_topk,
         "ann_topk": _ann_topk,
         "user_event_counts": _user_event_counts,
+        "top_users_by_events": _top_users_by_events,
+        "event_type_daily": _event_type_daily,
         # sketch / LSH / model pipelines (rows-only here; bound-checked in pytest)
         "bloom_build_info": _bloom_build_info,
         "categorize_summary": _categorize_summary,
@@ -483,6 +520,12 @@ def oracle_sql() -> dict[str, str]:
         "user_event_counts":
             "SELECT user_id, COUNT(*) AS n, MIN(value) AS min_value, "
             "MAX(value) AS max_value FROM events GROUP BY user_id",
+        "top_users_by_events":
+            "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id "
+            "ORDER BY n DESC, user_id ASC LIMIT 10",
+        "event_type_daily":
+            "SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n "
+            "FROM events GROUP BY event_type, date_trunc('day', ts)",
         "ann_topk":
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
             "SELECT vec_id FROM ("

@@ -183,10 +183,15 @@ def _jump_walk_decide(
         gains2 = np.where(first_of_run, 1, 2) * hits
     else:
         gains2 = hits.astype(np.int64)
-    CS = np.zeros(total + 1, dtype=np.int64)
-    np.cumsum(gains2, out=CS[1:])
-    CA = np.zeros(total + 1, dtype=np.int64)
-    np.cumsum(~hits, out=CA[1:])
+    # int32 prefix arrays: values are bounded by 2·total ≤ 2^31 for any
+    # realistic batch, and halving the bytes halves the DRAM traffic of
+    # the walk (the measured bottleneck at 32-way concurrency)
+    if total >= (1 << 30):
+        raise ValueError("batch too large for int32 prefix sums — lower batch_size")
+    CS = np.zeros(total + 1, dtype=np.int32)
+    np.cumsum(gains2.astype(np.int32, copy=False), out=CS[1:])
+    CA = np.zeros(total + 1, dtype=np.int32)
+    np.cumsum(hits.view(np.int8) ^ 1, out=CA[1:])
 
     trig = ~hits
     for b in range(1, streak_threshold + 1):
@@ -198,8 +203,8 @@ def _jump_walk_decide(
     pos_in_row = np.arange(total, dtype=np.int64) \
         - np.repeat(row_starts_all, n_frames[nz])
     trig &= pos_in_row >= streak_threshold
-    CT = np.zeros(total + 1, dtype=np.int64)
-    np.cumsum(trig, out=CT[1:])
+    CT = np.zeros(total + 1, dtype=np.int32)
+    np.cumsum(trig.view(np.int8), out=CT[1:])
 
     INF = np.iinfo(np.int64).max
     SENT = np.int64(1) << np.int64(62)        # "never reject" sentinel

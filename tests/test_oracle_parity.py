@@ -54,6 +54,7 @@ SQL_CHECKED = [
     "lang_counts", "frame_counts", "median_nchars_by_lang", "events_hourly",
     "exact_dedup", "distinct_text_per_lang", "token_counts", "quality_scores",
     "doc_fingerprint", "heavy_tokens_topk", "ann_topk", "user_event_counts",
+    "top_users_by_events", "event_type_daily",
 ]
 
 
