@@ -37,6 +37,28 @@ STREAK_THRESHOLD = 3  # opt::streakThreshold default (Common/Options.cpp:9)
 
 METHODS = ("simple", "harmonic", "binomial", "length")
 
+# --------------------------------------------------------------------------
+# user-extension surface (SURVEY.md §2.10): the reference swaps scoring
+# implementations by rebuilding with an alternative SeqEval.h
+# (Tests/SeqEvalMethods/evalCompare.pl:38-46); here custom scorers
+# register plain callables with the eval_batch/score_batch signature and
+# become selectable via CategorizeConfig.scoring_method.
+# --------------------------------------------------------------------------
+
+_CUSTOM_SCORERS: dict = {}
+
+
+def register_scorer(name: str, eval_fn, score_fn=None) -> None:
+    """Register a custom scoring method.
+
+    ``eval_fn(hits, n_frames, k, threshold=..., **kw) -> bool[n]``;
+    optional ``score_fn`` with the score_batch signature.  Built-in names
+    cannot be overridden.
+    """
+    if name in METHODS:
+        raise ValueError(f"cannot override built-in scorer {name!r}")
+    _CUSTOM_SCORERS[name] = (eval_fn, score_fn)
+
 
 # --------------------------------------------------------------------------
 # binomial tail helpers (replaces boost::math::binomial, SeqEval.h:199-216)
@@ -308,6 +330,10 @@ def eval_batch(
     n_frames = np.asarray(n_frames, dtype=np.int64)
     if mask is not None:
         hits = hits & ~mask
+    if method in _CUSTOM_SCORERS:
+        return _CUSTOM_SCORERS[method][0](
+            hits, n_frames, k, threshold=threshold, bf_fpr=bf_fpr,
+            subtract_hits=subtract_hits, streak_threshold=streak_threshold)
     if method == "length":
         return _minmatchlen_scores(hits, n_frames, k, subtract_hits) >= round(threshold)
 
@@ -414,6 +440,10 @@ def score_batch(
     n_frames = np.asarray(n_frames, dtype=np.int64)
     if mask is not None:
         hits = hits & ~mask
+    if method in _CUSTOM_SCORERS and _CUSTOM_SCORERS[method][1] is not None:
+        return _CUSTOM_SCORERS[method][1](
+            hits, n_frames, k, bf_fpr=bf_fpr, subtract_hits=subtract_hits,
+            streak_threshold=streak_threshold)
     if method == "length":
         return _minmatchlen_scores(hits, n_frames, k, subtract_hits).astype(np.float64)
 

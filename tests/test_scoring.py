@@ -282,3 +282,28 @@ def test_binom_sf_basic():
     assert binom_sf(10, 0.5, -1) == 1.0
     # P(X > 4) for Bin(10, .5) = 1 - CDF(4) = 0.623046875
     assert binom_sf(10, 0.5, 4) == pytest.approx(0.623046875)
+
+
+def test_custom_scorer_registry():
+    # §2.10 extension surface: a fraction-of-hits scorer plugs in
+    from biobloom_ray.scoring import _CUSTOM_SCORERS, eval_batch, register_scorer
+
+    def frac_eval(hits, n_frames, k, threshold=0.5, **kw):
+        import numpy as np
+        out = np.zeros(len(n_frames), dtype=bool)
+        off = 0
+        for i, F in enumerate(n_frames):
+            if F:
+                out[i] = hits[off:off + F].mean() >= threshold
+            off += F
+        return out
+
+    register_scorer("fraction", frac_eval)
+    try:
+        hits, nf = _flat([[True, True, False, False], [True] * 4])
+        got = eval_batch(hits, nf, 3, method="fraction", threshold=0.6)
+        assert got.tolist() == [False, True]
+        with pytest.raises(ValueError):
+            register_scorer("simple", frac_eval)
+    finally:
+        _CUSTOM_SCORERS.pop("fraction", None)
