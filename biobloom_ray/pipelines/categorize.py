@@ -78,8 +78,11 @@ def categorize_with_summary(
     fids = [bf.filter_id for bf in bank]
     if out_dir is not None:
         # stream to the partitioned sink, then compute the summary from a
-        # column-pruned read-back — never materialize the full stream
-        labeled.write_parquet(out_dir, partition_cols=["label"])
+        # column-pruned read-back — never materialize the full stream.
+        # min_rows_per_file coalesces output so a label partition isn't a
+        # thousand tiny files (write throughput + downstream read cost)
+        labeled.write_parquet(out_dir, partition_cols=["label"],
+                              min_rows_per_file=200_000)
         stats_ds = ray.data.read_parquet(out_dir, columns=["label", "hit_mask"])
         summary = summary_table(stats_ds, fids)
         return None, summary
