@@ -215,12 +215,16 @@ def _jump_walk_decide(
     CA = np.zeros(total + 1, dtype=np.int32)
     np.cumsum(hits.view(np.int8) ^ 1, out=CA[1:])
 
-    trig = ~hits
-    for b in range(1, streak_threshold + 1):
-        t = np.empty(total, dtype=bool)
-        t[:b] = False
-        t[b:] = hits[:-b]
-        trig &= t
+    max_f = int(n_frames.max())
+    if streak_threshold >= max_f:
+        trig = np.zeros(total, dtype=bool)  # no row can reach the streak
+    else:
+        trig = ~hits
+        for b in range(1, streak_threshold + 1):
+            t = np.empty(total, dtype=bool)
+            t[:b] = False
+            t[b:] = hits[:-b]
+            trig &= t
     # windows crossing row boundaries are invalid
     pos_in_row = np.arange(total, dtype=np.int64) \
         - np.repeat(row_starts_all, n_frames[nz])
@@ -303,6 +307,93 @@ def _jump_walk_decide(
             r_thres2 = r_thres2[live]
             r_anti = r_anti[live]
     return out
+
+
+def _jump_walk_scores(
+    hits: np.ndarray,
+    n_frames: np.ndarray,
+    seg: np.ndarray,
+    method: str,
+    k: int,
+    streak_threshold: int,
+) -> np.ndarray:
+    """Exhaustive (no early exit) raw scores for simple/binomial without
+    subtract — the evalSimpleScore/evalBinomialScore walks, advanced one
+    JUMP per vectorized round using the same prefix-sum machinery as
+    :func:`_jump_walk_decide`.  Returns the raw accumulated score (the
+    caller normalizes / converts to a p-value)."""
+    n = len(n_frames)
+    out = np.zeros(n, dtype=np.float64)
+    total = len(hits)
+    if total == 0 or n == 0:
+        return out
+    is_simple = method == "simple"
+    nz = n_frames > 0
+    row_starts_all = seg[nz]
+
+    prev = np.empty(total, dtype=bool)
+    prev[0] = False
+    prev[1:] = hits[:-1]
+    prev[row_starts_all] = False
+    first_of_run = hits & ~prev
+    if is_simple:
+        gains2 = np.where(first_of_run, 1, 2) * hits
+    else:
+        gains2 = hits.astype(np.int32)
+    CS = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(gains2, out=CS[1:])
+
+    max_f = int(n_frames.max())
+    if streak_threshold >= max_f:
+        trig = np.zeros(total, dtype=bool)  # no row can reach the streak
+    else:
+        trig = ~hits
+        for b in range(1, streak_threshold + 1):
+            t = np.empty(total, dtype=bool)
+            t[:b] = False
+            t[b:] = hits[:-b]
+            trig &= t
+    pos_in_row = np.arange(total, dtype=np.int64) \
+        - np.repeat(row_starts_all, n_frames[nz])
+    trig &= pos_in_row >= streak_threshold
+    CT = np.zeros(total + 1, dtype=np.int32)
+    np.cumsum(trig.view(np.int8), out=CT[1:])
+
+    alive = np.nonzero(nz)[0]
+    p = seg[alive].copy()
+    score2 = np.zeros(len(alive), dtype=np.int64)
+    r_end = seg[alive] + n_frames[alive]
+
+    while len(alive):
+        if is_simple:
+            corr2 = (hits[p] & ~first_of_run[p]).astype(np.int64)
+        else:
+            corr2 = 0
+        s = np.minimum(p + streak_threshold, r_end)
+        q_trig = np.searchsorted(CT, CT[s] + 1, side="left") - 1
+        has_trig = q_trig < r_end
+        stop = np.where(has_trig, q_trig, r_end - 1)
+        score2 = score2 + (CS[stop + 1] - CS[p]) - corr2
+        done = ~has_trig
+        if done.any():
+            out[alive[done]] = score2[done]
+            live = has_trig
+            alive = alive[live]
+            p = p[live]
+            score2 = score2[live]
+            r_end = r_end[live]
+            stop = stop[live]
+        p = stop + k
+        ends = p >= r_end
+        if ends.any():
+            out[alive[ends]] = score2[ends]
+            live = ~ends
+            alive = alive[live]
+            p = p[live]
+            score2 = score2[live]
+            r_end = r_end[live]
+    scale = 2.0 if is_simple else 1.0
+    return out / scale
 
 
 def eval_batch(
@@ -448,6 +539,12 @@ def score_batch(
         return _minmatchlen_scores(hits, n_frames, k, subtract_hits).astype(np.float64)
 
     n = len(n_frames)
+    if subtract_hits is None and method in ("simple", "binomial"):
+        seg = _seg_starts(n_frames)
+        raw = _jump_walk_scores(hits, n_frames, seg, method, k,
+                                streak_threshold)
+        return _finalize_scores(raw, n_frames, method, bf_fpr)
+
     raw = np.zeros(n, dtype=np.float64)
     seg = _seg_starts(n_frames)
     alive = np.nonzero(n_frames > 0)[0]
@@ -495,13 +592,20 @@ def score_batch(
             row_seg = row_seg[keep]
             row_F = row_F[keep]
 
+    return _finalize_scores(raw, n_frames, method, bf_fpr)
+
+
+def _finalize_scores(raw: np.ndarray, n_frames: np.ndarray, method: str,
+                     bf_fpr: float | None) -> np.ndarray:
+    """normalizeScore for simple/harmonic; −10·log10 P(X > matches) for
+    binomial (rows with no frames score 0 — evalBinomialScore returns
+    1.0 for short reads, SeqEval.h:452-454)."""
+    n = len(n_frames)
     if method in ("simple", "harmonic"):
         out = np.zeros(n, dtype=np.float64)
         nz = n_frames > 0
         out[nz] = raw[nz] / n_frames[nz]
         return out
-    # binomial: −10·log10 P(X > matches); rows with no frames score
-    # −10·log10(1.0) = 0 (evalBinomialScore returns 1.0 for short reads)
     if bf_fpr is None:
         raise ValueError("binomial scoring needs the filter's realized FPR")
     out = np.zeros(n, dtype=np.float64)
