@@ -278,6 +278,39 @@ def _paired_categorize(sf_dir: str):
     return labeled.select_columns(["pair_key", "label"]).to_pandas()
 
 
+def _categorize_mode(sf_dir: str, mode: str, method: str = "simple",
+                     threshold: float = 0.15):
+    import ray.data
+
+    from biobloom_ray.config import CategorizeConfig
+    from biobloom_ray.pipelines import categorize
+
+    _flagship(sf_dir)
+    bank = _BANK_CACHE[sf_dir]
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    cfg = CategorizeConfig(scoring_method=method, score_threshold=threshold,
+                           mode=mode, batch_size=512)
+    labeled = categorize(docs, bank, cfg)
+    return labeled.select_columns(["doc_id", "label", "score"]).to_pandas()
+
+
+def _categorize_besthit(sf_dir: str):
+    return _categorize_mode(sf_dir, "besthit")
+
+
+def _categorize_ordered(sf_dir: str):
+    return _categorize_mode(sf_dir, "ordered")
+
+
+def _categorize_binomial(sf_dir: str):
+    return _categorize_mode(sf_dir, "std", method="binomial", threshold=1e-10)
+
+
+def _categorize_harmonic(sf_dir: str):
+    return _categorize_mode(sf_dir, "std", method="harmonic", threshold=0.15)
+
+
 def _masked_categorize(sf_dir: str):
     """M5 analogue: categorize with in-document repetition masking on
     (rows-only; masked shingles score as misses like SDUST)."""
@@ -474,6 +507,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": _multimodal_features,
         "progressive_build_info": _progressive_info,
         "paired_categorize": _paired_categorize,
+        "categorize_besthit": _categorize_besthit,
+        "categorize_ordered": _categorize_ordered,
+        "categorize_binomial": _categorize_binomial,
+        "categorize_harmonic": _categorize_harmonic,
         "masked_categorize": _masked_categorize,
         "tdigest_nchars_quantiles": _tdigest_quantiles,
         "spaced_seed_distinct": _spaced_seed_distinct,

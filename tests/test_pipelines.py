@@ -178,3 +178,16 @@ def test_subtract_filter(corpora_bank, pages_ds, ray_session):
     cfg = CategorizeConfig(mode="std", batch_size=512, concurrency=2)
     labeled = categorize(pages_ds, [en], cfg, subtract=en).to_pandas()
     assert (labeled.label == "noMatch").all()
+
+
+def test_actor_pool_path_matches_task_path(corpora_bank, pages_ds):
+    # cfg.use_actors=True runs the explicit actor pool (T1); results must
+    # be identical to the default task path
+    _, bank = corpora_bank
+    task_cfg = CategorizeConfig(mode="std", batch_size=512)
+    actor_cfg = CategorizeConfig(mode="std", batch_size=512,
+                                 use_actors=True, concurrency=2)
+    a = categorize(pages_ds, bank, task_cfg).to_pandas().sort_values("url")
+    b = categorize(pages_ds, bank, actor_cfg).to_pandas().sort_values("url")
+    assert (a.label.values == b.label.values).all()
+    assert (a.hit_mask.values == b.hit_mask.values).all()
