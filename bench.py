@@ -125,12 +125,11 @@ def main():
     ray.shutdown()
 
 
-def scaling():
+def scaling(lo_cpus=8, hi_cpus=32):
     # This sandbox is a time-shared VM whose effective CPU speed swings
     # ~2x minute to minute (CPU steal), so single measurements of either
     # level are unusable.  Interleave the two levels and keep the best of
     # three runs each — the standard noisy-host benchmarking protocol.
-    lo_cpus, hi_cpus = 8, 32
     runs = {lo_cpus: [], hi_cpus: []}
     for _ in range(2):
         for n in (lo_cpus, hi_cpus):
@@ -146,9 +145,9 @@ def scaling():
     # efficiency of the speedup vs the ideal hi/lo-fold speedup
     eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
     print(json.dumps({
-        "sec_8": t_lo, "sec_32": t_hi,
-        "pages_per_sec_8": res[lo_cpus]["pages_per_sec"],
-        "pages_per_sec_32": res[hi_cpus]["pages_per_sec"],
+        f"sec_{lo_cpus}": t_lo, f"sec_{hi_cpus}": t_hi,
+        f"pages_per_sec_{lo_cpus}": res[lo_cpus]["pages_per_sec"],
+        f"pages_per_sec_{hi_cpus}": res[hi_cpus]["pages_per_sec"],
         "scaling_efficiency": round(eff, 3),
         "n_pages": BENCH_PAGES,
     }))
@@ -168,7 +167,8 @@ def headline_only():
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        scaling()
+        n = int(os.environ.get("GRAFT_SCALE_N", "8"))
+        scaling(n, 4 * n)
     elif "--headline-only" in sys.argv:
         headline_only()
     else:

@@ -225,10 +225,12 @@ def _jump_walk_decide(
             t[:b] = False
             t[b:] = hits[:-b]
             trig &= t
-    # windows crossing row boundaries are invalid
-    pos_in_row = np.arange(total, dtype=np.int64) \
-        - np.repeat(row_starts_all, n_frames[nz])
-    trig &= pos_in_row >= streak_threshold
+    # windows crossing row boundaries are invalid: clear the first
+    # streak_threshold positions of every row (O(rows), no per-frame
+    # index arrays)
+    for _b in range(min(streak_threshold, max_f)):
+        _idx = row_starts_all + _b
+        trig[_idx[_idx < total]] = False
     CT = np.zeros(total + 1, dtype=np.int32)
     np.cumsum(trig.view(np.int8), out=CT[1:])
 
@@ -353,9 +355,12 @@ def _jump_walk_scores(
             t[:b] = False
             t[b:] = hits[:-b]
             trig &= t
-    pos_in_row = np.arange(total, dtype=np.int64) \
-        - np.repeat(row_starts_all, n_frames[nz])
-    trig &= pos_in_row >= streak_threshold
+    # windows crossing row boundaries are invalid: clear the first
+    # streak_threshold positions of every row (O(rows), no per-frame
+    # index arrays)
+    for _b in range(min(streak_threshold, max_f)):
+        _idx = row_starts_all + _b
+        trig[_idx[_idx < total]] = False
     CT = np.zeros(total + 1, dtype=np.int32)
     np.cumsum(trig.view(np.int8), out=CT[1:])
 
