@@ -150,6 +150,38 @@ def _thresholds(method: str, n_frames: np.ndarray, threshold: float,
     raise ValueError(f"no thresholds for method {method!r}")
 
 
+#: frames per walk chunk: the walk's prefix/trigger arrays (~20 B/frame)
+#: stay cache-resident instead of streaming through DRAM — the limiting
+#: resource when ~32 workers run concurrently on one node
+_WALK_CHUNK_FRAMES = 1 << 16
+
+
+def _row_chunked(fn, hits, n_frames, seg, *per_row_arrays, out_dtype):
+    """Run a per-row-independent walk over row groups of ≤
+    _WALK_CHUNK_FRAMES frames (a single huge row becomes its own group).
+    Exact: the walks never look across rows."""
+    n = len(n_frames)
+    total = len(hits)
+    if total <= _WALK_CHUNK_FRAMES:
+        return fn(hits, n_frames, seg, *per_row_arrays)
+    out = np.empty(n, dtype=out_dtype)
+    r0 = 0
+    while r0 < n:
+        r1 = r0
+        span = 0
+        while r1 < n and (r1 == r0 or span + n_frames[r1] <= _WALK_CHUNK_FRAMES):
+            span += int(n_frames[r1])
+            r1 += 1
+        lo = int(seg[r0])
+        sub_frames = n_frames[r0:r1]
+        sub_seg = seg[r0:r1] - lo
+        sub_hits = hits[lo:lo + span]
+        out[r0:r1] = fn(sub_hits, sub_frames, sub_seg,
+                        *(a[r0:r1] for a in per_row_arrays))
+        r0 = r1
+    return out
+
+
 def _jump_walk_decide(
     hits: np.ndarray,
     n_frames: np.ndarray,
@@ -447,8 +479,10 @@ def eval_batch(
     # and stay on the exact frame loop below.
     if subtract_hits is None and method in ("simple", "binomial") \
             and (thres > 0).all():
-        return _jump_walk_decide(hits, n_frames, seg, method, thres,
-                                 anti_thres, k, streak_threshold)
+        return _row_chunked(
+            lambda h, f, s, t, a: _jump_walk_decide(
+                h, f, s, method, t, a, k, streak_threshold),
+            hits, n_frames, seg, thres, anti_thres, out_dtype=bool)
 
     alive = np.nonzero(n_frames > 0)[0]
     pos = np.zeros(len(alive), dtype=np.int64)
@@ -546,8 +580,10 @@ def score_batch(
     n = len(n_frames)
     if subtract_hits is None and method in ("simple", "binomial"):
         seg = _seg_starts(n_frames)
-        raw = _jump_walk_scores(hits, n_frames, seg, method, k,
-                                streak_threshold)
+        raw = _row_chunked(
+            lambda h, f, s: _jump_walk_scores(h, f, s, method, k,
+                                              streak_threshold),
+            hits, n_frames, seg, out_dtype=np.float64)
         return _finalize_scores(raw, n_frames, method, bf_fpr)
 
     raw = np.zeros(n, dtype=np.float64)
