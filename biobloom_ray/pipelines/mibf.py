@@ -66,10 +66,19 @@ def build_mibf(
     seed: int | None = None,
     normalize: bool = True,
     batch_size: int = 2048,
+    spaced_seeds: list[str] | None = None,
 ) -> MIBloomFilter:
+    """``spaced_seeds``: '1'/'0' strings of equal length — when given,
+    probes hash only the care positions of each seed (the reference's
+    stHashIterator mode, the recommended miBF configuration per
+    Doc/MultiIndex.md §4); kmer_size/hash_num derive from the seeds."""
     from biobloom_ray.hashing import DEFAULT_SEED
 
     seed = DEFAULT_SEED if seed is None else seed
+    spaced_seeds = list(spaced_seeds or [])
+    if spaced_seeds:
+        kmer_size = len(spaced_seeds[0])
+        hash_num = len(spaced_seeds)
 
     # id table from distinct labels (≤ 32767, Doc/MultiIndex.md:165)
     names = sorted(ds.select_columns([label_col]).unique(label_col))
@@ -85,9 +94,15 @@ def build_mibf(
 
     def distinct_partial(b: pa.Table) -> pa.Table:
         hll = HLL(p=14)
-        h1, _, _ = shingle_hashes(_texts(b, text_col, normalize),
-                                  kmer_size, seed)
-        hll.update(h1)
+        texts = _texts(b, text_col, normalize)
+        if spaced_seeds:
+            from biobloom_ray.hashing import spaced_seed_hashes
+
+            h, _ = spaced_seed_hashes(texts, spaced_seeds, seed)
+            hll.update(h.reshape(-1))
+        else:
+            h1, _, _ = shingle_hashes(texts, kmer_size, seed)
+            hll.update(h1)
         return pa.table({"blob": pa.array([hll.serialize()],
                                           type=pa.large_binary())})
 
@@ -97,19 +112,23 @@ def build_mibf(
     for r in rows[1:]:
         hacc.merge(HLL.deserialize(r["blob"]))
     n_distinct = max(int(hacc.estimate()), 64)
-    m = int(n_distinct * hash_num / math.log(1.0 / (1.0 - occupancy)))
+    # distinct spaced hashes ARE the set positions; k-mer mode sets
+    # hash_num positions per distinct shingle
+    n_positions = n_distinct if spaced_seeds else n_distinct * hash_num
+    m = int(n_positions / math.log(1.0 / (1.0 - occupancy)))
     m += 64 - m % 64
 
     proto = MIBloomFilter(m=m, hash_num=hash_num, kmer_size=kmer_size,
-                          seed=seed, id_names=names)
+                          seed=seed, id_names=names,
+                          spaced_seeds=spaced_seeds)
 
     # ---- pass 1: bit vector (OR-merge partials) ---------------------------
     def pass1(b: pa.Table) -> pa.Table:
         part = MIBloomFilter(m=m, hash_num=hash_num, kmer_size=kmer_size,
-                             seed=seed)
+                             seed=seed, spaced_seeds=spaced_seeds)
         texts = _texts(b, text_col, normalize)
-        h1, h2, _ = shingle_hashes(texts, kmer_size, seed)
-        part.set_bits(part.positions(h1, h2))
+        pos, _, _ = part.frame_hashes(texts)
+        part.set_bits(pos)
         return pa.table({"words": pa.array([part.words.tobytes()],
                                            type=pa.large_binary())})
 
@@ -130,11 +149,11 @@ def build_mibf(
         snap: MIBloomFilter = ray.get(snap_ref)
         nmap = ray.get(name_map_ref)
         texts = _texts(b, text_col, normalize)
-        h1, h2, nf = shingle_hashes(texts, kmer_size, seed)
+        pos, nf, _ = snap.frame_hashes(texts)
         labels = b[label_col].to_pandas().to_numpy()
         row_ids = np.array([nmap[l] for l in labels], dtype=np.uint16)
         frame_ids = np.repeat(row_ids, nf)
-        slots = snap.rank(snap.positions(h1, h2))          # (n, h)
+        slots = snap.rank(pos)                             # (n, h)
         flat_slots = slots.reshape(-1)
         flat_ids = np.repeat(frame_ids, hash_num)
         keys = ownership_key(flat_slots, flat_ids)
@@ -173,11 +192,11 @@ def build_mibf(
         snap: MIBloomFilter = ray.get(snap2_ref)
         nmap = ray.get(name_map_ref)
         texts = _texts(b, text_col, normalize)
-        h1, h2, nf = shingle_hashes(texts, kmer_size, seed)
+        pos, nf, _ = snap.frame_hashes(texts)
         labels = b[label_col].to_pandas().to_numpy()
         row_ids = np.array([nmap[l] for l in labels], dtype=np.uint16)
         frame_ids = np.repeat(row_ids, nf)
-        slots = snap.rank(snap.positions(h1, h2))
+        slots = snap.rank(pos)
         owners = snap.ids[slots] & ID_MASK
         lost = (owners != frame_ids[:, None]).all(axis=1)   # frame lost all
         sat_slots = np.unique(slots[lost].reshape(-1))
@@ -213,9 +232,8 @@ class MIBFClassifierActor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         mibf = self.mibf
         texts = _texts(batch, self.text_col, self.normalize)
-        h1, h2, nf = shingle_hashes(texts, mibf.kmer_size, mibf.seed)
+        pos, nf, h1 = mibf.frame_hashes(texts)
         n = len(nf)
-        pos = mibf.positions(h1, h2)
         # a frame only reports IDs when it is a full member (all h probes
         # set — the reference's query(itr) membership precondition); this
         # is what keeps the per-frame false-support rate at occ^h·share

@@ -64,6 +64,10 @@ class MIBloomFilter:
     rank_acc: np.ndarray = None       # int64[m/64] popcount of words[<i]
     ids: np.ndarray = None            # uint16[popcount]
     id_names: list = field(default_factory=list)  # index 1..n -> name
+    #: optional spaced seeds ('1'/'0' strings, all of kmer_size length);
+    #: when set, probes hash only the care positions of each seed
+    #: (stHashIterator mode) and hash_num == len(spaced_seeds)
+    spaced_seeds: list = field(default_factory=list)
 
     def __post_init__(self):
         if self.m % 64 != 0:
@@ -144,10 +148,30 @@ class MIBloomFilter:
         return int((self.ids & SATURATED).astype(bool).sum())
 
     # -- serialization -----------------------------------------------------------
+    def frame_hashes(self, texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(probe positions (total, hash_num), frames per row, per-frame
+        content key) for a text column — k-mer double hashing by default,
+        care-position-only hashing when ``spaced_seeds`` are set.  The
+        content key identifies equal frames for distinct-counting."""
+        if self.spaced_seeds:
+            from biobloom_ray.hashing import spaced_seed_hashes
+
+            h, nf = spaced_seed_hashes(texts, self.spaced_seeds, self.seed)
+            with np.errstate(over="ignore"):
+                key = h[:, 0].copy()
+                for j in range(1, h.shape[1]):
+                    key = splitmix64(key ^ h[:, j])
+                return (h % U64(self.m)), nf, key
+        from biobloom_ray.hashing import shingle_hashes
+
+        h1, h2, nf = shingle_hashes(texts, self.kmer_size, self.seed)
+        return self.positions(h1, h2), nf, h1
+
     def serialize(self) -> bytes:
         header = json.dumps({
             "m": self.m, "hash_num": self.hash_num, "kmer_size": self.kmer_size,
             "seed": self.seed, "id_names": self.id_names,
+            "spaced_seeds": self.spaced_seeds,
         }).encode()
         return (len(header).to_bytes(4, "little") + header
                 + self.words.tobytes() + self.ids.tobytes())
@@ -163,7 +187,8 @@ class MIBloomFilter:
         out = cls(m=meta["m"], hash_num=meta["hash_num"],
                   kmer_size=meta["kmer_size"], seed=meta["seed"],
                   words=words, rank_acc=None, ids=ids,
-                  id_names=meta["id_names"])
+                  id_names=meta["id_names"],
+                  spaced_seeds=meta.get("spaced_seeds", []))
         return out
 
 

@@ -87,3 +87,25 @@ class TestClassify:
         a = classify_mibf(pages, mibf).to_pandas()
         b = classify_mibf(pages, clone).to_pandas()
         assert (a.label.values == b.label.values).all()
+
+
+class TestSpacedSeedMIBF:
+    def test_spaced_seed_build_and_classify(self, ray_session):
+        SEEDS = ["110100101101", "101101001011"]
+        ref = ray.data.from_arrow(generate_ref_corpora(docs_per_lang=60))
+        f = build_mibf(ref, text_col="doc", label_col="filter_id",
+                       spaced_seeds=SEEDS, occupancy=0.5)
+        assert f.spaced_seeds == SEEDS
+        assert f.hash_num == 2 and f.kmer_size == 12
+        pages = ray.data.from_arrow(generate_pages(800, seed=6))
+        out = classify_mibf(pages, f, min_fpr=0.01).to_pandas()
+        pos = out[out.lang != "zz"]
+        ok = (pos.label == pos.lang) | (pos.label == "multiMatch")
+        assert ok.mean() > 0.85
+        neg = out[out.lang == "zz"]
+        assert (neg.label == "noMatch").mean() > 0.95
+        # round-trip keeps the seeds and the answers
+        clone = MIBloomFilter.deserialize(f.serialize())
+        assert clone.spaced_seeds == SEEDS
+        again = classify_mibf(pages, clone).to_pandas()
+        assert (again.label.values == out.label.values).all()
