@@ -1,8 +1,14 @@
 import os
 
 import pytest
+from hypothesis import settings
 
 os.environ.setdefault("RAY_DISABLE_IMPORT_WARNING", "1")
+
+# deterministic property tests: the correctness gate must not flake on a
+# random draw — the randomized sweeps in-repo already cover breadth
+settings.register_profile("ci", derandomize=True, deadline=None)
+settings.load_profile("ci")
 
 
 @pytest.fixture(scope="session")
