@@ -524,8 +524,10 @@ def oracle_sql() -> dict[str, str]:
         "lang_counts":
             "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang",
         "frame_counts":
-            f"SELECT lang, SUM(GREATEST(LENGTH(text) - {K - 1}, 0)) AS frames "
-            "FROM documents GROUP BY lang",
+            # CAST: DuckDB SUM(BIGINT) yields HUGEINT, which pandas turns
+            # into float64 — keep both sides int64 for the value hash
+            f"SELECT lang, CAST(SUM(GREATEST(LENGTH(text) - {K - 1}, 0)) "
+            "AS BIGINT) AS frames FROM documents GROUP BY lang",
         "median_nchars_by_lang":
             "SELECT lang, quantile_cont(n_chars, 0.5) AS median_nchars "
             "FROM documents GROUP BY lang",
