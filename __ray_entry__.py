@@ -463,12 +463,13 @@ def _event_type_daily(sf_dir: str):
                                columns=["event_type", "ts"])
 
     def trunc(b: pa.Table) -> pa.Table:
-        return b.append_column("day",
-                               pc.floor_temporal(b["ts"], unit="day")) \
-                .drop_columns(["ts"])
+        day = pc.floor_temporal(b["ts"], unit="day").cast(pa.int64())
+        day = pc.divide(day, 1_000_000)
+        return b.append_column("day_epoch", day).drop_columns(["ts"])
 
     out = (ds.map_batches(trunc, batch_format="pyarrow")
-           .groupby(["event_type", "day"]).aggregate(Count(alias_name="n")))
+           .groupby(["event_type", "day_epoch"])
+           .aggregate(Count(alias_name="n")))
     return out.to_pandas()
 
 
@@ -532,7 +533,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, quantile_cont(n_chars, 0.5) AS median_nchars "
             "FROM documents GROUP BY lang",
         "events_hourly":
-            "SELECT event_type, date_trunc('hour', ts) AS hour, "
+            "SELECT event_type, "
+            "CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, "
             "COUNT(*) AS n, MIN(value) AS min_value, MAX(value) AS max_value "
             "FROM events GROUP BY event_type, date_trunc('hour', ts)",
         "exact_dedup":
@@ -563,7 +565,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id "
             "ORDER BY n DESC, user_id ASC LIMIT 10",
         "event_type_daily":
-            "SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n "
+            "SELECT event_type, "
+            "CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch, "
+            "COUNT(*) AS n "
             "FROM events GROUP BY event_type, date_trunc('day', ts)",
         "ann_topk":
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "

@@ -70,11 +70,14 @@ def events_hourly(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
 
     def trunc(b: pa.Table) -> pa.Table:
-        return b.append_column("hour", pc.floor_temporal(b["ts"], unit="hour")) \
-                .drop_columns(["ts"])
+        # integral epoch seconds rather than a timestamp column: immune to
+        # datetime64 unit differences between engines in the value hash
+        hour = pc.floor_temporal(b["ts"], unit="hour").cast(pa.int64())
+        hour = pc.divide(hour, 1_000_000)
+        return b.append_column("hour_epoch", hour).drop_columns(["ts"])
 
     out = (ds.map_batches(trunc, batch_format="pyarrow")
-           .groupby(["event_type", "hour"])
+           .groupby(["event_type", "hour_epoch"])
            .aggregate(Count(alias_name="n"),
                       Min("value", alias_name="min_value"),
                       Max("value", alias_name="max_value")))
