@@ -15,6 +15,7 @@ here calls ray.init()/ray.shutdown().
 
 from __future__ import annotations
 
+from biobloom_ray.io import read_parquet as _rp
 from collections.abc import Callable
 from typing import Any
 
@@ -40,7 +41,7 @@ def _flagship(sf_dir: str):
             ids = b["doc_id"].to_numpy(zero_copy_only=False)
             return b.filter(pa.array(ids % 3 == 0))
 
-        train = ray.data.read_parquet(
+        train = _rp(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
         ).map_batches(train_split, batch_format="pyarrow")
         built = build_filters(
@@ -48,7 +49,7 @@ def _flagship(sf_dir: str):
             cfg=BuildConfig(kmer_size=8, desired_fpr=0.0078125, batch_size=1024))
         _BANK_CACHE[sf_dir] = [built[fid]["filter"] for fid in sorted(built)]
     bank = _BANK_CACHE[sf_dir]
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rp(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text", "lang"])
     cfg = CategorizeConfig(scoring_method="simple", score_threshold=0.15,
                            mode="std", batch_size=1024, concurrency=2)
@@ -82,7 +83,7 @@ def _bloom_build_info(sf_dir: str):
     from biobloom_ray.config import BuildConfig
     from biobloom_ray.pipelines import build_filters
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rp(f"{sf_dir}/documents.parquet",
                                  columns=["text", "lang"])
     built = build_filters(docs, text_col="text", label_col="lang",
                           cfg=BuildConfig(kmer_size=8, desired_fpr=0.0078125,
@@ -105,7 +106,7 @@ def _minhash_pairs(sf_dir: str):
 
     from biobloom_ray.stages.dedup import minhash_neardup_pairs
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rp(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
     return minhash_neardup_pairs(docs, threshold=0.6)
 
@@ -115,7 +116,7 @@ def _simhash_pairs(sf_dir: str):
 
     from biobloom_ray.stages.dedup import simhash_neardup_pairs
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rp(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
     return simhash_neardup_pairs(docs, max_hamming=3)
 
@@ -125,7 +126,7 @@ def _ngram_jaccard(sf_dir: str):
 
     from biobloom_ray.stages.dedup import ngram_jaccard_pairs
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rp(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
     return ngram_jaccard_pairs(docs, threshold=0.5)
 
@@ -135,7 +136,7 @@ def _embedding_neardup(sf_dir: str):
 
     from biobloom_ray.stages.ann import embedding_neardup_pairs
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _rp(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"])
     return embedding_neardup_pairs(emb, threshold=0.9, n_bits=8)
 
@@ -157,7 +158,7 @@ def _ann_topk(sf_dir: str):
 
     from biobloom_ray.stages.ann import brute_force_topk
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _rp(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"])
     top = brute_force_topk(emb, _query_vec(sf_dir), k=10)
     return top.select_columns(["vec_id"]).to_pandas()
@@ -168,7 +169,7 @@ def _ann_ivf(sf_dir: str):
 
     from biobloom_ray.stages.ann import ivf_topk
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _rp(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"])
     top = ivf_topk(emb, _query_vec(sf_dir), k=10, n_lists=8, n_probe=4)
     return top.select_columns(["vec_id", "cos_sim"]).to_pandas()
@@ -180,7 +181,7 @@ def _lang_id(sf_dir: str):
 
     from biobloom_ray.stages.textstats import LangIdActor, NGramLangProfiles
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rp(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text", "lang"])
     pdf = docs.to_pandas()
     train = pdf[pdf["doc_id"] % 3 == 0]
@@ -201,7 +202,7 @@ def _multimodal_features(sf_dir: str):
 
     from biobloom_ray.stages.multimodal import DecodeFeatureActor
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rp(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
 
     def to_payload(b: pa.Table) -> pa.Table:
@@ -232,7 +233,7 @@ def _progressive_info(sf_dir: str):
     from biobloom_ray.config import BuildConfig
     from biobloom_ray.pipelines.progressive import progressive_build
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rp(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text", "lang"])
     pdf_seed = (docs.to_pandas().query("lang == 'en'")
                 .sort_values("doc_id").head(20))
@@ -259,7 +260,7 @@ def _paired_categorize(sf_dir: str):
     from biobloom_ray.pipelines import categorize
     from biobloom_ray.stages.pairs import pair_up
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rp(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
 
     def to_mates(b: pa.Table) -> pa.Table:
@@ -287,7 +288,7 @@ def _categorize_mode(sf_dir: str, mode: str, method: str = "simple",
 
     _flagship(sf_dir)
     bank = _BANK_CACHE[sf_dir]
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rp(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
     cfg = CategorizeConfig(scoring_method=method, score_threshold=threshold,
                            mode=mode, batch_size=512)
@@ -321,7 +322,7 @@ def _masked_categorize(sf_dir: str):
 
     _flagship(sf_dir)  # ensure bank cached
     bank = _BANK_CACHE[sf_dir]
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rp(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
     cfg = CategorizeConfig(mode="std", batch_size=512, mask_repetition=4)
     labeled = categorize(docs, bank, cfg)
@@ -338,7 +339,7 @@ def _tdigest_quantiles(sf_dir: str):
 
     from biobloom_ray.sketches.tdigest import TDigest
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _rp(f"{sf_dir}/documents.parquet",
                                columns=["n_chars"])
 
     def partial(b: pa.Table) -> pa.Table:
@@ -368,7 +369,7 @@ def _spaced_seed_distinct(sf_dir: str):
     from biobloom_ray.sketches.hll import HLL
 
     SEEDS = ["1101001011", "1010010011"]
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _rp(f"{sf_dir}/documents.parquet",
                                columns=["lang", "text"])
 
     def partial(b: pa.Table) -> pa.Table:
@@ -409,7 +410,7 @@ def _mibf_classify(sf_dir: str):
 
     from biobloom_ray.pipelines.mibf import build_mibf, classify_mibf
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rp(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text", "lang"])
 
     def train_split(b: pa.Table) -> pa.Table:
@@ -428,7 +429,7 @@ def _user_event_counts(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count, Max, Min
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _rp(f"{sf_dir}/events.parquet",
                                columns=["user_id", "value"])
     out = (ds.groupby("user_id")
            .aggregate(Count(alias_name="n"),
@@ -443,7 +444,7 @@ def _top_users_by_events(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _rp(f"{sf_dir}/events.parquet",
                                columns=["user_id"])
     counts = ds.groupby("user_id").aggregate(Count(alias_name="n"))
     return counts.sort(["n", "user_id"],
@@ -459,7 +460,7 @@ def _event_type_daily(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _rp(f"{sf_dir}/events.parquet",
                                columns=["event_type", "ts"])
 
     def trunc(b: pa.Table) -> pa.Table:

@@ -17,6 +17,7 @@ cluster criterion — see BASELINE.md).
 
 from __future__ import annotations
 
+from biobloom_ray.io import read_parquet as _rp
 import json
 import os
 import subprocess
@@ -60,14 +61,14 @@ def headline_categorize(num_cpus: int) -> tuple[float, int]:
 
     pages_dir = pages_path(BENCH_PAGES)          # cached deterministic fixture
     # warm the page cache so we measure compute+shuffle, not first disk read
-    ray.data.read_parquet(pages_dir, columns=["url"]).count()
+    _rp(pages_dir, columns=["url"]).count()
 
     ref = ray.data.from_arrow(generate_ref_corpora(docs_per_lang=100))
     built = build_filters(ref, text_col="doc", label_col="filter_id",
                           cfg=BuildConfig(kmer_size=8, batch_size=2048))
     bank = [built[f]["filter"] for f in sorted(built)]
 
-    pages = ray.data.read_parquet(pages_dir, columns=["url", "text", "lang"])
+    pages = _rp(pages_dir, columns=["url", "text", "lang"])
     cfg = CategorizeConfig(scoring_method="simple", score_threshold=0.15,
                            mode="std", batch_size=None)
     # warm the prestarted Ray workers (first task on a worker imports the

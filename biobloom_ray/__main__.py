@@ -12,6 +12,7 @@ the package that owns a Ray session (guarded init).
 
 from __future__ import annotations
 
+from biobloom_ray.io import read_parquet as _rp
 import argparse
 import json
 import sys
@@ -49,7 +50,7 @@ def main(argv=None) -> int:
     from biobloom_ray.pipelines import build_filters
     from biobloom_ray.pipelines.resumable import run_partitioned_categorize
 
-    ref = ray.data.read_parquet(args.ref)
+    ref = _rp(args.ref)
     built = build_filters(ref, text_col="doc", label_col="filter_id",
                           cfg=BuildConfig(kmer_size=args.kmer,
                                           desired_fpr=args.fpr))

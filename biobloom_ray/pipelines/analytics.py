@@ -11,6 +11,7 @@ only.
 
 from __future__ import annotations
 
+from biobloom_ray.io import read_parquet as _rp
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -25,7 +26,7 @@ K_DEFAULT = 25
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return _rp(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 # -- simple grouped aggregates ------------------------------------------------
@@ -88,22 +89,20 @@ def events_hourly(sf_dir: str):
 
 def exact_dedup_docs(sf_dir: str):
     """First-wins exact text dedup (D1 exact variant): min doc_id per
-    distinct text."""
+    distinct text — native ``Min(doc_id)`` per content hash, winner rows
+    recovered by a hash semi-join (zero per-group Python; the text never
+    rides the groupby shuffle)."""
+    from biobloom_ray.stages.dedup import exact_dedup
+
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    hashed = ds.map_batches(add_content_hash, batch_format="pyarrow")
-
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        r = g.sort_values("doc_id").head(1)
-        return r[["doc_id", "text"]]
-
-    return (hashed.groupby("fp_md5")
-            .map_groups(keep_first, batch_format="pandas").to_pandas())
+    return exact_dedup(ds).to_pandas()[["doc_id", "text"]]
 
 
 def distinct_text_per_lang(sf_dir: str):
     """Exact COUNT(DISTINCT text) per lang: per-batch (lang, hash) dedup
-    → global dedup via groupby → count per lang.  (The HLL variant is
-    the approximate twin — see hll_distinct_per_lang.)"""
+    → native two-level aggregate — groupby(lang, fp).count collapses
+    duplicates, groupby(lang).count counts survivors.  (The HLL variant
+    is the approximate twin — see hll_distinct_per_lang.)"""
     ds = _read(sf_dir, "documents", columns=["lang", "text"])
 
     def pairs(b: pa.Table) -> pa.Table:
@@ -113,8 +112,8 @@ def distinct_text_per_lang(sf_dir: str):
         return pa.Table.from_pandas(df.drop_duplicates(), preserve_index=False)
 
     uniq = (ds.map_batches(pairs, batch_format="pyarrow")
-            .groupby(["lang", "fp"])
-            .map_groups(lambda g: g.head(1), batch_format="pandas"))
+            .groupby(["lang", "fp"]).aggregate(Count(alias_name="_c"))
+            .select_columns(["lang"]))
     out = uniq.groupby("lang").aggregate(Count(alias_name="n_distinct"))
     return out.to_pandas()[["lang", "n_distinct"]]
 

@@ -5,6 +5,7 @@ and reference-shaped summary table (SURVEY.md §3.2).
 
 from __future__ import annotations
 
+from biobloom_ray.io import read_parquet as _rp
 import ray
 import ray.data
 
@@ -83,7 +84,7 @@ def categorize_with_summary(
         # thousand tiny files (write throughput + downstream read cost)
         labeled.write_parquet(out_dir, partition_cols=["label"],
                               min_rows_per_file=200_000)
-        stats_ds = ray.data.read_parquet(out_dir, columns=["label", "hit_mask"])
+        stats_ds = _rp(out_dir, columns=["label", "hit_mask"])
         summary = summary_table(stats_ds, fids)
         return None, summary
     summary = summary_table(labeled, fids)

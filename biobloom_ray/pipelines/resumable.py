@@ -18,6 +18,7 @@ granularity to directory-level shards.
 
 from __future__ import annotations
 
+from biobloom_ray.io import read_parquet as _rp
 import glob
 import os
 import time
@@ -68,12 +69,12 @@ def run_partitioned_categorize(
         if fail_after is not None and fresh >= fail_after:
             break
         t0 = time.perf_counter()
-        ds = ray.data.read_parquet(frag)
+        ds = _rp(frag)
         labeled = categorize(ds, bank, cfg, text_col=text_col)
         pdir = partition_dir(out_dir, i)
         os.makedirs(pdir, exist_ok=True)
         labeled.write_parquet(pdir)
-        n_rows = ray.data.read_parquet(pdir).count()
+        n_rows = _rp(pdir).count()
         write_manifest(out_dir, PartitionManifest(
             partition=i,
             inputs=[frag],
