@@ -181,11 +181,18 @@ def _lang_id(sf_dir: str):
 
     from biobloom_ray.stages.textstats import LangIdActor, NGramLangProfiles
 
+    import pyarrow as pa
+
     docs = _rp(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text", "lang"])
-    pdf = docs.to_pandas()
-    train = pdf[pdf["doc_id"] % 3 == 0]
-    model = NGramLangProfiles(n=3).fit(train["text"], train["lang"])
+
+    def train_split(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 3 == 0))
+
+    train = docs.map_batches(train_split, batch_format="pyarrow")
+    # distributed fit: only profile_size hashes per lang reach the driver
+    model = NGramLangProfiles(n=3).fit_distributed(train)
     ref = ray.put(model)
     out = docs.map_batches(LangIdActor, fn_constructor_kwargs={
         "profiles_ref": ref}, batch_format="pyarrow", concurrency=2)
@@ -233,10 +240,23 @@ def _progressive_info(sf_dir: str):
     from biobloom_ray.config import BuildConfig
     from biobloom_ray.pipelines.progressive import progressive_build
 
+    import numpy as np
+    import pyarrow as pa
+
     docs = _rp(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text", "lang"])
-    pdf_seed = (docs.to_pandas().query("lang == 'en'")
-                .sort_values("doc_id").head(20))
+
+    def en_head(b: pa.Table) -> pa.Table:
+        # per-block candidate pruning: only each block's 20 smallest
+        # 'en' doc_ids survive, so the final sort-limit touches
+        # 20×n_blocks rows, never the table
+        sel = b.filter(pa.compute.equal(b["lang"], "en"))
+        ids = sel["doc_id"].to_numpy(zero_copy_only=False)
+        keep = np.argsort(ids, kind="stable")[:20]
+        return sel.take(np.sort(keep))
+
+    pdf_seed = (docs.map_batches(en_head, batch_format="pyarrow")
+                .sort("doc_id").limit(20).to_pandas())
     bf, recruited = progressive_build(
         docs, pdf_seed["text"].tolist(),
         BuildConfig(kmer_size=8), threshold=0.3,
@@ -425,6 +445,88 @@ def _mibf_classify(sf_dir: str):
         ["doc_id", "label", "best_count", "second_count"]).to_pandas()
 
 
+def _paired_join(sf_dir: str):
+    """M6/T7 pair re-unite as an ORACLE-checkable query: synthesize mate
+    pairs from documents (doc 2i = /1, doc 2i+1 = /2), hash-join the
+    halves on the pair key, emit per-pair text lengths."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from biobloom_ray.stages.pairs import pair_up
+
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_mates(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        urls = [f"p{int(i) // 2:06d}/{int(i) % 2 + 1}" for i in ids]
+        return pa.table({"url": pa.array(urls, type=pa.large_string()),
+                         "text": b["text"]})
+
+    pairs = pair_up(docs.map_batches(to_mates, batch_format="pyarrow"))
+
+    def lens(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "pair_key": b["pair_key"].cast(pa.string()),
+            "len_1": pc.utf8_length(b["text_1"]).cast(pa.int64()),
+            "len_2": pc.utf8_length(b["text_2"]).cast(pa.int64()),
+        })
+
+    return pairs.map_batches(lens, batch_format="pyarrow").to_pandas()
+
+
+_MIBF_CACHE: dict = {}
+
+
+def _get_mibf(sf_dir: str):
+    if sf_dir not in _MIBF_CACHE:
+        import pyarrow as pa
+
+        from biobloom_ray.pipelines.mibf import build_mibf
+
+        docs = _rp(f"{sf_dir}/documents.parquet",
+                   columns=["doc_id", "text", "lang"])
+
+        def train_split(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % 3 == 0))
+
+        train = docs.map_batches(train_split, batch_format="pyarrow")
+        _MIBF_CACHE[sf_dir] = build_mibf(train, text_col="text",
+                                         label_col="lang", kmer_size=8,
+                                         hash_num=3)
+    return _MIBF_CACHE[sf_dir]
+
+
+def _mibf_classify_paired(sf_dir: str):
+    """T6 paired mode (``MIBFClassifier.hpp:409-617``): mate supports
+    and trials sum before the binomial gate (rows-only)."""
+    import pyarrow as pa
+
+    from biobloom_ray.pipelines.mibf import classify_mibf
+    from biobloom_ray.stages.pairs import pair_up
+
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_mates(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        urls = [f"p{int(i) // 2:06d}/{int(i) % 2 + 1}" for i in ids]
+        return pa.table({"url": pa.array(urls, type=pa.large_string()),
+                         "text": b["text"]})
+
+    pairs = pair_up(docs.map_batches(to_mates, batch_format="pyarrow"))
+    out = classify_mibf(pairs, _get_mibf(sf_dir), min_fpr=0.01,
+                        text_col="text_1", text_col2="text_2")
+    return out.select_columns(
+        ["pair_key", "label", "best_count", "second_count"]).to_pandas()
+
+
+def _categorize_length(sf_dir: str):
+    """M11 end-to-end: scoring_method="length" (``SeqEval.h:295-332``) —
+    threshold is the minimum contiguous matched run in characters
+    (rows-only; golden label counts in test_pipelines)."""
+    return _categorize_mode(sf_dir, "std", method="length", threshold=50)
+
+
 def _user_event_counts(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count, Max, Min
@@ -464,8 +566,9 @@ def _event_type_daily(sf_dir: str):
                                columns=["event_type", "ts"])
 
     def trunc(b: pa.Table) -> pa.Table:
-        day = pc.floor_temporal(b["ts"], unit="day").cast(pa.int64())
-        day = pc.divide(day, 1_000_000)
+        # cast via timestamp("s"): input-unit-independent epoch seconds
+        day = (pc.floor_temporal(b["ts"], unit="day")
+               .cast(pa.timestamp("s")).cast(pa.int64()))
         return b.append_column("day_epoch", day).drop_columns(["ts"])
 
     out = (ds.map_batches(trunc, batch_format="pyarrow")
@@ -493,6 +596,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_counts": _user_event_counts,
         "top_users_by_events": _top_users_by_events,
         "event_type_daily": _event_type_daily,
+        "lineitem_pricing_summary": A.lineitem_pricing_summary,
+        "orders_per_nation": A.orders_per_nation,
+        "top_parts_by_revenue": A.top_parts_by_revenue,
+        "events_sessionize": A.events_sessionize,
+        "paired_join": _paired_join,
         # sketch / LSH / model pipelines (rows-only here; bound-checked in pytest)
         "bloom_build_info": _bloom_build_info,
         "categorize_summary": _categorize_summary,
@@ -517,6 +625,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tdigest_nchars_quantiles": _tdigest_quantiles,
         "spaced_seed_distinct": _spaced_seed_distinct,
         "mibf_classify": _mibf_classify,
+        "mibf_classify_paired": _mibf_classify_paired,
+        "categorize_length": _categorize_length,
     }
 
 
@@ -570,6 +680,43 @@ def oracle_sql() -> dict[str, str]:
             "CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch, "
             "COUNT(*) AS n "
             "FROM events GROUP BY event_type, date_trunc('day', ts)",
+        "lineitem_pricing_summary":
+            # money as integer cents so distributed partial sums are
+            # order-independent and hash-identical across engines
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)"
+            " AS sum_base_cents, "
+            "CAST(COUNT(*) AS BIGINT) AS count_order, "
+            "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)"
+            " / CAST(COUNT(*) AS BIGINT) AS avg_qty "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus",
+        "orders_per_nation":
+            "SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)"
+            " AS total_cents "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name",
+        "top_parts_by_revenue":
+            "SELECT l_partkey, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT)"
+            " AS revenue "
+            "FROM lineitem GROUP BY l_partkey "
+            "ORDER BY revenue DESC, l_partkey ASC LIMIT 10",
+        "events_sessionize":
+            "SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions "
+            "FROM (SELECT user_id, CASE WHEN prev_ts IS NULL "
+            "OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "
+            "FROM (SELECT user_id, ts, "
+            "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts "
+            "FROM events)) GROUP BY user_id",
+        "paired_join":
+            "SELECT printf('p%06d', a.doc_id // 2) AS pair_key, "
+            "LENGTH(a.text) AS len_1, LENGTH(b.text) AS len_2 "
+            "FROM documents a JOIN documents b "
+            "ON a.doc_id // 2 = b.doc_id // 2 "
+            "WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1",
         "ann_topk":
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
             "SELECT vec_id FROM ("

@@ -10,9 +10,18 @@ into the next map stage) fixes the noise at the source.
 
 from __future__ import annotations
 
+import logging
+
 import pyarrow as pa
 
 import ray.data
+
+# The read operator itself unions block schemas BEFORE any user stage can
+# strip the unhashable pandas metadata, emitting a harmless "Failed to
+# hash the schemas (for deduplication)" warning per task.  Demote that
+# one module's warnings; real errors still surface.
+logging.getLogger(
+    "ray.data._internal.arrow_ops.transform_pyarrow").setLevel(logging.ERROR)
 
 
 def _strip_meta(batch: pa.Table) -> pa.Table:
@@ -26,3 +35,33 @@ def read_parquet(paths, columns=None, **kwargs) -> "ray.data.Dataset":
     block (column pruning still pushes down to the parquet reader)."""
     ds = ray.data.read_parquet(paths, columns=columns, **kwargs)
     return ds.map_batches(_strip_meta, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# hash-join sizing
+# ---------------------------------------------------------------------------
+# Ray's hash shuffle reserves one aggregator ACTOR per partition for the
+# lifetime of the pipeline (default 1 CPU each) — chained joins on a
+# small cluster deadlock if partitions ≈ CPUs.  Size partitions to a
+# fraction of the cores and reserve fractional CPUs per aggregator so
+# map tasks always make progress.
+_AGG_REMOTE_ARGS = {"num_cpus": 0.25}
+
+
+def auto_partitions(num_partitions=None) -> int:
+    if num_partitions:
+        return num_partitions
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    return max(2, cpus // 4)
+
+
+def hash_join(left, right, on, right_on=None, num_partitions=None,
+              left_suffix=None, right_suffix=None, join_type="inner"):
+    """``Dataset.join`` with deadlock-safe partition/actor sizing."""
+    return left.join(right, join_type,
+                     num_partitions=auto_partitions(num_partitions),
+                     on=on, right_on=right_on, left_suffix=left_suffix,
+                     right_suffix=right_suffix,
+                     aggregator_ray_remote_args=dict(_AGG_REMOTE_ARGS))

@@ -72,9 +72,10 @@ def events_hourly(sf_dir: str):
 
     def trunc(b: pa.Table) -> pa.Table:
         # integral epoch seconds rather than a timestamp column: immune to
-        # datetime64 unit differences between engines in the value hash
-        hour = pc.floor_temporal(b["ts"], unit="hour").cast(pa.int64())
-        hour = pc.divide(hour, 1_000_000)
+        # datetime64 unit differences between engines in the value hash;
+        # cast via timestamp("s") so the conversion is input-unit-independent
+        hour = (pc.floor_temporal(b["ts"], unit="hour")
+                .cast(pa.timestamp("s")).cast(pa.int64()))
         return b.append_column("hour_epoch", hour).drop_columns(["ts"])
 
     out = (ds.map_batches(trunc, batch_format="pyarrow")
@@ -275,3 +276,133 @@ def kll_nchars_quantiles(sf_dir: str, qs=(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)):
         acc.merge(KLL.deserialize(r["blob"]))
     return pd.DataFrame({"q": list(qs),
                          "n_chars_est": [acc.quantile(q) for q in qs]})
+
+
+# -- relational pipelines over the TPC-H-ish tables ---------------------------
+# Money amounts aggregate as INTEGER cents/basis-points (2- and 4-decimal
+# values round-trip exactly through float64×100) so distributed partial
+# sums are order-independent and hash-identical to the SQL oracle —
+# float summation order would differ between engines in the last ulps.
+
+def lineitem_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: per (returnflag, linestatus) pricing rollup.
+    Per-batch integer partials → native Sum/Count groupby (6 partial
+    columns per batch-group, never the 60k+ rows)."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_returnflag": b["l_returnflag"].to_pandas(),
+            "l_linestatus": b["l_linestatus"].to_pandas(),
+            "qty": b["l_quantity"].to_numpy(zero_copy_only=False)
+                   .astype(np.int64),
+            "base_cents": np.round(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64),
+        })
+        agg = (df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+               .agg(sum_qty=("qty", "sum"),
+                    sum_base_cents=("base_cents", "sum"),
+                    count_order=("qty", "size")))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                      Sum("sum_base_cents", alias_name="sum_base_cents"),
+                      Sum("count_order", alias_name="count_order"))
+           .to_pandas())
+    out["avg_qty"] = out["sum_qty"] / out["count_order"]
+    return out
+
+
+def orders_per_nation(sf_dir: str):
+    """J-family join pipeline: orders ⋈ customer (hash join — both sides
+    grow with scale) then nationkey→name via a BROADCAST lookup (nation
+    is tiny and static; no shuffle)."""
+    import ray
+
+    from biobloom_ray.io import hash_join
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def order_cents(b: pa.Table) -> pa.Table:
+        cents = np.round(b["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        return pa.table({"o_custkey": b["o_custkey"],
+                         "cents": pa.array(cents)})
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    joined = hash_join(orders.map_batches(order_cents,
+                                          batch_format="pyarrow"),
+                       cust, on=("o_custkey",), right_on=("c_custkey",))
+
+    nation = _read(sf_dir, "nation",
+                   columns=["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(nation.n_nationkey.astype(np.int64),
+                       nation.n_name))
+    name_ref = ray.put(name_of)
+
+    def add_name(b: pa.Table) -> pa.Table:
+        import ray as _r
+        lut = _r.get(name_ref)
+        keys = b["c_nationkey"].to_numpy(zero_copy_only=False)
+        names = pd.Series(keys).map(lut).to_numpy(dtype=object)
+        return pa.table({"n_name": pa.array(names, type=pa.string()),
+                         "cents": b["cents"]})
+
+    out = (joined.map_batches(add_name, batch_format="pyarrow")
+           .groupby("n_name")
+           .aggregate(Count(alias_name="n_orders"),
+                      Sum("cents", alias_name="total_cents"))
+           .to_pandas())
+    return out[["n_name", "n_orders", "total_cents"]]
+
+
+def top_parts_by_revenue(sf_dir: str, k: int = 10):
+    """O3 top-k on a revenue rollup: lineitem revenue in integer
+    10⁻⁴-dollar units (extprice_cents × (100 − disc_pct)), pre-agg per
+    batch, native Sum groupby, deterministic sort-limit."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.round(b["l_extendedprice"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        disc = np.round(b["l_discount"].to_numpy(zero_copy_only=False)
+                        * 100).astype(np.int64)
+        rev = cents * (100 - disc)
+        df = pd.DataFrame({"l_partkey":
+                           b["l_partkey"].to_numpy(zero_copy_only=False),
+                           "revenue": rev})
+        agg = df.groupby("l_partkey", as_index=False)["revenue"].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    summed = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("l_partkey")
+              .aggregate(Sum("revenue", alias_name="revenue")))
+    return (summed.sort(["revenue", "l_partkey"], descending=[True, False])
+            .limit(k).to_pandas())
+
+
+def events_sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Windowed/stateful operator: per-user sessionization — a new
+    session starts when the gap to the previous event exceeds
+    ``gap_minutes``.  Hash-partition by user (groupby), per-group
+    vectorized diff over the time-sorted events; only (user, count)
+    rows leave the shuffle."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessions(g: pa.Table) -> pa.Table:
+        ts = np.sort(g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False))
+        n = 1 + int((np.diff(ts) > gap_us).sum()) if len(ts) else 0
+        return pa.table({
+            "user_id": pa.array([g["user_id"][0].as_py()], type=pa.int64()),
+            "n_sessions": pa.array([n], type=pa.int64()),
+        })
+
+    return (ds.groupby("user_id")
+            .map_groups(sessions, batch_format="pyarrow").to_pandas())

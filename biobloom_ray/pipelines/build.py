@@ -31,13 +31,16 @@ from biobloom_ray.stages.build import (
 
 
 def expected_entries(ds: "ray.data.Dataset", text_col: str, k: int,
-                     label_col: str | None = None) -> dict[str, int]:
+                     label_col: str | None = None,
+                     normalize: bool = True) -> dict[str, int]:
     """Pre-pass (A1, ``BloomFilterGenerator.h:108-141``): total shingle
-    frames per filter id.  Column-pruned read + per-block partial sums →
-    the groupby only moves one row per (block, label)."""
+    frames per filter id, counted on the same normalized-UTF-8-byte
+    representation the builder hashes.  Column-pruned read + per-block
+    partial sums → the groupby only moves one row per (block, label)."""
     cols = [text_col] + ([label_col] if label_col else [])
     partials = (ds.select_columns(cols)
-                .map_batches(lambda b: expected_entries_batch(b, text_col, k, label_col),
+                .map_batches(lambda b: expected_entries_batch(
+                    b, text_col, k, label_col, normalize=normalize),
                              batch_format="pyarrow")
                 .groupby("filter_id").sum("frames"))
     return {r["filter_id"]: int(r["sum(frames)"]) for r in partials.take_all()}
@@ -63,7 +66,8 @@ def build_filters(
     cfg = cfg or BuildConfig()
     expected = (dict.fromkeys([filter_id], cfg.expected_entries)
                 if (label_col is None and cfg.expected_entries)
-                else expected_entries(ds, text_col, cfg.kmer_size, label_col))
+                else expected_entries(ds, text_col, cfg.kmer_size, label_col,
+                      normalize=normalize))
     if label_col is None and "__all__" in expected and filter_id != "__all__":
         expected[filter_id] = expected.pop("__all__")
     sizes = compute_sizes(expected, cfg)

@@ -10,7 +10,10 @@ Build passes, each a Ray Data sweep whose partials merge order-free:
    bids ``ownership_key(slot, id)``; the minimum bid per slot wins.
    min is associative+commutative → any merge order yields the same
    filter (deterministic stand-in for the reference's sequential RNG
-   fair assignment — documented in sketches/mibf.py).
+   fair assignment — documented in sketches/mibf.py).  Bids shuffle
+   once, sharded by slot, and reduce to per-slot winners in the
+   cluster (ties broken by id) — bit-identical under any block
+   layout, batch size or task retry order.
 3. **saturation**: (frame, id) pairs that lost every slot mark their
    slots saturated (``MIBFGen.hpp:252-258``) — per-block sparse slot
    sets, OR-merged.
@@ -47,6 +50,11 @@ from biobloom_ray.textnorm import normalize_batch
 NO_MATCH = "noMatch"
 MULTI_MATCH = "multiMatch"
 U64_ROW = np.uint64(0x9E3779B97F4A7C15)  # row-mixing multiplier
+
+
+def _cluster_cpus() -> int:
+    return int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
 
 
 def _texts(batch: pa.Table, text_col: str, normalize: bool) -> pa.Array:
@@ -122,7 +130,10 @@ def build_mibf(
                           seed=seed, id_names=names,
                           spaced_seeds=spaced_seeds)
 
-    # ---- pass 1: bit vector (OR-merge partials) ---------------------------
+    # ---- pass 1: bit vector (tree OR-merge of partials) -------------------
+    # Dense per-block bitmaps reduce in the CLUSTER via a two-level
+    # repartition tree (OR is associative+commutative); the driver
+    # receives exactly one final bitmap — never the per-block stream.
     def pass1(b: pa.Table) -> pa.Table:
         part = MIBloomFilter(m=m, hash_num=hash_num, kmer_size=kmer_size,
                              seed=seed, spaced_seeds=spaced_seeds)
@@ -132,18 +143,41 @@ def build_mibf(
         return pa.table({"words": pa.array([part.words.tobytes()],
                                            type=pa.large_binary())})
 
-    for r in ds.map_batches(pass1, batch_format="pyarrow",
-                            batch_size=batch_size).take_all():
-        np.bitwise_or(proto.words,
-                      np.frombuffer(r["words"], dtype=np.uint64),
-                      out=proto.words)
+    def or_reduce(b: pa.Table) -> pa.Table:
+        col = b["words"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        acc = np.frombuffer(col[0].as_py(), dtype=np.uint64).copy()
+        for i in range(1, len(col)):
+            np.bitwise_or(acc, np.frombuffer(col[i].as_py(), dtype=np.uint64),
+                          out=acc)
+        return pa.table({"words": pa.array([acc.tobytes()],
+                                           type=pa.large_binary())})
+
+    fan = max(2, _cluster_cpus() // 2)
+    merged = (ds.map_batches(pass1, batch_format="pyarrow",
+                             batch_size=batch_size)
+              .repartition(fan)
+              .map_batches(or_reduce, batch_format="pyarrow",
+                           batch_size=None)
+              .repartition(1)
+              .map_batches(or_reduce, batch_format="pyarrow",
+                           batch_size=None).take_all())
+    np.bitwise_or(proto.words,
+                  np.frombuffer(merged[0]["words"], dtype=np.uint64),
+                  out=proto.words)
     proto.build_rank()
     n_slots = proto.n_slots
 
-    # ---- pass 2: deterministic fair ownership (min-merge partials) --------
+    # ---- pass 2: deterministic fair ownership (sharded min-reduce) --------
+    # Per-block local-min bids shuffle once, sharded by slot range; each
+    # shard reduces to ONE winner per slot (lexsort by (slot, key, id) —
+    # fully order-free, ties broken by id, so rebuilds are bit-identical
+    # under any partitioning).  The driver receives only final winners,
+    # never a stream of competing bids (no last-write-wins hazard).
     snap_ref = ray.put(proto)
-    ids_np = np.array([name_to_id[n] for n in names], dtype=np.uint16)
     name_map_ref = ray.put(name_to_id)
+    n_shards = max(4, _cluster_cpus())
 
     def pass2(b: pa.Table) -> pa.Table:
         snap: MIBloomFilter = ray.get(snap_ref)
@@ -158,34 +192,47 @@ def build_mibf(
         flat_ids = np.repeat(frame_ids, hash_num)
         keys = ownership_key(flat_slots, flat_ids)
         # local min per slot
-        order = np.lexsort((keys, flat_slots))
+        order = np.lexsort((flat_ids, keys, flat_slots))
         s_sorted = flat_slots[order]
         first = np.empty(len(order), dtype=bool)
         if len(order):
             first[0] = True
             first[1:] = s_sorted[1:] != s_sorted[:-1]
         win = order[first]
+        wslots = flat_slots[win]
         return pa.table({
-            "slot": pa.array(flat_slots[win]),
+            "shard": pa.array((wslots % n_shards).astype(np.int64)),
+            "slot": pa.array(wslots),
             "key": pa.array(keys[win].astype(np.int64)),
             "id": pa.array(flat_ids[win].astype(np.int32)),
         })
 
-    best_key = np.full(n_slots, np.iinfo(np.uint64).max, dtype=np.uint64)
-    best_id = np.zeros(n_slots, dtype=np.uint16)
-    parts = ds.map_batches(pass2, batch_format="pyarrow",
-                           batch_size=batch_size)
-    for blk in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
-        slot = blk["slot"].to_numpy(zero_copy_only=False)
-        key = blk["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        idv = blk["id"].to_numpy(zero_copy_only=False).astype(np.uint16)
-        better = key < best_key[slot]
-        bs = slot[better]
-        best_key[bs] = key[better]
-        best_id[bs] = idv[better]
-    proto.ids = best_id.copy()
+    def shard_min(g: pa.Table) -> pa.Table:
+        slot = g["slot"].to_numpy(zero_copy_only=False)
+        key = g["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        idv = g["id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((idv, key, slot))
+        s_sorted = slot[order]
+        first = np.empty(len(order), dtype=bool)
+        if len(order):
+            first[0] = True
+            first[1:] = s_sorted[1:] != s_sorted[:-1]
+        win = order[first]
+        return pa.table({"slot": pa.array(slot[win]),
+                         "id": pa.array(idv[win])})
 
-    # ---- pass 3: saturation (OR-merge sparse slot sets) --------------------
+    winners = (ds.map_batches(pass2, batch_format="pyarrow",
+                              batch_size=batch_size)
+               .groupby("shard")
+               .map_groups(shard_min, batch_format="pyarrow"))
+    best_id = np.zeros(n_slots, dtype=np.uint16)
+    for blk in winners.iter_batches(batch_size=None, batch_format="pyarrow"):
+        # slots are globally unique here (one winner per slot per shard)
+        best_id[blk["slot"].to_numpy(zero_copy_only=False)] = \
+            blk["id"].to_numpy(zero_copy_only=False).astype(np.uint16)
+    proto.ids = best_id
+
+    # ---- pass 3: saturation (cluster-deduped sparse slot sets) ------------
     snap2_ref = ray.put(proto)
 
     def pass3(b: pa.Table) -> pa.Table:
@@ -202,10 +249,14 @@ def build_mibf(
         sat_slots = np.unique(slots[lost].reshape(-1))
         return pa.table({"slot": pa.array(sat_slots)})
 
+    from ray.data.aggregate import Count as _Count
+
+    sat_slots = (ds.map_batches(pass3, batch_format="pyarrow",
+                                batch_size=batch_size)
+                 .groupby("slot").aggregate(_Count(alias_name="_c")))
     sat = np.zeros(n_slots, dtype=bool)
-    for blk in ds.map_batches(pass3, batch_format="pyarrow",
-                              batch_size=batch_size).iter_batches(
-                                  batch_size=None, batch_format="pyarrow"):
+    for blk in sat_slots.iter_batches(batch_size=None,
+                                      batch_format="pyarrow"):
         sat[blk["slot"].to_numpy(zero_copy_only=False)] = True
     proto.ids[sat] |= SATURATED
     return proto
@@ -216,7 +267,7 @@ class MIBFClassifierActor:
 
     def __init__(self, mibf_ref, min_fpr: float = 0.01,
                  multi_thresh: int = 0, text_col: str = "text",
-                 normalize: bool = True):
+                 normalize: bool = True, text_col2: str | None = None):
         mibf = ray.get(mibf_ref) if isinstance(mibf_ref, ray.ObjectRef) else mibf_ref
         # worker-private copies (see categorize.py plasma note)
         mibf.words = np.array(mibf.words, copy=True)
@@ -226,12 +277,19 @@ class MIBFClassifierActor:
         self.min_fpr = min_fpr
         self.multi_thresh = multi_thresh
         self.text_col = text_col
+        self.text_col2 = text_col2
         self.normalize = normalize
         self.frame_probs = mibf.frame_probs()
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _support(self, texts: pa.Array, mate_salt: int = 0):
+        """Per-row distinct-shingle support: returns ``(n, p_row, p_id,
+        n_trials)`` — sparse (row, id) support observations plus trials
+        per row.  ``mate_salt`` decorrelates the shingle-dedup keys of
+        the two mates of a pair so the same boilerplate shingle seen in
+        BOTH mates counts as two independent observations (the reference
+        evaluates each mate's frames separately before summing,
+        ``MIBFClassifier.hpp:409-617``)."""
         mibf = self.mibf
-        texts = _texts(batch, self.text_col, self.normalize)
         pos, nf, h1 = mibf.frame_hashes(texts)
         n = len(nf)
         # a frame only reports IDs when it is a full member (all h probes
@@ -258,20 +316,27 @@ class MIBFClassifierActor:
         fid = flat_ids[keep]
         from biobloom_ray.hashing import splitmix64
 
+        salt = np.uint64(mate_salt)
         with np.errstate(over="ignore"):
-            trip_key = (splitmix64(h1[fi] + U64_ROW * row_of[fi].astype(np.uint64))
+            trip_key = (splitmix64(h1[fi] + U64_ROW * row_of[fi].astype(np.uint64)
+                                   + salt)
                         ^ splitmix64(fid.astype(np.uint64)))
         _, first_idx = np.unique(trip_key, return_index=True)
         p_row = row_of[fi[first_idx]]
         p_id = fid[first_idx]
 
-        # trials per row = distinct member... distinct shingles in the row
+        # trials per row = distinct shingles in the row
         with np.errstate(over="ignore"):
-            row_shingle = splitmix64(h1 + U64_ROW * row_of.astype(np.uint64))
+            row_shingle = splitmix64(h1 + U64_ROW * row_of.astype(np.uint64)
+                                     + salt)
         n_trials = np.zeros(n, dtype=np.int64)
         uniq_rs_idx = np.unique(row_shingle, return_index=True)[1]
         np.add.at(n_trials, row_of[uniq_rs_idx], 1)
+        return n, p_row, p_id, n_trials
 
+    def _decide(self, batch: pa.Table, n: int, p_row: np.ndarray,
+                p_id: np.ndarray, n_trials: np.ndarray) -> pa.Table:
+        mibf = self.mibf
         best_id = np.zeros(n, dtype=np.int64)
         best_cnt = np.zeros(n, dtype=np.int64)
         second_cnt = np.zeros(n, dtype=np.int64)
@@ -324,17 +389,43 @@ class MIBFClassifierActor:
         out = out.append_column("mibf_score", pa.array(scores))
         return out
 
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.text_col2 is not None:
+            return self._call_paired(batch)
+        texts = _texts(batch, self.text_col, self.normalize)
+        n, p_row, p_id, n_trials = self._support(texts)
+        return self._decide(batch, n, p_row, p_id, n_trials)
+
+    def _call_paired(self, batch: pa.Table) -> pa.Table:
+        """Paired-mate classification (``MIBFClassifier.hpp:409-617``,
+        ``query(itr, itr2, minCount)`` at ``:790-794``): both mates'
+        per-ID supports and trial counts SUM before the binomial gate,
+        so weak-but-consistent evidence split across a pair still
+        clears the acceptance threshold."""
+        t1 = _texts(batch, self.text_col, self.normalize)
+        t2 = _texts(batch, self.text_col2, self.normalize)
+        n, r1, i1, f1 = self._support(t1, mate_salt=0)
+        _, r2, i2, f2 = self._support(t2, mate_salt=0x9D5C)
+        return self._decide(batch, n,
+                            np.concatenate([r1, r2]),
+                            np.concatenate([i1, i2]),
+                            f1 + f2)
+
 
 def classify_mibf(ds, mibf: MIBloomFilter, min_fpr: float = 0.01,
                   multi_thresh: int = 0, text_col: str = "text",
-                  batch_size: int = 1024):
+                  batch_size: int = 1024, text_col2: str | None = None):
+    """``text_col2``: when given, rows are mate pairs and supports are
+    combined across both mates (the ``-e`` paired path of
+    biobloommicategorizer)."""
     ref = ray.put(mibf)
     _cache: dict = {}
 
     def fn(batch: pa.Table) -> pa.Table:
         actor = _cache.get("a")
         if actor is None:
-            actor = MIBFClassifierActor(ref, min_fpr, multi_thresh, text_col)
+            actor = MIBFClassifierActor(ref, min_fpr, multi_thresh, text_col,
+                                        text_col2=text_col2)
             _cache["a"] = actor
         return actor(batch)
 

@@ -72,8 +72,24 @@ def run_partitioned_categorize(
         ds = _rp(frag)
         labeled = categorize(ds, bank, cfg, text_col=text_col)
         pdir = partition_dir(out_dir, i)
-        os.makedirs(pdir, exist_ok=True)
-        labeled.write_parquet(pdir)
+        # crash-atomic partition output: stream into part=<i>.tmp/, then
+        # a single directory rename publishes it.  A kill mid-write
+        # leaves only the tmp dir (removed on retry), so a re-run can
+        # never mix new files with a crashed attempt's partials, and a
+        # published partition is always complete even before its
+        # manifest lands.
+        tmpdir = pdir + ".tmp"
+        if os.path.isdir(tmpdir):
+            import shutil
+            shutil.rmtree(tmpdir)
+        if os.path.isdir(pdir):
+            # data published but manifest missing (killed between rename
+            # and manifest write): the data is complete — reuse it
+            pass
+        else:
+            os.makedirs(tmpdir, exist_ok=True)
+            labeled.write_parquet(tmpdir)
+            os.rename(tmpdir, pdir)
         n_rows = _rp(pdir).count()
         write_manifest(out_dir, PartitionManifest(
             partition=i,

@@ -29,13 +29,25 @@ from biobloom_ray.textnorm import normalize_batch
 
 
 def expected_entries_batch(batch: pa.Table, text_col: str, k: int,
-                           label_col: str | None) -> pa.Table:
+                           label_col: str | None,
+                           normalize: bool = True) -> pa.Table:
     """Pre-pass partial (A1): frames per row = max(len−k+1, 0), summed per
     label inside the batch so the downstream groupby only sees one row
-    per (block, label)."""
+    per (block, label).
+
+    ``len`` is measured on the SAME representation the builder hashes —
+    UTF-8 **bytes** of the (optionally normalized) text — so the filter
+    sizing tracks actual insertions on non-ASCII or whitespace-heavy
+    corpora and the realized FPR stays at the design point."""
     import pyarrow.compute as pc
 
-    lens = pc.utf8_length(batch[text_col]).to_numpy(zero_copy_only=False)
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if normalize:
+        texts = normalize_batch(texts)
+    lens = pc.binary_length(texts.cast(pa.large_binary())) \
+        .to_numpy(zero_copy_only=False)
     frames = np.maximum(np.nan_to_num(lens.astype(np.float64)) - k + 1, 0).astype(np.int64)
     if label_col is None:
         return pa.table({"filter_id": ["__all__"], "frames": [int(frames.sum())]})

@@ -364,3 +364,31 @@ def summary_table(labeled_ds, filter_ids: list[str]):
                  "shared": 0, "rate_hit": no / denom,
                  "rate_miss": (total - no) / denom, "rate_shared": 0.0})
     return pd.DataFrame(rows)
+
+
+def emit_matching(labeled, filter_id: str | None = None,
+                  invert: bool = False, label_col: str = "label"):
+    """S9 matched/unmatched stream emitter — the ``-d``/``-n`` stdout
+    routing of the reference (``BioBloomClassifier.h:115-142``): after
+    classification, forward only the rows that matched (``-d``; a
+    specific ``filter_id`` narrows to that filter's stream, incl.
+    ``multiMatch``) or only the unmatched rows (``-n``/``invert=True``).
+
+    Pure streaming ``Dataset.filter`` over the labeled output — chain
+    ``.write_parquet`` (the Dynamicofstream analogue) or ``iter_batches``
+    (the literal stdout pipe) on the result.
+    """
+    import pyarrow.compute as pc
+
+    def pick(b: pa.Table) -> pa.Table:
+        lab = b[label_col]
+        if filter_id is None:
+            mask = pc.not_equal(lab, NO_MATCH)
+        else:
+            mask = pc.or_(pc.equal(lab, filter_id),
+                          pc.equal(lab, MULTI_MATCH))
+        if invert:
+            mask = pc.invert(mask)
+        return b.filter(mask)
+
+    return labeled.map_batches(pick, batch_format="pyarrow")

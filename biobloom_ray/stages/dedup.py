@@ -54,32 +54,9 @@ from biobloom_ray.sketches.simhash import (
 )
 from biobloom_ray.textnorm import content_md5_batch
 
-# hash-join fan-out: resolved per call from cluster size.  Ray's hash
-# shuffle reserves one aggregator ACTOR per partition for the lifetime of
-# the pipeline (default 1 CPU each) — two chained joins on a small
-# cluster deadlock if partitions ≈ CPUs.  We size partitions to a
-# fraction of the cores and reserve fractional CPUs per aggregator so
-# map tasks can always make progress.
+from biobloom_ray.io import hash_join as _join
+
 DEFAULT_JOIN_PARTITIONS = None
-_AGG_REMOTE_ARGS = {"num_cpus": 0.25}
-
-
-def _auto_partitions(num_partitions=None) -> int:
-    if num_partitions:
-        return num_partitions
-    import ray
-    cpus = int(ray.cluster_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 8
-    return max(2, cpus // 4)
-
-
-def _join(left, right, on, right_on=None, num_partitions=None,
-          left_suffix=None, right_suffix=None):
-    return left.join(right, "inner",
-                     num_partitions=_auto_partitions(num_partitions),
-                     on=on, right_on=right_on, left_suffix=left_suffix,
-                     right_suffix=right_suffix,
-                     aggregator_ray_remote_args=dict(_AGG_REMOTE_ARGS))
 
 
 # ---------------------------------------------------------------------------

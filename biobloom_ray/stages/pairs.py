@@ -26,22 +26,27 @@ def add_pair_key(batch: pa.Table, header_col: str = "url") -> pa.Table:
 
 
 def pair_up(ds, header_col: str = "url", text_col: str = "text"):
-    """Self-join on the pair key: one output row per matched pair with
+    """Re-unite mates by pair key: one output row per matched pair with
     ``text_1``/``text_2`` columns; unmatched mates are dropped (the
-    reference leaves them in its buffer forever)."""
+    reference leaves them in its buffer forever).
+
+    Shape: split the stream by mate number (two cheap filters on the
+    same scan) and HASH-JOIN the halves on ``pair_key`` — one shuffle,
+    zero per-group Python (round-2 rewrite of the per-pair
+    ``map_groups``).  Assumes headers are unique per mate, like the
+    reference's mate cache (a duplicated header would fan out to all
+    combinations instead of keeping the first)."""
+    from biobloom_ray.io import hash_join
+
     keyed = ds.map_batches(lambda b: add_pair_key(b, header_col),
                            batch_format="pyarrow")
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("mate")
-        m1 = g[g["mate"] == "1"]
-        m2 = g[g["mate"] == "2"]
-        if len(m1) == 0 or len(m2) == 0:
-            return pd.DataFrame({"pair_key": pd.Series(dtype="object"),
-                                 "text_1": pd.Series(dtype="object"),
-                                 "text_2": pd.Series(dtype="object")})
-        return pd.DataFrame({"pair_key": [g["pair_key"].iloc[0]],
-                             "text_1": [m1[text_col].iloc[0]],
-                             "text_2": [m2[text_col].iloc[0]]})
+    def side(mate: str, out_col: str):
+        def pick(b: pa.Table) -> pa.Table:
+            sel = b.filter(pc.equal(b["mate"], mate))
+            return pa.table({"pair_key": sel["pair_key"],
+                             out_col: sel[text_col]})
+        return keyed.map_batches(pick, batch_format="pyarrow")
 
-    return keyed.groupby("pair_key").map_groups(combine, batch_format="pandas")
+    return hash_join(side("1", "text_1"), side("2", "text_2"),
+                     on=("pair_key",))

@@ -3,7 +3,8 @@ a killed job resumes without recomputing finished partitions).
 
 Output layout (SURVEY.md §4 "Checkpoint / resume"):
 
-    <out>/part=<i>/...parquet        partition output (atomic: tmp+rename)
+    <out>/part=<i>/...parquet        partition output (written to part=<i>.tmp/,
+                                     one dir rename publishes it atomically)
     <out>/part=<i>/_lineage.json     manifest: inputs, row counts, metrics,
                                      optional sketch-state blob path
 

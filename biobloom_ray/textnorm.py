@@ -45,14 +45,22 @@ def extract_batch(html_col: pa.Array) -> pa.Array:
 
 
 def normalize_batch(text_col: pa.Array) -> pa.Array:
-    """Shingling pre-pass: ASCII lowercase + whitespace collapse, done
-    with pyarrow compute kernels (zero-copy columnar).  This is the
-    pinned normalization applied before hashing (SURVEY.md §2.2 M4)."""
+    """Shingling pre-pass: ASCII lowercase + ASCII-whitespace collapse,
+    done with pyarrow compute kernels (zero-copy columnar).  This is the
+    pinned normalization applied before hashing (SURVEY.md §2.2 M4).
+
+    ``ascii_lower`` / an explicit ``[ \\t\\r\\n\\f\\v]`` class (not
+    ``utf8_lower`` / ``\\s``) so the output can never drift with the
+    Unicode tables of a future pyarrow — the module contract is
+    byte-identical normalization across versions; non-ASCII code points
+    pass through untouched (golden non-ASCII fixture in test_hashing).
+    """
     if isinstance(text_col, pa.ChunkedArray):
         text_col = text_col.combine_chunks()
-    t = pc.utf8_lower(text_col)
-    t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
-    return pc.utf8_trim_whitespace(t)
+    t = pc.ascii_lower(text_col)
+    t = pc.replace_substring_regex(t, pattern=r"[ \t\r\n\f\v]+",
+                                   replacement=" ")
+    return pc.ascii_trim_whitespace(t)
 
 
 def text_sha256(text: str) -> str:

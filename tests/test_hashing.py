@@ -114,3 +114,24 @@ def test_splitmix_avalanche():
     assert 0.4 < diffbits < 0.6
     assert len(np.unique(y)) == 1000
     assert not np.array_equal(y, z)
+
+
+def test_normalize_non_ascii_golden():
+    """Pinned normalization contract: ASCII-only case mapping and
+    whitespace collapse; non-ASCII code points pass through untouched
+    regardless of pyarrow's Unicode tables."""
+    import hashlib
+    import pyarrow as pa
+    from biobloom_ray.textnorm import normalize_batch
+
+    col = pa.array(["Füße  WASCHEN\tÉTÉ", "ΣΟΦΌΣ край", "  Mixed CASE ",
+                    "北京 上海\n廣州"])
+    out = normalize_batch(col).to_pylist()
+    # ASCII letters lower; uppercase non-ASCII (É, Σ) are NOT touched
+    assert out[0] == "füße waschen ÉtÉ"
+    assert out[1] == "ΣΟΦΌΣ край"
+    assert out[2] == "mixed case"
+    assert out[3] == "北京 上海 廣州"
+    digest = hashlib.sha256("\x00".join(out).encode("utf-8")).hexdigest()
+    assert digest == ("58b68ea1042f0f1e32856fde358060bb"
+                      "78a0e26e41d22b18edb72b2605ee87d9")

@@ -46,6 +46,19 @@ class TestBuild:
         assert np.array_equal(again.words, mibf.words)
         assert np.array_equal(again.ids, mibf.ids)  # order-free ownership
 
+    def test_deterministic_under_different_partitioning(self, ray_session,
+                                                        mibf):
+        # different batch size AND different block layout → the bid
+        # stream arrives in a different order with different coalescing;
+        # the sharded min-reduce must still pick identical winners
+        tbl = generate_ref_corpora(docs_per_lang=60)
+        ref = ray.data.from_arrow(tbl).repartition(7)
+        again = build_mibf(ref, text_col="doc", label_col="filter_id",
+                           kmer_size=8, hash_num=3, occupancy=0.5,
+                           batch_size=97)
+        assert np.array_equal(again.words, mibf.words)
+        assert np.array_equal(again.ids, mibf.ids)
+
     def test_some_saturation_on_shared_vocab(self, mibf):
         # corpora share `common###` words → contested slots exist, and
         # the losing (frame, id) marks saturation
@@ -87,6 +100,52 @@ class TestClassify:
         a = classify_mibf(pages, mibf).to_pandas()
         b = classify_mibf(pages, clone).to_pandas()
         assert (a.label.values == b.label.values).all()
+
+
+class TestPairedClassify:
+    """Paired-mate mode (``MIBFClassifier.hpp:409-617``): supports and
+    trials sum across the two mates before the binomial gate."""
+
+    def _mate_split(self, n, seed):
+        tbl = generate_pages(n, seed=seed).to_pandas()
+        half = tbl.text.str.len() // 2
+        t1 = [t[:h] for t, h in zip(tbl.text, half)]
+        t2 = [t[h:] for t, h in zip(tbl.text, half)]
+        return pa.table({"doc_id": pa.array(range(n)),
+                         "lang": pa.array(tbl.lang),
+                         "text_1": pa.array(t1), "text_2": pa.array(t2)})
+
+    def test_paired_assigns_langs(self, ray_session, mibf):
+        pairs = ray.data.from_arrow(self._mate_split(1000, seed=7))
+        out = classify_mibf(pairs, mibf, min_fpr=0.01, text_col="text_1",
+                            text_col2="text_2").to_pandas()
+        pos = out[out.lang != "zz"]
+        ok = (pos.label == pos.lang) | (pos.label == "multiMatch")
+        assert ok.mean() > 0.9
+        neg = out[out.lang == "zz"]
+        assert (neg.label == "noMatch").mean() > 0.98
+
+    def test_paired_combines_counts(self, ray_session, mibf):
+        """best_count of the pair ≥ best_count of either mate alone, and
+        an empty second mate degrades exactly to single-mate evidence."""
+        pairs_tbl = self._mate_split(300, seed=8)
+        pairs = ray.data.from_arrow(pairs_tbl)
+        both = classify_mibf(pairs, mibf, text_col="text_1",
+                             text_col2="text_2").to_pandas()
+        m1 = classify_mibf(ray.data.from_arrow(
+            pairs_tbl.select(["doc_id", "text_1"])), mibf,
+            text_col="text_1").to_pandas()
+        merged = both.merge(m1, on="doc_id", suffixes=("_p", "_1"))
+        assert (merged.best_count_p >= merged.best_count_1).all()
+
+        empty2 = pairs_tbl.set_column(
+            pairs_tbl.schema.get_field_index("text_2"), "text_2",
+            pa.array([""] * len(pairs_tbl)))
+        only1 = classify_mibf(ray.data.from_arrow(empty2), mibf,
+                              text_col="text_1",
+                              text_col2="text_2").to_pandas()
+        assert (only1.sort_values("doc_id").label.values ==
+                m1.sort_values("doc_id").label.values).all()
 
 
 class TestSpacedSeedMIBF:

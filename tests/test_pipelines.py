@@ -191,3 +191,45 @@ def test_actor_pool_path_matches_task_path(corpora_bank, pages_ds):
     b = categorize(pages_ds, bank, actor_cfg).to_pandas().sort_values("url")
     assert (a.label.values == b.label.values).all()
     assert (a.hit_mask.values == b.hit_mask.values).all()
+
+
+def test_length_scorer_end_to_end(corpora_bank, pages_ds):
+    """M11 through the categorize pipeline: threshold = min contiguous
+    matched run in chars (SeqEval.h:295-332)."""
+    _, bank = corpora_bank
+    strict = categorize(pages_ds, bank, CategorizeConfig(
+        scoring_method="length", score_threshold=60,
+        batch_size=512, concurrency=2)).to_pandas()
+    loose = categorize(pages_ds, bank, CategorizeConfig(
+        scoring_method="length", score_threshold=20,
+        batch_size=512, concurrency=2)).to_pandas()
+    # longer required runs can only shrink the matched set
+    assert (strict.label != "noMatch").sum() <= (loose.label != "noMatch").sum()
+    # golden label behavior for the fixed fixture/seed
+    assert (loose.label != "noMatch").sum() > 0
+    assert (loose[loose.lang == "zz"].label == "noMatch").mean() > 0.95
+    pos = loose[(loose.label != "noMatch") & (loose.label != "multiMatch")]
+    # matched single labels overwhelmingly agree with the true lang
+    assert (pos.label == pos.lang).mean() > 0.9
+
+
+def test_emit_matching_streams(corpora_bank, pages_ds):
+    """S9 -d/-n emitter (BioBloomClassifier.h:115-142)."""
+    from biobloom_ray.stages.categorize import emit_matching
+
+    _, bank = corpora_bank
+    cfg = CategorizeConfig(scoring_method="simple", score_threshold=0.15,
+                           mode="std", batch_size=512, concurrency=2)
+    labeled = categorize(pages_ds, bank, cfg)
+    pdf = labeled.to_pandas()
+    matched = emit_matching(labeled).to_pandas()
+    unmatched = emit_matching(labeled, invert=True).to_pandas()
+    assert len(matched) == (pdf.label != "noMatch").sum()
+    assert len(unmatched) == (pdf.label == "noMatch").sum()
+    assert (matched.label != "noMatch").all()
+    # single-filter stream: that filter's labels plus multiMatch rows
+    en = emit_matching(labeled, filter_id="en").to_pandas()
+    assert set(en.label) <= {"en", "multiMatch"}
+    assert len(en) == ((pdf.label == "en") | (pdf.label == "multiMatch")).sum()
+    en_only = emit_matching(labeled, filter_id="en", invert=True).to_pandas()
+    assert len(en_only) == len(pdf) - len(en)

@@ -75,3 +75,41 @@ def test_kill_and_resume_byte_identical(setup, tmp_path):
     m = read_manifest(out_a, 2)
     assert m.complete and m.row_count == 1000
     assert m.inputs and m.inputs[0].endswith(".parquet")
+
+
+def test_crashed_partition_files_never_mix(setup, tmp_path):
+    """A kill mid-partition leaves files only in part=<i>.tmp/; the
+    retry discards them, so output rows can never duplicate."""
+    input_dir, bank, cfg = setup
+    out = str(tmp_path / "crashed_mid_write")
+
+    # simulate a mid-write crash: a stale tmp dir with a bogus file
+    tmpdir = os.path.join(out, "part=0.tmp")
+    os.makedirs(tmpdir)
+    with open(os.path.join(tmpdir, "junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+
+    r = run_partitioned_categorize(input_dir, out, bank, cfg)
+    assert r["completed"] == [0, 1, 2, 3]
+    assert not os.path.exists(tmpdir)           # stale attempt removed
+
+    clean = str(tmp_path / "clean_reference")
+    run_partitioned_categorize(input_dir, clean, bank, cfg)
+    a, b = _all_rows(out), _all_rows(clean)
+    assert len(a) == len(b)
+    assert a.equals(b)                           # no duplicated rows
+
+    # published-but-unmanifested partition (killed between rename and
+    # manifest): data is reused, not rewritten alongside itself
+    out2 = str(tmp_path / "published_no_manifest")
+    run_partitioned_categorize(input_dir, out2, bank, cfg, fail_after=1)
+    manifest = os.path.join(out2, "part=0", "_lineage.json")
+    assert os.path.exists(manifest)
+    os.remove(manifest)
+    p0 = os.path.join(out2, "part=0")
+    files_before = sorted(f for f in os.listdir(p0) if f.endswith(".parquet"))
+    run_partitioned_categorize(input_dir, out2, bank, cfg)
+    # data files reused as-is; only the manifest is recreated
+    assert sorted(f for f in os.listdir(p0)
+                  if f.endswith(".parquet")) == files_before
+    assert len(_all_rows(out2)) == len(b)
