@@ -194,8 +194,18 @@ def _lang_id(sf_dir: str):
     # distributed fit: only profile_size hashes per lang reach the driver
     model = NGramLangProfiles(n=3).fit_distributed(train)
     ref = ray.put(model)
-    out = docs.map_batches(LangIdActor, fn_constructor_kwargs={
-        "profiles_ref": ref}, batch_format="pyarrow", concurrency=2)
+    _cache: dict = {}
+
+    def fn(b: pa.Table) -> pa.Table:
+        # task path + worker-local cache: tasks reuse prestarted
+        # workers, avoiding per-actor spawn cost for a cheap-init stage
+        scorer = _cache.get("s")
+        if scorer is None:
+            scorer = LangIdActor(ref)
+            _cache["s"] = scorer
+        return scorer(b)
+
+    out = docs.map_batches(fn, batch_format="pyarrow")
     return out.select_columns(["doc_id", "lang", "lang_pred"]).to_pandas()
 
 

@@ -16,25 +16,22 @@ import pyarrow as pa
 
 import ray.data
 
-# The read operator itself unions block schemas BEFORE any user stage can
-# strip the unhashable pandas metadata, emitting a harmless "Failed to
-# hash the schemas (for deduplication)" warning per task.  Demote that
-# one module's warnings; real errors still surface.
+# The driver's test parquet carries pandas schema metadata whose nested
+# dict makes ``hash(pa.Schema)`` raise on this pyarrow version; Ray Data
+# hashes schemas to dedup them when unioning block metadata, so every
+# pipeline over such a read spams a harmless "Failed to hash the schemas
+# (for deduplication)" warning.  Demote that one module's warnings; real
+# errors still surface.
 logging.getLogger(
     "ray.data._internal.arrow_ops.transform_pyarrow").setLevel(logging.ERROR)
 
 
-def _strip_meta(batch: pa.Table) -> pa.Table:
-    if batch.schema.metadata:
-        return batch.replace_schema_metadata(None)
-    return batch
-
-
 def read_parquet(paths, columns=None, **kwargs) -> "ray.data.Dataset":
-    """``ray.data.read_parquet`` with schema metadata stripped from every
-    block (column pruning still pushes down to the parquet reader)."""
-    ds = ray.data.read_parquet(paths, columns=columns, **kwargs)
-    return ds.map_batches(_strip_meta, batch_format="pyarrow")
+    """``ray.data.read_parquet``.  (A dedicated metadata-strip stage was
+    tried and reverted: it cannot fuse with the read operator, and one
+    extra task hop per block costs more than the warning it silenced —
+    the logger demotion above is the whole fix.)"""
+    return ray.data.read_parquet(paths, columns=columns, **kwargs)
 
 
 # ---------------------------------------------------------------------------

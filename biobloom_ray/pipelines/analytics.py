@@ -90,13 +90,20 @@ def events_hourly(sf_dir: str):
 
 def exact_dedup_docs(sf_dir: str):
     """First-wins exact text dedup (D1 exact variant): min doc_id per
-    distinct text — native ``Min(doc_id)`` per content hash, winner rows
-    recovered by a hash semi-join (zero per-group Python; the text never
-    rides the groupby shuffle)."""
-    from biobloom_ray.stages.dedup import exact_dedup
+    distinct text.  ONE native aggregate — group on the content hash,
+    ``Min(doc_id)`` picks the winner and ``Min(text)`` recovers the text
+    (every text in an md5 group is identical, so Min IS the text); zero
+    per-group Python, zero joins.  The generic row-preserving variant
+    (arbitrary extra columns) is stages.dedup.exact_dedup's semi-join."""
+    from biobloom_ray.stages.dedup import add_content_hash
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return exact_dedup(ds).to_pandas()[["doc_id", "text"]]
+    out = (ds.map_batches(add_content_hash, batch_format="pyarrow")
+           .groupby("fp_md5")
+           .aggregate(Min("doc_id", alias_name="doc_id"),
+                      Min("text", alias_name="text"))
+           .to_pandas())
+    return out[["doc_id", "text"]]
 
 
 def distinct_text_per_lang(sf_dir: str):

@@ -9,7 +9,8 @@ Every variant is expressed Ray-Data-first:
                  ≈ 1-3 % of corpus bytes — the "signature checkpoint") →
                  NARROW banded rows (band_key, id; 16 B/row, no signature
                  payload) → native per-bucket count aggregate → candidate
-                 pairs → distributed signature verify via two hash joins
+                 pairs → signature verify (broadcast fetch below
+                 ``broadcast_limit`` pairs, two hash joins above)
 - simhash      — 64-bit fingerprints → band blocking → Hamming verify,
                  same narrow-row + native-aggregate shape
 - embedding    — see :mod:`biobloom_ray.stages.ann`
@@ -22,9 +23,11 @@ Scale notes (round-2 redesign, VERDICT.md "Next round" #1):
   via hash joins keyed on the candidate ids.
 * The bucket-size aggregate makes the dominant case (bucket of exactly
   2 docs) fully native: ``groupby(band_key).agg(Count, Min(id),
-  Max(id))`` yields the pair directly with zero per-group Python.
+  Max(id))`` yields the pair directly with zero per-group Python, and
+  ONLY buckets with ≥2 docs ever leave the cluster — driver traffic is
+  proportional to the op's OUTPUT (near-dup pairs), not the corpus.
   Buckets with ≥3 docs are a sparse tail (duplicate *clusters*); their
-  keys are broadcast and only those rows re-grouped for pair emission
+  keys are broadcast and only those rows re-scanned for pair emission
   (bounded per bucket by ``max_bucket`` — degenerate keys, e.g.
   all-empty docs, truncate deterministically on sorted ids).
 * At extreme scale (≥10¹¹ docs) run the banding per band-range so the
@@ -150,63 +153,82 @@ def _empty_pairs(value_col: str, dtype: str = "float64") -> pd.DataFrame:
                          value_col: pd.Series(dtype=dtype)})
 
 
-def _bucket_id_pairs(g: pa.Table, id_col: str,
-                     max_bucket: int) -> pa.Table:
-    """All (id_a < id_b) pairs of one bucket, deterministically truncated
-    to the ``max_bucket`` smallest ids (degenerate-key skew guard)."""
-    ids = np.sort(g[id_col].to_numpy(zero_copy_only=False))
-    if len(ids) > max_bucket:
-        ids = ids[:max_bucket]
-    ii, jj = np.triu_indices(len(ids), k=1)
-    return pa.table({"id_a": pa.array(ids[ii]), "id_b": pa.array(ids[jj])})
-
-
-def _candidate_pairs(band, id_col: str, max_bucket: int):
-    """Distinct candidate (id_a, id_b) pairs from narrow band rows.
-
-    One groupby shuffle of 16 B rows; c==2 buckets (the bulk) become
-    pairs natively; c≥3 bucket keys (sparse dup-cluster tail) are
-    broadcast and only their rows re-grouped.
-    """
+def _isin_filter(col_name: str, sorted_vals: np.ndarray):
+    """map_batches callable: keep rows whose ``col_name`` is in the
+    broadcast sorted array (binary-search membership, no Python loop)."""
     import ray
 
+    vals_ref = ray.put(sorted_vals)
+
+    def pick(b: pa.Table) -> pa.Table:
+        vals = ray.get(vals_ref)
+        k = b[col_name].to_numpy(zero_copy_only=False)
+        if not len(vals):
+            return b.slice(0, 0)
+        idx = np.searchsorted(vals, k)
+        idx[idx == len(vals)] = 0
+        return b.filter(pa.array(vals[idx] == k))
+
+    return pick
+
+
+def _collect_numpy(ds, cols: list[str]) -> dict[str, np.ndarray]:
+    """Stream a (small) dataset's columns to driver numpy arrays."""
+    parts: dict[str, list] = {c: [] for c in cols}
+    for blk in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for c in cols:
+            parts[c].append(blk[c].to_numpy(zero_copy_only=False))
+    return {c: (np.concatenate(v) if v else np.empty(0, dtype=np.int64))
+            for c, v in parts.items()}
+
+
+def _candidate_pairs_np(band, id_col: str, max_bucket: int):
+    """Distinct candidate (id_a, id_b) pairs from narrow band rows, as
+    driver numpy arrays.
+
+    ONE groupby shuffle of 16 B rows does all the bucketing work; only
+    buckets with ≥2 docs leave the cluster (the op's output scale —
+    near-dup candidates — not the corpus scale).  c==2 buckets (the
+    bulk) are pairs directly from the native Min/Max aggregate; c≥3
+    bucket keys (sparse dup-cluster tail) trigger one extra narrow scan
+    filtered to those keys, deterministically capped per bucket.
+    """
     agg = (band.groupby("band_key")
            .aggregate(Count(alias_name="c"),
                       Min(id_col, alias_name="id_a"),
-                      Max(id_col, alias_name="id_b"))
-           ).materialize()   # narrow (≈40 B/key); consumed twice below
+                      Max(id_col, alias_name="id_b")))
+    dup = _collect_numpy(
+        agg.map_batches(lambda b: b.filter(pc.greater_equal(b["c"], 2)),
+                        batch_format="pyarrow"),
+        ["band_key", "c", "id_a", "id_b"])
 
-    pairs2 = (agg.map_batches(
-        lambda b: b.filter(pc.equal(b["c"], 2)).select(["id_a", "id_b"]),
-        batch_format="pyarrow"))
+    two = dup["c"] == 2
+    pa_ids = [dup["id_a"][two]]
+    pb_ids = [dup["id_b"][two]]
 
-    big_keys = np.array(
-        [r["band_key"] for r in agg.map_batches(
-            lambda b: b.filter(pc.greater(b["c"], 2)).select(["band_key"]),
-            batch_format="pyarrow").take_all()], dtype=np.int64)
+    big_keys = np.sort(dup["band_key"][~two])
     if len(big_keys):
-        big_keys.sort()
-        keys_ref = ray.put(big_keys)
+        rows = _collect_numpy(
+            band.map_batches(_isin_filter("band_key", big_keys),
+                             batch_format="pyarrow"),
+            ["band_key", id_col])
+        order = np.lexsort((rows[id_col], rows["band_key"]))
+        ks = rows["band_key"][order]
+        ids = rows[id_col][order]
+        starts = np.nonzero(np.r_[True, ks[1:] != ks[:-1]])[0]
+        ends = np.r_[starts[1:], len(ks)]
+        for s, e in zip(starts, ends):
+            seg = ids[s:min(e, s + max_bucket)]
+            ii, jj = np.triu_indices(len(seg), k=1)
+            pa_ids.append(seg[ii])
+            pb_ids.append(seg[jj])
 
-        def pick(b: pa.Table) -> pa.Table:
-            k = b["band_key"].to_numpy(zero_copy_only=False)
-            hot = ray.get(keys_ref)
-            idx = np.searchsorted(hot, k)
-            idx[idx == len(hot)] = 0
-            return b.filter(pa.array(hot[idx] == k))
-
-        pairs_big = (band.map_batches(pick, batch_format="pyarrow")
-                     .groupby("band_key")
-                     .map_groups(lambda g: _bucket_id_pairs(
-                         g, id_col, max_bucket), batch_format="pyarrow"))
-        cand = pairs2.union(pairs_big)
-    else:
-        cand = pairs2
-
-    # a pair found in several bands appears once
-    return (cand.groupby(["id_a", "id_b"])
-            .aggregate(Count(alias_name="_nb"))
-            .select_columns(["id_a", "id_b"]))
+    id_a = np.concatenate(pa_ids)
+    id_b = np.concatenate(pb_ids)
+    if len(id_a):
+        both = np.unique(np.stack([id_a, id_b], axis=1), axis=0)
+        id_a, id_b = both[:, 0], both[:, 1]
+    return id_a, id_b
 
 
 def _attach_sigs(cand, sig_ds, id_col: str, num_partitions: int):
@@ -222,21 +244,52 @@ def minhash_neardup_pairs_ds(ds, text_col: str = "text",
                              id_col: str = "doc_id", threshold: float = 0.7,
                              shingle_k: int = 5, num_perm: int = 128,
                              num_bands: int = 16, max_bucket: int = 2000,
-                             num_partitions: int = DEFAULT_JOIN_PARTITIONS):
+                             num_partitions: int = DEFAULT_JOIN_PARTITIONS,
+                             broadcast_limit: int = 50_000):
     """Near-duplicate pairs with estimated Jaccard ≥ threshold, as a
     Dataset (id_a, id_b, est_jaccard).
 
-    shingle → minhash signature checkpoint → narrow band rows →
-    native bucket aggregate → distinct candidate pairs → signature
-    verify via two hash joins (signatures shipped once per candidate
-    side, never per band).
+    shingle → minhash signature checkpoint → narrow band rows → ONE
+    native bucket aggregate (the LSH shuffle) → distinct candidate
+    pairs → signature verify.  Verification is adaptive, exactly like a
+    broadcast-vs-shuffle join choice: up to ``broadcast_limit``
+    candidate pairs (the op's OUTPUT scale), the candidate ids are
+    broadcast, one narrow scan fetches just those signatures, and the
+    estimate is computed in one vectorized step; beyond the limit the
+    signatures attach via two hash joins so nothing driver-bound grows
+    with the corpus.
     """
     stage = MinHashSigStage(text_col, id_col, shingle_k, num_perm)
     sig_ds = ds.map_batches(stage, batch_format="pyarrow").materialize()
     band = sig_ds.map_batches(
         lambda b: _band_rows(b, id_col, num_perm, num_bands),
         batch_format="pyarrow")
-    cand = _candidate_pairs(band, id_col, max_bucket)
+    id_a, id_b = _candidate_pairs_np(band, id_col, max_bucket)
+
+    import ray.data as rd
+
+    if len(id_a) == 0:
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "est_jaccard": pa.array([], type=pa.float64())}))
+
+    if len(id_a) <= broadcast_limit:
+        need = np.unique(np.concatenate([id_a, id_b]))
+        got = _collect_numpy_sigs(
+            sig_ds.map_batches(_isin_filter(id_col, need),
+                               batch_format="pyarrow"), id_col, num_perm)
+        pos = {int(d): i for i, d in enumerate(got["ids"])}
+        A = got["sigs"][[pos[int(x)] for x in id_a]]
+        B = got["sigs"][[pos[int(x)] for x in id_b]]
+        est = (A == B).mean(axis=1)
+        keep = est >= threshold
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array(id_a[keep]), "id_b": pa.array(id_b[keep]),
+            "est_jaccard": pa.array(est[keep], type=pa.float64())}))
+
+    cand = rd.from_arrow(pa.table({"id_a": pa.array(id_a),
+                                   "id_b": pa.array(id_b)}))
     joined = _attach_sigs(cand, sig_ds, id_col, num_partitions)
 
     def verify(b: pa.Table) -> pa.Table:
@@ -248,6 +301,19 @@ def minhash_neardup_pairs_ds(ds, text_col: str = "text",
         return t.filter(pc.greater_equal(t["est_jaccard"], threshold))
 
     return joined.map_batches(verify, batch_format="pyarrow")
+
+
+def _collect_numpy_sigs(ds, id_col: str, num_perm: int):
+    """Stream a (small, pre-filtered) signature dataset to the driver as
+    id + matrix arrays."""
+    ids, mats = [], []
+    for blk in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        ids.append(blk[id_col].to_numpy(zero_copy_only=False))
+        mats.append(np.array(_sig_matrix(blk["sig"], num_perm)))
+    return {"ids": (np.concatenate(ids) if ids
+                    else np.empty(0, dtype=np.int64)),
+            "sigs": (np.concatenate(mats) if mats
+                     else np.empty((0, num_perm), dtype=np.uint64))}
 
 
 def minhash_neardup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -326,15 +392,13 @@ def simhash_neardup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     Blocking: identical band in any of ``num_bands`` bands (covers all
     pairs with < num_bands differing bits by pigeonhole).
 
-    Same shape as minhash: one narrow groupby-aggregate shuffle; c==2
+    Same shape as minhash: ONE narrow groupby-aggregate shuffle; c==2
     buckets yield (min_id, max_id, min_fp, max_fp) natively — for a
     2-row group {Min(fp), Max(fp)} IS the fp pair, and Hamming is
-    symmetric so the id↔fp association is irrelevant; c≥3 buckets
-    (sparse) re-group for exact in-bucket pairing.  Pair dedup is a
-    native Min aggregate.
+    symmetric so the id↔fp association is irrelevant.  Only buckets
+    with ≥2 docs (output scale) leave the cluster; the sparse c≥3 tail
+    triggers one extra filtered scan, capped per bucket.
     """
-    import ray
-
     stage = SimHashStage(text_col, id_col, shingle_k, num_bands)
     band = ds.map_batches(stage, batch_format="pyarrow")
 
@@ -343,62 +407,50 @@ def simhash_neardup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       Min(id_col, alias_name="id_a"),
                       Max(id_col, alias_name="id_b"),
                       Min("fp", alias_name="fp_a"),
-                      Max("fp", alias_name="fp_b"))
-           ).materialize()
+                      Max("fp", alias_name="fp_b")))
+    dup = _collect_numpy(
+        agg.map_batches(lambda b: b.filter(pc.greater_equal(b["c"], 2)),
+                        batch_format="pyarrow"),
+        ["band_key", "c", "id_a", "id_b", "fp_a", "fp_b"])
 
-    def pairs_from_2(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.equal(b["c"], 2))
-        fa = b["fp_a"].to_numpy(zero_copy_only=False).view(np.uint64)
-        fb = b["fp_b"].to_numpy(zero_copy_only=False).view(np.uint64)
-        d = hamming_distance(fa, fb)
-        t = pa.table({"id_a": b["id_a"], "id_b": b["id_b"],
-                      "hamming": pa.array(d)})
-        return t.filter(pa.array(d <= max_hamming))
+    two = dup["c"] == 2
+    d2 = hamming_distance(dup["fp_a"][two].view(np.uint64),
+                          dup["fp_b"][two].view(np.uint64))
+    keep2 = d2 <= max_hamming
+    pa_ids = [dup["id_a"][two][keep2]]
+    pb_ids = [dup["id_b"][two][keep2]]
+    dists = [d2[keep2]]
 
-    pairs2 = agg.map_batches(pairs_from_2, batch_format="pyarrow")
-
-    big_keys = np.array(
-        [r["band_key"] for r in agg.map_batches(
-            lambda b: b.filter(pc.greater(b["c"], 2)).select(["band_key"]),
-            batch_format="pyarrow").take_all()], dtype=np.int64)
+    big_keys = np.sort(dup["band_key"][~two])
     if len(big_keys):
-        big_keys.sort()
-        keys_ref = ray.put(big_keys)
-
-        def pick(b: pa.Table) -> pa.Table:
-            k = b["band_key"].to_numpy(zero_copy_only=False)
-            hot = ray.get(keys_ref)
-            idx = np.searchsorted(hot, k)
-            idx[idx == len(hot)] = 0
-            return b.filter(pa.array(hot[idx] == k))
-
-        def bucket_pairs(g: pa.Table) -> pa.Table:
-            gid = g[id_col].to_numpy(zero_copy_only=False)
-            order = np.argsort(gid, kind="stable")
-            ids = gid[order][:max_bucket]
-            fp = g["fp"].to_numpy(zero_copy_only=False)[order][:max_bucket] \
-                .view(np.uint64)
-            ii, jj = np.triu_indices(len(ids), k=1)
-            d = hamming_distance(fp[ii], fp[jj])
+        rows = _collect_numpy(
+            band.map_batches(_isin_filter("band_key", big_keys),
+                             batch_format="pyarrow"),
+            ["band_key", id_col, "fp"])
+        order = np.lexsort((rows[id_col], rows["band_key"]))
+        ks = rows["band_key"][order]
+        ids = rows[id_col][order]
+        fp = rows["fp"][order].view(np.uint64)
+        starts = np.nonzero(np.r_[True, ks[1:] != ks[:-1]])[0]
+        ends = np.r_[starts[1:], len(ks)]
+        for s, e in zip(starts, ends):
+            e = min(e, s + max_bucket)
+            ii, jj = np.triu_indices(e - s, k=1)
+            d = hamming_distance(fp[s:e][ii], fp[s:e][jj])
             keep = d <= max_hamming
-            return pa.table({"id_a": pa.array(ids[ii[keep]]),
-                             "id_b": pa.array(ids[jj[keep]]),
-                             "hamming": pa.array(d[keep])})
+            pa_ids.append(ids[s:e][ii[keep]])
+            pb_ids.append(ids[s:e][jj[keep]])
+            dists.append(d[keep])
 
-        pairs_big = (band.map_batches(pick, batch_format="pyarrow")
-                     .groupby("band_key")
-                     .map_groups(bucket_pairs, batch_format="pyarrow"))
-        pairs = pairs2.union(pairs_big)
-    else:
-        pairs = pairs2
-
-    out = (pairs.groupby(["id_a", "id_b"])
-           .aggregate(Min("hamming", alias_name="hamming"))
-           .to_pandas())
-    if out.empty or "id_a" not in out.columns:
+    id_a = np.concatenate(pa_ids)
+    id_b = np.concatenate(pb_ids)
+    ham = np.concatenate(dists)
+    if len(id_a) == 0:
         return _empty_pairs("hamming", "int64")
-    return (out.sort_values(["id_a", "id_b"], kind="stable")
-            .reset_index(drop=True))
+    both, first = np.unique(np.stack([id_a, id_b], axis=1), axis=0,
+                            return_index=True)
+    return pd.DataFrame({"id_a": both[:, 0], "id_b": both[:, 1],
+                         "hamming": ham[first]})
 
 
 # ---------------------------------------------------------------------------

@@ -141,7 +141,11 @@ class NGramLangProfiles:
                 "cnt": pa.array(agg["size"].to_numpy().astype(np.int64)),
             })
 
-        summed = (ds.map_batches(partial, batch_format="pyarrow")
+        # big batches: per-batch trigram dedup saturates at the (small)
+        # trigram-space size, so fewer/larger batches mean far fewer
+        # (lang, hash) partial rows entering the shuffle
+        summed = (ds.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=16384)
                   .groupby(["lang", "h"])
                   .aggregate(Sum("cnt", alias_name="cnt")))
 
