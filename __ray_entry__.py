@@ -537,6 +537,17 @@ def _categorize_length(sf_dir: str):
     return _categorize_mode(sf_dir, "std", method="length", threshold=50)
 
 
+def _bpe_token_counts(sf_dir: str):
+    """BPE-ish sub-word token counts (tokenizer-free proxy; ASCII-pinned
+    regex shared verbatim with the RE2 oracle)."""
+    from biobloom_ray.stages.textstats import bpe_ish_token_count_batch
+
+    ds = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (ds.map_batches(bpe_ish_token_count_batch,
+                           batch_format="pyarrow")
+            .select_columns(["doc_id", "n_bpe_tokens"]).to_pandas())
+
+
 def _user_event_counts(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count, Max, Min
@@ -599,6 +610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _exact_dedup_ds,
         "distinct_text_per_lang": A.distinct_text_per_lang,
         "token_counts": A.token_counts,
+        "bpe_token_counts": _bpe_token_counts,
         "quality_scores": A.quality_scores,
         "doc_fingerprint": A.doc_fingerprints,
         "heavy_tokens_topk": A.heavy_tokens_topk,
@@ -666,6 +678,10 @@ def oracle_sql() -> dict[str, str]:
         "token_counts":
             "SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens "
             "FROM documents",
+        "bpe_token_counts":
+            "SELECT doc_id, len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]{1,3}|[^ \\t\\r\\n\\f\\vA-Za-z0-9]')) "
+            "AS n_bpe_tokens FROM documents",
         "quality_scores":
             "SELECT doc_id, LENGTH(text) AS n_chars_calc, "
             "LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha, "

@@ -38,16 +38,22 @@ def expected_entries_batch(batch: pa.Table, text_col: str, k: int,
     ``len`` is measured on the SAME representation the builder hashes —
     UTF-8 **bytes** of the (optionally normalized) text — so the filter
     sizing tracks actual insertions on non-ASCII or whitespace-heavy
-    corpora and the realized FPR stays at the design point."""
+    corpora and the realized FPR stays at the design point.  The
+    normalized length comes from a raw-byte numpy kernel
+    (:func:`~biobloom_ray.textnorm.normalized_byte_len`), so the
+    pre-pass never materializes normalized strings."""
     import pyarrow.compute as pc
+
+    from biobloom_ray.textnorm import normalized_byte_len
 
     texts = batch[text_col]
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     if normalize:
-        texts = normalize_batch(texts)
-    lens = pc.binary_length(texts.cast(pa.large_binary())) \
-        .to_numpy(zero_copy_only=False)
+        lens = normalized_byte_len(texts)
+    else:
+        lens = pc.binary_length(texts.cast(pa.large_binary())) \
+            .to_numpy(zero_copy_only=False)
     frames = np.maximum(np.nan_to_num(lens.astype(np.float64)) - k + 1, 0).astype(np.int64)
     if label_col is None:
         return pa.table({"filter_id": ["__all__"], "frames": [int(frames.sum())]})

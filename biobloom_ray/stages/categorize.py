@@ -166,7 +166,43 @@ class CategorizerActor:
                 streak_threshold=cfg.streak_threshold))
         return np.stack(cols, axis=1) if cols else np.zeros((len(nf), 0))
 
+    # Row-chunk budget for the fused hash→probe→decide pipeline: with
+    # ~1 frame/char, a chunk's h1/h2 (16 B/frame) plus the per-filter hit
+    # bitmaps stay L2-resident, so each frame's hashes are written and
+    # re-read F+1 times from CACHE instead of DRAM.  Whole-block arrays
+    # were the 32-way memory-bandwidth ceiling (BASELINE.md scaling).
+    TARGET_CHUNK_CHARS = 131072
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return self._call_block(batch)
+        import pyarrow.compute as _pc
+
+        lens = _pc.utf8_length(batch[self.text_col]) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        col2 = getattr(self, "text_col2", None)
+        if col2:
+            lens = lens + _pc.utf8_length(batch[col2]) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = np.cumsum(lens)
+        total = int(cum[-1])
+        if total <= 2 * self.TARGET_CHUNK_CHARS:
+            return self._call_block(batch)
+        marks = np.searchsorted(
+            cum, np.arange(self.TARGET_CHUNK_CHARS, total,
+                           self.TARGET_CHUNK_CHARS)) + 1
+        bounds = [0]
+        for r in marks:
+            r = int(r)
+            if bounds[-1] < r < n:
+                bounds.append(r)
+        bounds.append(n)
+        parts = [self._call_block(batch.slice(s, e - s))
+                 for s, e in zip(bounds[:-1], bounds[1:])]
+        return pa.concat_tables(parts)
+
+    def _call_block(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col]
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
@@ -231,7 +267,7 @@ class PairedCategorizerActor(CategorizerActor):
         super().__init__(bank_ref, cfg, text_col=text_col, **kw)
         self.text_col2 = text_col2
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _call_block(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
         t1 = batch[self.text_col]
         t2 = batch[self.text_col2]

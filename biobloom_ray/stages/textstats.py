@@ -21,7 +21,9 @@ _PUNCT_RE = r"[!-/:-@\[-`{-~]"  # ASCII punctuation ranges
 _STOPWORDS = frozenset(
     "the a an and or of to in is are was were be been it this that for on "
     "with as at by from not but".split())
-_BPE_ISH_RE = re.compile(r"[A-Za-z]+|[0-9]{1,3}|[^\sA-Za-z0-9]")
+# ASCII-pinned whitespace class so the pattern means the same thing in
+# Python re and RE2 (the DuckDB oracle engine)
+_BPE_ISH_RE = re.compile(r"[A-Za-z]+|[0-9]{1,3}|[^ \t\r\n\f\vA-Za-z0-9]")
 
 
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:

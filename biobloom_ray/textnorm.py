@@ -78,3 +78,60 @@ def content_md5_batch(text_col: pa.Array) -> np.ndarray:
          for v in text_col.to_pylist()],
         dtype=object,
     )
+
+
+def normalized_byte_len(text_col: pa.Array) -> np.ndarray:
+    """Per-row UTF-8 byte length AFTER :func:`normalize_batch`, computed
+    directly from the raw bytes with numpy (no string materialization —
+    the sizing pre-pass must not pay the full normalization twice).
+
+    Normalization is length-preserving except whitespace: each maximal
+    ASCII-whitespace run collapses to one space, and leading/trailing
+    runs are removed entirely.  So
+    ``len' = len − ws_bytes + n_runs − lead_run − trail_run``.
+    """
+    from biobloom_ray.hashing import string_column_bytes
+
+    data, starts, ends = string_column_bytes(text_col)
+    n = len(starts)
+    lens = (ends - starts).astype(np.int64)
+    if len(data) == 0 or n == 0:
+        return np.maximum(lens, 0)
+    is_ws = ((data == 0x20) | (data == 0x09) | (data == 0x0D)
+             | (data == 0x0A) | (data == 0x0C) | (data == 0x0B))
+    # run starts: ws byte whose predecessor is not ws (global view; row
+    # boundaries handled below because spans index into the same buffer)
+    prev_ws = np.empty_like(is_ws)
+    prev_ws[0] = False
+    prev_ws[1:] = is_ws[:-1]
+    csum_ws = np.zeros(len(data) + 1, dtype=np.int64)
+    np.cumsum(is_ws, out=csum_ws[1:])
+    run_start = is_ws & ~prev_ws
+    csum_rs = np.zeros(len(data) + 1, dtype=np.int64)
+    np.cumsum(run_start, out=csum_rs[1:])
+
+    ws_bytes = csum_ws[ends] - csum_ws[starts]
+    n_runs = csum_rs[ends] - csum_rs[starts]
+    # a row-initial ws byte is always a run start within the row, even if
+    # the previous row's last byte was ws
+    nonempty = lens > 0
+    first_ws = np.zeros(n, dtype=bool)
+    first_ws[nonempty] = is_ws[starts[nonempty]]
+    row_initial_missed = np.zeros(n, dtype=np.int64)
+    ne_starts = starts[nonempty]
+    row_initial_missed[nonempty] = (is_ws[ne_starts]
+                                    & prev_ws[ne_starts]).astype(np.int64)
+    n_runs = n_runs + row_initial_missed
+    last_ws = np.zeros(n, dtype=bool)
+    last_ws[nonempty] = is_ws[ends[nonempty] - 1]
+    # all-ws row: one run, fully trimmed → length 0 (handled naturally:
+    # len − ws + 1 − 1(lead) − 1(trail) would double-count the single
+    # run; guard it)
+    all_ws = nonempty & (ws_bytes == lens)
+    out = lens - ws_bytes + n_runs \
+        - first_ws.astype(np.int64) - last_ws.astype(np.int64)
+    out[all_ws] = 0
+    # single trimmed run at both ends (e.g. " a b ") subtracts lead and
+    # trail separately — correct; but a row that is exactly one run AND
+    # both lead+trail is the all_ws case above
+    return np.maximum(out, 0)

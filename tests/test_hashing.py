@@ -135,3 +135,23 @@ def test_normalize_non_ascii_golden():
     digest = hashlib.sha256("\x00".join(out).encode("utf-8")).hexdigest()
     assert digest == ("58b68ea1042f0f1e32856fde358060bb"
                       "78a0e26e41d22b18edb72b2605ee87d9")
+
+
+def test_normalized_byte_len_matches_normalize_batch():
+    """Property: the raw-byte sizing kernel equals len(normalize_batch)."""
+    import pyarrow as pa
+    from biobloom_ray.textnorm import normalize_batch, normalized_byte_len
+
+    rng = np.random.default_rng(5)
+    alphabet = list("ab  \t\nÉß北 ")
+    cases = ["".join(rng.choice(alphabet, size=rng.integers(0, 40)))
+             for _ in range(200)] + ["", " ", "  \t\n ", "a", None]
+    col = pa.array(cases, type=pa.string())
+    want = np.array([len(t.encode()) if t is not None else 0
+                     for t in normalize_batch(col).to_pylist()])
+    got = normalized_byte_len(col)
+    assert (want == got).all()
+    sl = col.slice(7, 50)
+    want_s = np.array([len(t.encode()) if t is not None else 0
+                       for t in normalize_batch(sl).to_pylist()])
+    assert (want_s == normalized_byte_len(sl)).all()
