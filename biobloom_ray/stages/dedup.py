@@ -465,29 +465,24 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     """MinHash-LSH candidates verified with EXACT n-gram Jaccard —
     fully distributed (round-2 redesign, VERDICT.md "Next round" #4).
 
-    The candidate ids never visit the driver: a hash semi-join selects
-    the candidate docs, whose sorted-unique shingle-hash sets become a
-    binary column that joins onto the pair list; exact Jaccard runs
-    per batch of pairs (sorted-array intersection per pair — candidate
-    sets are small and the loop is over *pairs in one batch*, inside
-    the cluster, not over the corpus on the driver)."""
+    Adaptive like the minhash verify: up to ``broadcast_limit``
+    candidate pairs (the op's OUTPUT scale) the candidate ids are
+    broadcast, one scan computes the needed docs' shingle-hash sets,
+    and the pair loop runs once on the driver over that bounded table;
+    beyond the limit everything stays in the cluster — a hash semi-join
+    selects the candidate docs, their hash sets join onto the pair
+    list, and exact Jaccard runs per batch of pairs."""
+    broadcast_limit = 50_000
     cand = minhash_neardup_pairs_ds(
         ds, text_col, id_col, threshold=candidate_threshold,
         shingle_k=shingle_k, num_perm=num_perm, num_bands=num_bands,
         num_partitions=num_partitions).materialize()
 
-    if cand.count() == 0:
+    n_cand = cand.count()
+    if n_cand == 0:
         return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                              "id_b": pd.Series(dtype="int64"),
                              "jaccard": pd.Series(dtype="float64")})
-
-    need = (cand.select_columns(["id_a"]).rename_columns({"id_a": id_col})
-            .union(cand.select_columns(["id_b"])
-                   .rename_columns({"id_b": id_col}))
-            .groupby(id_col).aggregate(Count(alias_name="_n"))
-            .select_columns([id_col]))
-    docs_needed = _join(ds.select_columns([id_col, text_col]), need,
-                        on=(id_col,), num_partitions=num_partitions)
 
     def hash_sets(b: pa.Table) -> pa.Table:
         texts = b[text_col]
@@ -507,6 +502,49 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
              pa.py_buffer(b"".join(blobs))])
         return pa.table({id_col: b[id_col], "sig": sig_arr})
 
+    if n_cand <= broadcast_limit:
+        cp = cand.select_columns(["id_a", "id_b"]).to_pandas()
+        id_a = cp["id_a"].to_numpy()
+        id_b = cp["id_b"].to_numpy()
+        need_ids = np.unique(np.concatenate([id_a, id_b]))
+        hs = {}
+        picked = (ds.select_columns([id_col, text_col])
+                  .map_batches(_isin_filter(id_col, need_ids),
+                               batch_format="pyarrow")
+                  .map_batches(hash_sets, batch_format="pyarrow"))
+        for blk in picked.iter_batches(batch_size=None,
+                                       batch_format="pyarrow"):
+            ids_blk = blk[id_col].to_numpy(zero_copy_only=False)
+            col = blk["sig"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            for i, d in enumerate(ids_blk):
+                hs[int(d)] = np.frombuffer(col[i].as_py(), dtype="<u8")
+        rows = []
+        for a, b_ in zip(id_a, id_b):
+            x, y = hs[int(a)], hs[int(b_)]
+            if len(x) == 0 and len(y) == 0:
+                j = 1.0
+            else:
+                inter = len(np.intersect1d(x, y, assume_unique=True))
+                j = inter / (len(x) + len(y) - inter)
+            if j >= threshold:
+                rows.append((int(a), int(b_), j))
+        out = pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+        if out.empty:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "jaccard": pd.Series(dtype="float64")})
+        return (out.sort_values(["id_a", "id_b"], kind="stable")
+                .reset_index(drop=True))
+
+    need = (cand.select_columns(["id_a"]).rename_columns({"id_a": id_col})
+            .union(cand.select_columns(["id_b"])
+                   .rename_columns({"id_b": id_col}))
+            .groupby(id_col).aggregate(Count(alias_name="_n"))
+            .select_columns([id_col]))
+    docs_needed = _join(ds.select_columns([id_col, text_col]), need,
+                        on=(id_col,), num_partitions=num_partitions)
     hset_ds = docs_needed.map_batches(hash_sets, batch_format="pyarrow")
     joined = _attach_sigs(cand.select_columns(["id_a", "id_b"]), hset_ds,
                           id_col, num_partitions)
