@@ -175,6 +175,27 @@ def _ann_ivf(sf_dir: str):
     return top.select_columns(["vec_id", "cos_sim"]).to_pandas()
 
 
+def _ann_topk_multi(sf_dir: str):
+    """Batched multi-query exact top-k (one broadcast query matrix, one
+    matmul per block): queries = vectors with vec_id < 5."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from biobloom_ray.stages.ann import brute_force_topk_multi
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    sel = np.nonzero(ids < 5)[0]
+    Q = np.stack([np.asarray(t["embedding"][int(i)].as_py(),
+                             dtype=np.float64) for i in sel])
+    emb = _rp(f"{sf_dir}/embeddings.parquet",
+              columns=["vec_id", "embedding"])
+    out = brute_force_topk_multi(emb, Q, ids[sel], k=10)
+    return (out.select_columns(["query_id", "vec_id"]).to_pandas()
+            .sort_values(["query_id", "vec_id"]).reset_index(drop=True))
+
+
 def _lang_id(sf_dir: str):
     import ray
     import ray.data
@@ -233,6 +254,35 @@ def _multimodal_features(sf_dir: str):
                          batch_size=256, concurrency=2,
                          batch_format="pyarrow")
     return out.to_pandas()
+
+
+def _frame_sample_features(sf_dir: str):
+    """Multimodal frame-sampling plumbing: documents' text bytes pose as
+    fixed-frame "video" payloads; every 2nd frame explodes into a
+    (media_id, frame_idx, features) row (rows-only; FakeCodec — real
+    demuxers absent here, see stages/multimodal.py)."""
+    import pyarrow as pa
+
+    from biobloom_ray.stages.multimodal import FrameSampleActor
+
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_payload(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        payload = pa.array([t.encode() for t in texts],
+                           type=pa.large_binary())
+        n_frames = pa.array([max(len(t) // 64, 1) for t in texts],
+                            type=pa.int64())
+        return pa.table({"media_id": b["doc_id"], "n_frames": n_frames,
+                         "payload": payload})
+
+    ds = docs.map_batches(to_payload, batch_format="pyarrow")
+    out = ds.map_batches(FrameSampleActor,
+                         fn_constructor_kwargs={"every": 2,
+                                                "feature_dim": 16},
+                         batch_size=256, concurrency=2,
+                         batch_format="pyarrow")
+    return out.select_columns(["media_id", "frame_idx"]).to_pandas()
 
 
 def _exact_dedup_ds(sf_dir: str):
@@ -615,6 +665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": A.doc_fingerprints,
         "heavy_tokens_topk": A.heavy_tokens_topk,
         "ann_topk": _ann_topk,
+        "ann_topk_multi": _ann_topk_multi,
         "user_event_counts": _user_event_counts,
         "top_users_by_events": _top_users_by_events,
         "event_type_daily": _event_type_daily,
@@ -637,6 +688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _ann_ivf,
         "lang_id_pred": _lang_id,
         "multimodal_features": _multimodal_features,
+        "frame_sample_features": _frame_sample_features,
         "progressive_build_info": _progressive_info,
         "paired_categorize": _paired_categorize,
         "categorize_besthit": _categorize_besthit,
@@ -743,6 +795,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents a JOIN documents b "
             "ON a.doc_id // 2 = b.doc_id // 2 "
             "WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1",
+        "ann_topk_multi":
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+            "FROM embeddings WHERE vec_id < 5) "
+            "SELECT query_id, vec_id FROM ("
+            "SELECT q.query_id AS query_id, e.vec_id AS vec_id, "
+            "ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY "
+            "list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id ASC) "
+            "AS rn FROM embeddings e, q) WHERE rn <= 10 "
+            "ORDER BY query_id, vec_id",
         "ann_topk":
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
             "SELECT vec_id FROM ("

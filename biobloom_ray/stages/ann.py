@@ -132,14 +132,19 @@ def embedding_neardup_pairs(ds, threshold: float = 0.9,
         return pd.DataFrame({"id_a": ids[ii[keep]], "id_b": ids[jj[keep]],
                              "cos_sim": s[keep]})
 
+    from ray.data.aggregate import Max
+
     pairs = (ds.map_batches(add_bucket, batch_format="pyarrow")
              .groupby("bucket")
              .map_groups(bucket_pairs, batch_format="pandas"))
-    out = pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas").to_pandas()
+    # a pair found in several buckets appears once — native aggregate,
+    # no per-pair Python (cos_sim identical across buckets)
+    out = (pairs.groupby(["id_a", "id_b"])
+           .aggregate(Max("cos_sim", alias_name="cos_sim")).to_pandas())
     if out.empty or "id_a" not in out.columns:
         return _empty()
-    return out.reset_index(drop=True)
+    return (out.sort_values(["id_a", "id_b"], kind="stable")
+            .reset_index(drop=True))
 
 
 def ivf_topk(ds, query_vec: np.ndarray, k: int = 10, n_lists: int = 16,
@@ -186,3 +191,60 @@ def ivf_topk(ds, query_vec: np.ndarray, k: int = 10, n_lists: int = 16,
 
     cand = ds.map_batches(local, batch_format="pyarrow")
     return cand.sort(["cos_sim", id_col], descending=[True, False]).limit(k)
+
+
+def brute_force_topk_multi(ds, query_mat: np.ndarray, query_ids,
+                           k: int = 10, emb_col: str = "embedding",
+                           id_col: str = "vec_id"):
+    """Exact cosine top-k for a BATCH of query vectors at once — the
+    batched-inference shape: one broadcast (q, d) matrix, one matmul per
+    block, local top-k per query, tiny global per-query reduce.
+
+    Returns a Dataset (query_id, vec_id, cos_sim), k rows per query,
+    ties broken by ascending id.
+    """
+    import ray
+
+    Q = _normalize_rows(np.asarray(query_mat, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    q_ref = ray.put((Q, qids))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        Qm, qi = ray.get(q_ref)
+        m = _normalize_rows(_matrix(batch[emb_col]))
+        sims = m @ Qm.T                       # (n, q)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        keep = min(k + 8, sims.shape[0])
+        out_q, out_id, out_s = [], [], []
+        for j in range(sims.shape[1]):
+            s = sims[:, j]
+            if len(s) > keep:
+                part = np.argpartition(-s, keep - 1)[:keep]
+            else:
+                part = np.arange(len(s))
+            order = part[np.lexsort((ids[part], -s[part]))][:keep]
+            out_q.append(np.full(len(order), qi[j], dtype=np.int64))
+            out_id.append(ids[order])
+            out_s.append(s[order])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_id)),
+            "cos_sim": pa.array(np.concatenate(out_s)),
+        })
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def per_query_topk(g: pa.Table) -> pa.Table:
+        s = g["cos_sim"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -s))[:k]
+        return pa.table({
+            "query_id": pa.array(
+                np.full(len(order), g["query_id"][0].as_py(),
+                        dtype=np.int64)),
+            id_col: pa.array(ids[order]),
+            "cos_sim": pa.array(s[order]),
+        })
+
+    return (cand.groupby("query_id")
+            .map_groups(per_query_topk, batch_format="pyarrow"))

@@ -81,3 +81,62 @@ def frame_sample_plan(n_frames_col: np.ndarray, every: int) -> list[np.ndarray]:
     every ``every``-th frame.  Pure planning helper — decode itself is
     stubbed."""
     return [np.arange(0, int(n), every, dtype=np.int64) for n in n_frames_col]
+
+
+class FrameSampleActor:
+    """Actor-pool stage: opaque "video" payload → sampled per-frame
+    feature rows (``flat_map`` shape: one input row explodes into one
+    output row per sampled frame).
+
+    The container parse is a deterministic fake (fixed frame size
+    declared in metadata columns — a real pyav demuxer drops in at
+    ``__init__``); the Ray-side contract is real: payload columns never
+    outlive the stage, frame features travel as fixed-size lists, and
+    ``(media_id, frame_idx)`` keys the output for downstream dedup /
+    similarity over frames.
+    """
+
+    def __init__(self, payload_col: str = "payload",
+                 n_frames_col: str = "n_frames", id_col: str = "media_id",
+                 every: int = 2, feature_dim: int = 16):
+        self.codec = FakeCodec(feature_dim)
+        self.payload_col = payload_col
+        self.n_frames_col = n_frames_col
+        self.id_col = id_col
+        self.every = every
+        self.feature_dim = feature_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.payload_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n_frames = batch[self.n_frames_col].to_numpy(zero_copy_only=False)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        out_id, out_fi, feats = [], [], []
+        for r in range(len(batch)):
+            payload = col[r].as_py() or b""
+            n = int(n_frames[r])
+            if n <= 0:
+                continue
+            fsz = max(1, len(payload) // n)    # fake fixed-size frames
+            for fi in frame_sample_plan(np.array([n]), self.every)[0]:
+                frame = payload[int(fi) * fsz:(int(fi) + 1) * fsz]
+                out_id.append(ids[r])
+                out_fi.append(int(fi))
+                feats.append(self.codec.decode(frame))
+        if not feats:
+            empty = pa.array([], type=pa.float32())
+            return pa.table({
+                self.id_col: pa.array([], type=pa.int64()),
+                "frame_idx": pa.array([], type=pa.int64()),
+                "features": pa.FixedSizeListArray.from_arrays(
+                    empty, self.feature_dim),
+            })
+        f = np.stack(feats)
+        flat = pa.array(f.reshape(-1), type=pa.float32())
+        return pa.table({
+            self.id_col: pa.array(np.asarray(out_id, dtype=np.int64)),
+            "frame_idx": pa.array(np.asarray(out_fi, dtype=np.int64)),
+            "features": pa.FixedSizeListArray.from_arrays(
+                flat, self.feature_dim),
+        })

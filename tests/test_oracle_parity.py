@@ -55,7 +55,16 @@ SQL_CHECKED = [
     "exact_dedup", "distinct_text_per_lang", "token_counts", "quality_scores",
     "doc_fingerprint", "heavy_tokens_topk", "ann_topk", "user_event_counts",
     "top_users_by_events", "event_type_daily",
+    # round-2 additions
+    "lineitem_pricing_summary", "orders_per_nation", "top_parts_by_revenue",
+    "events_sessionize", "paired_join", "bpe_token_counts",
+    "ann_topk_multi",
 ]
+
+
+def test_every_oracle_is_tested(entrymod):
+    """The parametrized list must not silently lag oracle_sql()."""
+    assert set(entrymod.oracle_sql()) == set(SQL_CHECKED)
 
 
 @pytest.mark.parametrize("name", SQL_CHECKED)
