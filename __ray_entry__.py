@@ -488,19 +488,11 @@ def _mibf_classify(sf_dir: str):
 
     import ray.data
 
-    from biobloom_ray.pipelines.mibf import build_mibf, classify_mibf
+    from biobloom_ray.pipelines.mibf import classify_mibf
 
     docs = _rp(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text", "lang"])
-
-    def train_split(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        return b.filter(pa.array(ids % 3 == 0))
-
-    train = docs.map_batches(train_split, batch_format="pyarrow")
-    mibf = build_mibf(train, text_col="text", label_col="lang",
-                      kmer_size=8, hash_num=3)
-    out = classify_mibf(docs, mibf, min_fpr=0.01)
+    out = classify_mibf(docs, _get_mibf(sf_dir), min_fpr=0.01)
     return out.select_columns(
         ["doc_id", "label", "best_count", "second_count"]).to_pandas()
 
@@ -673,6 +665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_per_nation": A.orders_per_nation,
         "top_parts_by_revenue": A.top_parts_by_revenue,
         "events_sessionize": A.events_sessionize,
+        "deterministic_sample": A.deterministic_sample,
         "paired_join": _paired_join,
         # sketch / LSH / model pipelines (rows-only here; bound-checked in pytest)
         "bloom_build_info": _bloom_build_info,
@@ -789,6 +782,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT user_id, ts, "
             "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts "
             "FROM events)) GROUP BY user_id",
+        "deterministic_sample":
+            "SELECT doc_id, lang FROM documents "
+            "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')",
         "paired_join":
             "SELECT printf('p%06d', a.doc_id // 2) AS pair_key, "
             "LENGTH(a.text) AS len_1, LENGTH(b.text) AS len_2 "

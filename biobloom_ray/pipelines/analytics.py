@@ -335,16 +335,25 @@ def orders_per_nation(sf_dir: str):
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
-    def order_cents(b: pa.Table) -> pa.Table:
-        cents = np.round(b["o_totalprice"].to_numpy(zero_copy_only=False)
-                         * 100).astype(np.int64)
-        return pa.table({"o_custkey": b["o_custkey"],
-                         "cents": pa.array(cents)})
+    def order_partial(b: pa.Table) -> pa.Table:
+        # pre-aggregate per customer INSIDE the batch: the join and the
+        # groupby downstream see one row per (block, custkey), not every
+        # order — the standard partial-aggregate pushdown below a join
+        df = pd.DataFrame({
+            "o_custkey": b["o_custkey"].to_numpy(zero_copy_only=False),
+            "cents": np.round(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)})
+        agg = (df.groupby("o_custkey", as_index=False)
+               .agg(n=("cents", "size"), cents=("cents", "sum")))
+        return pa.Table.from_pandas(agg, preserve_index=False)
 
+    # block-partials join directly (no pre-join shuffle): the final
+    # groupby(n_name) sums partials, so multiple rows per custkey are fine
+    per_cust = orders.map_batches(order_partial, batch_format="pyarrow")
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    joined = hash_join(orders.map_batches(order_cents,
-                                          batch_format="pyarrow"),
-                       cust, on=("o_custkey",), right_on=("c_custkey",))
+    joined = hash_join(per_cust, cust, on=("o_custkey",),
+                       right_on=("c_custkey",))
 
     nation = _read(sf_dir, "nation",
                    columns=["n_nationkey", "n_name"]).to_pandas()
@@ -358,11 +367,11 @@ def orders_per_nation(sf_dir: str):
         keys = b["c_nationkey"].to_numpy(zero_copy_only=False)
         names = pd.Series(keys).map(lut).to_numpy(dtype=object)
         return pa.table({"n_name": pa.array(names, type=pa.string()),
-                         "cents": b["cents"]})
+                         "n": b["n"], "cents": b["cents"]})
 
     out = (joined.map_batches(add_name, batch_format="pyarrow")
            .groupby("n_name")
-           .aggregate(Count(alias_name="n_orders"),
+           .aggregate(Sum("n", alias_name="n_orders"),
                       Sum("cents", alias_name="total_cents"))
            .to_pandas())
     return out[["n_name", "n_orders", "total_cents"]]
@@ -390,7 +399,18 @@ def top_parts_by_revenue(sf_dir: str, k: int = 10):
     summed = (ds.map_batches(partial, batch_format="pyarrow")
               .groupby("l_partkey")
               .aggregate(Sum("revenue", alias_name="revenue")))
-    return (summed.sort(["revenue", "l_partkey"], descending=[True, False])
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        # post-groupby blocks hold DISJOINT part keys, so per-block
+        # top-k is exact; the global sort then touches ≤ k·n_blocks rows
+        rev = b["revenue"].to_numpy(zero_copy_only=False)
+        keys = b["l_partkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, -rev))[:k]
+        return pa.table({"l_partkey": pa.array(keys[order]),
+                         "revenue": pa.array(rev[order])})
+
+    return (summed.map_batches(local_topk, batch_format="pyarrow")
+            .sort(["revenue", "l_partkey"], descending=[True, False])
             .limit(k).to_pandas())
 
 
@@ -413,3 +433,24 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
 
     return (ds.groupby("user_id")
             .map_groups(sessions, batch_format="pyarrow").to_pandas())
+
+
+def deterministic_sample(sf_dir: str, keep_hex: str = "01"):
+    """Hash-bucket downsampling — the standard deterministic corpus
+    sampler (reproducible across runs/retries/engines, no RNG state):
+    keep a row iff the first hex digit of md5(doc_id) is in
+    ``keep_hex`` (2 of 16 digits ≈ 12.5 %).  Pure map-side filter;
+    stratification falls out of hash uniformity."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    keep = frozenset(keep_hex)
+
+    def pick(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        mask = np.fromiter(
+            (hashlib.md5(str(int(i)).encode()).hexdigest()[0] in keep
+             for i in ids), dtype=bool, count=len(ids))
+        return b.filter(pa.array(mask))
+
+    return ds.map_batches(pick, batch_format="pyarrow").to_pandas()

@@ -88,8 +88,18 @@ def build_mibf(
         kmer_size = len(spaced_seeds[0])
         hash_num = len(spaced_seeds)
 
-    # id table from distinct labels (≤ 32767, Doc/MultiIndex.md:165)
-    names = sorted(ds.select_columns([label_col]).unique(label_col))
+    # id table from distinct labels (≤ 32767, Doc/MultiIndex.md:165):
+    # per-block distinct pre-agg → tiny take_all (no shuffle; the old
+    # Dataset.unique was a full exchange for a handful of labels)
+    def _labels_partial(b: pa.Table) -> pa.Table:
+        col = b[label_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({label_col: col.unique()})
+
+    names = sorted({r[label_col] for r in
+                    ds.map_batches(_labels_partial,
+                                   batch_format="pyarrow").take_all()})
     if len(names) > MAX_IDS:
         raise ValueError(f"miBF supports at most {MAX_IDS} labels")
     name_to_id = {n: i + 1 for i, n in enumerate(names)}
@@ -154,18 +164,29 @@ def build_mibf(
         return pa.table({"words": pa.array([acc.tobytes()],
                                            type=pa.large_binary())})
 
-    fan = max(2, _cluster_cpus() // 2)
-    merged = (ds.map_batches(pass1, batch_format="pyarrow",
-                             batch_size=batch_size)
-              .repartition(fan)
-              .map_batches(or_reduce, batch_format="pyarrow",
-                           batch_size=None)
-              .repartition(1)
-              .map_batches(or_reduce, batch_format="pyarrow",
-                           batch_size=None).take_all())
-    np.bitwise_or(proto.words,
-                  np.frombuffer(merged[0]["words"], dtype=np.uint64),
-                  out=proto.words)
+    p1 = ds.map_batches(pass1, batch_format="pyarrow",
+                        batch_size=batch_size)
+    if m <= 8 * 16 * 2 ** 20:
+        # small filter (≤16 MB bitmap): per-block partials stream to the
+        # driver and OR there — two repartition stages cost more than
+        # they save at this size
+        for blk in p1.iter_batches(batch_size=None, batch_format="pyarrow"):
+            col = blk["words"]
+            for i in range(len(col)):
+                np.bitwise_or(proto.words,
+                              np.frombuffer(col[i].as_py(), dtype=np.uint64),
+                              out=proto.words)
+    else:
+        fan = max(2, _cluster_cpus() // 2)
+        merged = (p1.repartition(fan)
+                  .map_batches(or_reduce, batch_format="pyarrow",
+                               batch_size=None)
+                  .repartition(1)
+                  .map_batches(or_reduce, batch_format="pyarrow",
+                               batch_size=None).take_all())
+        np.bitwise_or(proto.words,
+                      np.frombuffer(merged[0]["words"], dtype=np.uint64),
+                      out=proto.words)
     proto.build_rank()
     n_slots = proto.n_slots
 
@@ -221,15 +242,30 @@ def build_mibf(
         return pa.table({"slot": pa.array(slot[win]),
                          "id": pa.array(idv[win])})
 
-    winners = (ds.map_batches(pass2, batch_format="pyarrow",
-                              batch_size=batch_size)
-               .groupby("shard")
-               .map_groups(shard_min, batch_format="pyarrow"))
+    bids = ds.map_batches(pass2, batch_format="pyarrow",
+                          batch_size=batch_size)
     best_id = np.zeros(n_slots, dtype=np.uint16)
-    for blk in winners.iter_batches(batch_size=None, batch_format="pyarrow"):
-        # slots are globally unique here (one winner per slot per shard)
-        best_id[blk["slot"].to_numpy(zero_copy_only=False)] = \
-            blk["id"].to_numpy(zero_copy_only=False).astype(np.uint16)
+    if n_slots <= 2 ** 22:
+        # small filter: per-block local-min bids stream to the driver and
+        # reduce with the SAME order-free comparator (lexsort by
+        # (slot, key, id), first per slot) — identical winners to the
+        # sharded path, without a shuffle
+        blks = list(bids.iter_batches(batch_size=None,
+                                      batch_format="pyarrow"))
+        if blks:
+            cat = pa.concat_tables(blks)
+            merged_tbl = shard_min(cat)
+            best_id[merged_tbl["slot"].to_numpy(zero_copy_only=False)] = \
+                merged_tbl["id"].to_numpy(zero_copy_only=False) \
+                .astype(np.uint16)
+    else:
+        winners = bids.groupby("shard").map_groups(shard_min,
+                                                   batch_format="pyarrow")
+        for blk in winners.iter_batches(batch_size=None,
+                                        batch_format="pyarrow"):
+            # slots are globally unique here (one winner per slot per shard)
+            best_id[blk["slot"].to_numpy(zero_copy_only=False)] = \
+                blk["id"].to_numpy(zero_copy_only=False).astype(np.uint16)
     proto.ids = best_id
 
     # ---- pass 3: saturation (cluster-deduped sparse slot sets) ------------
@@ -249,15 +285,20 @@ def build_mibf(
         sat_slots = np.unique(slots[lost].reshape(-1))
         return pa.table({"slot": pa.array(sat_slots)})
 
-    from ray.data.aggregate import Count as _Count
-
-    sat_slots = (ds.map_batches(pass3, batch_format="pyarrow",
-                                batch_size=batch_size)
-                 .groupby("slot").aggregate(_Count(alias_name="_c")))
+    p3 = ds.map_batches(pass3, batch_format="pyarrow",
+                        batch_size=batch_size)
     sat = np.zeros(n_slots, dtype=bool)
-    for blk in sat_slots.iter_batches(batch_size=None,
-                                      batch_format="pyarrow"):
-        sat[blk["slot"].to_numpy(zero_copy_only=False)] = True
+    if n_slots <= 2 ** 22:
+        # small filter: per-block sparse sets OR on the driver directly
+        for blk in p3.iter_batches(batch_size=None, batch_format="pyarrow"):
+            sat[blk["slot"].to_numpy(zero_copy_only=False)] = True
+    else:
+        from ray.data.aggregate import Count as _Count
+
+        sat_slots = p3.groupby("slot").aggregate(_Count(alias_name="_c"))
+        for blk in sat_slots.iter_batches(batch_size=None,
+                                          batch_format="pyarrow"):
+            sat[blk["slot"].to_numpy(zero_copy_only=False)] = True
     proto.ids[sat] |= SATURATED
     return proto
 
