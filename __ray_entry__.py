@@ -409,6 +409,22 @@ def _masked_categorize(sf_dir: str):
     return labeled.select_columns(["doc_id", "label"]).to_pandas()
 
 
+def _dust_masked_categorize(sf_dir: str):
+    """M5 direct analogue: categorize with DUST triplet-score masking
+    (block-window sdust approximation, T=2.0; masked shingles score as
+    misses — rows-only)."""
+    from biobloom_ray.config import CategorizeConfig
+    from biobloom_ray.pipelines import categorize
+
+    _flagship(sf_dir)  # ensure bank cached
+    bank = _BANK_CACHE[sf_dir]
+    docs = _rp(f"{sf_dir}/documents.parquet",
+               columns=["doc_id", "text"])
+    cfg = CategorizeConfig(mode="std", batch_size=512, mask_dust=2.0)
+    labeled = categorize(docs, bank, cfg)
+    return labeled.select_columns(["doc_id", "label"]).to_pandas()
+
+
 def _tdigest_quantiles(sf_dir: str):
     """Page-length quantiles via merged per-block t-digests (rows-only;
     the KLL twin is kll_nchars_quantiles)."""
@@ -689,6 +705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "categorize_binomial": _categorize_binomial,
         "categorize_harmonic": _categorize_harmonic,
         "masked_categorize": _masked_categorize,
+        "dust_masked_categorize": _dust_masked_categorize,
         "tdigest_nchars_quantiles": _tdigest_quantiles,
         "spaced_seed_distinct": _spaced_seed_distinct,
         "mibf_classify": _mibf_classify,

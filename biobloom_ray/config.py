@@ -41,6 +41,9 @@ class CategorizeConfig:
     #: SDUST analogue (M5): mask frames whose shingle repeats more than
     #: this many times within a document; None disables (like opt::dust)
     mask_repetition: int | None = None
+    # DUST-style triplet-score masking threshold (reference T=20 at the
+    # ×10 scale ⇒ 2.0); None disables — see stages/masking.dust_mask
+    mask_dust: float | None = None
 
 
 @dataclass(frozen=True)

@@ -116,12 +116,25 @@ class CategorizerActor:
         if self.subtract is not None:
             sub_hits = self.subtract.contains(h1, h2)
         per_filter = [bf.contains(h1, h2) for bf in self.bank]
-        if self.cfg.mask_repetition is not None:
+        if self.cfg.mask_repetition is not None or \
+                self.cfg.mask_dust is not None:
             # SDUST analogue (M5): masked frames become misses everywhere,
-            # exactly like `!(sduster->isLowComp) && contains` (SeqEval.h:53)
-            from biobloom_ray.stages.masking import repetition_mask
+            # exactly like `!(sduster->isLowComp) && contains` (SeqEval.h:53).
+            # Two criteria, OR-combined: in-document repetition (webtext
+            # boilerplate) and the DUST triplet score (the reference's own
+            # low-complexity definition, block-window approximation).
+            mask = np.zeros(len(h1), dtype=bool)
+            if self.cfg.mask_repetition is not None:
+                from biobloom_ray.stages.masking import repetition_mask
 
-            mask = repetition_mask(h1, nf, self.cfg.mask_repetition)
+                mask |= repetition_mask(h1, nf, self.cfg.mask_repetition)
+            if self.cfg.mask_dust is not None:
+                from biobloom_ray.hashing import string_column_bytes
+                from biobloom_ray.stages.masking import dust_mask
+
+                data, starts, ends = string_column_bytes(texts)
+                mask |= dust_mask(data, starts, ends, self.k,
+                                  threshold=self.cfg.mask_dust)
             per_filter = [fh & ~mask for fh in per_filter]
         return per_filter, sub_hits, nf
 

@@ -229,3 +229,49 @@ class TestExtractionInvariant:
         a = normalize_batch(texts).to_pylist()
         b = normalize_batch(texts).to_pylist()
         assert a == b == ["mixed case text", "plain"]
+
+
+class TestDustMask:
+    def test_dust_masks_low_complexity(self):
+        from biobloom_ray.hashing import string_column_bytes
+        from biobloom_ray.stages.masking import dust_mask
+        import pyarrow as pa
+
+        texts = pa.array(["a" * 100,
+                          "the quick brown fox jumps over the lazy dog "
+                          "and keeps on running straight ahead of it",
+                          "xyxyxyxyxy" * 12])
+        data, starts, ends = string_column_bytes(texts)
+        m = dust_mask(data, starts, ends, k=8)
+        nf = np.maximum((ends - starts) - 7, 0)
+        cum = np.zeros(len(nf) + 1, dtype=np.int64)
+        np.cumsum(nf, out=cum[1:])
+        assert m[cum[0]:cum[1]].all()          # homopolymer fully masked
+        assert not m[cum[1]:cum[2]].any()      # normal text untouched
+        assert m[cum[2]:cum[3]].all()          # tandem repeat masked
+
+    def test_dust_masked_categorize_labels_noMatch(self, ray_session):
+        """A doc that is pure low-complexity must lose its hits under
+        mask_dust (frames become misses, SeqEval.h:53 semantics)."""
+        import pyarrow as pa
+        import ray.data
+        from biobloom_ray.config import BuildConfig, CategorizeConfig
+        from biobloom_ray.pipelines import build_filters, categorize
+
+        junk = "zq" * 200
+        ref = pa.table({"doc": [junk, "informative reference words here " * 8],
+                        "filter_id": ["junk", "real"]})
+        built = build_filters(ray.data.from_arrow(ref), text_col="doc",
+                              label_col="filter_id",
+                              cfg=BuildConfig(kmer_size=8))
+        bank = [built[f]["filter"] for f in sorted(built)]
+        docs = pa.table({"doc_id": [0, 1],
+                         "text": [junk, "informative reference words here " * 8]})
+        plain = categorize(ray.data.from_arrow(docs), bank,
+                           CategorizeConfig(mode="std")).to_pandas()
+        dusted = categorize(ray.data.from_arrow(docs), bank,
+                            CategorizeConfig(mode="std", mask_dust=2.0)
+                            ).to_pandas()
+        assert plain.sort_values("doc_id").label.iloc[0] == "junk"
+        assert dusted.sort_values("doc_id").label.iloc[0] == "noMatch"
+        assert dusted.sort_values("doc_id").label.iloc[1] == "real"
