@@ -513,6 +513,17 @@ def _mibf_classify(sf_dir: str):
         ["doc_id", "label", "best_count", "second_count"]).to_pandas()
 
 
+def _to_mates_table(b):
+    """Shared mate synthesis: doc 2i → pair p{i}/1, doc 2i+1 → p{i}/2
+    (the scheme the paired_join SQL oracle re-derives — keep in sync)."""
+    import pyarrow as pa
+
+    ids = b["doc_id"].to_numpy(zero_copy_only=False)
+    urls = [f"p{int(i) // 2:06d}/{int(i) % 2 + 1}" for i in ids]
+    return pa.table({"url": pa.array(urls, type=pa.large_string()),
+                     "text": b["text"]})
+
+
 def _paired_join(sf_dir: str):
     """M6/T7 pair re-unite as an ORACLE-checkable query: synthesize mate
     pairs from documents (doc 2i = /1, doc 2i+1 = /2), hash-join the
@@ -523,14 +534,8 @@ def _paired_join(sf_dir: str):
     from biobloom_ray.stages.pairs import pair_up
 
     docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-
-    def to_mates(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        urls = [f"p{int(i) // 2:06d}/{int(i) % 2 + 1}" for i in ids]
-        return pa.table({"url": pa.array(urls, type=pa.large_string()),
-                         "text": b["text"]})
-
-    pairs = pair_up(docs.map_batches(to_mates, batch_format="pyarrow"))
+    pairs = pair_up(docs.map_batches(_to_mates_table,
+                                     batch_format="pyarrow"))
 
     def lens(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -574,14 +579,8 @@ def _mibf_classify_paired(sf_dir: str):
     from biobloom_ray.stages.pairs import pair_up
 
     docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-
-    def to_mates(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        urls = [f"p{int(i) // 2:06d}/{int(i) % 2 + 1}" for i in ids]
-        return pa.table({"url": pa.array(urls, type=pa.large_string()),
-                         "text": b["text"]})
-
-    pairs = pair_up(docs.map_batches(to_mates, batch_format="pyarrow"))
+    pairs = pair_up(docs.map_batches(_to_mates_table,
+                                     batch_format="pyarrow"))
     out = classify_mibf(pairs, _get_mibf(sf_dir), min_fpr=0.01,
                         text_col="text_1", text_col2="text_2")
     return out.select_columns(

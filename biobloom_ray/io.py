@@ -16,12 +16,8 @@ import pyarrow as pa
 
 import ray.data
 
-# The driver's test parquet carries pandas schema metadata whose nested
-# dict makes ``hash(pa.Schema)`` raise on this pyarrow version; Ray Data
-# hashes schemas to dedup them when unioning block metadata, so every
-# pipeline over such a read spams a harmless "Failed to hash the schemas
-# (for deduplication)" warning.  Demote that one module's warnings; real
-# errors still surface.
+# See module docstring: demote the schema-hash warning at its source
+# module; real errors still surface.
 logging.getLogger(
     "ray.data._internal.arrow_ops.transform_pyarrow").setLevel(logging.ERROR)
 
@@ -45,13 +41,16 @@ def read_parquet(paths, columns=None, **kwargs) -> "ray.data.Dataset":
 _AGG_REMOTE_ARGS = {"num_cpus": 0.25}
 
 
+def cluster_cpus() -> int:
+    import ray
+    return int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+
+
 def auto_partitions(num_partitions=None) -> int:
     if num_partitions:
         return num_partitions
-    import ray
-    cpus = int(ray.cluster_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 8
-    return max(2, cpus // 4)
+    return max(2, cluster_cpus() // 4)
 
 
 def hash_join(left, right, on, right_on=None, num_partitions=None,

@@ -421,11 +421,15 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
     vectorized diff over the time-sorted events; only (user, count)
     rows leave the shuffle."""
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
-    gap_us = gap_minutes * 60 * 1_000_000
+    gap_ns = gap_minutes * 60 * 1_000_000_000
 
     def sessions(g: pa.Table) -> pa.Table:
-        ts = np.sort(g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False))
-        n = 1 + int((np.diff(ts) > gap_us).sum()) if len(ts) else 0
+        # cast UP to timestamp("ns"): input-unit-independent and lossless
+        # for s/ms/us/ns inputs (downcasting would raise on sub-second
+        # precision)
+        ts = np.sort(g["ts"].cast(pa.timestamp("ns")).cast(pa.int64())
+                     .to_numpy(zero_copy_only=False))
+        n = 1 + int((np.diff(ts) > gap_ns).sum()) if len(ts) else 0
         return pa.table({
             "user_id": pa.array([g["user_id"][0].as_py()], type=pa.int64()),
             "n_sessions": pa.array([n], type=pa.int64()),

@@ -53,8 +53,9 @@ U64_ROW = np.uint64(0x9E3779B97F4A7C15)  # row-mixing multiplier
 
 
 def _cluster_cpus() -> int:
-    return int(ray.cluster_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 8
+    from biobloom_ray.io import cluster_cpus
+
+    return cluster_cpus()
 
 
 def _texts(batch: pa.Table, text_col: str, normalize: bool) -> pa.Array:

@@ -42,6 +42,25 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _topk_ties(sims: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the exact per-block top-k by (sim DESC, id ASC).
+
+    Selects ALL rows tied with the k-th similarity before ordering, so a
+    block full of identical vectors cannot drop the lowest-id ties that
+    the global (oracle) order would keep — argpartition alone chooses
+    arbitrarily among ties.
+    """
+    n = len(sims)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    if n <= k:
+        return np.lexsort((ids, -sims))
+    kth = np.partition(-sims, k - 1)[k - 1]   # k-th largest (negated)
+    sel = np.nonzero(-sims <= kth)[0]         # all rows ≥ k-th sim value
+    order = sel[np.lexsort((ids[sel], -sims[sel]))][:k]
+    return order
+
+
 def brute_force_topk(ds, query_vec: np.ndarray, k: int = 10,
                      emb_col: str = "embedding", id_col: str = "vec_id"):
     """Exact cosine top-k of one query vector.
@@ -60,11 +79,7 @@ def brute_force_topk(ds, query_vec: np.ndarray, k: int = 10,
         m = _normalize_rows(_matrix(batch[emb_col]))
         sims = m @ qv
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        keep = min(k + 8, len(sims))  # small margin for boundary ties
-        if len(sims) > keep:
-            part = np.argpartition(-sims, keep - 1)[:keep]
-            sims, ids = sims[part], ids[part]
-        order = np.lexsort((ids, -sims))[:keep]
+        order = _topk_ties(sims, ids, k)
         return pa.table({id_col: pa.array(ids[order]),
                          "cos_sim": pa.array(sims[order])})
 
@@ -214,15 +229,10 @@ def brute_force_topk_multi(ds, query_mat: np.ndarray, query_ids,
         m = _normalize_rows(_matrix(batch[emb_col]))
         sims = m @ Qm.T                       # (n, q)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        keep = min(k + 8, sims.shape[0])
         out_q, out_id, out_s = [], [], []
         for j in range(sims.shape[1]):
             s = sims[:, j]
-            if len(s) > keep:
-                part = np.argpartition(-s, keep - 1)[:keep]
-            else:
-                part = np.arange(len(s))
-            order = part[np.lexsort((ids[part], -s[part]))][:keep]
+            order = _topk_ties(s, ids, k)
             out_q.append(np.full(len(order), qi[j], dtype=np.int64))
             out_id.append(ids[order])
             out_s.append(s[order])

@@ -112,24 +112,30 @@ class MinHashSigStage:
         sig = minhash_signatures(h1, nf, self.num_perm, self.seed)
         blobs = sig.astype("<u8").tobytes()
         w = self.num_perm * 8
-        offs = np.arange(len(nf) + 1, dtype=np.int32) * w
-        sig_arr = pa.BinaryArray.from_buffers(
-            pa.binary(), len(nf),
+        # int64 offsets + large_binary: int32 offsets would silently wrap
+        # past 2^31 total signature bytes (~2M rows/block at 128 perms)
+        offs = np.arange(len(nf) + 1, dtype=np.int64) * w
+        sig_arr = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), len(nf),
             [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(blobs)])
         return pa.table({self.id_col: batch[self.id_col], "sig": sig_arr})
 
 
 def _sig_matrix(col, num_perm: int) -> np.ndarray:
     """Binary signature column → (n, num_perm) uint64 matrix (zero-copy
-    when the blobs are contiguous, which freshly-built arrays are)."""
+    when the blobs are contiguous; honors ``Array.offset`` so sliced
+    arrays read THEIR rows, not the buffer head)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     n = len(col)
     w = num_perm * 8
+    off_dtype = np.int64 if pa.types.is_large_binary(col.type) else np.int32
     bufs = col.buffers()
-    offs = np.frombuffer(bufs[1], dtype=np.int32, count=n + 1)
-    if offs[0] == 0 and offs[-1] == n * w and len(bufs[2]) >= n * w:
-        return np.frombuffer(bufs[2], dtype="<u8",
+    offs = np.frombuffer(bufs[1], dtype=off_dtype,
+                         count=col.offset + n + 1)[col.offset:]
+    start = int(offs[0])
+    if offs[-1] - start == n * w and len(bufs[2]) >= start + n * w:
+        return np.frombuffer(bufs[2], dtype="<u8", offset=start,
                              count=n * num_perm).reshape(n, num_perm)
     return np.stack([np.frombuffer(v.as_py(), dtype="<u8") for v in col]) \
         if n else np.empty((0, num_perm), dtype=np.uint64)
@@ -480,9 +486,7 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     n_cand = cand.count()
     if n_cand == 0:
-        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                             "id_b": pd.Series(dtype="int64"),
-                             "jaccard": pd.Series(dtype="float64")})
+        return _empty_pairs("jaccard")
 
     def hash_sets(b: pa.Table) -> pa.Table:
         texts = b[text_col]
@@ -496,9 +500,9 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             u = np.unique(h1[offs[i]:offs[i + 1]]).astype("<u8")
             blobs.append(u.tobytes())
             boffs.append(boffs[-1] + len(u) * 8)
-        sig_arr = pa.BinaryArray.from_buffers(
-            pa.binary(), len(nf),
-            [None, pa.py_buffer(np.array(boffs, dtype=np.int32).tobytes()),
+        sig_arr = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), len(nf),
+            [None, pa.py_buffer(np.array(boffs, dtype=np.int64).tobytes()),
              pa.py_buffer(b"".join(blobs))])
         return pa.table({id_col: b[id_col], "sig": sig_arr})
 
@@ -532,9 +536,7 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                 rows.append((int(a), int(b_), j))
         out = pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
         if out.empty:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                 "id_b": pd.Series(dtype="int64"),
-                                 "jaccard": pd.Series(dtype="float64")})
+            return _empty_pairs("jaccard")
         return (out.sort_values(["id_a", "id_b"], kind="stable")
                 .reset_index(drop=True))
 
@@ -570,8 +572,6 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     out = joined.map_batches(verify, batch_format="pyarrow").to_pandas()
     if out.empty:
-        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                             "id_b": pd.Series(dtype="int64"),
-                             "jaccard": pd.Series(dtype="float64")})
+        return _empty_pairs("jaccard")
     return (out.sort_values(["id_a", "id_b"], kind="stable")
             .reset_index(drop=True))

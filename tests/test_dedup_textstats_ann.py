@@ -251,3 +251,40 @@ class TestFrameSample:
         a = out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
         b = out2.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
         assert a[["media_id", "frame_idx"]].equals(b[["media_id", "frame_idx"]])
+
+
+def test_sig_matrix_honors_array_offset():
+    """Sliced signature arrays must return THEIR rows, not the buffer
+    head (zero-copy fast path + Array.offset)."""
+    from biobloom_ray.stages.dedup import MinHashSigStage, _sig_matrix
+
+    tbl = pa.table({"doc_id": pa.array(range(6), type=pa.int64()),
+                    "text": [f"document number {i} with words" * 3
+                             for i in range(6)]})
+    sig_tbl = MinHashSigStage(num_perm=16)(tbl)
+    col = sig_tbl["sig"]
+    full = _sig_matrix(col, 16)
+    sl = col.combine_chunks().slice(2, 3) if isinstance(col, pa.ChunkedArray) \
+        else col.slice(2, 3)
+    part = _sig_matrix(sl, 16)
+    assert np.array_equal(part, full[2:5])
+
+
+def test_ann_topk_tie_break_exact(ray_session):
+    """Blocks full of identical vectors: ties must resolve by ascending
+    id exactly like the SQL oracle's (sim DESC, id ASC) order."""
+    from biobloom_ray.stages.ann import brute_force_topk, brute_force_topk_multi
+
+    n = 200
+    emb = [[1.0, 0.0, 0.0]] * n          # all identical → all ties
+    tbl = pa.table({"vec_id": pa.array(range(n), type=pa.int64()),
+                    "embedding": pa.array(emb)})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    top = brute_force_topk(ds, np.array([1.0, 0.0, 0.0]), k=10).to_pandas()
+    assert top.vec_id.tolist() == list(range(10))
+    multi = brute_force_topk_multi(
+        ds, np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]),
+        [100, 200], k=10).to_pandas()
+    got = multi[multi.query_id == 100].sort_values(
+        ["cos_sim", "vec_id"], ascending=[False, True]).vec_id.tolist()
+    assert got == list(range(10))
