@@ -681,6 +681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_by_revenue": A.top_parts_by_revenue,
         "events_sessionize": A.events_sessionize,
         "deterministic_sample": A.deterministic_sample,
+        "events_asof_join": A.events_asof_join,
         "paired_join": _paired_join,
         # sketch / LSH / model pipelines (rows-only here; bound-checked in pytest)
         "bloom_build_info": _bloom_build_info,
@@ -801,6 +802,12 @@ def oracle_sql() -> dict[str, str]:
         "deterministic_sample":
             "SELECT doc_id, lang FROM documents "
             "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')",
+        "events_asof_join":
+            "SELECT c.event_id, epoch_ns(p.ts) AS asof_ts_ns, "
+            "p.value AS asof_value "
+            "FROM (SELECT * FROM events WHERE event_type = 'click') c "
+            "ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p "
+            "ON c.user_id = p.user_id AND c.ts >= p.ts",
         "paired_join":
             "SELECT printf('p%06d', a.doc_id // 2) AS pair_key, "
             "LENGTH(a.text) AS len_1, LENGTH(b.text) AS len_2 "

@@ -108,7 +108,9 @@ def run_queries() -> dict[str, float]:
                "ngram_jaccard_pairs", "bpe_token_counts",
                "lineitem_pricing_summary", "orders_per_nation",
                "top_parts_by_revenue", "events_sessionize", "paired_join",
-               "mibf_classify", "mibf_classify_paired", "categorize_length"]
+               "mibf_classify", "mibf_classify_paired", "categorize_length",
+               "ann_topk_multi", "deterministic_sample", "events_asof_join",
+               "dust_masked_categorize", "frame_sample_features"]
     for name in ordered:
         if name in qs:
             out[name] = _timed(qs[name], SF_DIR)

@@ -458,3 +458,60 @@ def deterministic_sample(sf_dir: str, keep_hex: str = "01"):
         return b.filter(pa.array(mask))
 
     return ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+
+
+def events_asof_join(sf_dir: str, left_type: str = "click",
+                     right_type: str = "purchase"):
+    """As-of join (a custom operator Ray Data lacks): for each ``click``
+    event, attach the latest ``purchase`` of the SAME user at or before
+    the click's timestamp.
+
+    Composition: one scan splits the stream by side, one
+    ``groupby(user_id)`` co-locates each entity's full history, and the
+    per-group kernel is a vectorized ``searchsorted`` two-pointer over
+    the time-sorted arrays (no row loops).  Partitioning assumption,
+    documented: an entity's history fits one group — the standard as-of
+    sharding; salt by time-range for pathological single-entity streams.
+    Clicks with no prior purchase are dropped (inner as-of).
+    """
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type", "value"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["event_type"],
+                        value_set=pa.array([left_type, right_type]))
+        b = b.filter(keep)
+        # input-unit-independent, lossless nanosecond epochs
+        ts_ns = b["ts"].cast(pa.timestamp("ns")).cast(pa.int64())
+        return pa.table({
+            "user_id": b["user_id"],
+            "event_id": b["event_id"],
+            "ts_ns": ts_ns,
+            "is_left": pc.equal(b["event_type"], left_type),
+            "value": b["value"],
+        })
+
+    def asof(g: pa.Table) -> pa.Table:
+        left = g.filter(g["is_left"])
+        right = g.filter(pc.invert(g["is_left"]))
+        if len(left) == 0 or len(right) == 0:
+            return pa.table({"event_id": pa.array([], type=pa.int64()),
+                             "asof_ts_ns": pa.array([], type=pa.int64()),
+                             "asof_value": pa.array([], type=pa.float64())})
+        l_ts = left["ts_ns"].to_numpy(zero_copy_only=False)
+        l_id = left["event_id"].to_numpy(zero_copy_only=False)
+        r_ts = np.sort(right["ts_ns"].to_numpy(zero_copy_only=False))
+        r_order = np.argsort(right["ts_ns"].to_numpy(zero_copy_only=False),
+                             kind="stable")
+        r_val = right["value"].to_numpy(zero_copy_only=False)[r_order]
+        idx = np.searchsorted(r_ts, l_ts, side="right") - 1
+        ok = idx >= 0
+        return pa.table({
+            "event_id": pa.array(l_id[ok]),
+            "asof_ts_ns": pa.array(r_ts[idx[ok]]),
+            "asof_value": pa.array(r_val[idx[ok]]),
+        })
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("user_id")
+            .map_groups(asof, batch_format="pyarrow").to_pandas())

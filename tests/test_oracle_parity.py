@@ -58,7 +58,7 @@ SQL_CHECKED = [
     # round-2 additions
     "lineitem_pricing_summary", "orders_per_nation", "top_parts_by_revenue",
     "events_sessionize", "paired_join", "bpe_token_counts",
-    "ann_topk_multi", "deterministic_sample",
+    "ann_topk_multi", "deterministic_sample", "events_asof_join",
 ]
 
 
