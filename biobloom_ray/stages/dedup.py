@@ -143,10 +143,22 @@ def _sig_matrix(col, num_perm: int) -> np.ndarray:
 
 def _band_rows(batch: pa.Table, id_col: str, num_perm: int,
                num_bands: int) -> pa.Table:
-    """(band_key, id) narrow rows from the signature table."""
+    """(band_key, id) narrow rows from the signature table.
+
+    Zero-shingle docs (shorter than the shingle width) carry the
+    all-sentinel signature; banding them would funnel every such doc
+    into ONE degenerate bucket per band (quadratic junk pairs of empty
+    pages), so they are dropped here — a contentless doc has no
+    near-duplicates by definition."""
+    from biobloom_ray.sketches.minhash import _EMPTY_SENTINEL
+
     sig = _sig_matrix(batch["sig"], num_perm)
-    keys = lsh_band_keys(sig, num_bands)
     ids = batch[id_col].to_numpy(zero_copy_only=False)
+    nonempty = sig[:, 0] != _EMPTY_SENTINEL
+    if not nonempty.all():
+        sig = sig[nonempty]
+        ids = ids[nonempty]
+    keys = lsh_band_keys(sig, num_bands)
     return pa.table({
         "band_key": pa.array(keys.reshape(-1).view(np.int64)),
         id_col: pa.array(np.repeat(ids, num_bands)),

@@ -288,3 +288,19 @@ def test_ann_topk_tie_break_exact(ray_session):
     got = multi[multi.query_id == 100].sort_values(
         ["cos_sim", "vec_id"], ascending=[False, True]).vec_id.tolist()
     assert got == list(range(10))
+
+
+def test_minhash_empty_docs_never_pair(ray_session):
+    """Docs shorter than the shingle width must not flood the output
+    with degenerate all-sentinel pairs."""
+    from biobloom_ray.stages.dedup import minhash_neardup_pairs
+
+    rows = [(i, "") for i in range(30)] + [(100, "ab"), (101, "ab")] \
+        + [(200, "a real document with actual words " * 5),
+           (201, "a real document with actual words " * 5)]
+    tbl = pa.table({"doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                    "text": pa.array([r[1] for r in rows], type=pa.string())})
+    pairs = minhash_neardup_pairs(ray.data.from_arrow(tbl), threshold=0.6)
+    found = set(zip(pairs.id_a, pairs.id_b))
+    assert (200, 201) in found
+    assert all(a >= 200 for a, _ in found), f"empty-doc pairs leaked: {found}"
