@@ -55,11 +55,25 @@ def _seed_filter(seed_texts, cfg: BuildConfig, expected_entries: int,
     return bf
 
 
+def _check_probe_compat(bf: BloomFilter, other: BloomFilter | None,
+                        role: str) -> None:
+    """A bait/subtract filter is probed with hashes derived from
+    ``bf``'s (kmer_size, seed) — a mismatch silently degrades its hits
+    to FPR noise (the reference's checkFilters guard,
+    ``BioBloomClassifier.cpp``)."""
+    if other is None:
+        return
+    if other.kmer_size != bf.kmer_size or other.seed != bf.seed:
+        raise ValueError(
+            f"{role} filter (k={other.kmer_size}, seed={other.seed:#x}) is "
+            f"incompatible with the build filter (k={bf.kmer_size}, "
+            f"seed={bf.seed:#x})")
+
+
 def _score_and_recruit(bf: BloomFilter, texts: pa.Array,
                        threshold: float, method: str,
                        bait: BloomFilter | None,
                        subtract: BloomFilter | None,
-                       max_entries: int | None,
                        insert: bool = True) -> np.ndarray:
     """Score a batch against the current filter (+ optional bait OR);
     insert accepted reads' shingles.  Returns the accept mask."""
@@ -78,8 +92,6 @@ def _score_and_recruit(bf: BloomFilter, texts: pa.Array,
         row_of = np.repeat(np.arange(len(nf)), nf)
         sel = acc[row_of]
         bf.insert(h1[sel], h2[sel])
-        if max_entries is not None and bf.n_distinct >= max_entries:
-            raise StopIteration  # stop gate (caller catches)
     return acc
 
 
@@ -105,22 +117,30 @@ def progressive_build(
     if expected_entries is None:
         expected_entries = max_entries or 1_000_000
     bf = _seed_filter(seed_texts, cfg, expected_entries, filter_id)
+    _check_probe_compat(bf, bait, "bait")
+    _check_probe_compat(bf, subtract, "subtract")
     recruited = 0
 
     if strict_order:
+        stopped = False
         for _ in range(passes):
-            try:
-                for batch in ds.iter_batches(batch_size=batch_size,
-                                             batch_format="pyarrow"):
-                    texts = batch[text_col]
-                    if isinstance(texts, pa.ChunkedArray):
-                        texts = texts.combine_chunks()
-                    if normalize:
-                        texts = normalize_batch(texts)
-                    acc = _score_and_recruit(bf, texts, threshold, method,
-                                             bait, subtract, max_entries)
-                    recruited += int(acc.sum())
-            except StopIteration:
+            for batch in ds.iter_batches(batch_size=batch_size,
+                                         batch_format="pyarrow"):
+                texts = batch[text_col]
+                if isinstance(texts, pa.ChunkedArray):
+                    texts = texts.combine_chunks()
+                if normalize:
+                    texts = normalize_batch(texts)
+                acc = _score_and_recruit(bf, texts, threshold, method,
+                                         bait, subtract)
+                # count BEFORE the gate check so the final batch's
+                # recruits (already inserted) are never dropped from the
+                # returned tally
+                recruited += int(acc.sum())
+                if max_entries is not None and bf.n_distinct >= max_entries:
+                    stopped = True
+                    break
+            if stopped:
                 break
         return bf, recruited
 
@@ -168,8 +188,23 @@ def progressive_build(
         for r in rows:
             bf.merge(BloomFilter.deserialize(r["blob"]))
             round_acc += r["n_acc"]
-        recruited += round_acc
-        if bf.popcount() == before:   # converged: no new shingles
+        # Acceptance is MONOTONE across rounds (the filter only grows, so
+        # scores only grow): every read accepted in round r−1 is accepted
+        # again in round r, so the latest round's accept count IS the
+        # cumulative number of recruited reads — summing rounds would
+        # re-count every earlier recruit once per round.
+        recruited = round_acc
+        # Partial-filter merges over-count n_distinct (each per-batch
+        # partial counts against its own empty bit array); re-derive the
+        # distinct-entry estimate from the merged popcount (Swamidass &
+        # Baldi 2007: n ≈ −(m/h)·ln(1 − X/m)) so the stop gate and the
+        # filter's FPR metadata track reality.
+        pop = bf.popcount()
+        import math as _math
+
+        bf.n_distinct = int(round(
+            -(bf.m / bf.hash_num) * _math.log(max(1.0 - pop / bf.m, 1e-12))))
+        if pop == before:             # converged: no new shingles
             break
         if max_entries is not None and bf.n_distinct >= max_entries:
             break

@@ -104,4 +104,8 @@ class HLL:
         hlen = int.from_bytes(blob[:4], "little")
         meta = json.loads(blob[4:4 + hlen].decode())
         regs = np.frombuffer(blob[4 + hlen:], dtype=np.uint8).copy()
+        if len(regs) != 1 << meta["p"]:
+            raise ValueError(
+                f"corrupt HLL blob: {len(regs)} registers for p={meta['p']} "
+                f"(expected {1 << meta['p']})")
         return cls(p=meta["p"], registers=regs)

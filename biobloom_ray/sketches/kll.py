@@ -129,7 +129,8 @@ class KLL:
         qs = np.atleast_1d(np.asarray(q, dtype=np.float64))
         v, w = self._weighted_items()
         if len(v) == 0:
-            return np.full(len(qs), np.nan)
+            empty = np.full(len(qs), np.nan)
+            return empty if np.ndim(q) else float(empty[0])
         cum = np.cumsum(w)
         targets = np.clip(qs, 0.0, 1.0) * cum[-1]
         idx = np.searchsorted(cum, targets, side="left")

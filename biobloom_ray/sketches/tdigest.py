@@ -70,6 +70,10 @@ class TDigest:
         self._compress(all_m, all_w)
 
     def merge(self, other: "TDigest") -> "TDigest":
+        if self.delta != other.delta:
+            raise ValueError(
+                f"merge of incompatible t-digests (delta {self.delta} vs "
+                f"{other.delta}) — accuracy budgets would silently mix")
         if other.n == 0:
             return self
         if self.n == 0:

@@ -102,6 +102,12 @@ class CategorizerActor:
         self.subtract = (ray.get(subtract_ref)
                          if isinstance(subtract_ref, ray.ObjectRef)
                          else subtract_ref)
+        if self.subtract is not None and (
+                self.subtract.kmer_size != self.k
+                or self.subtract.seed != self.seed):
+            raise ValueError(
+                "subtract filter (k, seed) does not match the bank — its "
+                "hits would be FPR noise (checkFilters guard)")
         # realized FPR per filter, precomputed once (getFPRPrecompute,
         # SeqEval.h:225) — binomial min-count tables memoize per frame
         # length in scoring.calc_min_count (T6 analogue)

@@ -42,14 +42,19 @@ def add_salted_key(batch: pa.Table, url_col: str = "url",
 
 def salted_repartition(ds, url_col: str = "url", num_salts: int = 16,
                        num_blocks: int | None = None):
-    """Spread hot hosts across blocks: add the salted key, then a full
-    shuffle repartition.  Use before any per-host stage."""
+    """Spread hot hosts across blocks KEYED on the salted bucket: add
+    the key, then range-partition on it (``sort`` — Ray Data's keyed
+    exchange), so each (host, salt) sub-bucket lands contiguously and a
+    hot host occupies ``num_salts`` separate block ranges instead of
+    one.  Use before any per-host stage.  (A plain shuffle repartition
+    would spread rows but NOT co-locate by the key — downstream
+    per-bucket stages would shuffle again.)"""
     keyed = ds.map_batches(
         lambda b: add_salted_key(b, url_col, num_salts),
-        batch_format="pyarrow")
+        batch_format="pyarrow").sort("bucket")
     if num_blocks:
-        return keyed.repartition(num_blocks, shuffle=True)
-    return keyed.random_shuffle()
+        return keyed.repartition(num_blocks)
+    return keyed
 
 
 def per_host_counts(ds, url_col: str = "url", num_salts: int = 16):

@@ -64,6 +64,25 @@ class TestProgressive:
             strict_order=False, passes=4, batch_size=64)
         # bulk-synchronous recruitment converges to >= the related set
         assert recruited >= 0.9 * n_related
+        # acceptance is monotone → recruited is the LAST round's accept
+        # count, never a per-round re-count of earlier recruits
+        n_total = ds.count()
+        assert recruited <= n_total
+        # partial-merge n_distinct inflation is corrected by the
+        # popcount-based estimator: must be consistent with the bit array
+        import math
+        pop = bf.popcount()
+        est = -(bf.m / bf.hash_num) * math.log(1 - pop / bf.m)
+        assert abs(bf.n_distinct - est) <= max(2, 0.01 * est)
+
+    def test_bait_seed_mismatch_rejected(self, stream):
+        from biobloom_ray.sketches.bloom import BloomFilter
+
+        ds, seed_docs, _ = stream
+        bad = BloomFilter(m=4096, hash_num=3, kmer_size=8, seed=0xBAD5EED)
+        with pytest.raises(ValueError, match="incompatible"):
+            progressive_build(ds, seed_docs, BuildConfig(kmer_size=8),
+                              subtract=bad, expected_entries=10_000)
 
     def test_stop_gate(self, ray_session):
         # each related doc contributes fresh distinct shingles, so the
