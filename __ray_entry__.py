@@ -111,6 +111,17 @@ def _minhash_pairs(sf_dir: str):
     return minhash_neardup_pairs(docs, threshold=0.6)
 
 
+def _minhash_dedup_kept(sf_dir: str):
+    """Near-dup DROP variant (keep-lowest-id greedy): ids that survive
+    minhash dedup at threshold 0.6 (rows-only)."""
+    from biobloom_ray.stages.dedup import minhash_dedup
+
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    kept = minhash_dedup(docs, threshold=0.6)
+    return (kept.select_columns(["doc_id"]).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def _simhash_pairs(sf_dir: str):
     import ray.data
 
@@ -691,6 +702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_heavy_hitters": A.cms_heavy_hitters,
         "kll_nchars_quantiles": A.kll_nchars_quantiles,
         "minhash_neardup_pairs": _minhash_pairs,
+        "minhash_dedup_kept": _minhash_dedup_kept,
         "simhash_neardup_pairs": _simhash_pairs,
         "ngram_jaccard_pairs": _ngram_jaccard,
         "embedding_neardup_pairs": _embedding_neardup,
