@@ -52,6 +52,13 @@ MULTI_MATCH = "multiMatch"
 U64_ROW = np.uint64(0x9E3779B97F4A7C15)  # row-mixing multiplier
 
 
+# adaptive-path gates (module-level so tests can force the cluster
+# paths on small inputs): below these sizes the per-block partials
+# reduce on the driver with the same order-free comparators
+DRIVER_REDUCE_MAX_SLOTS = 2 ** 22
+DRIVER_REDUCE_MAX_M = 8 * 16 * 2 ** 20
+
+
 def _cluster_cpus() -> int:
     from biobloom_ray.io import cluster_cpus
 
@@ -167,7 +174,7 @@ def build_mibf(
 
     p1 = ds.map_batches(pass1, batch_format="pyarrow",
                         batch_size=batch_size)
-    if m <= 8 * 16 * 2 ** 20:
+    if m <= DRIVER_REDUCE_MAX_M:
         # small filter (≤16 MB bitmap): per-block partials stream to the
         # driver and OR there — two repartition stages cost more than
         # they save at this size
@@ -246,7 +253,7 @@ def build_mibf(
     bids = ds.map_batches(pass2, batch_format="pyarrow",
                           batch_size=batch_size)
     best_id = np.zeros(n_slots, dtype=np.uint16)
-    if n_slots <= 2 ** 22:
+    if n_slots <= DRIVER_REDUCE_MAX_SLOTS:
         # small filter: per-block local-min bids stream to the driver and
         # reduce with the SAME order-free comparator (lexsort by
         # (slot, key, id), first per slot) — identical winners to the
@@ -289,7 +296,7 @@ def build_mibf(
     p3 = ds.map_batches(pass3, batch_format="pyarrow",
                         batch_size=batch_size)
     sat = np.zeros(n_slots, dtype=bool)
-    if n_slots <= 2 ** 22:
+    if n_slots <= DRIVER_REDUCE_MAX_SLOTS:
         # small filter: per-block sparse sets OR on the driver directly
         for blk in p3.iter_batches(batch_size=None, batch_format="pyarrow"):
             sat[blk["slot"].to_numpy(zero_copy_only=False)] = True

@@ -479,7 +479,8 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                         threshold: float = 0.5, shingle_k: int = 5,
                         num_perm: int = 128, num_bands: int = 16,
                         candidate_threshold: float = 0.3,
-                        num_partitions: int = DEFAULT_JOIN_PARTITIONS):
+                        num_partitions: int = DEFAULT_JOIN_PARTITIONS,
+                        broadcast_limit: int = 50_000):
     """MinHash-LSH candidates verified with EXACT n-gram Jaccard —
     fully distributed (round-2 redesign, VERDICT.md "Next round" #4).
 
@@ -490,7 +491,6 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     beyond the limit everything stays in the cluster — a hash semi-join
     selects the candidate docs, their hash sets join onto the pair
     list, and exact Jaccard runs per batch of pairs."""
-    broadcast_limit = 50_000
     cand = minhash_neardup_pairs_ds(
         ds, text_col, id_col, threshold=candidate_threshold,
         shingle_k=shingle_k, num_perm=num_perm, num_bands=num_bands,

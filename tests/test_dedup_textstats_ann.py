@@ -304,3 +304,34 @@ def test_minhash_empty_docs_never_pair(ray_session):
     found = set(zip(pairs.id_a, pairs.id_b))
     assert (200, 201) in found
     assert all(a >= 200 for a, _ in found), f"empty-doc pairs leaked: {found}"
+
+
+def test_minhash_join_path_matches_broadcast(dup_docs):
+    """Above broadcast_limit the verify runs via hash joins — it must
+    produce the identical pair set as the broadcast path."""
+    from biobloom_ray.stages.dedup import minhash_neardup_pairs_ds
+
+    ds, rows = dup_docs
+    via_join = (minhash_neardup_pairs_ds(ds, threshold=0.6,
+                                         broadcast_limit=0)
+                .to_pandas().sort_values(["id_a", "id_b"])
+                .reset_index(drop=True))
+    via_bcast = (minhash_neardup_pairs_ds(ds, threshold=0.6)
+                 .to_pandas().sort_values(["id_a", "id_b"])
+                 .reset_index(drop=True))
+    assert len(via_join) > 0
+    assert via_join[["id_a", "id_b"]].equals(via_bcast[["id_a", "id_b"]])
+    assert np.allclose(via_join.est_jaccard, via_bcast.est_jaccard)
+
+
+def test_ngram_join_path_matches_broadcast(dup_docs):
+    """Forcing broadcast_limit=0 exercises the distributed hash-join
+    verify; it must agree exactly with the broadcast path."""
+    from biobloom_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds, rows = dup_docs
+    a = ngram_jaccard_pairs(ds, threshold=0.5)
+    b = ngram_jaccard_pairs(ds, threshold=0.5, broadcast_limit=0)
+    assert len(a) > 0
+    assert a[["id_a", "id_b"]].equals(b[["id_a", "id_b"]])
+    assert np.allclose(a.jaccard, b.jaccard)

@@ -168,3 +168,20 @@ class TestSpacedSeedMIBF:
         assert clone.spaced_seeds == SEEDS
         again = classify_mibf(pages, clone).to_pandas()
         assert (again.label.values == out.label.values).all()
+
+
+class TestClusterPaths:
+    def test_sharded_build_matches_driver_reduce(self, ray_session, mibf,
+                                                 monkeypatch):
+        """The large-filter cluster paths (tree OR, slot-sharded
+        min-reduce, groupby saturation) must build a bit-identical
+        filter to the small-filter driver paths."""
+        import biobloom_ray.pipelines.mibf as M
+
+        monkeypatch.setattr(M, "DRIVER_REDUCE_MAX_SLOTS", 0)
+        monkeypatch.setattr(M, "DRIVER_REDUCE_MAX_M", 0)
+        ref = ray.data.from_arrow(generate_ref_corpora(docs_per_lang=60))
+        big_path = build_mibf(ref, text_col="doc", label_col="filter_id",
+                              kmer_size=8, hash_num=3, occupancy=0.5)
+        assert np.array_equal(big_path.words, mibf.words)
+        assert np.array_equal(big_path.ids, mibf.ids)
