@@ -43,6 +43,11 @@ from biobloom_ray.scoring import eval_batch
 from biobloom_ray.sketches.bloom import BloomFilter, calc_optimal_hash_num, calc_optimal_size
 from biobloom_ray.textnorm import normalize_batch
 
+# below this filter size the per-batch partial blobs merge on the driver;
+# above it a two-level repartition tree reduces them in the cluster
+# (module-level so tests can force the cluster path)
+DRIVER_MERGE_MAX_M = 8 * 16 * 2 ** 20
+
 
 def _seed_filter(seed_texts, cfg: BuildConfig, expected_entries: int,
                  filter_id: str) -> BloomFilter:
@@ -181,10 +186,38 @@ def progressive_build(
                                               type=pa.large_binary()),
                              "n_acc": pa.array([int(acc.sum())])})
 
-        rows = ds.map_batches(round_partial, batch_format="pyarrow",
-                              batch_size=batch_size).take_all()
-        round_acc = 0
+        parts = ds.map_batches(round_partial, batch_format="pyarrow",
+                               batch_size=batch_size)
         before = bf.popcount()
+        if bf.m > DRIVER_MERGE_MAX_M:
+            # large filter: OR-merge blobs (and sum accept counts) in a
+            # two-level repartition tree; the driver receives ONE row
+            def or_reduce(b: pa.Table) -> pa.Table:
+                col = b["blob"]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                acc_f = BloomFilter.deserialize(col[0].as_py())
+                for i in range(1, len(col)):
+                    acc_f.merge(BloomFilter.deserialize(col[i].as_py()))
+                n = int(np.asarray(
+                    b["n_acc"].to_numpy(zero_copy_only=False)).sum())
+                return pa.table({
+                    "blob": pa.array([acc_f.serialize()],
+                                     type=pa.large_binary()),
+                    "n_acc": pa.array([n])})
+
+            import ray as _ray
+            fan = max(2, int(_ray.cluster_resources().get("CPU", 8)) // 2) \
+                if _ray.is_initialized() else 4
+            rows = (parts.repartition(fan)
+                    .map_batches(or_reduce, batch_format="pyarrow",
+                                 batch_size=None)
+                    .repartition(1)
+                    .map_batches(or_reduce, batch_format="pyarrow",
+                                 batch_size=None).take_all())
+        else:
+            rows = parts.take_all()
+        round_acc = 0
         for r in rows:
             bf.merge(BloomFilter.deserialize(r["blob"]))
             round_acc += r["n_acc"]
