@@ -15,3 +15,12 @@ Layers:
 """
 
 __version__ = "0.1.0"
+
+# Demote Ray Data's schema-hash warning here (not just in io.py): worker
+# processes import this package when unpickling UDF closures, so the
+# demotion applies wherever blocks are actually unioned.  See io.py for
+# why the testdata's pandas schema metadata is unhashable.
+import logging as _logging
+
+_logging.getLogger(
+    "ray.data._internal.arrow_ops.transform_pyarrow").setLevel(_logging.ERROR)
