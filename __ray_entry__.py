@@ -693,6 +693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": A.events_sessionize,
         "deterministic_sample": A.deterministic_sample,
         "events_asof_join": A.events_asof_join,
+        "top_docs_per_lang": A.top_docs_per_lang,
         "paired_join": _paired_join,
         # sketch / LSH / model pipelines (rows-only here; bound-checked in pytest)
         "bloom_build_info": _bloom_build_info,
@@ -814,6 +815,11 @@ def oracle_sql() -> dict[str, str]:
         "deterministic_sample":
             "SELECT doc_id, lang FROM documents "
             "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')",
+        "top_docs_per_lang":
+            "SELECT lang, doc_id, n_chars FROM ("
+            "SELECT lang, doc_id, n_chars, ROW_NUMBER() OVER ("
+            "PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rn "
+            "FROM documents) WHERE rn <= 3",
         "events_asof_join":
             "SELECT c.event_id, epoch_ns(p.ts) AS asof_ts_ns, "
             "p.value AS asof_value "

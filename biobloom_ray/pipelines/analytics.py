@@ -515,3 +515,34 @@ def events_asof_join(sf_dir: str, left_type: str = "click",
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("user_id")
             .map_groups(asof, batch_format="pyarrow").to_pandas())
+
+
+def top_docs_per_lang(sf_dir: str, k: int = 3):
+    """Per-group top-N (the windowed ROW_NUMBER shape): the k longest
+    documents of every language.  Per-block local top-k per lang
+    (pre-aggregation: at most k·n_langs rows leave any block) → one
+    tiny per-lang reduce.  Deterministic ties: n_chars desc, doc_id asc."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(zero_copy_only=False),
+            "lang": b["lang"].to_pandas(),
+            "n_chars": b["n_chars"].to_numpy(zero_copy_only=False)})
+        df = df.sort_values(["lang", "n_chars", "doc_id"],
+                            ascending=[True, False, True])
+        return pa.Table.from_pandas(df.groupby("lang").head(k),
+                                    preserve_index=False)
+
+    def final_topk(g: pa.Table) -> pa.Table:
+        idx = np.lexsort((g["doc_id"].to_numpy(zero_copy_only=False),
+                          -g["n_chars"].to_numpy(zero_copy_only=False)))[:k]
+        return g.take(np.sort(idx))
+
+    out = (ds.map_batches(local_topk, batch_format="pyarrow")
+           .groupby("lang")
+           .map_groups(final_topk, batch_format="pyarrow")
+           .to_pandas())
+    return (out.sort_values(["lang", "n_chars", "doc_id"],
+                            ascending=[True, False, True])
+            .reset_index(drop=True)[["lang", "doc_id", "n_chars"]])

@@ -59,6 +59,7 @@ SQL_CHECKED = [
     "lineitem_pricing_summary", "orders_per_nation", "top_parts_by_revenue",
     "events_sessionize", "paired_join", "bpe_token_counts",
     "ann_topk_multi", "deterministic_sample", "events_asof_join",
+    "top_docs_per_lang",
 ]
 
 
