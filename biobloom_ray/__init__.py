@@ -16,11 +16,20 @@ Layers:
 
 __version__ = "0.1.0"
 
-# Demote Ray Data's schema-hash warning here (not just in io.py): worker
+# Filter Ray Data's schema-hash warning here (not just in io.py): worker
 # processes import this package when unpickling UDF closures, so the
-# demotion applies wherever blocks are actually unioned.  See io.py for
-# why the testdata's pandas schema metadata is unhashable.
+# filter applies wherever blocks are actually unioned.  See io.py for
+# why the testdata's pandas schema metadata is unhashable.  A targeted
+# Filter (not setLevel) so unrelated warnings from the module still
+# surface (ADVICE r2).
 import logging as _logging
 
+
+class _SchemaHashNoise(_logging.Filter):
+    def filter(self, record: _logging.LogRecord) -> bool:
+        return "Failed to hash the schema" not in record.getMessage()
+
+
 _logging.getLogger(
-    "ray.data._internal.arrow_ops.transform_pyarrow").setLevel(_logging.ERROR)
+    "ray.data._internal.arrow_ops.transform_pyarrow") \
+    .addFilter(_SchemaHashNoise())

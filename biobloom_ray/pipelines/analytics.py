@@ -439,12 +439,33 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
             .map_groups(sessions, batch_format="pyarrow").to_pandas())
 
 
-def deterministic_sample(sf_dir: str, keep_hex: str = "01"):
-    """Hash-bucket downsampling — the standard deterministic corpus
-    sampler (reproducible across runs/retries/engines, no RNG state):
-    keep a row iff the first hex digit of md5(doc_id) is in
-    ``keep_hex`` (2 of 16 digits ≈ 12.5 %).  Pure map-side filter;
+def deterministic_sample_hash(sf_dir: str, rate: float = 0.125):
+    """PRODUCTION deterministic corpus sampler: keep a row iff
+    ``splitmix64(doc_id) < rate · 2^64`` — one vectorized numpy pass,
+    no per-row Python (VERDICT r2 "Next round" #7).  Reproducible
+    across runs/retries/engines (the oracle SQL re-implements
+    splitmix64 in 128-bit DuckDB arithmetic and matches bit-for-bit);
     stratification falls out of hash uniformity."""
+    from biobloom_ray.hashing import splitmix64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    thresh = np.uint64(min(int(rate * 2.0 ** 64), 2 ** 64 - 1))
+
+    def pick(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return b.filter(pa.array(splitmix64(ids) < thresh))
+
+    return ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+
+
+def deterministic_sample(sf_dir: str, keep_hex: str = "01"):
+    """Hash-bucket downsampling — md5-keyed ORACLE TWIN of
+    :func:`deterministic_sample_hash` (kept because the md5 keep rule is
+    trivially expressible in any engine's SQL; the per-row hashlib loop
+    makes it the verification variant, not the production path): keep a
+    row iff the first hex digit of md5(doc_id) is in ``keep_hex``
+    (2 of 16 digits ≈ 12.5 %).  Pure map-side filter; stratification
+    falls out of hash uniformity."""
     import hashlib
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
@@ -500,10 +521,16 @@ def events_asof_join(sf_dir: str, left_type: str = "click",
                              "asof_value": pa.array([], type=pa.float64())})
         l_ts = left["ts_ns"].to_numpy(zero_copy_only=False)
         l_id = left["event_id"].to_numpy(zero_copy_only=False)
-        r_ts = np.sort(right["ts_ns"].to_numpy(zero_copy_only=False))
-        r_order = np.argsort(right["ts_ns"].to_numpy(zero_copy_only=False),
-                             kind="stable")
-        r_val = right["value"].to_numpy(zero_copy_only=False)[r_order]
+        # deterministic ties (ADVICE r2): purchases sharing a (user, ts)
+        # collapse to ONE row keeping the max value — DuckDB's ASOF pick
+        # among equal timestamps is unspecified, so both sides aggregate
+        # before the as-of (the oracle SQL mirrors this MAX)
+        r_ts_raw = right["ts_ns"].to_numpy(zero_copy_only=False)
+        r_val_raw = right["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((r_val_raw, r_ts_raw))
+        ts_s, val_s = r_ts_raw[order], r_val_raw[order]
+        last = np.r_[ts_s[1:] != ts_s[:-1], True]
+        r_ts, r_val = ts_s[last], val_s[last]
         idx = np.searchsorted(r_ts, l_ts, side="right") - 1
         ok = idx >= 0
         return pa.table({

@@ -43,6 +43,11 @@ from biobloom_ray.scoring import eval_batch
 from biobloom_ray.sketches.bloom import BloomFilter, calc_optimal_hash_num, calc_optimal_size
 from biobloom_ray.textnorm import normalize_batch
 
+#: scoring methods whose accept threshold does not depend on the
+#: (growing) filter's realized FPR — acceptance is monotone across
+#: progressive rounds for exactly these
+_MONOTONE_METHODS = frozenset({"simple", "harmonic", "length"})
+
 # below this filter size the per-batch partial blobs merge on the driver;
 # above it a two-level repartition tree reduces them in the cluster
 # (module-level so tests can force the cluster path)
@@ -221,11 +226,16 @@ def progressive_build(
         for r in rows:
             bf.merge(BloomFilter.deserialize(r["blob"]))
             round_acc += r["n_acc"]
-        # Acceptance is MONOTONE across rounds (the filter only grows, so
-        # scores only grow): every read accepted in round r−1 is accepted
-        # again in round r, so the latest round's accept count IS the
-        # cumulative number of recruited reads — summing rounds would
-        # re-count every earlier recruit once per round.
+        # For FIXED-threshold methods (simple/harmonic/length) acceptance
+        # is MONOTONE across rounds (the filter only grows, so hit counts
+        # only grow against a fixed bar): every read accepted in round
+        # r−1 is accepted again in round r, so the latest round's accept
+        # count IS the cumulative recruit tally — summing rounds would
+        # re-count every earlier recruit once per round.  FPR-dependent
+        # gates (binomial: the min-count threshold RISES with the merged
+        # filter's realized FPR) are not monotone — a read accepted early
+        # can fail later — so those get a final counting pass below
+        # (ADVICE r2).
         recruited = round_acc
         # Partial-filter merges over-count n_distinct (each per-batch
         # partial counts against its own empty bit array); re-derive the
@@ -241,4 +251,39 @@ def progressive_build(
             break
         if max_entries is not None and bf.n_distinct >= max_entries:
             break
+    if method not in _MONOTONE_METHODS:
+        # FPR-dependent gate: the last round's accept count is not a
+        # valid cumulative tally (see comment above) — run one counting
+        # pass against the FINAL filter so the reported recruits are the
+        # reads the returned filter actually accepts.
+        final_ref = ray.put(bf)
+
+        def count_final(batch: pa.Table) -> pa.Table:
+            snap: BloomFilter = ray.get(final_ref)
+            texts = batch[text_col]
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            if normalize:
+                texts = normalize_batch(texts)
+            h1, h2, nf = shingle_hashes(texts, snap.kmer_size, snap.seed)
+            fh = snap.contains(h1, h2)
+            s = ray.get(sub_ref)
+            sub = s.contains(h1, h2) if s is not None else None
+            acc = eval_batch(fh, nf, snap.kmer_size, method=method,
+                             threshold=threshold,
+                             bf_fpr=snap.fpr_realized(),
+                             subtract_hits=sub)
+            b = ray.get(bait_ref)
+            if b is not None:
+                bh = b.contains(h1, h2)
+                acc |= eval_batch(bh, nf, snap.kmer_size, method=method,
+                                  threshold=threshold,
+                                  bf_fpr=b.fpr_realized(),
+                                  subtract_hits=sub)
+            return pa.table({"n_acc": pa.array([int(acc.sum())])})
+
+        recruited = sum(
+            r["n_acc"] for r in ds.map_batches(
+                count_final, batch_format="pyarrow",
+                batch_size=batch_size).take_all())
     return bf, recruited

@@ -105,8 +105,12 @@ def dust_mask(data: np.ndarray, starts: np.ndarray, ends: np.ndarray,
     d = data.astype(np.int64, copy=False)
     trip = d[pos] + (d[pos + 1] << 8) + (d[pos + 2] << 16)
     win = off // window
-    # global window id per (row, win): windows per row = ceil
-    max_win = (np.max(n_trip) + window - 1) // window
+    # global window id per (row, win): windows per row = ceil.  Sized
+    # from BOTH streams: frames outnumber triplets when k <= 2
+    # (n_frames = lens-k+1 > lens-2 = n_trip), and the frame→window map
+    # below must not collide with the next row's window 0 (ADVICE r2)
+    max_win = (max(int(np.max(n_trip)), int(np.max(n_frames)))
+               + window - 1) // window
     gwin = row_of_t * max_win + win
 
     order = np.lexsort((trip, gwin))

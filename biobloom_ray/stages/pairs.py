@@ -25,7 +25,8 @@ def add_pair_key(batch: pa.Table, header_col: str = "url") -> pa.Table:
                  .append_column("mate", mate_num))
 
 
-def pair_up(ds, header_col: str = "url", text_col: str = "text"):
+def pair_up(ds, header_col: str = "url", text_col: str = "text",
+            order_col: str | None = None):
     """Re-unite mates by pair key: one output row per matched pair with
     ``text_1``/``text_2`` columns; unmatched mates are dropped (the
     reference leaves them in its buffer forever).
@@ -33,9 +34,17 @@ def pair_up(ds, header_col: str = "url", text_col: str = "text"):
     Shape: split the stream by mate number (two cheap filters on the
     same scan) and HASH-JOIN the halves on ``pair_key`` — one shuffle,
     zero per-group Python (round-2 rewrite of the per-pair
-    ``map_groups``).  Assumes headers are unique per mate, like the
-    reference's mate cache (a duplicated header would fan out to all
-    combinations instead of keeping the first)."""
+    ``map_groups``).
+
+    Duplicate-header semantics (ADVICE r2): by default headers are
+    assumed unique per mate, like the reference's mate cache — a
+    duplicated header fans out to all mate-1 × mate-2 combinations.
+    Pass ``order_col`` (e.g. a record number) to reproduce the
+    reference's keep-FIRST behavior (``BioBloomClassifier.cpp:512-522``:
+    the cache keeps the first record per header): each side dedups to
+    the min-``order_col`` row per pair key before the join.  A stream
+    has no global order without such a column, so keep-first is only
+    defined when the caller provides one."""
     from biobloom_ray.io import hash_join
 
     keyed = ds.map_batches(lambda b: add_pair_key(b, header_col),
@@ -44,9 +53,17 @@ def pair_up(ds, header_col: str = "url", text_col: str = "text"):
     def side(mate: str, out_col: str):
         def pick(b: pa.Table) -> pa.Table:
             sel = b.filter(pc.equal(b["mate"], mate))
-            return pa.table({"pair_key": sel["pair_key"],
-                             out_col: sel[text_col]})
-        return keyed.map_batches(pick, batch_format="pyarrow")
+            cols = {"pair_key": sel["pair_key"], out_col: sel[text_col]}
+            if order_col is not None:
+                cols[order_col] = sel[order_col]
+            return pa.table(cols)
+        s = keyed.map_batches(pick, batch_format="pyarrow")
+        if order_col is not None:
+            def first_per_key(g: pd.DataFrame) -> pd.DataFrame:
+                return g.nsmallest(1, order_col)[["pair_key", out_col]]
+            s = s.groupby("pair_key").map_groups(first_per_key,
+                                                 batch_format="pandas")
+        return s
 
     return hash_join(side("1", "text_1"), side("2", "text_2"),
                      on=("pair_key",))

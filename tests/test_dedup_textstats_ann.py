@@ -335,3 +335,47 @@ def test_ngram_join_path_matches_broadcast(dup_docs):
     assert len(a) > 0
     assert a[["id_a", "id_b"]].equals(b[["id_a", "id_b"]])
     assert np.allclose(a.jaccard, b.jaccard)
+
+
+def test_minhash_parquet_checkpoint_parity(dup_docs, tmp_path):
+    """Forcing the signature checkpoint to parquet (the >gate path at
+    real scale) must yield the identical pair set as the in-memory
+    materialization."""
+    from biobloom_ray.stages.dedup import minhash_neardup_pairs_ds
+
+    ds, rows = dup_docs
+    mem = (minhash_neardup_pairs_ds(ds, threshold=0.6, checkpoint="memory")
+           .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    pq_ = (minhash_neardup_pairs_ds(ds, threshold=0.6, checkpoint="parquet",
+                                    checkpoint_dir=str(tmp_path / "sigs"))
+           .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    assert len(mem) > 0
+    assert mem[["id_a", "id_b"]].equals(pq_[["id_a", "id_b"]])
+    assert np.allclose(mem.est_jaccard, pq_.est_jaccard)
+    # the checkpoint really landed on disk
+    import glob
+    assert glob.glob(str(tmp_path / "sigs" / "*.parquet"))
+
+
+def test_jaccard_csr_kernels_match_naive():
+    """The batched CSR intersection must equal per-pair np.intersect1d."""
+    from biobloom_ray.stages.dedup import (_jaccard_from_sets,
+                                           _pair_intersections)
+
+    rng = np.random.default_rng(3)
+    sets = [np.unique(rng.integers(0, 50, size=rng.integers(0, 30))
+                      .astype(np.uint64)) for _ in range(40)]
+    sets[0] = np.empty(0, dtype=np.uint64)  # both-empty pair below
+    pairs = [(0, 0), (1, 2), (3, 4)] + \
+        [(int(rng.integers(40)), int(rng.integers(40))) for _ in range(50)]
+    va = np.concatenate([sets[a] for a, _ in pairs])
+    vb = np.concatenate([sets[b] for _, b in pairs])
+    la = np.array([len(sets[a]) for a, _ in pairs], dtype=np.int64)
+    lb = np.array([len(sets[b]) for _, b in pairs], dtype=np.int64)
+    inter = _pair_intersections(va, la, vb, lb)
+    jac = _jaccard_from_sets(va, la, vb, lb)
+    for t, (a, b) in enumerate(pairs):
+        want = len(np.intersect1d(sets[a], sets[b], assume_unique=True))
+        assert inter[t] == want
+        u = la[t] + lb[t] - want
+        assert jac[t] == (want / u if u else 1.0)

@@ -60,6 +60,8 @@ SQL_CHECKED = [
     "events_sessionize", "paired_join", "bpe_token_counts",
     "ann_topk_multi", "deterministic_sample", "events_asof_join",
     "top_docs_per_lang",
+    # round-3 additions
+    "deterministic_sample_hash", "minhash_dedup_kept",
 ]
 
 

@@ -233,3 +233,54 @@ def test_emit_matching_streams(corpora_bank, pages_ds):
     assert len(en) == ((pdf.label == "en") | (pdf.label == "multiMatch")).sum()
     en_only = emit_matching(labeled, filter_id="en", invert=True).to_pandas()
     assert len(en_only) == len(pdf) - len(en)
+
+
+def test_asof_join_duplicate_ts_deterministic(ray_session, tmp_path):
+    """Purchases sharing a (user, ts) must collapse to the MAX value
+    before the as-of pick, matching the oracle SQL's GROUP BY (ADVICE
+    r2) — regardless of input row order."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from biobloom_ray.pipelines.analytics import events_asof_join
+
+    ts = pd.to_datetime(["2026-01-01 10:00", "2026-01-01 10:00",
+                         "2026-01-01 10:00", "2026-01-01 11:00"])
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "user_id": pa.array([7, 7, 7, 7], type=pa.int64()),
+        "ts": pa.array(ts),
+        "event_type": pa.array(["purchase", "purchase", "purchase",
+                                "click"]),
+        "value": pa.array([5.0, 9.0, 2.0, 0.0]),
+    })
+    for name, order in (("a", [0, 1, 2, 3]), ("b", [2, 1, 0, 3])):
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(tbl.take(order), d / "events.parquet")
+        out = events_asof_join(str(d))
+        assert len(out) == 1
+        assert out.iloc[0].asof_value == 9.0  # MAX among the tied ts
+
+
+def test_pair_up_keep_first_on_duplicate_headers(ray_session):
+    """order_col reproduces the reference mate-cache's keep-first rule
+    on dirty input with repeated headers (ADVICE r2); without it the
+    documented fan-out applies."""
+    import pyarrow as pa
+
+    from biobloom_ray.stages.pairs import pair_up
+
+    tbl = pa.table({
+        "url": pa.array(["p1/1", "p1/1", "p1/2", "p1/2"]),
+        "text": pa.array(["first1", "second1", "first2", "second2"]),
+        "rec": pa.array([0, 1, 2, 3], type=pa.int64()),
+    })
+    ds = ray.data.from_arrow(tbl)
+    fanout = pair_up(ds).to_pandas()
+    assert len(fanout) == 4  # 2 x 2 combinations, as documented
+    first = pair_up(ds, order_col="rec").to_pandas()
+    assert len(first) == 1
+    assert first.iloc[0].text_1 == "first1"
+    assert first.iloc[0].text_2 == "first2"

@@ -313,3 +313,67 @@ class TestDustMask:
         assert plain.sort_values("doc_id").label.iloc[0] == "junk"
         assert dusted.sort_values("doc_id").label.iloc[0] == "noMatch"
         assert dusted.sort_values("doc_id").label.iloc[1] == "real"
+
+
+def test_dust_mask_k2_no_cross_row_window_collision():
+    """k=2 makes frames outnumber triplets; the frame→window mapping
+    must not collide with the NEXT row's window 0 (ADVICE r2).  Row 0 is
+    plain text whose tail frames would previously alias into row 1's
+    (highly repetitive, masked) window."""
+    import numpy as np
+
+    from biobloom_ray.stages.masking import dust_mask
+
+    # row-0 length L chosen so (L-2) % window == 0 — the exact boundary
+    # where the last frame's window index equals the old (triplet-sized)
+    # max_win and aliases into the next row
+    plain = (b"the quick brown fox jumped over sixteen lazy dogs quickly"
+             b" and then wandered far away down the road toward the hill"
+             b"s by the barn526")
+    assert (len(plain) - 2) % 64 == 0, len(plain)
+    junk = b"aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa" \
+        b"aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"
+    data = np.frombuffer(plain + junk, dtype=np.uint8)
+    starts = np.array([0, len(plain)], dtype=np.int64)
+    ends = np.array([len(plain), len(plain) + len(junk)], dtype=np.int64)
+    k = 2
+    mask = dust_mask(data, starts, ends, k=k, window=64)
+    nf0 = len(plain) - k + 1
+    # row 0 (plain prose) must be fully unmasked, row 1 (junk) masked
+    assert not mask[:nf0].any()
+    assert mask[nf0:].all()
+
+
+def test_progressive_binomial_tally_counts_final_filter(ray_session):
+    """FPR-dependent gates are not monotone across rounds (ADVICE r2):
+    the returned recruit tally for method='binomial' must equal what
+    the FINAL filter accepts, verified by an independent recount."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from biobloom_ray.config import BuildConfig
+    from biobloom_ray.hashing import shingle_hashes
+    from biobloom_ray.pipelines.progressive import progressive_build
+    from biobloom_ray.scoring import eval_batch
+    from biobloom_ray.textnorm import normalize_batch
+
+    rng = np.random.default_rng(5)
+    seed_docs = [" ".join(f"s{int(rng.integers(40)):02d}"
+                          for _ in range(60)) for _ in range(3)]
+    docs = seed_docs * 2 + \
+        [" ".join(f"x{int(rng.integers(4000)):04d}" for _ in range(60))
+         for _ in range(60)]
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(docs)}))
+    bf, recruited = progressive_build(
+        ds, seed_docs, BuildConfig(kmer_size=8), threshold=0.05,
+        method="binomial", expected_entries=20000, strict_order=False,
+        passes=3)
+    # independent recount against the returned filter
+    texts = normalize_batch(pa.array(docs))
+    h1, h2, nf = shingle_hashes(texts, bf.kmer_size, bf.seed)
+    acc = eval_batch(bf.contains(h1, h2), nf, bf.kmer_size,
+                     method="binomial", threshold=0.05,
+                     bf_fpr=bf.fpr_realized())
+    assert recruited == int(acc.sum())
