@@ -96,29 +96,19 @@ def build_mibf(
         kmer_size = len(spaced_seeds[0])
         hash_num = len(spaced_seeds)
 
-    # id table from distinct labels (≤ 32767, Doc/MultiIndex.md:165):
-    # per-block distinct pre-agg → tiny take_all (no shuffle; the old
-    # Dataset.unique was a full exchange for a handful of labels)
-    def _labels_partial(b: pa.Table) -> pa.Table:
-        col = b[label_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        return pa.table({label_col: col.unique()})
-
-    names = sorted({r[label_col] for r in
-                    ds.map_batches(_labels_partial,
-                                   batch_format="pyarrow").take_all()})
-    if len(names) > MAX_IDS:
-        raise ValueError(f"miBF supports at most {MAX_IDS} labels")
-    name_to_id = {n: i + 1 for i, n in enumerate(names)}
-
-    # size for the target occupancy from the DISTINCT shingle count
-    # (HLL pre-pass): popcount/m = occupancy ⇒ m = n·h / ln(1/(1−occ))
+    # pass 0 (FUSED, round 3): ONE scan emits both per-block partials —
+    # the distinct labels (id table, ≤ 32767, Doc/MultiIndex.md:165) and
+    # the HLL sizing sketch — instead of two Dataset executions; each
+    # pass over the input costs ~1 s fixed at sf0.1, so fusing halves
+    # the pre-pass cost
     import math
 
     from biobloom_ray.sketches.hll import HLL
 
-    def distinct_partial(b: pa.Table) -> pa.Table:
+    def pass0(b: pa.Table) -> pa.Table:
+        col = b[label_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
         hll = HLL(p=14)
         texts = _texts(b, text_col, normalize)
         if spaced_seeds:
@@ -129,11 +119,20 @@ def build_mibf(
         else:
             h1, _, _ = shingle_hashes(texts, kmer_size, seed)
             hll.update(h1)
-        return pa.table({"blob": pa.array([hll.serialize()],
-                                          type=pa.large_binary())})
+        return pa.table({
+            "labels": pa.array([col.unique().to_pylist()],
+                               type=pa.large_list(pa.large_string())),
+            "blob": pa.array([hll.serialize()], type=pa.large_binary())})
 
-    rows = ds.map_batches(distinct_partial, batch_format="pyarrow",
+    rows = ds.map_batches(pass0, batch_format="pyarrow",
                           batch_size=batch_size).take_all()
+    names = sorted({l for r in rows for l in r["labels"]})
+    if len(names) > MAX_IDS:
+        raise ValueError(f"miBF supports at most {MAX_IDS} labels")
+    name_to_id = {n: i + 1 for i, n in enumerate(names)}
+
+    # size for the target occupancy from the DISTINCT shingle count:
+    # popcount/m = occupancy ⇒ m = n·h / ln(1/(1−occ))
     hacc = HLL.deserialize(rows[0]["blob"])
     for r in rows[1:]:
         hacc.merge(HLL.deserialize(r["blob"]))
