@@ -109,7 +109,23 @@ class MinHashSigStage:
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
         h1, _, nf = shingle_hashes(texts, self.shingle_k)
-        sig = minhash_signatures(h1, nf, self.num_perm, self.seed)
+        # dedup shingles per row BEFORE the num_perm permutation loop:
+        # min over a multiset equals min over its set, so the signature
+        # is bit-identical, and web text repeats shingles heavily — one
+        # (row, hash) lexsort here saves its cost ~num_perm times over
+        nrow = len(nf)
+        row_of = np.repeat(np.arange(nrow, dtype=np.int64), nf)
+        order = np.lexsort((h1, row_of))
+        hs, ro = h1[order], row_of[order]
+        if len(hs):
+            first = np.r_[True, (hs[1:] != hs[:-1]) | (ro[1:] != ro[:-1])]
+            h1u = hs[first]
+            nfu = np.zeros(nrow, dtype=np.int64)
+            np.add.at(nfu, ro[first], 1)
+        else:
+            h1u, nfu = hs, np.zeros(nrow, dtype=np.int64)
+        sig = minhash_signatures(h1u, nfu, self.num_perm, self.seed)
+        nf = nfu
         blobs = sig.astype("<u8").tobytes()
         w = self.num_perm * 8
         # int64 offsets + large_binary: int32 offsets would silently wrap
@@ -319,6 +335,41 @@ def _candidate_pairs_np(dup_ds, band, id_col: str, max_bucket: int):
     return id_a, id_b
 
 
+def _candidate_pairs_band_driver(band, id_col: str, max_bucket: int):
+    """Small-corpus fast path: the WHOLE narrow band table (16 B/row,
+    gated by ``band_driver_limit`` rows ≈ 64 MB) streams to the driver
+    and one lexsort finds every bucket — no Ray shuffle at all.  At
+    bench scale this replaces a ~3 s groupby exchange with ~0.1 s of
+    numpy; above the gate the aggregate paths below take over."""
+    rows = _collect_numpy(band, ["band_key", id_col])
+    ks_raw = rows["band_key"]
+    ids_raw = rows[id_col]
+    order = np.lexsort((ids_raw, ks_raw))
+    ks = ks_raw[order]
+    ids = ids_raw[order]
+    n = len(ks)
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    starts = np.nonzero(np.r_[True, ks[1:] != ks[:-1]])[0]
+    ends = np.r_[starts[1:], n]
+    sizes = ends - starts
+    # c==2 buckets vectorized (the bulk); bigger buckets via capped triu
+    two = sizes == 2
+    pa_ids = [ids[starts[two]]]
+    pb_ids = [ids[starts[two] + 1]]
+    for s, e in zip(starts[sizes > 2], ends[sizes > 2]):
+        seg = ids[s:min(e, s + max_bucket)]
+        ii, jj = np.triu_indices(len(seg), k=1)
+        pa_ids.append(seg[ii])
+        pb_ids.append(seg[jj])
+    id_a = np.concatenate(pa_ids)
+    id_b = np.concatenate(pb_ids)
+    if len(id_a):
+        both = np.unique(np.stack([id_a, id_b], axis=1), axis=0)
+        id_a, id_b = both[:, 0], both[:, 1]
+    return id_a, id_b
+
+
 def _candidate_pairs_cluster(dup_ds, band, id_col: str, max_bucket: int,
                              num_partitions: int):
     """Cluster path (above ``broadcast_limit``): distinct candidate
@@ -378,16 +429,16 @@ def _sig_checkpoint(ds, stage, checkpoint: str, checkpoint_dir):
     ``checkpoint``: "auto" (count the input when cheaply possible and
     gate on SIG_CHECKPOINT_MAX_ROWS), "memory", or "parquet"."""
     sig_ds = ds.map_batches(stage, batch_format="pyarrow")
+    try:
+        n = ds.count()  # metadata-only for parquet-backed inputs
+    except Exception:
+        n = None
     if checkpoint == "auto":
-        try:
-            n = ds.count()  # metadata-only for parquet-backed inputs
-        except Exception:
-            n = None
         checkpoint = "parquet" if (n is not None
                                    and n > SIG_CHECKPOINT_MAX_ROWS) \
             else "memory"
     if checkpoint == "memory":
-        return sig_ds.materialize()
+        return sig_ds.materialize(), n
     import tempfile
 
     import ray.data as rd
@@ -395,7 +446,7 @@ def _sig_checkpoint(ds, stage, checkpoint: str, checkpoint_dir):
     d = checkpoint_dir or tempfile.mkdtemp(prefix="minhash_sigs_",
                                            dir="/tmp")
     sig_ds.write_parquet(d)
-    return rd.read_parquet(d)
+    return rd.read_parquet(d), n
 
 
 def minhash_neardup_pairs_ds(ds, text_col: str = "text",
@@ -405,36 +456,52 @@ def minhash_neardup_pairs_ds(ds, text_col: str = "text",
                              num_partitions: int = DEFAULT_JOIN_PARTITIONS,
                              broadcast_limit: int = 50_000,
                              checkpoint: str = "auto",
-                             checkpoint_dir: str | None = None):
+                             checkpoint_dir: str | None = None,
+                             band_driver_limit: int = 4_000_000):
     """Near-duplicate pairs with estimated Jaccard ≥ threshold, as a
     Dataset (id_a, id_b, est_jaccard).
 
     shingle → minhash signature checkpoint (object store below
     ``SIG_CHECKPOINT_MAX_ROWS``, parquet above) → narrow band rows →
-    ONE native bucket aggregate (the LSH shuffle) → distinct candidate
-    pairs → signature verify.  Candidate handling and verification are
-    adaptive, exactly like a broadcast-vs-shuffle join choice: up to
-    ``broadcast_limit`` dup buckets / candidate pairs (the op's OUTPUT
-    scale) the pairs ride through the driver and the candidate ids are
-    broadcast so one narrow scan fetches just those signatures; beyond
-    the limit candidates stay a Dataset end-to-end (c==2 native
-    projection + map_groups pair expansion + native pair dedup) and the
-    signatures attach via two hash joins, so nothing driver-bound grows
-    with the corpus.
+    bucketing → distinct candidate pairs → signature verify.
+
+    Bucketing is three-tier by scale: below ``band_driver_limit`` band
+    rows (≈64 MB of 16 B rows) the whole narrow band table streams to
+    the driver and ONE lexsort finds every bucket (no shuffle at all);
+    above that, ONE native groupby aggregate does the bucketing, and
+    candidate handling is adaptive like a broadcast-vs-shuffle join
+    choice: up to ``broadcast_limit`` dup buckets / candidate pairs
+    (the op's OUTPUT scale) the pairs ride through the driver and the
+    candidate ids are broadcast so one narrow scan fetches just those
+    signatures; beyond the limit candidates stay a Dataset end-to-end
+    (c==2 native projection + map_groups pair expansion + native pair
+    dedup) and the signatures attach via two hash joins, so nothing
+    driver-bound grows with the corpus.
     """
     stage = MinHashSigStage(text_col, id_col, shingle_k, num_perm)
-    sig_ds = _sig_checkpoint(ds, stage, checkpoint, checkpoint_dir)
+    sig_ds, n_in = _sig_checkpoint(ds, stage, checkpoint, checkpoint_dir)
     band = sig_ds.map_batches(
         lambda b: _band_rows(b, id_col, num_perm, num_bands),
         batch_format="pyarrow")
 
     import ray.data as rd
 
-    dup_ds = _dup_buckets(band, id_col)
-    n_dup = dup_ds.count()  # cheap: materialized
+    if (n_in is not None and broadcast_limit > 0
+            and n_in * num_bands <= band_driver_limit):
+        # small corpus: the whole 16 B/row band table fits a bounded
+        # driver buffer — skip the groupby exchange entirely
+        id_a, id_b = _candidate_pairs_band_driver(band, id_col, max_bucket)
+        n_dup = 0
+    else:
+        dup_ds = _dup_buckets(band, id_col)
+        n_dup = dup_ds.count()  # cheap: materialized
+        if n_dup <= broadcast_limit:
+            id_a, id_b = _candidate_pairs_np(dup_ds, band, id_col,
+                                             max_bucket)
+        else:
+            id_a = None
 
-    if n_dup <= broadcast_limit:
-        id_a, id_b = _candidate_pairs_np(dup_ds, band, id_col, max_bucket)
+    if id_a is not None:
         if len(id_a) == 0:
             return rd.from_arrow(pa.table({
                 "id_a": pa.array([], type=pa.int64()),
@@ -556,22 +623,68 @@ class SimHashStage:
         })
 
 
+def _simhash_pairs_from_rows(rows: dict, id_col: str, max_hamming: int,
+                             max_bucket: int):
+    """Bucket + Hamming-verify pre-collected (band_key, id, fp) rows:
+    one lexsort finds every bucket; c==2 segments verify vectorized,
+    larger ones via capped triu."""
+    order = np.lexsort((rows[id_col], rows["band_key"]))
+    ks = rows["band_key"][order]
+    ids = rows[id_col][order]
+    fp = rows["fp"][order].view(np.uint64)
+    n = len(ks)
+    pa_ids, pb_ids, dists = [], [], []
+    if n:
+        starts = np.nonzero(np.r_[True, ks[1:] != ks[:-1]])[0]
+        ends = np.r_[starts[1:], n]
+        sizes = ends - starts
+        two = starts[sizes == 2]
+        d2 = hamming_distance(fp[two], fp[two + 1])
+        keep2 = d2 <= max_hamming
+        pa_ids.append(ids[two][keep2])
+        pb_ids.append(ids[two + 1][keep2])
+        dists.append(d2[keep2])
+        for s, e in zip(starts[sizes > 2], ends[sizes > 2]):
+            e = min(e, s + max_bucket)
+            ii, jj = np.triu_indices(e - s, k=1)
+            d = hamming_distance(fp[s:e][ii], fp[s:e][jj])
+            keep = d <= max_hamming
+            pa_ids.append(ids[s:e][ii[keep]])
+            pb_ids.append(ids[s:e][jj[keep]])
+            dists.append(d[keep])
+    return pa_ids, pb_ids, dists
+
+
 def simhash_neardup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                           max_hamming: int = 3, shingle_k: int = 5,
-                          num_bands: int = 4, max_bucket: int = 2000):
+                          num_bands: int = 4, max_bucket: int = 2000,
+                          band_driver_limit: int = 4_000_000):
     """Pairs within Hamming distance ≤ max_hamming of 64-bit SimHash.
     Blocking: identical band in any of ``num_bands`` bands (covers all
     pairs with < num_bands differing bits by pigeonhole).
 
-    Same shape as minhash: ONE narrow groupby-aggregate shuffle; c==2
-    buckets yield (min_id, max_id, min_fp, max_fp) natively — for a
-    2-row group {Min(fp), Max(fp)} IS the fp pair, and Hamming is
-    symmetric so the id↔fp association is irrelevant.  Only buckets
-    with ≥2 docs (output scale) leave the cluster; the sparse c≥3 tail
-    triggers one extra filtered scan, capped per bucket.
+    Same tiers as minhash: below ``band_driver_limit`` band rows the
+    whole narrow (band_key, id, fp) table streams to the driver and one
+    lexsort buckets it (no shuffle); above that, ONE narrow
+    groupby-aggregate shuffle — c==2 buckets yield (min_id, max_id,
+    min_fp, max_fp) natively ({Min(fp), Max(fp)} IS the fp pair for a
+    2-row group, and Hamming is symmetric so the id↔fp association is
+    irrelevant), only ≥2-doc buckets (output scale) leave the cluster,
+    and the sparse c≥3 tail triggers one extra filtered scan, capped
+    per bucket.
     """
     stage = SimHashStage(text_col, id_col, shingle_k, num_bands)
     band = ds.map_batches(stage, batch_format="pyarrow")
+
+    try:
+        n_in = ds.count()
+    except Exception:
+        n_in = None
+    if n_in is not None and n_in * num_bands <= band_driver_limit:
+        rows = _collect_numpy(band, ["band_key", id_col, "fp"])
+        pa_ids, pb_ids, dists = _simhash_pairs_from_rows(
+            rows, id_col, max_hamming, max_bucket)
+        return _finish_simhash_pairs(pa_ids, pb_ids, dists)
 
     agg = (band.groupby("band_key")
            .aggregate(Count(alias_name="c"),
@@ -598,24 +711,19 @@ def simhash_neardup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             band.map_batches(_isin_filter("band_key", big_keys),
                              batch_format="pyarrow"),
             ["band_key", id_col, "fp"])
-        order = np.lexsort((rows[id_col], rows["band_key"]))
-        ks = rows["band_key"][order]
-        ids = rows[id_col][order]
-        fp = rows["fp"][order].view(np.uint64)
-        starts = np.nonzero(np.r_[True, ks[1:] != ks[:-1]])[0]
-        ends = np.r_[starts[1:], len(ks)]
-        for s, e in zip(starts, ends):
-            e = min(e, s + max_bucket)
-            ii, jj = np.triu_indices(e - s, k=1)
-            d = hamming_distance(fp[s:e][ii], fp[s:e][jj])
-            keep = d <= max_hamming
-            pa_ids.append(ids[s:e][ii[keep]])
-            pb_ids.append(ids[s:e][jj[keep]])
-            dists.append(d[keep])
+        a2, b2, d2_ = _simhash_pairs_from_rows(rows, id_col, max_hamming,
+                                               max_bucket)
+        pa_ids += a2
+        pb_ids += b2
+        dists += d2_
 
-    id_a = np.concatenate(pa_ids)
-    id_b = np.concatenate(pb_ids)
-    ham = np.concatenate(dists)
+    return _finish_simhash_pairs(pa_ids, pb_ids, dists)
+
+
+def _finish_simhash_pairs(pa_ids, pb_ids, dists) -> pd.DataFrame:
+    id_a = np.concatenate(pa_ids) if pa_ids else np.empty(0, np.int64)
+    id_b = np.concatenate(pb_ids) if pb_ids else np.empty(0, np.int64)
+    ham = np.concatenate(dists) if dists else np.empty(0, np.int64)
     if len(id_a) == 0:
         return _empty_pairs("hamming", "int64")
     both, first = np.unique(np.stack([id_a, id_b], axis=1), axis=0,

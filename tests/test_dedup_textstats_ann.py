@@ -379,3 +379,30 @@ def test_jaccard_csr_kernels_match_naive():
         assert inter[t] == want
         u = la[t] + lb[t] - want
         assert jac[t] == (want / u if u else 1.0)
+
+
+def test_minhash_band_driver_path_matches_groupby_path(dup_docs):
+    """The three bucketing tiers (driver lexsort / groupby+driver pairs /
+    full cluster) must produce identical pair sets."""
+    from biobloom_ray.stages.dedup import minhash_neardup_pairs_ds
+
+    ds, rows = dup_docs
+    fast = (minhash_neardup_pairs_ds(ds, threshold=0.6)  # band-driver tier
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    grp = (minhash_neardup_pairs_ds(ds, threshold=0.6, band_driver_limit=0)
+           .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    assert len(fast) > 0
+    assert fast[["id_a", "id_b"]].equals(grp[["id_a", "id_b"]])
+    assert np.allclose(fast.est_jaccard, grp.est_jaccard)
+
+
+def test_simhash_band_driver_path_matches_groupby_path(dup_docs):
+    from biobloom_ray.stages.dedup import simhash_neardup_pairs
+
+    ds, rows = dup_docs
+    fast = simhash_neardup_pairs(ds, max_hamming=3)
+    grp = simhash_neardup_pairs(ds, max_hamming=3, band_driver_limit=0)
+    assert len(fast) > 0
+    assert fast[["id_a", "id_b"]].reset_index(drop=True).equals(
+        grp[["id_a", "id_b"]].reset_index(drop=True))
+    assert (fast.hamming.to_numpy() == grp.hamming.to_numpy()).all()
