@@ -10,24 +10,38 @@ into the next map stage) fixes the noise at the source.
 
 from __future__ import annotations
 
-import logging
-
 import pyarrow as pa
 
 import ray.data
 
-# See module docstring: demote the schema-hash warning at its source
-# module; real errors still surface.
-logging.getLogger(
-    "ray.data._internal.arrow_ops.transform_pyarrow").setLevel(logging.ERROR)
+# See module docstring: filter the schema-hash warning at its source
+# module (message-targeted Filter, installed by the package __init__ —
+# importing it here guarantees the filter is active wherever io is
+# used); real errors and unrelated warnings still surface.
+import biobloom_ray  # noqa: F401  (installs the _SchemaHashNoise filter)
 
 
 def read_parquet(paths, columns=None, **kwargs) -> "ray.data.Dataset":
     """``ray.data.read_parquet``.  (A dedicated metadata-strip stage was
     tried and reverted: it cannot fuse with the read operator, and one
     extra task hop per block costs more than the warning it silenced —
-    the logger demotion above is the whole fix.)"""
+    the targeted logging filter is the whole fix.)"""
     return ray.data.read_parquet(paths, columns=columns, **kwargs)
+
+
+def cheap_count(ds) -> int | None:
+    """Row count ONLY when it is metadata-cheap (pure Read / in-memory
+    input, no transform chain to execute); None otherwise.  Used to gate
+    small-scale driver fast paths without ever paying an extra pipeline
+    execution for the decision."""
+    try:
+        dag = ds._logical_plan.dag
+        if type(dag).__name__ in ("Read", "InputData", "FromArrow",
+                                  "FromPandas", "FromNumpy", "FromItems"):
+            return ds.count()
+    except Exception:
+        pass
+    return None
 
 
 # ---------------------------------------------------------------------------

@@ -11,6 +11,7 @@ only.
 
 from __future__ import annotations
 
+from biobloom_ray.io import cheap_count as _cheap_count
 from biobloom_ray.io import read_parquet as _rp
 import numpy as np
 import pandas as pd
@@ -122,8 +123,20 @@ def distinct_text_per_lang(sf_dir: str):
     uniq = (ds.map_batches(pairs, batch_format="pyarrow")
             .groupby(["lang", "fp"]).aggregate(Count(alias_name="_c"))
             .select_columns(["lang"]))
-    out = uniq.groupby("lang").aggregate(Count(alias_name="n_distinct"))
-    return out.to_pandas()[["lang", "n_distinct"]]
+
+    # second level: the survivors are already distinct, so counting per
+    # lang needs no second shuffle — per-block partial counts (≤ n_langs
+    # rows per block) sum on the driver
+    def lang_counts_partial(b: pa.Table) -> pa.Table:
+        vc = b["lang"].to_pandas().value_counts()
+        return pa.table({"lang": pa.array(vc.index.to_numpy()),
+                         "n_distinct": pa.array(vc.to_numpy())})
+
+    parts = uniq.map_batches(lang_counts_partial,
+                             batch_format="pyarrow").to_pandas()
+    out = (parts.groupby("lang", as_index=False)["n_distinct"].sum()
+           .sort_values("lang").reset_index(drop=True))
+    return out[["lang", "n_distinct"]]
 
 
 # -- text stats ---------------------------------------------------------------
@@ -325,15 +338,70 @@ def lineitem_pricing_summary(sf_dir: str):
     return out
 
 
+#: customer-side row gate for the broadcast join tier: below this the
+#: custkey→nationkey map ships once per worker (two int64 arrays,
+#: ~32 MB at the gate); above it the hash join takes over
+CUST_BROADCAST_MAX_ROWS = 2_000_000
+
+
 def orders_per_nation(sf_dir: str):
-    """J-family join pipeline: orders ⋈ customer (hash join — both sides
-    grow with scale) then nationkey→name via a BROADCAST lookup (nation
-    is tiny and static; no shuffle)."""
+    """J-family join pipeline: orders ⋈ customer then nationkey→name via
+    a BROADCAST lookup (nation is tiny and static; no shuffle).
+
+    The orders⋈customer join is tiered like every small-side join here:
+    below ``CUST_BROADCAST_MAX_ROWS`` the sorted custkey→nationkey
+    arrays broadcast once (`ray.put`) and the join is a map-side
+    ``searchsorted`` — no shuffle at all, and the final 25-nation
+    rollup is a per-block partial + driver sum; above the gate both
+    sides shuffle through a hash join (both grow with scale)."""
     import ray
 
     from biobloom_ray.io import hash_join
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation",
+                   columns=["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(nation.n_nationkey.astype(np.int64),
+                       nation.n_name))
+
+    n_cust = _cheap_count(cust)
+
+    if n_cust is not None and n_cust <= CUST_BROADCAST_MAX_ROWS:
+        cd = cust.to_pandas()
+        order_ = np.argsort(cd.c_custkey.to_numpy())
+        ckeys = cd.c_custkey.to_numpy()[order_]
+        cnat = cd.c_nationkey.to_numpy()[order_]
+        lut_ref = ray.put((ckeys, cnat))
+
+        def nation_partial(b: pa.Table) -> pa.Table:
+            import ray as _r
+            keys_s, nat_s = _r.get(lut_ref)
+            ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+            cents = np.round(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            idx = np.searchsorted(keys_s, ck)
+            idx[idx == len(keys_s)] = 0
+            ok = keys_s[idx] == ck          # inner join semantics
+            nk = nat_s[idx[ok]]
+            cents = cents[ok]
+            # per-block rollup straight to nation (≤ 25 rows out)
+            n_per = np.bincount(nk)
+            c_per = np.bincount(nk, weights=cents.astype(np.float64))
+            nz = np.nonzero(n_per)[0]
+            return pa.table({
+                "nationkey": pa.array(nz.astype(np.int64)),
+                "n": pa.array(n_per[nz].astype(np.int64)),
+                "cents": pa.array(np.round(c_per[nz]).astype(np.int64))})
+
+        parts = (orders.map_batches(nation_partial, batch_format="pyarrow")
+                 .to_pandas())
+        agg = (parts.groupby("nationkey", as_index=False)
+               .agg(n_orders=("n", "sum"), total_cents=("cents", "sum")))
+        agg["n_name"] = agg.nationkey.map(name_of)
+        out = agg.sort_values("n_name").reset_index(drop=True)
+        return out[["n_name", "n_orders", "total_cents"]]
 
     def order_partial(b: pa.Table) -> pa.Table:
         # pre-aggregate per customer INSIDE the batch: the join and the
@@ -351,14 +419,9 @@ def orders_per_nation(sf_dir: str):
     # block-partials join directly (no pre-join shuffle): the final
     # groupby(n_name) sums partials, so multiple rows per custkey are fine
     per_cust = orders.map_batches(order_partial, batch_format="pyarrow")
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     joined = hash_join(per_cust, cust, on=("o_custkey",),
                        right_on=("c_custkey",))
 
-    nation = _read(sf_dir, "nation",
-                   columns=["n_nationkey", "n_name"]).to_pandas()
-    name_of = dict(zip(nation.n_nationkey.astype(np.int64),
-                       nation.n_name))
     name_ref = ray.put(name_of)
 
     def add_name(b: pa.Table) -> pa.Table:
@@ -377,10 +440,19 @@ def orders_per_nation(sf_dir: str):
     return out[["n_name", "n_orders", "total_cents"]]
 
 
+#: lineitem-side row gate: below this the per-block (partkey, revenue)
+#: partials combine on the driver (bounded by distinct parts × blocks);
+#: above it the native groupby shuffle takes over
+LINEITEM_DRIVER_MAX_ROWS = 5_000_000
+
+
 def top_parts_by_revenue(sf_dir: str, k: int = 10):
     """O3 top-k on a revenue rollup: lineitem revenue in integer
     10⁻⁴-dollar units (extprice_cents × (100 − disc_pct)), pre-agg per
-    batch, native Sum groupby, deterministic sort-limit."""
+    batch, then tiered combine: below ``LINEITEM_DRIVER_MAX_ROWS`` the
+    block partials sum on the driver (one pandas groupby, no shuffle);
+    above it a native Sum groupby + per-block exact top-k +
+    deterministic sort-limit."""
     ds = _read(sf_dir, "lineitem",
                columns=["l_partkey", "l_extendedprice", "l_discount"])
 
@@ -396,7 +468,17 @@ def top_parts_by_revenue(sf_dir: str, k: int = 10):
         agg = df.groupby("l_partkey", as_index=False)["revenue"].sum()
         return pa.Table.from_pandas(agg, preserve_index=False)
 
-    summed = (ds.map_batches(partial, batch_format="pyarrow")
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= LINEITEM_DRIVER_MAX_ROWS:
+        parts = parts_ds.to_pandas()
+        agg = parts.groupby("l_partkey", as_index=False)["revenue"].sum()
+        return (agg.sort_values(["revenue", "l_partkey"],
+                                ascending=[False, True])
+                .head(k).reset_index(drop=True))
+
+    summed = (parts_ds
               .groupby("l_partkey")
               .aggregate(Sum("revenue", alias_name="revenue")))
 

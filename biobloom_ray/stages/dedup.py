@@ -57,6 +57,7 @@ from biobloom_ray.sketches.simhash import (
 )
 from biobloom_ray.textnorm import content_md5_batch
 
+from biobloom_ray.io import cheap_count as _cheap_count
 from biobloom_ray.io import hash_join as _join
 
 DEFAULT_JOIN_PARTITIONS = None
@@ -72,11 +73,51 @@ def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
                            type=pa.large_string()))
 
 
+#: input-row gate for the driver combine tier of exact_dedup: below it
+#: the per-block (hash, min-id) partials (≤ 40 B/distinct text) combine
+#: on the driver and the winner-id set broadcasts back as a filter
+EXACT_DEDUP_DRIVER_MAX_ROWS = 2_000_000
+
+
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                 num_partitions: int = DEFAULT_JOIN_PARTITIONS):
-    """First-wins exact dedup: hash-partition on content hash, native
-    ``Min(id)`` winner per group, then a hash semi-join brings back the
-    winner rows.  No per-group Python, no text in the groupby shuffle."""
+    """First-wins exact dedup, tiered by scale.
+
+    Below ``EXACT_DEDUP_DRIVER_MAX_ROWS`` input rows: per-block
+    (content-hash, min-id) partials combine on the driver, and the
+    sorted winner-id set broadcasts back as a map-side filter — no
+    shuffle.  Above: hash-partition on content hash, native ``Min(id)``
+    winner per group, then a hash semi-join brings back the winner
+    rows.  No per-group Python, no text in the groupby shuffle on
+    either tier."""
+    n_rows = _cheap_count(ds)
+
+    if n_rows is not None and n_rows <= EXACT_DEDUP_DRIVER_MAX_ROWS:
+        import ray
+
+        def hash_min_partial(b: pa.Table) -> pa.Table:
+            h = add_content_hash(b, text_col)
+            df = pd.DataFrame({
+                "fp_md5": h["fp_md5"].to_pandas(),
+                id_col: h[id_col].to_numpy(zero_copy_only=False)})
+            agg = df.groupby("fp_md5", as_index=False)[id_col].min()
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+        parts = (ds.map_batches(hash_min_partial, batch_format="pyarrow")
+                 .to_pandas())
+        winners = np.sort(parts.groupby("fp_md5")[id_col].min().to_numpy())
+        keep_ref = ray.put(winners)
+
+        def keep_winners(b: pa.Table) -> pa.Table:
+            import ray as _r
+            w = _r.get(keep_ref)
+            ids = b[id_col].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(w, ids)
+            idx[idx == len(w)] = 0
+            return b.filter(pa.array(w[idx] == ids))
+
+        return ds.map_batches(keep_winners, batch_format="pyarrow")
+
     hashed = ds.map_batches(lambda b: add_content_hash(b, text_col),
                             batch_format="pyarrow")
     winners = (hashed.select_columns(["fp_md5", id_col])
@@ -429,10 +470,7 @@ def _sig_checkpoint(ds, stage, checkpoint: str, checkpoint_dir):
     ``checkpoint``: "auto" (count the input when cheaply possible and
     gate on SIG_CHECKPOINT_MAX_ROWS), "memory", or "parquet"."""
     sig_ds = ds.map_batches(stage, batch_format="pyarrow")
-    try:
-        n = ds.count()  # metadata-only for parquet-backed inputs
-    except Exception:
-        n = None
+    n = _cheap_count(ds)
     if checkpoint == "auto":
         checkpoint = "parquet" if (n is not None
                                    and n > SIG_CHECKPOINT_MAX_ROWS) \
@@ -676,10 +714,7 @@ def simhash_neardup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     stage = SimHashStage(text_col, id_col, shingle_k, num_bands)
     band = ds.map_batches(stage, batch_format="pyarrow")
 
-    try:
-        n_in = ds.count()
-    except Exception:
-        n_in = None
+    n_in = _cheap_count(ds)
     if n_in is not None and n_in * num_bands <= band_driver_limit:
         rows = _collect_numpy(band, ["band_key", id_col, "fp"])
         pa_ids, pb_ids, dists = _simhash_pairs_from_rows(

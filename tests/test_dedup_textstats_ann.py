@@ -406,3 +406,16 @@ def test_simhash_band_driver_path_matches_groupby_path(dup_docs):
     assert fast[["id_a", "id_b"]].reset_index(drop=True).equals(
         grp[["id_a", "id_b"]].reset_index(drop=True))
     assert (fast.hamming.to_numpy() == grp.hamming.to_numpy()).all()
+
+
+def test_exact_dedup_tiers_agree(dup_docs, monkeypatch):
+    import biobloom_ray.stages.dedup as D
+
+    ds, rows = dup_docs
+    fast = (D.exact_dedup(ds).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    monkeypatch.setattr(D, "EXACT_DEDUP_DRIVER_MAX_ROWS", 0)
+    slow = (D.exact_dedup(ds).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert len(fast) > 0 and len(fast) < ds.count()
+    assert fast.doc_id.tolist() == slow.doc_id.tolist()

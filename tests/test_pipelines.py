@@ -284,3 +284,30 @@ def test_pair_up_keep_first_on_duplicate_headers(ray_session):
     assert len(first) == 1
     assert first.iloc[0].text_1 == "first1"
     assert first.iloc[0].text_2 == "first2"
+
+
+def test_orders_per_nation_tiers_agree(ray_session, monkeypatch):
+    """The broadcast map-side join tier and the hash-join tier must
+    return identical rollups."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast = A.orders_per_nation(sf)
+    monkeypatch.setattr(A, "CUST_BROADCAST_MAX_ROWS", 0)
+    slow = A.orders_per_nation(sf)
+    f = fast.sort_values("n_name").reset_index(drop=True)
+    s = slow.sort_values("n_name").reset_index(drop=True)
+    assert f.n_name.tolist() == s.n_name.tolist()
+    assert (f.n_orders.to_numpy() == s.n_orders.to_numpy()).all()
+    assert (f.total_cents.to_numpy() == s.total_cents.to_numpy()).all()
+
+
+def test_top_parts_tiers_agree(ray_session, monkeypatch):
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast = A.top_parts_by_revenue(sf)
+    monkeypatch.setattr(A, "LINEITEM_DRIVER_MAX_ROWS", 0)
+    slow = A.top_parts_by_revenue(sf)
+    assert fast.l_partkey.tolist() == slow.l_partkey.tolist()
+    assert fast.revenue.tolist() == slow.revenue.tolist()
