@@ -648,52 +648,111 @@ def _bpe_token_counts(sf_dir: str):
 
 
 def _user_event_counts(sf_dir: str):
+    """Per-user rollup, tiered like analytics.events_hourly: per-block
+    (user, n, min, max) partials pre-reduce in map_batches; driver
+    combine below the row gate, native groupby above."""
+    import pandas as pd
+    import pyarrow as pa
+
     import ray.data
-    from ray.data.aggregate import Count, Max, Min
+    from ray.data.aggregate import Max, Min, Sum
+
+    from biobloom_ray.io import cheap_count
+    from biobloom_ray.pipelines.analytics import EVENTS_DRIVER_MAX_ROWS
 
     ds = _rp(f"{sf_dir}/events.parquet",
                                columns=["user_id", "value"])
-    out = (ds.groupby("user_id")
-           .aggregate(Count(alias_name="n"),
-                      Min("value", alias_name="min_value"),
-                      Max("value", alias_name="max_value")))
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+            "value": b["value"].to_numpy(zero_copy_only=False)})
+        agg = (df.groupby("user_id", as_index=False)
+               .agg(n=("value", "size"), min_value=("value", "min"),
+                    max_value=("value", "max")))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    if (n := cheap_count(ds)) is not None and n <= EVENTS_DRIVER_MAX_ROWS:
+        p = parts_ds.to_pandas()
+        return (p.groupby("user_id", as_index=False)
+                .agg(n=("n", "sum"), min_value=("min_value", "min"),
+                     max_value=("max_value", "max")))
+    out = (parts_ds.groupby("user_id")
+           .aggregate(Sum("n", alias_name="n"),
+                      Min("min_value", alias_name="min_value"),
+                      Max("max_value", alias_name="max_value")))
     return out.to_pandas()
 
 
 def _top_users_by_events(sf_dir: str):
-    """Deterministic global top-10: count per user → sort(count desc,
-    user asc) → limit (the O3 top-k pattern on a non-text table)."""
+    """Deterministic global top-10: per-block user value_counts →
+    combine (driver below the gate, native Sum groupby above) →
+    sort(count desc, user asc) → limit (the O3 top-k pattern on a
+    non-text table)."""
+    import pandas as pd
+    import pyarrow as pa
+
     import ray.data
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
+
+    from biobloom_ray.io import cheap_count
+    from biobloom_ray.pipelines.analytics import EVENTS_DRIVER_MAX_ROWS
 
     ds = _rp(f"{sf_dir}/events.parquet",
                                columns=["user_id"])
-    counts = ds.groupby("user_id").aggregate(Count(alias_name="n"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        vc = pd.Series(b["user_id"].to_numpy(zero_copy_only=False)) \
+            .value_counts()
+        return pa.table({"user_id": pa.array(vc.index.to_numpy()),
+                         "n": pa.array(vc.to_numpy())})
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    if (n := cheap_count(ds)) is not None and n <= EVENTS_DRIVER_MAX_ROWS:
+        p = (parts_ds.to_pandas().groupby("user_id", as_index=False)
+             ["n"].sum())
+        return (p.sort_values(["n", "user_id"], ascending=[False, True])
+                .head(10).reset_index(drop=True))
+    counts = parts_ds.groupby("user_id").aggregate(Sum("n", alias_name="n"))
     return counts.sort(["n", "user_id"],
                        descending=[True, False]).limit(10).to_pandas()
 
 
 def _event_type_daily(sf_dir: str):
     """Second time-bucketed aggregate (per day) exercising timestamp
-    truncation + two-key groupby."""
+    truncation + two-key rollup, tiered like events_hourly."""
+    import pandas as pd
     import pyarrow as pa
     import pyarrow.compute as pc
 
     import ray.data
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
+
+    from biobloom_ray.io import cheap_count
+    from biobloom_ray.pipelines.analytics import EVENTS_DRIVER_MAX_ROWS
 
     ds = _rp(f"{sf_dir}/events.parquet",
                                columns=["event_type", "ts"])
 
-    def trunc(b: pa.Table) -> pa.Table:
+    def partial(b: pa.Table) -> pa.Table:
         # cast via timestamp("s"): input-unit-independent epoch seconds
         day = (pc.floor_temporal(b["ts"], unit="day")
                .cast(pa.timestamp("s")).cast(pa.int64()))
-        return b.append_column("day_epoch", day).drop_columns(["ts"])
+        df = pd.DataFrame({
+            "event_type": b["event_type"].to_pandas(),
+            "day_epoch": day.to_numpy(zero_copy_only=False)})
+        agg = (df.groupby(["event_type", "day_epoch"], as_index=False)
+               .agg(n=("day_epoch", "size")))
+        return pa.Table.from_pandas(agg, preserve_index=False)
 
-    out = (ds.map_batches(trunc, batch_format="pyarrow")
-           .groupby(["event_type", "day_epoch"])
-           .aggregate(Count(alias_name="n")))
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    if (n := cheap_count(ds)) is not None and n <= EVENTS_DRIVER_MAX_ROWS:
+        return (parts_ds.to_pandas()
+                .groupby(["event_type", "day_epoch"], as_index=False)
+                ["n"].sum())
+    out = (parts_ds.groupby(["event_type", "day_epoch"])
+           .aggregate(Sum("n", alias_name="n")))
     return out.to_pandas()
 
 

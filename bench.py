@@ -110,7 +110,16 @@ def run_queries() -> dict[str, float]:
                "top_parts_by_revenue", "events_sessionize", "paired_join",
                "mibf_classify", "mibf_classify_paired", "categorize_length",
                "ann_topk_multi", "deterministic_sample", "events_asof_join",
-               "dust_masked_categorize", "frame_sample_features"]
+               "dust_masked_categorize", "frame_sample_features",
+               # round-3 additions + previously-unbenched registry entries
+               "deterministic_sample_hash", "minhash_dedup_kept",
+               "user_event_counts", "top_users_by_events",
+               "event_type_daily", "top_docs_per_lang",
+               "paired_categorize", "categorize_besthit",
+               "categorize_ordered", "categorize_binomial",
+               "categorize_harmonic", "masked_categorize",
+               "tdigest_nchars_quantiles", "spaced_seed_distinct",
+               "progressive_build_info", "multimodal_features"]
     for name in ordered:
         if name in qs:
             out[name] = _timed(qs[name], SF_DIR)

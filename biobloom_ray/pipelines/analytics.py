@@ -68,22 +68,49 @@ def median_nchars_by_lang(sf_dir: str):
     return ds.groupby("lang").map_groups(med, batch_format="pandas").to_pandas()
 
 
+#: shared input-row gate for the event-rollup driver-combine tiers: the
+#: block partials are output-scale ((type, bucket) / user rows), so
+#: below this many INPUT rows they combine in one driver pandas groupby
+#: instead of a native shuffle; above it the native aggregate runs
+EVENTS_DRIVER_MAX_ROWS = 5_000_000
+
+
 def events_hourly(sf_dir: str):
+    """Windowed aggregate, tiered: per-block (type, hour) partials with
+    n/min/max always pre-reduce inside map_batches; below the row gate
+    they combine on the driver, above it a native Sum/Min/Max groupby
+    finishes (identical output, tier-parity-tested)."""
     ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
 
-    def trunc(b: pa.Table) -> pa.Table:
+    def partial(b: pa.Table) -> pa.Table:
         # integral epoch seconds rather than a timestamp column: immune to
         # datetime64 unit differences between engines in the value hash;
         # cast via timestamp("s") so the conversion is input-unit-independent
         hour = (pc.floor_temporal(b["ts"], unit="hour")
                 .cast(pa.timestamp("s")).cast(pa.int64()))
-        return b.append_column("hour_epoch", hour).drop_columns(["ts"])
+        df = pd.DataFrame({
+            "event_type": b["event_type"].to_pandas(),
+            "hour_epoch": hour.to_numpy(zero_copy_only=False),
+            "value": b["value"].to_numpy(zero_copy_only=False)})
+        agg = (df.groupby(["event_type", "hour_epoch"], as_index=False)
+               .agg(n=("value", "size"), min_value=("value", "min"),
+                    max_value=("value", "max")))
+        return pa.Table.from_pandas(agg, preserve_index=False)
 
-    out = (ds.map_batches(trunc, batch_format="pyarrow")
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        p = parts_ds.to_pandas()
+        out = (p.groupby(["event_type", "hour_epoch"], as_index=False)
+               .agg(n=("n", "sum"), min_value=("min_value", "min"),
+                    max_value=("max_value", "max")))
+        return out
+
+    out = (parts_ds
            .groupby(["event_type", "hour_epoch"])
-           .aggregate(Count(alias_name="n"),
-                      Min("value", alias_name="min_value"),
-                      Max("value", alias_name="max_value")))
+           .aggregate(Sum("n", alias_name="n"),
+                      Min("min_value", alias_name="min_value"),
+                      Max("max_value", alias_name="max_value")))
     return out.to_pandas()
 
 

@@ -311,3 +311,26 @@ def test_top_parts_tiers_agree(ray_session, monkeypatch):
     slow = A.top_parts_by_revenue(sf)
     assert fast.l_partkey.tolist() == slow.l_partkey.tolist()
     assert fast.revenue.tolist() == slow.revenue.tolist()
+
+
+def test_event_rollup_tiers_agree(ray_session, monkeypatch):
+    """Driver-combine and native-groupby tiers of the event rollups must
+    return identical tables."""
+    import biobloom_ray.pipelines.analytics as A
+    import __ray_entry__ as E
+
+    sf = "/root/testdata/sf0.01"
+    queries = {
+        "events_hourly": lambda: A.events_hourly(sf),
+        "user_event_counts": lambda: E._user_event_counts(sf),
+        "top_users_by_events": lambda: E._top_users_by_events(sf),
+        "event_type_daily": lambda: E._event_type_daily(sf),
+    }
+    fast = {k: f() for k, f in queries.items()}
+    monkeypatch.setattr(A, "EVENTS_DRIVER_MAX_ROWS", 0)
+    slow = {k: f() for k, f in queries.items()}
+    for k in queries:
+        f = fast[k].sort_values(list(fast[k].columns)).reset_index(drop=True)
+        s = (slow[k][list(fast[k].columns)]
+             .sort_values(list(fast[k].columns)).reset_index(drop=True))
+        assert len(f) > 0 and f.equals(s), k
