@@ -392,7 +392,8 @@ def _paired_categorize(sf_dir: str):
                          "text": b["text"]})
 
     mates = docs.map_batches(to_mates, batch_format="pyarrow")
-    pairs = pair_up(mates)
+    from biobloom_ray.io import cheap_count
+    pairs = pair_up(mates, n_rows=cheap_count(docs))  # mate synth is 1:1
     _flagship(sf_dir)  # ensure the per-lang bank is cached
     bank = _BANK_CACHE[sf_dir]
     cfg = CategorizeConfig(mode="std", inclusive=False, batch_size=512)
@@ -576,8 +577,10 @@ def _paired_join(sf_dir: str):
     from biobloom_ray.stages.pairs import pair_up
 
     docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from biobloom_ray.io import cheap_count
     pairs = pair_up(docs.map_batches(_to_mates_table,
-                                     batch_format="pyarrow"))
+                                     batch_format="pyarrow"),
+                    n_rows=cheap_count(docs))  # mate synth is 1:1
 
     def lens(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -621,8 +624,10 @@ def _mibf_classify_paired(sf_dir: str):
     from biobloom_ray.stages.pairs import pair_up
 
     docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from biobloom_ray.io import cheap_count
     pairs = pair_up(docs.map_batches(_to_mates_table,
-                                     batch_format="pyarrow"))
+                                     batch_format="pyarrow"),
+                    n_rows=cheap_count(docs))  # mate synth is 1:1
     out = classify_mibf(pairs, _get_mibf(sf_dir), min_fpr=0.01,
                         text_col="text_1", text_col2="text_2")
     return out.select_columns(

@@ -377,3 +377,32 @@ def test_progressive_binomial_tally_counts_final_filter(ray_session):
                      method="binomial", threshold=0.05,
                      bf_fpr=bf.fpr_realized())
     assert recruited == int(acc.sum())
+
+
+def test_pair_up_tiers_agree(ray_session, monkeypatch):
+    """Broadcast mate-cache tier and hash-join tier must return the same
+    pairs, including the duplicate-header fan-out."""
+    import biobloom_ray.stages.pairs as P
+
+    rows = []
+    for i in range(60):
+        rows.append((f"r{i:03d}/1", f"first {i}"))
+        rows.append((f"r{i:03d}/2", f"second {i}"))
+    rows.append(("dup/1", "a1")); rows.append(("dup/1", "b1"))
+    rows.append(("dup/2", "a2")); rows.append(("dup/2", "b2"))
+    rows.append(("orphan/1", "no mate"))
+    tbl = pa.table({"url": [r[0] for r in rows],
+                    "text": [r[1] for r in rows]})
+    ds = ray.data.from_arrow(tbl).random_shuffle(seed=9)
+    fast = (P.pair_up(ds, n_rows=len(rows)).to_pandas()
+            .sort_values(["pair_key", "text_1", "text_2"])
+            .reset_index(drop=True))
+    monkeypatch.setattr(P, "PAIR_BROADCAST_MAX_ROWS", 0)
+    slow = (P.pair_up(ds, n_rows=len(rows)).to_pandas()
+            .sort_values(["pair_key", "text_1", "text_2"])
+            .reset_index(drop=True))
+    assert len(fast) == 60 + 4  # 60 clean pairs + 2x2 dup fan-out
+    assert fast.pair_key.astype(str).tolist() == \
+        slow.pair_key.astype(str).tolist()
+    assert fast.text_1.tolist() == slow.text_1.tolist()
+    assert fast.text_2.tolist() == slow.text_2.tolist()
