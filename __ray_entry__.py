@@ -609,9 +609,12 @@ def _get_mibf(sf_dir: str):
             return b.filter(pa.array(ids % 3 == 0))
 
         train = docs.map_batches(train_split, batch_format="pyarrow")
+        from biobloom_ray.io import cheap_count
         _MIBF_CACHE[sf_dir] = build_mibf(train, text_col="text",
                                          label_col="lang", kmer_size=8,
-                                         hash_num=3)
+                                         hash_num=3,
+                                         n_rows=cheap_count(docs))
+
     return _MIBF_CACHE[sf_dir]
 
 

@@ -57,6 +57,13 @@ U64_ROW = np.uint64(0x9E3779B97F4A7C15)  # row-mixing multiplier
 # reduce on the driver with the same order-free comparators
 DRIVER_REDUCE_MAX_SLOTS = 2 ** 22
 DRIVER_REDUCE_MAX_M = 8 * 16 * 2 ** 20
+#: below this many input DOCS the whole build collects the (normalized
+#: text, label) pairs once and runs every pass locally — the 3-pass
+#: distributed build costs ~1 s of Dataset orchestration per pass, which
+#: dominates tiny reference corpora; the local build is bit-identical
+#: (HLL registers are order-free maxes, ownership is a global min, and
+#: saturation is a set union)
+DRIVER_BUILD_MAX_ROWS = 10_000
 
 
 def _cluster_cpus() -> int:
@@ -72,6 +79,66 @@ def _texts(batch: pa.Table, text_col: str, normalize: bool) -> pa.Array:
     return normalize_batch(t) if normalize else t
 
 
+def _build_mibf_local(texts: pa.Array, labels: np.ndarray, kmer_size: int,
+                      hash_num: int, occupancy: float, seed: int,
+                      spaced_seeds: list[str]) -> MIBloomFilter:
+    """Driver-tier build from collected (normalized text, label) pairs —
+    bit-identical to the distributed 3-pass build (same HLL sizing, same
+    global-min fair ownership, same saturation set), parity-pinned by
+    tests."""
+    import math
+
+    from biobloom_ray.sketches.hll import HLL
+
+    names = sorted(set(labels.tolist()))
+    if len(names) > MAX_IDS:
+        raise ValueError(f"miBF supports at most {MAX_IDS} labels")
+    nmap = {n: i + 1 for i, n in enumerate(names)}
+
+    hll = HLL(p=14)
+    if spaced_seeds:
+        from biobloom_ray.hashing import spaced_seed_hashes
+
+        h, _ = spaced_seed_hashes(texts, spaced_seeds, seed)
+        hll.update(h.reshape(-1))
+    else:
+        h1, _, _ = shingle_hashes(texts, kmer_size, seed)
+        hll.update(h1)
+    n_distinct = max(int(hll.estimate()), 64)
+    n_positions = n_distinct if spaced_seeds else n_distinct * hash_num
+    m = int(n_positions / math.log(1.0 / (1.0 - occupancy)))
+    m += 64 - m % 64
+
+    proto = MIBloomFilter(m=m, hash_num=hash_num, kmer_size=kmer_size,
+                          seed=seed, id_names=names,
+                          spaced_seeds=spaced_seeds)
+    pos, nf, _ = proto.frame_hashes(texts)
+    proto.set_bits(pos)
+    proto.build_rank()
+
+    row_ids = np.array([nmap[l] for l in labels], dtype=np.uint16)
+    frame_ids = np.repeat(row_ids, nf)
+    slots = proto.rank(pos)
+    flat_slots = slots.reshape(-1)
+    flat_ids = np.repeat(frame_ids, hash_num)
+    keys = ownership_key(flat_slots, flat_ids)
+    order = np.lexsort((flat_ids, keys, flat_slots))
+    s_sorted = flat_slots[order]
+    first = np.empty(len(order), dtype=bool)
+    if len(order):
+        first[0] = True
+        first[1:] = s_sorted[1:] != s_sorted[:-1]
+    win = order[first]
+    best_id = np.zeros(proto.n_slots, dtype=np.uint16)
+    best_id[flat_slots[win]] = flat_ids[win]
+    proto.ids = best_id
+
+    owners = proto.ids[slots] & ID_MASK
+    lost = (owners != frame_ids[:, None]).all(axis=1)
+    proto.ids[np.unique(slots[lost].reshape(-1))] |= SATURATED
+    return proto
+
+
 def build_mibf(
     ds: "ray.data.Dataset",
     text_col: str = "text",
@@ -83,18 +150,40 @@ def build_mibf(
     normalize: bool = True,
     batch_size: int = 2048,
     spaced_seeds: list[str] | None = None,
+    n_rows: int | None = None,
 ) -> MIBloomFilter:
     """``spaced_seeds``: '1'/'0' strings of equal length — when given,
     probes hash only the care positions of each seed (the reference's
     stHashIterator mode, the recommended miBF configuration per
-    Doc/MultiIndex.md §4); kmer_size/hash_num derive from the seeds."""
+    Doc/MultiIndex.md §4); kmer_size/hash_num derive from the seeds.
+
+    Tiered: below ``DRIVER_BUILD_MAX_ROWS`` docs (``n_rows`` hint, or
+    ``cheap_count`` for pure reads / in-memory inputs) the corpus
+    collects once and the build runs locally; above it the distributed
+    3-pass build (tree OR, slot-sharded min, dedup saturation) runs."""
     from biobloom_ray.hashing import DEFAULT_SEED
+    from biobloom_ray.io import cheap_count
 
     seed = DEFAULT_SEED if seed is None else seed
     spaced_seeds = list(spaced_seeds or [])
     if spaced_seeds:
         kmer_size = len(spaced_seeds[0])
         hash_num = len(spaced_seeds)
+
+    if n_rows is None:
+        n_rows = cheap_count(ds)
+    if n_rows is not None and n_rows <= DRIVER_BUILD_MAX_ROWS:
+        t_parts, l_parts = [], []
+        for b in ds.iter_batches(batch_size=batch_size,
+                                 batch_format="pyarrow"):
+            t_parts.append(_texts(b, text_col, normalize))
+            l_parts.append(b[label_col].to_pandas().to_numpy())
+        texts = pa.chunked_array(t_parts).combine_chunks() if t_parts \
+            else pa.array([], type=pa.large_string())
+        labels = (np.concatenate(l_parts) if l_parts
+                  else np.empty(0, dtype=object))
+        return _build_mibf_local(texts, labels, kmer_size, hash_num,
+                                 occupancy, seed, spaced_seeds)
 
     # pass 0 (FUSED, round 3): ONE scan emits both per-block partials —
     # the distinct labels (id table, ≤ 32767, Doc/MultiIndex.md:165) and

@@ -178,6 +178,7 @@ class TestClusterPaths:
         filter to the small-filter driver paths."""
         import biobloom_ray.pipelines.mibf as M
 
+        monkeypatch.setattr(M, "DRIVER_BUILD_MAX_ROWS", 0)
         monkeypatch.setattr(M, "DRIVER_REDUCE_MAX_SLOTS", 0)
         monkeypatch.setattr(M, "DRIVER_REDUCE_MAX_M", 0)
         ref = ray.data.from_arrow(generate_ref_corpora(docs_per_lang=60))
@@ -185,6 +186,21 @@ class TestClusterPaths:
                               kmer_size=8, hash_num=3, occupancy=0.5)
         assert np.array_equal(big_path.words, mibf.words)
         assert np.array_equal(big_path.ids, mibf.ids)
+
+    def test_distributed_build_matches_local_tier(self, ray_session, mibf,
+                                                  monkeypatch):
+        """The round-3 driver-tier build (collect once, all passes
+        local) must be bit-identical to the distributed 3-pass build
+        with driver reduces (the module fixture uses the local tier)."""
+        import biobloom_ray.pipelines.mibf as M
+
+        monkeypatch.setattr(M, "DRIVER_BUILD_MAX_ROWS", 0)
+        ref = ray.data.from_arrow(generate_ref_corpora(docs_per_lang=60))
+        dist = build_mibf(ref, text_col="doc", label_col="filter_id",
+                          kmer_size=8, hash_num=3, occupancy=0.5)
+        assert np.array_equal(dist.words, mibf.words)
+        assert np.array_equal(dist.ids, mibf.ids)
+        assert dist.id_names == mibf.id_names
 
 
 class TestVectorizedDecide:
