@@ -780,6 +780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": A.quality_scores,
         "doc_fingerprint": A.doc_fingerprints,
         "heavy_tokens_topk": A.heavy_tokens_topk,
+        "token_rarity_scores": A.token_rarity_scores,
         "ann_topk": _ann_topk,
         "ann_topk_multi": _ann_topk_multi,
         "user_event_counts": _user_event_counts,
@@ -872,6 +873,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT unnest(regexp_extract_all(text, '\\S+')) AS token "
             "FROM documents) GROUP BY token "
             "ORDER BY cnt DESC, token ASC LIMIT 20",
+        # exact-integer rarity profile: no float aggregation, so the
+        # value hash is order-independent on both engines
+        "token_rarity_scores":
+            "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text,"
+            " '\\S+')) AS token FROM documents), "
+            "freq AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY"
+            " token) "
+            "SELECT t.doc_id, COUNT(*) AS n_tokens, MIN(f.cnt) AS"
+            " min_token_cnt, SUM(CASE WHEN f.cnt = 1 THEN 1 ELSE 0 END)"
+            " AS n_hapax FROM tok t JOIN freq f ON t.token = f.token "
+            "GROUP BY t.doc_id ORDER BY t.doc_id",
         "user_event_counts":
             "SELECT user_id, COUNT(*) AS n, MIN(value) AS min_value, "
             "MAX(value) AS max_value FROM events GROUP BY user_id",

@@ -119,7 +119,8 @@ def run_queries() -> dict[str, float]:
                "categorize_ordered", "categorize_binomial",
                "categorize_harmonic", "masked_categorize",
                "tdigest_nchars_quantiles", "spaced_seed_distinct",
-               "progressive_build_info", "multimodal_features"]
+               "progressive_build_info", "multimodal_features",
+               "token_rarity_scores"]
     for name in ordered:
         if name in qs:
             out[name] = _timed(qs[name], SF_DIR)

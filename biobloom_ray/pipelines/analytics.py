@@ -207,6 +207,107 @@ def doc_fingerprints(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow").to_pandas()
 
 
+#: input-row gate for token_rarity_scores' broadcast tier: below it the
+#: corpus unigram table broadcasts once; above it tokens hash-join the
+#: frequency table and reduce with native aggregates
+RARITY_BROADCAST_MAX_ROWS = 200_000
+
+
+def token_rarity_scores(sf_dir: str):
+    """Corpus-frequency rarity profile per document — a training-data
+    quality signal in exact integers (no float-summation-order hazard in
+    the oracle hash): ``n_tokens``, ``min_token_cnt`` (corpus count of
+    the doc's rarest token) and ``n_hapax`` (tokens occurring exactly
+    once corpus-wide).  Docs with zero tokens are dropped (no rarity is
+    defined), matching the oracle's inner join.
+
+    Tiered: below ``RARITY_BROADCAST_MAX_ROWS`` docs the sorted
+    (token, count) unigram table broadcasts once and each block scores
+    its docs with one searchsorted + np.minimum.at/add.at pass; above
+    the gate the exploded (doc_id, token) rows hash-join the frequency
+    table and reduce with native Count/Min/Sum aggregates."""
+    import ray
+
+    from biobloom_ray.io import hash_join
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def freq_partial(b: pa.Table) -> pa.Table:
+        s = b["text"].to_pandas()
+        toks = s.str.findall(r"\S+").explode().dropna()
+        vc = toks.value_counts()
+        return pa.table({"token": pa.array(vc.index.astype(str),
+                                           type=pa.string()),
+                         "cnt": pa.array(vc.to_numpy().astype(np.int64))})
+
+    freq_parts = ds.map_batches(freq_partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+
+    if n_rows is not None and n_rows <= RARITY_BROADCAST_MAX_ROWS:
+        fp = (freq_parts.to_pandas().groupby("token", as_index=False)
+              ["cnt"].sum())
+        tok_sorted = fp.token.to_numpy(dtype=object)
+        order = np.argsort(tok_sorted, kind="stable")
+        tok_sorted = tok_sorted[order]
+        cnt_sorted = fp.cnt.to_numpy()[order]
+        freq_ref = ray.put((tok_sorted, cnt_sorted))
+
+        def score(b: pa.Table) -> pa.Table:
+            import ray as _r
+            toks_s, cnts_s = _r.get(freq_ref)
+            s = b["text"].to_pandas()
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            lists = s.str.findall(r"\S+")
+            lens = lists.str.len().to_numpy().astype(np.int64)
+            flat = lists.explode().dropna().to_numpy(dtype=object)
+            row_of = np.repeat(np.arange(len(ids)), lens)
+            idx = np.searchsorted(toks_s, flat)
+            c = cnts_s[idx]  # every token is in the corpus table
+            mins = np.full(len(ids), np.iinfo(np.int64).max)
+            np.minimum.at(mins, row_of, c)
+            hapax = np.zeros(len(ids), dtype=np.int64)
+            np.add.at(hapax, row_of, (c == 1).astype(np.int64))
+            keep = lens > 0
+            return pa.table({
+                "doc_id": pa.array(ids[keep]),
+                "n_tokens": pa.array(lens[keep]),
+                "min_token_cnt": pa.array(mins[keep]),
+                "n_hapax": pa.array(hapax[keep])})
+
+        out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    freq = (freq_parts.groupby("token")
+            .aggregate(Sum("cnt", alias_name="cnt")))
+
+    def explode(b: pa.Table) -> pa.Table:
+        s = b["text"].to_pandas()
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        lists = s.str.findall(r"\S+")
+        lens = lists.str.len().to_numpy().astype(np.int64)
+        flat = lists.explode().dropna().astype(str).to_numpy(dtype=object)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, lens)),
+            "token": pa.array(flat, type=pa.string())})
+
+    toks = ds.map_batches(explode, batch_format="pyarrow")
+    joined = hash_join(toks, freq, on=("token",))
+
+    def hapax_col(b: pa.Table) -> pa.Table:
+        c = b["cnt"].to_numpy(zero_copy_only=False)
+        return b.append_column("is_hapax",
+                               pa.array((c == 1).astype(np.int64)))
+
+    out = (joined.map_batches(hapax_col, batch_format="pyarrow")
+           .groupby("doc_id")
+           .aggregate(Count(alias_name="n_tokens"),
+                      Min("cnt", alias_name="min_token_cnt"),
+                      Sum("is_hapax", alias_name="n_hapax"))
+           .to_pandas())
+    return (out[["doc_id", "n_tokens", "min_token_cnt", "n_hapax"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def heavy_tokens_topk(sf_dir: str, k: int = 20):
     """Exact heavy hitters: per-batch token value_counts (pre-agg) →
     groupby(token).sum → deterministic top-k (count desc, token asc).

@@ -62,7 +62,7 @@ SQL_CHECKED = [
     "top_docs_per_lang",
     # round-3 additions
     "deterministic_sample_hash", "minhash_dedup_kept",
-    "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs", "token_rarity_scores",
 ]
 
 

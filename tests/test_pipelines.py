@@ -334,3 +334,17 @@ def test_event_rollup_tiers_agree(ray_session, monkeypatch):
         s = (slow[k][list(fast[k].columns)]
              .sort_values(list(fast[k].columns)).reset_index(drop=True))
         assert len(f) > 0 and f.equals(s), k
+
+
+def test_token_rarity_tiers_agree(ray_session, monkeypatch):
+    """Broadcast-unigram tier and hash-join tier of token_rarity_scores
+    must return identical integer profiles."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast = A.token_rarity_scores(sf)
+    monkeypatch.setattr(A, "RARITY_BROADCAST_MAX_ROWS", 0)
+    slow = A.token_rarity_scores(sf)
+    assert len(fast) > 0
+    for c in ("doc_id", "n_tokens", "min_token_cnt", "n_hapax"):
+        assert (fast[c].to_numpy() == slow[c].to_numpy()).all(), c
