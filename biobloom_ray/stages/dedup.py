@@ -5,12 +5,16 @@ Every variant is expressed Ray-Data-first:
 - exact        — content-hash per batch → native ``groupby(hash).min(id)``
                  winners → hash semi-join back to the rows (the shuffle
                  key is the 32-hex md5, never the text)
-- minhash-LSH  — shingle → minhash signature (materialized once, 1 KB/doc
-                 ≈ 1-3 % of corpus bytes — the "signature checkpoint") →
-                 NARROW banded rows (band_key, id; 16 B/row, no signature
-                 payload) → native per-bucket count aggregate → candidate
-                 pairs → signature verify (broadcast fetch below
-                 ``broadcast_limit`` pairs, two hash joins above)
+- minhash-LSH  — shingle → minhash signature checkpoint (object store
+                 below a row gate, partitioned parquet above; 1 KB/doc
+                 ≈ 1-3 % of corpus bytes) → NARROW banded rows
+                 (band_key, id; 16 B/row, no signature payload) →
+                 three-tier bucketing (driver lexsort below
+                 ``band_driver_limit`` rows; native per-bucket count
+                 aggregate above; candidate pairs as a Dataset
+                 end-to-end past ``broadcast_limit``) → signature
+                 verify (broadcast fetch below the limit, two hash
+                 joins above)
 - simhash      — 64-bit fingerprints → band blocking → Hamming verify,
                  same narrow-row + native-aggregate shape
 - embedding    — see :mod:`biobloom_ray.stages.ann`

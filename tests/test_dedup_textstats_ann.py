@@ -419,3 +419,63 @@ def test_exact_dedup_tiers_agree(dup_docs, monkeypatch):
             .sort_values("doc_id").reset_index(drop=True))
     assert len(fast) > 0 and len(fast) < ds.count()
     assert fast.doc_id.tolist() == slow.doc_id.tolist()
+
+
+def test_jaccard_kernels_property(ray_session):
+    """Hypothesis property: batched CSR intersection == per-pair
+    np.intersect1d for arbitrary sorted-unique uint64 sets."""
+    from hypothesis import given, settings, strategies as st
+
+    from biobloom_ray.stages.dedup import _pair_intersections
+
+    sets_strategy = st.lists(
+        st.lists(st.integers(0, 2**64 - 1), max_size=25).map(
+            lambda xs: np.unique(np.array(xs, dtype=np.uint64))),
+        min_size=1, max_size=12)
+
+    @settings(max_examples=60, deadline=None)
+    @given(sets=sets_strategy, data=st.data())
+    def run(sets, data):
+        n = len(sets)
+        pairs = [(data.draw(st.integers(0, n - 1)),
+                  data.draw(st.integers(0, n - 1)))
+                 for _ in range(data.draw(st.integers(1, 8)))]
+        va = (np.concatenate([sets[a] for a, _ in pairs])
+              if pairs else np.empty(0, np.uint64))
+        vb = (np.concatenate([sets[b] for _, b in pairs])
+              if pairs else np.empty(0, np.uint64))
+        la = np.array([len(sets[a]) for a, _ in pairs], dtype=np.int64)
+        lb = np.array([len(sets[b]) for _, b in pairs], dtype=np.int64)
+        got = _pair_intersections(va, la, vb, lb)
+        for t, (a, b) in enumerate(pairs):
+            want = len(np.intersect1d(sets[a], sets[b],
+                                      assume_unique=True))
+            assert got[t] == want
+
+    run()
+
+
+def test_segment_gather_property():
+    """Hypothesis property: _segment_gather concatenates exactly the
+    requested CSR segments in order."""
+    from hypothesis import given, settings, strategies as st
+
+    from biobloom_ray.stages.dedup import _segment_gather
+
+    @settings(max_examples=60, deadline=None)
+    @given(segs=st.lists(st.lists(st.integers(0, 1000), max_size=10),
+                         min_size=1, max_size=10), data=st.data())
+    def run(segs, data):
+        vals = np.array([x for s in segs for x in s], dtype=np.int64)
+        offs = np.zeros(len(segs) + 1, dtype=np.int64)
+        np.cumsum([len(s) for s in segs], out=offs[1:])
+        idx = np.array([data.draw(st.integers(0, len(segs) - 1))
+                        for _ in range(data.draw(st.integers(1, 6)))],
+                       dtype=np.int64)
+        got, lens = _segment_gather(vals, offs, idx)
+        want = np.concatenate([np.array(segs[i], dtype=np.int64)
+                               for i in idx]) if len(idx) else vals[:0]
+        assert np.array_equal(got, want)
+        assert lens.tolist() == [len(segs[i]) for i in idx]
+
+    run()
