@@ -78,9 +78,11 @@ def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 #: input-row gate for the driver combine tier of exact_dedup: below it
-#: the per-block (hash, min-id) partials (≤ 40 B/distinct text) combine
-#: on the driver and the winner-id set broadcasts back as a filter
-EXACT_DEDUP_DRIVER_MAX_ROWS = 2_000_000
+#: the per-block (hash, min-id) partials combine on the driver and the
+#: winner-id set broadcasts back as a filter.  Partials are 32-hex
+#: Python strings in pandas (~100 B each incl. object overhead), so the
+#: gate stays at 1M rows ≈ 100-200 MB driver peak
+EXACT_DEDUP_DRIVER_MAX_ROWS = 1_000_000
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",

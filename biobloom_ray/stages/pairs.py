@@ -27,8 +27,10 @@ def add_pair_key(batch: pa.Table, header_col: str = "url") -> pa.Table:
 
 #: input-row gate for the broadcast mate-cache tier: below it, the /2
 #: side collects once and broadcasts (the distributed analogue of the
-#: reference's in-memory mate cache); above it the hash join shuffles
-PAIR_BROADCAST_MAX_ROWS = 500_000
+#: reference's in-memory mate cache); above it the hash join shuffles.
+#: The broadcast payload is the mate TEXTS, so the gate is conservative:
+#: 100k rows ≈ 100 MB at 1 KB/doc
+PAIR_BROADCAST_MAX_ROWS = 100_000
 
 
 def pair_up(ds, header_col: str = "url", text_col: str = "text",
