@@ -798,7 +798,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketch / LSH / model pipelines (rows-only here; bound-checked in pytest)
         "bloom_build_info": _bloom_build_info,
         "categorize_summary": _categorize_summary,
-        "categorize_labels": _categorize_labels,
         "hll_distinct_per_lang": A.hll_distinct_shingles_per_lang,
         "cms_heavy_hitters": A.cms_heavy_hitters,
         "kll_nchars_quantiles": A.kll_nchars_quantiles,
@@ -814,7 +813,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "categorize_length": _categorize_length,
         "progressive_build_info": _progressive_info,
         "paired_categorize": _paired_categorize,
-        "categorize_besthit": _categorize_besthit,
         "categorize_ordered": _categorize_ordered,
         "categorize_binomial": _categorize_binomial,
         "categorize_harmonic": _categorize_harmonic,
@@ -822,9 +820,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dust_masked_categorize": _dust_masked_categorize,
         "tdigest_nchars_quantiles": _tdigest_quantiles,
         "spaced_seed_distinct": _spaced_seed_distinct,
-        # stub-backed multimodal plumbing last: weakest driver signal
-        # (rows-only over a FakeCodec) and fully pytest-covered — if the
-        # driver caps the registry, these are the right two to drop
+        # weakest-incremental-signal queries last — if the driver caps
+        # the registry at 50, these four are the right ones to drop:
+        # categorize_labels is the same pipeline as categorize_summary
+        # (golden-tested), categorize_besthit is a pytest-covered mode
+        # variant, and the multimodal pair is rows-only over a FakeCodec
+        "categorize_labels": _categorize_labels,
+        "categorize_besthit": _categorize_besthit,
         "multimodal_features": _multimodal_features,
         "frame_sample_features": _frame_sample_features,
     }
