@@ -343,3 +343,30 @@ class TestAllowedMiss:
         c = f.id_counts().astype(float)
         want = (occ ** 2) * (1 - (1 - c / max(f.n_slots, 1)) ** 2)
         assert p0 == pytest.approx(want)
+
+
+class TestAllowedMissEndToEnd:
+    def test_relaxed_classify_keeps_accuracy(self, ray_session):
+        """allowed_miss=1 on a spaced-seed filter must not lose true
+        positives (a frame matching all probes still matches with one
+        allowed miss) and the FPR gate — recomputed from the relaxed
+        frame_probs — must keep negatives controlled."""
+        SEEDS = ["110100101101", "101101001011"]
+        ref = ray.data.from_arrow(generate_ref_corpora(docs_per_lang=60))
+        f = build_mibf(ref, text_col="doc", label_col="filter_id",
+                       spaced_seeds=SEEDS, occupancy=0.5)
+        pages = ray.data.from_arrow(generate_pages(600, seed=13))
+        strict = classify_mibf(pages, f, min_fpr=0.01).to_pandas()
+        relaxed = classify_mibf(pages, f, min_fpr=0.01,
+                                allowed_miss=1).to_pandas()
+        # support counts only grow under relaxation
+        assert (relaxed.best_count >= strict.best_count).all()
+        pos_s = strict[strict.lang != "zz"]
+        pos_r = relaxed[relaxed.lang != "zz"]
+        acc_s = ((pos_s.label == pos_s.lang)
+                 | (pos_s.label == "multiMatch")).mean()
+        acc_r = ((pos_r.label == pos_r.lang)
+                 | (pos_r.label == "multiMatch")).mean()
+        assert acc_r >= acc_s - 0.02
+        neg = relaxed[relaxed.lang == "zz"]
+        assert (neg.label == "noMatch").mean() > 0.9
