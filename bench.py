@@ -91,8 +91,35 @@ def headline_categorize(num_cpus: int) -> tuple[float, int]:
     return round(best, 3), BENCH_PAGES
 
 
+def _force_cluster_tiers():
+    """GRAFT_FORCE_CLUSTER=1: zero every scale-tier gate so the bench
+    exercises the at-scale cluster paths (native groupbys, hash joins,
+    sharded reduces) instead of the small-scale driver tiers.  Results
+    are identical by the tier-parity tests; only the plan changes."""
+    import biobloom_ray.pipelines.analytics as A
+    import biobloom_ray.pipelines.mibf as M
+    import biobloom_ray.pipelines.progressive as P
+    import biobloom_ray.stages.dedup as D
+    import biobloom_ray.stages.pairs as PR
+
+    A.CUST_BROADCAST_MAX_ROWS = 0
+    A.LINEITEM_DRIVER_MAX_ROWS = 0
+    A.EVENTS_DRIVER_MAX_ROWS = 0
+    A.RARITY_BROADCAST_MAX_ROWS = 0
+    D.EXACT_DEDUP_DRIVER_MAX_ROWS = 0
+    D.BAND_DRIVER_MAX_ROWS = 0
+    PR.PAIR_BROADCAST_MAX_ROWS = 0
+    M.DRIVER_BUILD_MAX_ROWS = 0
+    M.DRIVER_REDUCE_MAX_SLOTS = 0
+    M.DRIVER_REDUCE_MAX_M = 0
+    P.DRIVER_MERGE_MAX_M = 0
+
+
 def run_queries() -> dict[str, float]:
     import __ray_entry__ as E
+
+    if os.environ.get("GRAFT_FORCE_CLUSTER"):
+        _force_cluster_tiers()
 
     qs = E.queries()
     out = {}

@@ -66,6 +66,11 @@ from biobloom_ray.io import hash_join as _join
 
 DEFAULT_JOIN_PARTITIONS = None
 
+#: default gates for the LSH tiers (module-level so tests/bench can
+#: force the cluster paths); see minhash_neardup_pairs_ds docstring
+BAND_DRIVER_MAX_ROWS = 4_000_000
+BROADCAST_LIMIT = 50_000
+
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -498,10 +503,10 @@ def minhash_neardup_pairs_ds(ds, text_col: str = "text",
                              shingle_k: int = 5, num_perm: int = 128,
                              num_bands: int = 16, max_bucket: int = 2000,
                              num_partitions: int = DEFAULT_JOIN_PARTITIONS,
-                             broadcast_limit: int = 50_000,
+                             broadcast_limit: int | None = None,
                              checkpoint: str = "auto",
                              checkpoint_dir: str | None = None,
-                             band_driver_limit: int = 4_000_000):
+                             band_driver_limit: int | None = None):
     """Near-duplicate pairs with estimated Jaccard ≥ threshold, as a
     Dataset (id_a, id_b, est_jaccard).
 
@@ -522,6 +527,10 @@ def minhash_neardup_pairs_ds(ds, text_col: str = "text",
     dedup) and the signatures attach via two hash joins, so nothing
     driver-bound grows with the corpus.
     """
+    if broadcast_limit is None:
+        broadcast_limit = BROADCAST_LIMIT
+    if band_driver_limit is None:
+        band_driver_limit = BAND_DRIVER_MAX_ROWS
     stage = MinHashSigStage(text_col, id_col, shingle_k, num_perm)
     sig_ds, n_in = _sig_checkpoint(ds, stage, checkpoint, checkpoint_dir)
     band = sig_ds.map_batches(
@@ -702,7 +711,7 @@ def _simhash_pairs_from_rows(rows: dict, id_col: str, max_hamming: int,
 def simhash_neardup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                           max_hamming: int = 3, shingle_k: int = 5,
                           num_bands: int = 4, max_bucket: int = 2000,
-                          band_driver_limit: int = 4_000_000):
+                          band_driver_limit: int | None = None):
     """Pairs within Hamming distance ≤ max_hamming of 64-bit SimHash.
     Blocking: identical band in any of ``num_bands`` bands (covers all
     pairs with < num_bands differing bits by pigeonhole).
@@ -717,6 +726,8 @@ def simhash_neardup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     and the sparse c≥3 tail triggers one extra filtered scan, capped
     per bucket.
     """
+    if band_driver_limit is None:
+        band_driver_limit = BAND_DRIVER_MAX_ROWS
     stage = SimHashStage(text_col, id_col, shingle_k, num_bands)
     band = ds.map_batches(stage, batch_format="pyarrow")
 
