@@ -206,6 +206,19 @@ def _ann_topk(sf_dir: str):
     return top.select_columns(["vec_id"]).to_pandas()
 
 
+def _embedding_kmeans(sf_dir: str):
+    """Distributed spherical k-means assignments over the embeddings
+    table (rows-only; determinism + purity pinned in pytest)."""
+    import ray.data
+
+    from biobloom_ray.stages.ann import embedding_kmeans
+
+    emb = _rp(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    assigns, _cent = embedding_kmeans(emb, k=8, iters=6)
+    return assigns.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+
 def _ann_ivf(sf_dir: str):
     import ray.data
 
@@ -790,6 +803,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_per_nation": A.orders_per_nation,
         "top_parts_by_revenue": A.top_parts_by_revenue,
         "events_sessionize": A.events_sessionize,
+        "events_sliding_window": A.events_sliding_window,
+        "stratified_sample": A.stratified_sample,
         "deterministic_sample": A.deterministic_sample,
         "deterministic_sample_hash": A.deterministic_sample_hash,
         "events_asof_join": A.events_asof_join,
@@ -807,6 +822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _ngram_jaccard,
         "embedding_neardup_pairs": _embedding_neardup,
         "ann_ivf_topk": _ann_ivf,
+        "embedding_kmeans": _embedding_kmeans,
         "lang_id_pred": _lang_id,
         "mibf_classify": _mibf_classify,
         "mibf_classify_paired": _mibf_classify_paired,
@@ -952,6 +968,33 @@ def oracle_sql() -> dict[str, str]:
             " AS z FROM s2) "
             "SELECT doc_id, lang FROM m2 "
             "WHERE xor(z, z >> 31) < 2305843009213693952",
+        # fixed-size-per-stratum twin: rank by the same bit-exact
+        # splitmix64 hash within each language
+        "stratified_sample":
+            "WITH s0 AS (SELECT doc_id, lang, CAST((CAST(doc_id AS HUGEINT)"
+            " + 11400714819323198485) % 18446744073709551616 AS UBIGINT)"
+            " AS z FROM documents), "
+            "s1 AS (SELECT doc_id, lang, xor(z, z >> 30) AS z FROM s0), "
+            "m1 AS (SELECT doc_id, lang, CAST(((CAST(z & 4294967295 AS"
+            " HUGEINT) * 484763065) + ((CAST(z & 4294967295 AS HUGEINT) *"
+            " 3210233709 + CAST(z >> 32 AS HUGEINT) * 484763065) %"
+            " 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT)"
+            " AS z FROM s1), "
+            "s2 AS (SELECT doc_id, lang, xor(z, z >> 27) AS z FROM m1), "
+            "m2 AS (SELECT doc_id, lang, CAST(((CAST(z & 4294967295 AS"
+            " HUGEINT) * 321982955) + ((CAST(z & 4294967295 AS HUGEINT) *"
+            " 2496678331 + CAST(z >> 32 AS HUGEINT) * 321982955) %"
+            " 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT)"
+            " AS z FROM s2), "
+            "h AS (SELECT doc_id, lang, xor(z, z >> 31) AS h FROM m2) "
+            "SELECT lang, doc_id FROM (SELECT lang, doc_id, ROW_NUMBER()"
+            " OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn FROM h)"
+            " WHERE rn <= 50 ORDER BY lang, doc_id",
+        # tie-inclusive trailing window == SQL's RANGE frame semantics
+        "events_sliding_window":
+            "SELECT event_id, COUNT(*) OVER (PARTITION BY user_id ORDER"
+            " BY ts RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND"
+            " CURRENT ROW) AS n_trailing FROM events",
         "top_docs_per_lang":
             "SELECT lang, doc_id, n_chars FROM ("
             "SELECT lang, doc_id, n_chars, ROW_NUMBER() OVER ("

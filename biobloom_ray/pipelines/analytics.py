@@ -624,6 +624,71 @@ def top_parts_by_revenue(sf_dir: str, k: int = 10):
             .limit(k).to_pandas())
 
 
+def stratified_sample(sf_dir: str, n_per_lang: int = 50):
+    """Deterministic STRATIFIED sampler: the ``n_per_lang`` docs with
+    the smallest ``splitmix64(doc_id)`` per language — uniform within
+    each stratum, reproducible across runs/engines (the oracle SQL
+    reuses the bit-exact 128-bit splitmix64 re-implementation), and
+    fixed-size per group where the rate-based sampler
+    (deterministic_sample_hash) is fixed-rate.  Per-block local top-n
+    per lang (at most n·n_langs rows leave any block) → one tiny
+    driver reduce — the O3 top-k shape keyed on the hash."""
+    from biobloom_ray.hashing import splitmix64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def local_topn(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        h = splitmix64(ids.astype(np.uint64))
+        df = pd.DataFrame({"lang": b["lang"].to_pandas(), "doc_id": ids,
+                           "h": h.astype(np.uint64)})
+        top = (df.sort_values(["lang", "h", "doc_id"])
+               .groupby("lang", as_index=False).head(n_per_lang))
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    parts = ds.map_batches(local_topn, batch_format="pyarrow").to_pandas()
+    out = (parts.sort_values(["lang", "h", "doc_id"])
+           .groupby("lang", as_index=False).head(n_per_lang))
+    return (out[["lang", "doc_id"]].sort_values(["lang", "doc_id"])
+            .reset_index(drop=True))
+
+
+def events_sliding_window(sf_dir: str, window_minutes: int = 30):
+    """SLIDING-window aggregate (the tumbling twin is events_hourly):
+    for every event, the count of the same user's events in the
+    trailing ``window_minutes`` (inclusive bounds, tie-inclusive —
+    exactly SQL's ``RANGE BETWEEN INTERVAL ... PRECEDING AND CURRENT
+    ROW`` frame).  Hash-partition by user (groupby), per-group kernel =
+    two vectorized ``searchsorted`` passes over the time-sorted array —
+    no row loops, exact integers (no float hash hazard).  Partitioning
+    assumption, documented: a user's history fits one group (the
+    standard entity-window sharding; salt by time range for
+    pathological single-entity streams)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    win_ns = np.int64(window_minutes) * 60 * 1_000_000_000
+
+    def tag(b: pa.Table) -> pa.Table:
+        ts_ns = b["ts"].cast(pa.timestamp("ns")).cast(pa.int64())
+        return pa.table({"event_id": b["event_id"],
+                         "user_id": b["user_id"],
+                         "ts_ns": ts_ns})
+
+    def window_counts(g: pa.Table) -> pa.Table:
+        ts = g["ts_ns"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ts, kind="stable")
+        ts_s = ts[order]
+        hi = np.searchsorted(ts_s, ts, side="right")
+        lo = np.searchsorted(ts_s, ts - win_ns, side="left")
+        return pa.table({"event_id": pa.array(eid),
+                         "n_trailing": pa.array(hi - lo)})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("user_id")
+            .map_groups(window_counts, batch_format="pyarrow")
+            .to_pandas())
+
+
 def events_sessionize(sf_dir: str, gap_minutes: int = 30):
     """Windowed/stateful operator: per-user sessionization — a new
     session starts when the gap to the previous event exceeds

@@ -258,3 +258,199 @@ def brute_force_topk_multi(ds, query_mat: np.ndarray, query_ids,
 
     return (cand.groupby("query_id")
             .map_groups(per_query_topk, batch_format="pyarrow"))
+
+
+#: input-row gate for embedding_kmeans' driver tier: below it the
+#: normalized matrix collects once (~100k x 64 float64 = 50 MB) and the
+#: Lloyd loop runs locally with the same fixed-point arithmetic
+KMEANS_DRIVER_MAX_ROWS = 100_000
+
+
+def embedding_kmeans(ds, k: int = 8, iters: int = 10,
+                     emb_col: str = "embedding", id_col: str = "vec_id",
+                     train_sample: int = 2048, seed: int = 0x6B3A):
+    """Distributed spherical k-means over an embedding column — the
+    data-curation clustering staple (cluster-balanced sampling, near-dup
+    cluster audit, topic bucketing).
+
+    Shape: seeded driver k-means on a bounded sample initializes the
+    centroids (same pattern as ivf_topk's coarse quantizer), then each
+    Lloyd iteration is ONE map_batches pass producing per-block partial
+    (sum, count) rows per centroid — at most ``k`` rows leave any block
+    — with the centroid update on the driver (k·dim floats, constant).
+    The final assignment pass streams.  Deterministic for a fixed seed
+    under any partitioning: the init sample is hash-canonical, partial
+    sums are ×2^40 fixed-point int64 (integer addition is associative,
+    so the reduction is bit-identical under any block layout), and
+    every assignment uses argmax with ties to the lowest centroid id.
+
+    Tiered like the other operators: below ``KMEANS_DRIVER_MAX_ROWS``
+    input rows the matrix collects once and every Lloyd iteration runs
+    locally with the SAME fixed-point arithmetic — bit-identical to the
+    distributed loop by construction, without ``iters`` Dataset passes.
+
+    Returns (assignments Dataset with columns id/cluster/cos_sim,
+    centroids ndarray (k, dim))."""
+    import ray
+
+    from biobloom_ray.io import cheap_count
+
+    from biobloom_ray.hashing import splitmix64
+
+    # partitioning-INVARIANT init sample: the train_sample rows with the
+    # smallest splitmix64(id + seed) — per-block local top-n, canonical
+    # (hash, id) driver reduce; random_sample().limit() would pick
+    # block-order-dependent rows and break rebuild determinism
+    def local_sample(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = splitmix64(ids.astype(np.uint64) + np.uint64(seed))
+        order = np.argsort(h, kind="stable")[:train_sample]
+        return pa.table({
+            "_h": pa.array(h[order].astype(np.uint64)),
+            "_id": pa.array(ids[order]),
+            emb_col: b[emb_col].take(pa.array(order)),
+        })
+
+    sample = (ds.map_batches(local_sample, batch_format="pyarrow")
+              .to_pandas())
+    sample = (sample.sort_values(["_h", "_id"], kind="stable")
+              .head(train_sample))
+    train = _normalize_rows(
+        np.stack(sample[emb_col].to_numpy()).astype(np.float64))
+    k = min(k, len(train))
+    # deterministic farthest-point init (k-means++-style, no RNG):
+    # start from the canonical first sample row, then repeatedly add the
+    # point least similar to every chosen centroid — avoids the merged/
+    # split local optima of uniform random seeding on separated data
+    cent_idx = [0]
+    best_sim = train @ train[0]
+    for _ in range(k - 1):
+        nxt = int(np.argmin(best_sim))
+        cent_idx.append(nxt)
+        best_sim = np.maximum(best_sim, train @ train[nxt])
+    cent = train[cent_idx]
+    for _ in range(4):  # warm-start on the sample
+        assign = np.argmax(train @ cent.T, axis=1)
+        for c in range(k):
+            sel = assign == c
+            if sel.any():
+                v = train[sel].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+
+    dim = cent.shape[1]
+    FP0 = np.int64(1) << np.int64(40)
+
+    n_rows = cheap_count(ds)
+    if n_rows is not None and n_rows <= KMEANS_DRIVER_MAX_ROWS:
+        # driver tier: one collect, same fixed-point updates per iter
+        mats, idparts = [], []
+        for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+            mats.append(_normalize_rows(_matrix(b[emb_col])))
+            idparts.append(b[id_col].to_numpy(zero_copy_only=False))
+        M = np.concatenate(mats) if mats else np.empty((0, dim))
+        for _ in range(iters):
+            assign = np.argmax(M @ cent.T, axis=1)
+            q = np.round(M * float(FP0)).astype(np.int64)
+            isums = np.zeros((k, dim), dtype=np.int64)
+            np.add.at(isums, assign, q)
+            counts = np.bincount(assign, minlength=k)
+            sums = isums.astype(np.float64) / float(FP0)
+            newc = cent.copy()
+            moved = counts > 0
+            norms = np.linalg.norm(sums[moved], axis=1)
+            ok = norms > 0
+            idx = np.nonzero(moved)[0][ok]
+            newc[idx] = sums[idx] / norms[ok][:, None]
+            if np.allclose(newc, cent, atol=1e-12):
+                cent = newc
+                break
+            cent = newc
+        cent_ref = ray.put(cent)
+
+        def assign_local(batch: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            m = _normalize_rows(_matrix(batch[emb_col]))
+            sims = m @ c.T
+            a = np.argmax(sims, axis=1)
+            best = sims[np.arange(len(m)), a]
+            return pa.table({
+                id_col: batch[id_col],
+                "cluster": pa.array(a.astype(np.int64)),
+                "cos_sim": pa.array(best, type=pa.float64()),
+            })
+
+        return ds.map_batches(assign_local, batch_format="pyarrow"), cent
+
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+
+        # FIXED-POINT partial sums (×2^40, int64): float addition is not
+        # associative, so per-block float partials would make centroids
+        # depend on the partitioning at the ulp level; integer addition
+        # is, so the reduction is bit-identical under any block layout
+        # (precision loss 2^-40 per component — far below float64 noise)
+        FP = np.int64(1) << np.int64(40)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            m = _normalize_rows(_matrix(batch[emb_col]))
+            assign = np.argmax(m @ c.T, axis=1)
+            q = np.round(m * float(FP)).astype(np.int64)
+            sums = np.zeros((len(c), m.shape[1]), dtype=np.int64)
+            np.add.at(sums, assign, q)
+            counts = np.bincount(assign, minlength=len(c))
+            nz = np.nonzero(counts)[0]
+            flat = pa.array(sums[nz].reshape(-1), type=pa.int64())
+            return pa.table({
+                "cluster": pa.array(nz.astype(np.int64)),
+                "n": pa.array(counts[nz].astype(np.int64)),
+                "vsum": pa.FixedSizeListArray.from_arrays(flat,
+                                                          m.shape[1]),
+            })
+
+        isums = np.zeros((k, dim), dtype=np.int64)
+        counts = np.zeros(k, dtype=np.int64)
+        for blk in (ds.map_batches(partial, batch_format="pyarrow")
+                    .iter_batches(batch_size=None,
+                                  batch_format="pyarrow")):
+            cl = blk["cluster"].to_numpy(zero_copy_only=False)
+            n = blk["n"].to_numpy(zero_copy_only=False)
+            col = blk["vsum"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            # int64 list values read WITHOUT a float64 round-trip
+            # (_matrix would truncate >2^53 sums)
+            vs = (col.flatten().to_numpy(zero_copy_only=False)
+                  .astype(np.int64).reshape(-1, dim))
+            np.add.at(isums, cl, vs)
+            np.add.at(counts, cl, n)
+        sums = isums.astype(np.float64) / float(FP)
+        moved = counts > 0
+        newc = cent.copy()
+        norms = np.linalg.norm(sums[moved], axis=1)
+        ok = norms > 0
+        idx = np.nonzero(moved)[0][ok]
+        newc[idx] = sums[idx] / norms[ok][:, None]
+        if np.allclose(newc, cent, atol=1e-12):
+            cent = newc
+            break
+        cent = newc
+
+    cent_ref = ray.put(cent)
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _normalize_rows(_matrix(batch[emb_col]))
+        sims = m @ c.T
+        assign = np.argmax(sims, axis=1)
+        best = sims[np.arange(len(m)), assign]
+        return pa.table({
+            id_col: batch[id_col],
+            "cluster": pa.array(assign.astype(np.int64)),
+            "cos_sim": pa.array(best, type=pa.float64()),
+        })
+
+    return ds.map_batches(assign_batch, batch_format="pyarrow"), cent

@@ -479,3 +479,72 @@ def test_segment_gather_property():
         assert lens.tolist() == [len(segs[i]) for i in idx]
 
     run()
+
+
+class TestEmbeddingKMeans:
+    def test_clusters_recover_planted_structure(self, ray_session):
+        """Planted well-separated directions (the sf fixture's label
+        column carries no geometric structure — measured within-label
+        cosine ≈ cross-label ≈ 0): spherical k-means at k = n_planted
+        must recover them with high majority purity."""
+        import pandas as pd
+
+        import ray.data
+
+        from biobloom_ray.stages.ann import embedding_kmeans
+
+        rng = np.random.default_rng(17)
+        K, dim, per = 6, 32, 80
+        centers = rng.standard_normal((K, dim))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        rows, labels = [], []
+        for c in range(K):
+            pts = centers[c] + 0.15 * rng.standard_normal((per, dim))
+            rows.extend(pts.tolist())
+            labels.extend([c] * per)
+        tbl = pa.table({
+            "vec_id": pa.array(range(K * per), type=pa.int64()),
+            "embedding": pa.array(rows,
+                                  type=pa.list_(pa.float32())),
+        })
+        emb = ray.data.from_arrow(tbl)
+        assigns, cent = embedding_kmeans(emb, k=K, iters=8)
+        df = assigns.to_pandas()
+        df["label"] = np.array(labels)[df.vec_id.to_numpy()]
+        purity = (df.groupby("cluster").label
+                  .agg(lambda s: s.value_counts().iloc[0]).sum()) / len(df)
+        assert purity > 0.95
+        assert cent.shape == (K, dim)
+
+    def test_deterministic_under_partitioning(self, ray_session):
+        import ray.data
+
+        from biobloom_ray.io import read_parquet as _rp
+        from biobloom_ray.stages.ann import embedding_kmeans
+
+        sf = "/root/testdata/sf0.01"
+        emb = _rp(f"{sf}/embeddings.parquet",
+                  columns=["vec_id", "embedding"])
+        a, ca = embedding_kmeans(emb, k=5, iters=5)
+        b, cb = embedding_kmeans(emb.repartition(7), k=5, iters=5)
+        assert np.array_equal(ca, cb)  # bit-identical centroids
+        pa_ = a.to_pandas().sort_values("vec_id").reset_index(drop=True)
+        pb_ = b.to_pandas().sort_values("vec_id").reset_index(drop=True)
+        assert (pa_.cluster.to_numpy() == pb_.cluster.to_numpy()).all()
+
+
+def test_kmeans_tiers_agree(ray_session, monkeypatch):
+    """Driver tier and distributed Lloyd loop must give bit-identical
+    centroids and assignments (fixed-point reduction)."""
+    import biobloom_ray.stages.ann as ANN
+    from biobloom_ray.io import read_parquet as _rp
+
+    sf = "/root/testdata/sf0.01"
+    emb = _rp(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    a, ca = ANN.embedding_kmeans(emb, k=5, iters=5)
+    monkeypatch.setattr(ANN, "KMEANS_DRIVER_MAX_ROWS", 0)
+    b, cb = ANN.embedding_kmeans(emb, k=5, iters=5)
+    assert np.array_equal(ca, cb)
+    pa_ = a.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    pb_ = b.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert (pa_.cluster.to_numpy() == pb_.cluster.to_numpy()).all()
