@@ -740,6 +740,17 @@ def _top_users_by_events(sf_dir: str):
                        descending=[True, False]).limit(10).to_pandas()
 
 
+def _user_event_counts_salted(sf_dir: str):
+    """Skew-safe twin of user_event_counts: the two-level salted
+    aggregation (partials per (user, salt) → per-user sum) that keeps a
+    hot user parallel across reducers — deliberately NOT tiered, so the
+    skew-handling cluster path itself is oracle-checked."""
+    from biobloom_ray.stages.skew import salted_value_counts
+
+    ds = _rp(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return salted_value_counts(ds, "user_id", alias="n").to_pandas()
+
+
 def _event_type_daily(sf_dir: str):
     """Second time-bucketed aggregate (per day) exercising timestamp
     truncation + two-key rollup, tiered like events_hourly."""
@@ -799,6 +810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_counts": _user_event_counts,
         "top_users_by_events": _top_users_by_events,
         "event_type_daily": _event_type_daily,
+        "user_event_counts_salted": _user_event_counts_salted,
         "lineitem_pricing_summary": A.lineitem_pricing_summary,
         "orders_per_nation": A.orders_per_nation,
         "top_parts_by_revenue": A.top_parts_by_revenue,
@@ -905,6 +917,8 @@ def oracle_sql() -> dict[str, str]:
         "user_event_counts":
             "SELECT user_id, COUNT(*) AS n, MIN(value) AS min_value, "
             "MAX(value) AS max_value FROM events GROUP BY user_id",
+        "user_event_counts_salted":
+            "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id",
         "top_users_by_events":
             "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id "
             "ORDER BY n DESC, user_id ASC LIMIT 10",

@@ -148,7 +148,8 @@ def run_queries() -> dict[str, float]:
                "tdigest_nchars_quantiles", "spaced_seed_distinct",
                "progressive_build_info", "multimodal_features",
                "token_rarity_scores", "events_sliding_window",
-               "stratified_sample", "embedding_kmeans"]
+               "stratified_sample", "embedding_kmeans",
+               "user_event_counts_salted"]
     for name in ordered:
         if name in qs:
             out[name] = _timed(qs[name], SF_DIR)

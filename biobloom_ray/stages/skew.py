@@ -67,3 +67,22 @@ def per_host_counts(ds, url_col: str = "url", num_salts: int = 16):
         batch_format="pyarrow").select_columns(["host", "salt"])
     partial = keyed.groupby(["host", "salt"]).aggregate(Count(alias_name="n"))
     return partial.groupby("host").aggregate(Sum("n", alias_name="n_pages"))
+
+
+def salted_value_counts(ds, key_col: str, num_salts: int = 16,
+                        alias: str = "n"):
+    """Generic two-level skew-safe COUNT per key (the per_host_counts
+    shape for any key column): partials per (key, salt) keep a hot key
+    parallel across ``num_salts`` reducers, the per-key re-reduce sums
+    ``num_salts`` rows per key.  Exact counts — salting is invisible in
+    the result (oracle-checkable)."""
+    from ray.data.aggregate import Count, Sum
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        salt = np.arange(len(b), dtype=np.int64) % num_salts
+        return pa.table({key_col: b[key_col], "salt": pa.array(salt)})
+
+    partial = (ds.map_batches(add_salt, batch_format="pyarrow")
+               .groupby([key_col, "salt"])
+               .aggregate(Count(alias_name="_n")))
+    return partial.groupby(key_col).aggregate(Sum("_n", alias_name=alias))

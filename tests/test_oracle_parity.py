@@ -63,7 +63,7 @@ SQL_CHECKED = [
     # round-3 additions
     "deterministic_sample_hash", "minhash_dedup_kept",
     "ngram_jaccard_pairs", "token_rarity_scores",
-    "events_sliding_window", "stratified_sample",
+    "events_sliding_window", "stratified_sample", "user_event_counts_salted",
 ]
 
 
