@@ -552,6 +552,83 @@ def _spaced_seed_distinct(sf_dir: str):
             .to_pandas())
 
 
+def _spaced_seed_distinct_exact(sf_dir: str):
+    """M3 EXACT twin of spaced_seed_distinct (which is HLL-estimated):
+    COUNT(DISTINCT (seed, care-positions content)) per lang — per-batch
+    distinct (lang, sidx, hash) partials → ONE native groupby collapses
+    cross-block duplicates → per-block per-lang counts sum on the
+    driver (the distinct_text_per_lang shape).  The oracle re-derives
+    the care strings with substr concatenation (fixture text is ASCII,
+    so SQL's char offsets equal the engine's byte offsets)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from biobloom_ray.hashing import spaced_seed_hashes
+
+    SEEDS = ["1101001011", "1010010011"]
+    ds = _rp(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    # tiny pre-pass: global lang→code table so the 20M-row distinct
+    # shuffle carries (int16 code·seeds+sidx, int64 hash) — 10 B rows —
+    # instead of repeated lang strings
+    def _langs(b: pa.Table) -> pa.Table:
+        col = b["lang"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({"lang": col.unique()})
+
+    names = sorted({r["lang"] for r in
+                    ds.select_columns(["lang"])
+                    .map_batches(_langs, batch_format="pyarrow")
+                    .take_all()})
+    code_of = {n: i for i, n in enumerate(names)}
+    n_seeds = len(SEEDS)
+
+    def partial(b: pa.Table) -> pa.Table:
+        langs = b["lang"].to_pandas().map(code_of).to_numpy()
+        h, nf = spaced_seed_hashes(
+            b["text"].combine_chunks()
+            if isinstance(b["text"], pa.ChunkedArray) else b["text"],
+            SEEDS)
+        row_of = np.repeat(np.arange(len(nf)), nf)
+        cs = (np.repeat(langs[row_of], n_seeds) * n_seeds
+              + np.tile(np.arange(n_seeds), len(row_of))).astype(np.int16)
+        hv = h.reshape(-1).astype(np.uint64).view(np.int64)
+        # in-block dedup without pandas: lexsort over (cs, h)
+        order = np.lexsort((hv, cs))
+        cs_s, hv_s = cs[order], hv[order]
+        first = (np.r_[True, (cs_s[1:] != cs_s[:-1])
+                       | (hv_s[1:] != hv_s[:-1])]
+                 if len(cs_s) else np.empty(0, bool))
+        return pa.table({"cs": pa.array(cs_s[first]),
+                         "h": pa.array(hv_s[first])})
+
+    uniq = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["cs", "h"])
+            .aggregate(Count(alias_name="_c"))
+            .select_columns(["cs"]))
+
+    def cs_partial(b: pa.Table) -> pa.Table:
+        counts = np.bincount(b["cs"].to_numpy(zero_copy_only=False),
+                             minlength=len(names) * n_seeds)
+        nz = np.nonzero(counts)[0]
+        return pa.table({"cs": pa.array(nz.astype(np.int16)),
+                         "n": pa.array(counts[nz].astype(np.int64))})
+
+    parts = uniq.map_batches(cs_partial,
+                             batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("cs", as_index=False)["n"].sum()
+    agg["lang"] = agg.cs.map(lambda c: names[c // n_seeds])
+    out = (agg.groupby("lang", as_index=False)["n"].sum()
+           .rename(columns={"n": "n_spaced_distinct"})
+           .sort_values("lang").reset_index(drop=True))
+    return out[["lang", "n_spaced_distinct"]]
+
+
 def _mibf_classify(sf_dir: str):
     """T5/T6: one multi-index Bloom filter over all langs (3-pass build,
     deterministic fair ownership, saturation), classify every document
@@ -848,6 +925,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dust_masked_categorize": _dust_masked_categorize,
         "tdigest_nchars_quantiles": _tdigest_quantiles,
         "spaced_seed_distinct": _spaced_seed_distinct,
+        "spaced_seed_distinct_exact": _spaced_seed_distinct_exact,
         # weakest-incremental-signal queries last — if the driver caps
         # the registry at 50, these four are the right ones to drop:
         # categorize_labels is the same pipeline as categorize_summary
@@ -919,6 +997,14 @@ def oracle_sql() -> dict[str, str]:
             "MAX(value) AS max_value FROM events GROUP BY user_id",
         "user_event_counts_salted":
             "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id",
+        "spaced_seed_distinct_exact":
+            "WITH f AS (SELECT lang, i.i AS pos, text FROM documents,"
+            " LATERAL (SELECT unnest(range(1, len(text)-8)) AS i) i"
+            " WHERE len(text) >= 10), "
+            "u AS (SELECT lang, 0 AS sidx, substr(text, pos+0, 1)||substr(text, pos+1, 1)||substr(text, pos+3, 1)||substr(text, pos+6, 1)||substr(text, pos+8, 1)||substr(text, pos+9, 1) AS care FROM f"
+            " UNION ALL SELECT lang, 1 AS sidx, substr(text, pos+0, 1)||substr(text, pos+2, 1)||substr(text, pos+5, 1)||substr(text, pos+8, 1)||substr(text, pos+9, 1) AS care FROM f) "
+            "SELECT lang, COUNT(DISTINCT (sidx, care)) AS"
+            " n_spaced_distinct FROM u GROUP BY lang ORDER BY lang",
         "top_users_by_events":
             "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id "
             "ORDER BY n DESC, user_id ASC LIMIT 10",

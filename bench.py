@@ -150,6 +150,9 @@ def run_queries() -> dict[str, float]:
                "token_rarity_scores", "events_sliding_window",
                "stratified_sample", "embedding_kmeans",
                "user_event_counts_salted"]
+    # NOT benched: spaced_seed_distinct_exact — the verification-only
+    # exact twin of the HLL query (COUNT DISTINCT over every frame is an
+    # inherent all-to-all; the HLL sketch IS the production path)
     for name in ordered:
         if name in qs:
             out[name] = _timed(qs[name], SF_DIR)
