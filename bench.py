@@ -99,6 +99,7 @@ def _force_cluster_tiers():
     import biobloom_ray.pipelines.analytics as A
     import biobloom_ray.pipelines.mibf as M
     import biobloom_ray.pipelines.progressive as P
+    import biobloom_ray.stages.ann as ANN
     import biobloom_ray.stages.dedup as D
     import biobloom_ray.stages.pairs as PR
 
@@ -113,6 +114,7 @@ def _force_cluster_tiers():
     M.DRIVER_REDUCE_MAX_SLOTS = 0
     M.DRIVER_REDUCE_MAX_M = 0
     P.DRIVER_MERGE_MAX_M = 0
+    ANN.KMEANS_DRIVER_MAX_ROWS = 0
 
 
 def run_queries() -> dict[str, float]:
