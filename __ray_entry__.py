@@ -894,6 +894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": A.events_sessionize,
         "events_sliding_window": A.events_sliding_window,
         "stratified_sample": A.stratified_sample,
+        "pack_documents": A.pack_documents,
         "deterministic_sample": A.deterministic_sample,
         "deterministic_sample_hash": A.deterministic_sample_hash,
         "events_asof_join": A.events_asof_join,
@@ -1090,6 +1091,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, doc_id FROM (SELECT lang, doc_id, ROW_NUMBER()"
             " OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn FROM h)"
             " WHERE rn <= 50 ORDER BY lang, doc_id",
+        # exact-integer global prefix scan == SQL's running-sum frame
+        "pack_documents":
+            "SELECT doc_id, CAST(COALESCE(SUM(n_chars) OVER (ORDER BY"
+            " n_chars DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            " 1 PRECEDING), 0) // 5000 AS BIGINT) AS bin "
+            "FROM documents ORDER BY doc_id",
         # tie-inclusive trailing window == SQL's RANGE frame semantics
         "events_sliding_window":
             "SELECT event_id, COUNT(*) OVER (PARTITION BY user_id ORDER"

@@ -151,7 +151,7 @@ def run_queries() -> dict[str, float]:
                "progressive_build_info", "multimodal_features",
                "token_rarity_scores", "events_sliding_window",
                "stratified_sample", "embedding_kmeans",
-               "user_event_counts_salted"]
+               "user_event_counts_salted", "pack_documents"]
     # NOT benched: spaced_seed_distinct_exact — the verification-only
     # exact twin of the HLL query (COUNT DISTINCT over every frame is an
     # inherent all-to-all; the HLL sketch IS the production path)

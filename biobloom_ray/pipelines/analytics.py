@@ -624,6 +624,69 @@ def top_parts_by_revenue(sf_dir: str, k: int = 10):
             .limit(k).to_pandas())
 
 
+def pack_documents(sf_dir: str, capacity_chars: int = 5000):
+    """Sequence PACKING (the LLM sample-packing shape): assign each doc
+    to a fixed-capacity bin by a GLOBAL prefix scan over the
+    deterministic order (n_chars desc, doc_id asc) —
+    ``bin = exclusive_cumsum(n_chars) // capacity`` — so bins fill
+    greedily and reproducibly, and the whole assignment is exact
+    integers (SQL window-frame oracle).
+
+    Distributed scan pattern (a primitive Ray Data lacks): sort →
+    materialize (pins the block layout) → pass 1 reads one row per
+    block (its first (n_chars, doc_id) key + its sum; the sort's range
+    partitioning makes first-keys order the blocks) → driver computes
+    the #blocks-sized exclusive block offsets → pass 2 adds the
+    broadcast offset to each block's local exclusive cumsum.
+    Partitioning assumption, documented: pass 2's batches are exactly
+    pass 1's blocks (``batch_size=None`` on the same materialized
+    dataset)."""
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    sorted_ds = (ds.sort(["n_chars", "doc_id"],
+                         descending=[True, False]).materialize())
+
+    def block_key_sum(b: pa.Table) -> pa.Table:
+        nc = b["n_chars"].to_numpy(zero_copy_only=False)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        if len(nc) == 0:
+            return pa.table({"k_nchars": pa.array([], type=pa.int64()),
+                             "k_docid": pa.array([], type=pa.int64()),
+                             "blk_sum": pa.array([], type=pa.int64())})
+        return pa.table({"k_nchars": pa.array([int(nc[0])]),
+                         "k_docid": pa.array([int(ids[0])]),
+                         "blk_sum": pa.array([int(nc.sum())])})
+
+    blocks = (sorted_ds.map_batches(block_key_sum, batch_format="pyarrow",
+                                    batch_size=None).to_pandas())
+    blocks = blocks.sort_values(["k_nchars", "k_docid"],
+                                ascending=[False, True])
+    offs = blocks.blk_sum.cumsum().shift(fill_value=0).to_numpy()
+    off_of = {(int(r.k_nchars), int(r.k_docid)): int(o)
+              for r, o in zip(blocks.itertuples(), offs)}
+    off_ref = ray.put(off_of)
+
+    def assign(b: pa.Table) -> pa.Table:
+        import ray as _r
+        omap = _r.get(off_ref)
+        nc = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        if len(nc) == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "bin": pa.array([], type=pa.int64())})
+        base = omap[(int(nc[0]), int(ids[0]))]
+        excl = np.zeros(len(nc), dtype=np.int64)
+        np.cumsum(nc[:-1], out=excl[1:])
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "bin": pa.array((base + excl) // capacity_chars)})
+
+    return (sorted_ds.map_batches(assign, batch_format="pyarrow",
+                                  batch_size=None)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
 def stratified_sample(sf_dir: str, n_per_lang: int = 50):
     """Deterministic STRATIFIED sampler: the ``n_per_lang`` docs with
     the smallest ``splitmix64(doc_id)`` per language — uniform within

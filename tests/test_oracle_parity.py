@@ -64,7 +64,7 @@ SQL_CHECKED = [
     "deterministic_sample_hash", "minhash_dedup_kept",
     "ngram_jaccard_pairs", "token_rarity_scores",
     "events_sliding_window", "stratified_sample", "user_event_counts_salted",
-    "spaced_seed_distinct_exact",
+    "spaced_seed_distinct_exact", "pack_documents",
 ]
 
 

