@@ -371,3 +371,35 @@ def test_pack_documents_scan_invariants(ray_session):
     assert sorted(m.bin.unique()) == list(range(m.bin.max() + 1))
     # every doc assigned exactly once
     assert len(out) == len(docs)
+
+
+def test_pack_documents_layout_invariant(ray_session, tmp_path):
+    """The scan is order-defined, not layout-defined: packing a
+    re-sharded copy of the same table gives the identical assignment."""
+    import pyarrow.parquet as pq
+
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    base = A.pack_documents(sf, capacity_chars=5000)
+    # re-shard the table into 7 uneven files
+    t = pq.read_table(f"{sf}/documents.parquet")
+    d = tmp_path / "resharded"
+    d.mkdir()
+    cuts = [0, 11, 60, 200, 210, 350, 480, t.num_rows]
+    for i in range(len(cuts) - 1):
+        pq.write_table(t.slice(cuts[i], cuts[i + 1] - cuts[i]),
+                       d / f"documents.parquet" if i == 0 else
+                       d / f"part{i}.parquet")
+    # pack_documents reads f"{sf_dir}/documents.parquet" — write all
+    # shards into one directory under that name instead
+    import shutil
+    shutil.rmtree(d)
+    dd = tmp_path / "documents.parquet"
+    dd.mkdir()
+    for i in range(len(cuts) - 1):
+        pq.write_table(t.slice(cuts[i], cuts[i + 1] - cuts[i]),
+                       dd / f"part{i}.parquet")
+    other = A.pack_documents(str(tmp_path), capacity_chars=5000)
+    assert base.doc_id.tolist() == other.doc_id.tolist()
+    assert base.bin.tolist() == other.bin.tolist()
