@@ -882,6 +882,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": A.doc_fingerprints,
         "heavy_tokens_topk": A.heavy_tokens_topk,
         "token_rarity_scores": A.token_rarity_scores,
+        "repetition_stats": A.repetition_stats,
+        "decontaminate": A.decontaminate,
         "ann_topk": _ann_topk,
         "ann_topk_multi": _ann_topk_multi,
         "user_event_counts": _user_event_counts,
@@ -1102,6 +1104,52 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, COUNT(*) OVER (PARTITION BY user_id ORDER"
             " BY ts RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND"
             " CURRENT ROW) AS n_trailing FROM events",
+        # exact-integer per-doc repetition profile (Gopher A.1.1 shape);
+        # unigram stats from the exploded-token GROUP BY, bigram stats
+        # from adjacent positional pairs — both engines count identical
+        # string multisets, so the hash is integer-exact
+        "repetition_stats":
+            "WITH tok AS (SELECT doc_id, regexp_extract_all(text,"
+            " '\\S+') AS toks FROM documents), "
+            "uni AS (SELECT doc_id, unnest(toks) AS token FROM tok), "
+            "percnt AS (SELECT doc_id, token, COUNT(*) AS c FROM uni"
+            " GROUP BY doc_id, token), "
+            "unistats AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS"
+            " n_tokens, CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,"
+            " CAST(MAX(c) AS BIGINT) AS top_token_cnt FROM percnt GROUP"
+            " BY doc_id), "
+            "bigidx AS (SELECT doc_id, toks, unnest(generate_series(1,"
+            " len(toks)-1)) AS i FROM tok WHERE len(toks) >= 2), "
+            "big AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg"
+            " FROM bigidx), "
+            "bigstats AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS"
+            " n_bigrams, CAST(COUNT(DISTINCT bg) AS BIGINT) AS"
+            " n_distinct_bigrams FROM big GROUP BY doc_id) "
+            "SELECT u.doc_id, n_tokens, n_distinct_tokens,"
+            " top_token_cnt, COALESCE(n_bigrams, 0) AS n_bigrams,"
+            " COALESCE(n_distinct_bigrams, 0) AS n_distinct_bigrams "
+            "FROM unistats u LEFT JOIN bigstats b USING (doc_id) "
+            "ORDER BY u.doc_id",
+        # n-gram benchmark-contamination check: the Bloom prefilter is
+        # FP-safe because every sketch-positive candidate is verified
+        # against the exact benchmark n-gram set, so the engine equals
+        # this exact SQL semi-join count
+        "decontaminate":
+            "WITH tok AS (SELECT doc_id, regexp_extract_all(text,"
+            " '\\S+') AS toks FROM documents), "
+            "triidx AS (SELECT doc_id, toks, unnest(generate_series(1,"
+            " len(toks)-2)) AS i FROM tok WHERE len(toks) >= 3), "
+            "tri AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' '"
+            " || toks[i+2] AS tg FROM triidx), "
+            "bench AS (SELECT DISTINCT tg FROM tri WHERE doc_id % 97"
+            " = 0) "
+            "SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,"
+            " CAST(SUM(CASE WHEN b.tg IS NOT NULL THEN 1 ELSE 0 END) AS"
+            " BIGINT) AS n_contam, CAST(MAX(CASE WHEN b.tg IS NOT NULL"
+            " THEN 1 ELSE 0 END) AS BIGINT) AS contaminated "
+            "FROM tri t LEFT JOIN bench b ON t.tg = b.tg "
+            "WHERE t.doc_id % 97 <> 0 GROUP BY t.doc_id ORDER BY"
+            " t.doc_id",
         "top_docs_per_lang":
             "SELECT lang, doc_id, n_chars FROM ("
             "SELECT lang, doc_id, n_chars, ROW_NUMBER() OVER ("

@@ -151,7 +151,8 @@ def run_queries() -> dict[str, float]:
                "progressive_build_info", "multimodal_features",
                "token_rarity_scores", "events_sliding_window",
                "stratified_sample", "embedding_kmeans",
-               "user_event_counts_salted", "pack_documents"]
+               "user_event_counts_salted", "pack_documents",
+               "repetition_stats", "decontaminate"]
     # NOT benched: spaced_seed_distinct_exact — the verification-only
     # exact twin of the HLL query (COUNT DISTINCT over every frame is an
     # inherent all-to-all; the HLL sketch IS the production path)

@@ -911,3 +911,115 @@ def top_docs_per_lang(sf_dir: str, k: int = 3):
     return (out.sort_values(["lang", "n_chars", "doc_id"],
                             ascending=[True, False, True])
             .reset_index(drop=True)[["lang", "doc_id", "n_chars"]])
+
+
+# -- repetition / decontamination (training-data quality family) --------------
+
+def repetition_stats(sf_dir: str):
+    """Per-document Gopher-style repetition profile (exact integers; see
+    ``stages/textstats.repetition_stats_batch``).  Map-only — no shuffle
+    at any scale; output is one narrow row per document."""
+    from biobloom_ray.stages.textstats import repetition_stats_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(repetition_stats_batch,
+                         batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+#: decontaminate: benchmark membership rule — docs whose doc_id is
+#: divisible by this constant form the "benchmark" corpus (deterministic
+#: ~1% subset of the fixture; a real run would read the eval suite)
+DECON_BENCH_MOD = 97
+#: Bloom prefilter FPR for the broadcast benchmark n-gram filter
+DECON_BLOOM_FPR = 1e-4
+
+
+def decontaminate(sf_dir: str, n: int = 3, bench_mod: int = DECON_BENCH_MOD):
+    """Benchmark decontamination: count, per training document, the token
+    n-gram positions whose n-gram also occurs in a benchmark corpus, and
+    flag documents with any overlap — the standard n-gram eval-set
+    contamination check (GPT-3 appendix C / Gopher §A.2 shape), with the
+    benchmark taken as the deterministic ``doc_id % bench_mod == 0``
+    subset of the corpus.
+
+    Scale design (the reason this is BioBloom's subtract-filter pattern,
+    ``BioBloomClassifier.cpp:102-110``, re-expressed): the benchmark side
+    of a decontamination job is a small fixed eval suite, so its distinct
+    n-grams broadcast once via ``ray.put`` as (a) a Bloom filter over
+    combined-token-hash n-gram keys — the bit-cheap prefilter every probe
+    batch tests vectorized — and (b) the exact n-gram string set, probed
+    only for the Bloom-positive fraction (≈ overlap rate + FPR), which
+    keeps the verify exact (no hash-collision false flags) without ever
+    materializing probe-side n-gram strings in the common case.  The
+    probe pass is map-only: no shuffle at any scale.
+
+    Output (sorted by doc_id, benchmark docs excluded, docs with < n
+    tokens excluded — they have no n-grams): ``doc_id, n_trigrams,
+    n_contam, contaminated``.
+    """
+    import ray
+
+    from biobloom_ray.sketches.bloom import BloomFilter
+    from biobloom_ray.stages.textstats import (_token_arrays,
+                                               ngram_strings_at,
+                                               token_ngram_hashes)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_grams(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        sel = np.nonzero(ids % bench_mod == 0)[0]
+        if len(sel) == 0:
+            return pa.table({"tg": pa.array([], type=pa.string()),
+                             "h1": pa.array([], type=pa.uint64()),
+                             "h2": pa.array([], type=pa.uint64())})
+        sub = b.take(sel)
+        flat, lens, row_of = _token_arrays(sub)
+        h1, h2, _, start = token_ngram_hashes(flat, row_of, n)
+        tg = ngram_strings_at(flat, start, n)
+        df = pd.DataFrame({"tg": tg.to_numpy(dtype=object),
+                           "h1": h1, "h2": h2}).drop_duplicates("tg")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    bench = (ds.map_batches(bench_grams, batch_format="pyarrow")
+             .to_pandas().drop_duplicates("tg"))
+    bf = BloomFilter.for_entries(max(len(bench), 1), DECON_BLOOM_FPR,
+                                 kmer_size=n, filter_id="decon_bench")
+    if len(bench):
+        bf.insert(bench.h1.to_numpy(dtype=np.uint64),
+                  bench.h2.to_numpy(dtype=np.uint64))
+    state_ref = ray.put((bf.words, bf.m, bf.hash_num,
+                         frozenset(bench.tg.to_numpy(dtype=object))))
+
+    def probe(b: pa.Table) -> pa.Table:
+        import ray as _r
+        words, m, hnum, exact = _r.get(state_ref)
+        pf = BloomFilter(m=m, hash_num=hnum, kmer_size=n, words=words)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        sel = np.nonzero(ids % bench_mod != 0)[0]
+        if len(sel) == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "n_trigrams": pa.array([], type=pa.int64()),
+                             "n_contam": pa.array([], type=pa.int64()),
+                             "contaminated": pa.array([], type=pa.int64())})
+        sub = b.take(sel)
+        ids = ids[sel]
+        flat, lens, row_of = _token_arrays(sub)
+        h1, h2, trow, tstart = token_ngram_hashes(flat, row_of, n)
+        n_contam = np.zeros(len(ids), dtype=np.int64)
+        if len(h1):
+            cand = pf.contains(h1, h2)
+            if cand.any():
+                cs = ngram_strings_at(flat, tstart[cand], n)
+                verified = cs.isin(exact).to_numpy()
+                np.add.at(n_contam, trow[cand][verified], 1)
+        keep = lens >= n
+        return pa.table({
+            "doc_id": pa.array(ids[keep]),
+            "n_trigrams": pa.array(lens[keep] - (n - 1)),
+            "n_contam": pa.array(n_contam[keep]),
+            "contaminated": pa.array((n_contam[keep] > 0).astype(np.int64))})
+
+    out = ds.map_batches(probe, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

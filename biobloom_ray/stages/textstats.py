@@ -203,3 +203,113 @@ class LangIdActor:
                                   pa.array(pred, type=pa.large_string()))
         out = out.append_column("lang_conf", pa.array(scores.max(axis=1)))
         return out
+
+
+# ---------------------------------------------------------------------------
+# Repetition / n-gram contamination kernels (training-data quality ops)
+# ---------------------------------------------------------------------------
+
+def _token_arrays(batch: pa.Table, text_col: str = "text"):
+    """Whitespace tokens of a batch, flattened: (flat tokens as object
+    ndarray, per-row token counts, row index per token).  One pandas
+    C-regex pass; shared by the repetition and decontamination kernels."""
+    s = batch[text_col].to_pandas()
+    lists = s.str.findall(_TOKEN_RE)
+    lens = lists.str.len().fillna(0).to_numpy().astype(np.int64)
+    flat = lists.explode().dropna().to_numpy(dtype=object)
+    row_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    return flat, lens, row_of
+
+
+def repetition_stats_batch(batch: pa.Table, text_col: str = "text",
+                           id_col: str = "doc_id") -> pa.Table:
+    """Gopher-style repetition signals per document, in exact integers:
+    ``n_tokens``, ``n_distinct_tokens``, ``top_token_cnt`` (count of the
+    doc's most frequent token) and ``n_bigrams`` / ``n_distinct_bigrams``
+    (adjacent token pairs).  High duplicate fractions flag low-quality
+    repetitive pages (Rae et al. 2021 "Gopher" §A.1.1 shape).
+
+    Purely per-row → a map-only stage: no shuffle at any scale.  All
+    counting is factorize + sort/segment numpy; no Python loop over rows
+    or tokens.  Zero-token docs are dropped (no stats are defined),
+    matching the oracle's inner GROUP BY over exploded tokens.
+    """
+    flat, lens, row_of = _token_arrays(batch, text_col)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    n = len(ids)
+    codes, uniques = pd.factorize(pd.Index(flat, dtype=object))
+    codes = codes.astype(np.int64)
+    V = max(len(uniques), 1)
+    n_distinct = np.zeros(n, dtype=np.int64)
+    top_cnt = np.zeros(n, dtype=np.int64)
+    if len(codes):
+        key = row_of * V + codes  # row < 2**20, V <= tokens-in-batch
+        uk, ucnt = np.unique(key, return_counts=True)
+        urow = uk // V
+        np.add.at(n_distinct, urow, 1)
+        np.maximum.at(top_cnt, urow, ucnt)
+    n_db = np.zeros(n, dtype=np.int64)
+    if len(codes) > 1:
+        same = row_of[:-1] == row_of[1:]
+        brow = row_of[:-1][same]
+        c1 = codes[:-1][same]
+        c2 = codes[1:][same]
+        order = np.lexsort((c2, c1, brow))
+        brow_s, c1_s, c2_s = brow[order], c1[order], c2[order]
+        new = np.ones(len(brow_s), dtype=bool)
+        if len(brow_s) > 1:
+            new[1:] = ((brow_s[1:] != brow_s[:-1]) | (c1_s[1:] != c1_s[:-1])
+                       | (c2_s[1:] != c2_s[:-1]))
+        np.add.at(n_db, brow_s[new], 1)
+    keep = lens > 0
+    return pa.table({
+        "doc_id": pa.array(ids[keep]),
+        "n_tokens": pa.array(lens[keep]),
+        "n_distinct_tokens": pa.array(n_distinct[keep]),
+        "top_token_cnt": pa.array(top_cnt[keep]),
+        "n_bigrams": pa.array(np.maximum(lens[keep] - 1, 0)),
+        "n_distinct_bigrams": pa.array(n_db[keep]),
+    })
+
+
+# mixing multipliers for combining n token hashes into one n-gram hash
+# (odd 64-bit constants; golden-ratio family like the splitmix64 mixers)
+_NGRAM_MIX = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+              0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63)
+
+
+def token_ngram_hashes(flat: np.ndarray, row_of: np.ndarray, n: int,
+                       seed: int | None = None):
+    """(h1, h2, gram_row, gram_start) for every within-row n-gram of
+    adjacent tokens.  Hashes are combined from per-token 64-bit hashes
+    (one `hash_strings` pass) — no n-gram strings are built here; the
+    decontaminate verify path materializes strings only for sketch-
+    positive candidates.  ``gram_start`` indexes into ``flat``."""
+    from biobloom_ray.hashing import DEFAULT_SEED, splitmix64
+    if seed is None:
+        seed = DEFAULT_SEED
+    U64 = np.uint64
+    if len(flat) < n:
+        e = np.empty(0, dtype=U64)
+        return e, e, np.empty(0, np.int64), np.empty(0, np.int64)
+    th = hash_strings(pa.array(flat.tolist(), type=pa.large_string()))
+    ok = row_of[: len(row_of) - n + 1] == row_of[n - 1:]
+    start = np.nonzero(ok)[0]
+    with np.errstate(over="ignore"):
+        raw = np.zeros(len(start), dtype=U64)
+        for j in range(n):
+            raw ^= th[start + j] * U64(_NGRAM_MIX[j % len(_NGRAM_MIX)])
+        h1 = splitmix64(raw + U64(seed))
+        h2 = splitmix64(raw) | U64(1)
+    return h1, h2, row_of[start], start
+
+
+def ngram_strings_at(flat: np.ndarray, starts: np.ndarray, n: int) -> pd.Series:
+    """Join the n tokens at each start offset with single spaces
+    (pandas ``str.cat`` — the candidate set is small post-prefilter)."""
+    if len(starts) == 0:
+        return pd.Series(np.empty(0, dtype=object))
+    s = pd.Series(flat[starts].astype(object))
+    for j in range(1, n):
+        s = s.str.cat(pd.Series(flat[starts + j].astype(object)), sep=" ")
+    return s

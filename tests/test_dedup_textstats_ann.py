@@ -548,3 +548,85 @@ def test_kmeans_tiers_agree(ray_session, monkeypatch):
     pa_ = a.to_pandas().sort_values("vec_id").reset_index(drop=True)
     pb_ = b.to_pandas().sort_values("vec_id").reset_index(drop=True)
     assert (pa_.cluster.to_numpy() == pb_.cluster.to_numpy()).all()
+
+
+# -- repetition stats + decontamination ---------------------------------------
+
+
+class TestRepetitionStats:
+    def test_hand_computed(self):
+        from biobloom_ray.stages.textstats import repetition_stats_batch
+        t = pa.table({
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a b a b a",          # 5 tok, 2 distinct, top=3(a);
+                                            # bigrams: ab ba ab ba -> 2 distinct
+                     "x",                  # 1 tok, no bigrams
+                     "",                   # 0 tok -> dropped
+                     "w w w w"]})          # 4 tok, 1 distinct, top=4;
+                                            # bigrams: ww x3 -> 1 distinct
+        out = repetition_stats_batch(t).to_pandas().set_index("doc_id")
+        assert list(out.index) == [1, 2, 4]
+        assert out.loc[1].tolist() == [5, 2, 3, 4, 2]
+        assert out.loc[2].tolist() == [1, 1, 1, 0, 0]
+        assert out.loc[4].tolist() == [4, 1, 4, 3, 1]
+
+    def test_batchsize_invariance(self, ray_session):
+        """Map-only op: identical output under any batch/block layout."""
+        from biobloom_ray.pipelines.analytics import repetition_stats
+        a = repetition_stats("/root/testdata/sf0.001")
+        ds = ray.data.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet").repartition(7)
+        from biobloom_ray.stages.textstats import repetition_stats_batch
+        b = (ds.map_batches(repetition_stats_batch, batch_format="pyarrow",
+                            batch_size=13)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+class TestDecontaminate:
+    def test_bench_docs_excluded_and_flags_exact(self, ray_session, tmp_path):
+        """Hand-built corpus: doc 0 (id 0 % anything == 0) is the
+        benchmark; doc 97 shares a trigram with it, doc 1 does not; a
+        short doc (< 3 tokens) is absent from the output."""
+        import pyarrow.parquet as pq
+        docs = pa.table({
+            "doc_id": [0, 1, 3, 5, 6],
+            "text": ["the cat sat on the mat",
+                     "dogs bark loudly at night",
+                     "he saw the cat sat on a hat",
+                     "too short",
+                     "cat sat on nothing else matters"],
+            "lang": ["en"] * 5, "source": ["s"] * 5,
+            "n_chars": [22, 25, 27, 9, 30]})
+        d = tmp_path / "docs"
+        d.mkdir()
+        pq.write_table(docs, d / "documents.parquet")
+        from biobloom_ray.pipelines.analytics import decontaminate
+        out = decontaminate(str(d)).set_index("doc_id")
+        assert list(out.index) == [1, 3, 6]   # 0 = bench, 5 too short
+        assert out.loc[1, "n_contam"] == 0
+        assert out.loc[1, "contaminated"] == 0
+        # doc 3: "the cat sat" + "cat sat on" overlap the benchmark
+        assert out.loc[3, "n_contam"] == 2
+        assert out.loc[3, "contaminated"] == 1
+        # doc 6: "cat sat on" overlaps
+        assert out.loc[6, "n_contam"] == 1
+        assert out.loc[6, "n_trigrams"] == 4
+
+    def test_bloom_fp_cannot_false_flag(self, ray_session, tmp_path, monkeypatch):
+        """Force the Bloom prefilter to 100% positives (1-bit-per-entry
+        sizing is impossible, so patch FPR to ~1): the exact verify must
+        still produce zero contamination for disjoint vocabulary."""
+        import pyarrow.parquet as pq
+        import biobloom_ray.pipelines.analytics as A
+        monkeypatch.setattr(A, "DECON_BLOOM_FPR", 0.9999)
+        docs = pa.table({
+            "doc_id": [0, 1],
+            "text": ["alpha beta gamma delta", "one two three four five"],
+            "lang": ["en"] * 2, "source": ["s"] * 2, "n_chars": [22, 23]})
+        d = tmp_path / "docs"
+        d.mkdir()
+        pq.write_table(docs, d / "documents.parquet")
+        out = A.decontaminate(str(d))
+        assert out.contaminated.sum() == 0
+        assert out.n_contam.sum() == 0
