@@ -884,6 +884,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_rarity_scores": A.token_rarity_scores,
         "repetition_stats": A.repetition_stats,
         "decontaminate": A.decontaminate,
+        "repeated_substrings": A.repeated_substrings,
         "ann_topk": _ann_topk,
         "ann_topk_multi": _ann_topk_multi,
         "user_event_counts": _user_event_counts,
@@ -1150,6 +1151,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM tri t LEFT JOIN bench b ON t.tg = b.tg "
             "WHERE t.doc_id % 97 <> 0 GROUP BY t.doc_id ORDER BY"
             " t.doc_id",
+        # per-position exact-substring repetition (Lee et al. 2021
+        # shape): a position is repeated iff its 30-char window occurs
+        # in >= 2 distinct docs; the engine's 64-bit shingle-hash
+        # identity equals string identity at this scale (collision
+        # probability ~1e-9 over the fixture's distinct shingles)
+        "repeated_substrings":
+            "WITH pos AS (SELECT doc_id, text, unnest(generate_series("
+            "1, len(text)-29)) AS i FROM documents WHERE len(text) >="
+            " 30), "
+            "sh AS (SELECT doc_id, substr(text, i, 30) AS s FROM pos), "
+            "pairs AS (SELECT DISTINCT doc_id, s FROM sh), "
+            "rep AS (SELECT s FROM pairs GROUP BY s HAVING COUNT(*) >="
+            " 2) "
+            "SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_positions,"
+            " CAST(SUM(CASE WHEN r.s IS NOT NULL THEN 1 ELSE 0 END) AS"
+            " BIGINT) AS n_repeated "
+            "FROM sh d LEFT JOIN rep r ON d.s = r.s "
+            "GROUP BY d.doc_id ORDER BY d.doc_id",
         "top_docs_per_lang":
             "SELECT lang, doc_id, n_chars FROM ("
             "SELECT lang, doc_id, n_chars, ROW_NUMBER() OVER ("

@@ -1023,3 +1023,94 @@ def decontaminate(sf_dir: str, n: int = 3, bench_mod: int = DECON_BENCH_MOD):
 
     out = ds.map_batches(probe, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+#: input-row gate for repeated_substrings' driver tier: below it the
+#: deduped (doc, shingle-hash) pairs combine on the driver; above it the
+#: native groupby(h) + hash-join path runs
+REPEAT_DRIVER_MAX_ROWS = 200_000
+#: window length (chars) for cross-document repeated-substring detection
+REPEAT_SUBSTR_K = 30
+
+
+def repeated_substrings(sf_dir: str, k: int = REPEAT_SUBSTR_K):
+    """Cross-document repeated-substring profile — the exact-substring
+    dedup signal of Lee et al. 2021 ("Deduplicating Training Data Makes
+    Language Models Better") expressed per position: for every document,
+    count the k-char window positions whose substring also occurs in at
+    least one OTHER document.  Output (docs with ≥ k chars, sorted):
+    ``doc_id, n_positions, n_repeated``.
+
+    Shape: one shingle-hash scan emits per-batch-deduped narrow
+    ``(doc_id, h:int64, pos_cnt)`` rows (a document is never split
+    across input rows, so per-batch dedup is global dedup); shingles in
+    ≥ 2 distinct docs come from ONE native ``groupby(h).Count()``; the
+    per-doc repeated-position tally is an inner hash join back to the
+    pair rows plus a ``groupby(doc_id).Sum(pos_cnt)``.  Below
+    ``REPEAT_DRIVER_MAX_ROWS`` input docs the pair rows combine on the
+    driver instead (identical output, tier-parity-tested).  Substring
+    identity is the 64-bit rolling shingle hash — collision probability
+    ~N²/2⁶⁵ over N distinct shingles (≈1e-9 at the parity fixture; at
+    10¹²-position scale swap in a 128-bit hash).  A pathologically hot
+    substring (boilerplate in every page) skews the groupby key; the
+    pair rows are already deduped per doc, bounding any key at n_docs
+    rows — salt via ``stages/skew`` if that bound is still hot.
+    """
+    from biobloom_ray.hashing import shingle_hashes
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pairs_partial(b: pa.Table) -> pa.Table:
+        texts = b["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        h1, _, nf = shingle_hashes(texts, k)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        row_of = np.repeat(np.arange(len(ids), dtype=np.int64), nf)
+        hs = h1.view(np.int64)
+        order = np.lexsort((hs, row_of))
+        rs, hss = row_of[order], hs[order]
+        new = np.ones(len(rs), dtype=bool)
+        if len(rs) > 1:
+            new[1:] = (rs[1:] != rs[:-1]) | (hss[1:] != hss[:-1])
+        starts = np.nonzero(new)[0]
+        cnts = np.diff(np.append(starts, len(rs))).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids[rs[starts]]),
+                         "h": pa.array(hss[starts]),
+                         "pos_cnt": pa.array(cnts)})
+
+    def positions_partial(b: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(b["text"]).to_numpy(zero_copy_only=False)
+        keep = lens >= k
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(ids[keep]),
+                         "n_positions": pa.array(lens[keep] - (k - 1))})
+
+    pairs = ds.map_batches(pairs_partial, batch_format="pyarrow")
+    npos = (ds.map_batches(positions_partial, batch_format="pyarrow")
+            .to_pandas())
+    n_rows = _cheap_count(ds)
+
+    if n_rows is not None and n_rows <= REPEAT_DRIVER_MAX_ROWS:
+        p = pairs.to_pandas()
+        n_docs = p.groupby("h")["doc_id"].transform("size")
+        rep = (p[n_docs >= 2].groupby("doc_id", as_index=False)
+               ["pos_cnt"].sum().rename(columns={"pos_cnt": "n_repeated"}))
+    else:
+        from biobloom_ray.io import hash_join
+        rep_h = (pairs.groupby("h")
+                 .aggregate(Count(alias_name="n_docs")))
+
+        def only_repeated(b: pa.Table) -> pa.Table:
+            m = pc.greater_equal(b["n_docs"], 2)
+            return b.filter(m).select(["h"])
+
+        rep_h = rep_h.map_batches(only_repeated, batch_format="pyarrow")
+        joined = hash_join(pairs, rep_h, on=("h",))
+        rep = (joined.groupby("doc_id")
+               .aggregate(Sum("pos_cnt", alias_name="n_repeated"))
+               .to_pandas())
+
+    out = npos.merge(rep, on="doc_id", how="left")
+    out["n_repeated"] = out.n_repeated.fillna(0).astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -586,8 +586,8 @@ class TestRepetitionStats:
 class TestDecontaminate:
     def test_bench_docs_excluded_and_flags_exact(self, ray_session, tmp_path):
         """Hand-built corpus: doc 0 (id 0 % anything == 0) is the
-        benchmark; doc 97 shares a trigram with it, doc 1 does not; a
-        short doc (< 3 tokens) is absent from the output."""
+        benchmark; docs 3 and 6 share trigrams with it, doc 1 does not;
+        a short doc (< 3 tokens) is absent from the output."""
         import pyarrow.parquet as pq
         docs = pa.table({
             "doc_id": [0, 1, 3, 5, 6],
@@ -630,3 +630,14 @@ class TestDecontaminate:
         out = A.decontaminate(str(d))
         assert out.contaminated.sum() == 0
         assert out.n_contam.sum() == 0
+
+
+def test_repeated_substrings_tiers_agree(ray_session, monkeypatch):
+    """Driver-combine tier and native groupby+join tier are bit-identical
+    (same convention as every scale gate in the repo)."""
+    import biobloom_ray.pipelines.analytics as A
+    a = A.repeated_substrings("/root/testdata/sf0.001")
+    monkeypatch.setattr(A, "REPEAT_DRIVER_MAX_ROWS", 0)
+    b = A.repeated_substrings("/root/testdata/sf0.001")
+    pd.testing.assert_frame_equal(a, b[a.columns])
+    assert a.n_repeated.sum() > 0  # the fixture's tiny vocab guarantees repeats

@@ -65,7 +65,7 @@ SQL_CHECKED = [
     "ngram_jaccard_pairs", "token_rarity_scores",
     "events_sliding_window", "stratified_sample", "user_event_counts_salted",
     "spaced_seed_distinct_exact", "pack_documents",
-    "repetition_stats", "decontaminate",
+    "repetition_stats", "decontaminate", "repeated_substrings",
 ]
 
 
