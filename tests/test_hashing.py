@@ -155,3 +155,47 @@ def test_normalized_byte_len_matches_normalize_batch():
     want_s = np.array([len(t.encode()) if t is not None else 0
                        for t in normalize_batch(sl).to_pylist()])
     assert (want_s == normalized_byte_len(sl)).all()
+
+
+class TestTokenNgramHashes:
+    """Property checks for the combined-token n-gram hash used by the
+    decontamination prefilter (stages/textstats.token_ngram_hashes)."""
+
+    def _grams(self, docs, n):
+        from biobloom_ray.stages.textstats import (_token_arrays,
+                                                   ngram_strings_at,
+                                                   token_ngram_hashes)
+        t = pa.table({"doc_id": list(range(len(docs))), "text": docs})
+        flat, lens, row_of = _token_arrays(t)
+        h1, h2, grow, gstart = token_ngram_hashes(flat, row_of, n)
+        s = ngram_strings_at(flat, gstart, n)
+        return h1, h2, grow, s
+
+    def test_equal_strings_equal_hashes_and_no_spurious_equalities(self):
+        rng = np.random.default_rng(42)
+        vocab = [f"tok{i}" for i in range(30)]
+        docs = [" ".join(rng.choice(vocab, rng.integers(0, 25)))
+                for _ in range(60)]
+        for n in (2, 3, 5):
+            h1, h2, grow, s = self._grams(docs, n)
+            import pandas as pd
+            df = pd.DataFrame({"s": s.to_numpy(dtype=object),
+                               "h1": h1, "h2": h2})
+            # same string -> same (h1, h2) everywhere
+            assert (df.groupby("s")[["h1", "h2"]].nunique() == 1).all().all()
+            # distinct strings -> distinct hashes (no collisions at this
+            # scale; 64-bit + avalanche)
+            assert df.drop_duplicates("s").h1.is_unique
+
+    def test_ngrams_never_cross_row_boundaries(self):
+        # adjacent docs ending/starting with identical tokens must not
+        # produce a gram spanning the boundary
+        h1, _, grow, s = self._grams(["a b", "b c"], 2)
+        assert sorted(s.tolist()) == ["a b", "b c"]
+        assert sorted(grow.tolist()) == [0, 1]
+
+    def test_order_sensitivity(self):
+        # "a b" and "b a" must hash differently (mix multipliers are
+        # position-dependent)
+        h1, _, _, s = self._grams(["a b", "b a"], 2)
+        assert len(set(h1.tolist())) == 2
