@@ -108,6 +108,8 @@ def _force_cluster_tiers():
     A.EVENTS_DRIVER_MAX_ROWS = 0
     A.RARITY_BROADCAST_MAX_ROWS = 0
     A.REPEAT_DRIVER_MAX_ROWS = 0
+    A.BOILERPLATE_DRIVER_MAX_ROWS = 0
+    A.BIGRAM_BROADCAST_MAX_ROWS = 0
     D.EXACT_DEDUP_DRIVER_MAX_ROWS = 0
     D.BAND_DRIVER_MAX_ROWS = 0
     PR.PAIR_BROADCAST_MAX_ROWS = 0
@@ -153,7 +155,9 @@ def run_queries() -> dict[str, float]:
                "token_rarity_scores", "events_sliding_window",
                "stratified_sample", "embedding_kmeans",
                "user_event_counts_salted", "pack_documents",
-               "repetition_stats", "decontaminate", "repeated_substrings"]
+               "repetition_stats", "decontaminate", "repeated_substrings",
+               "pii_redact", "gopher_quality_flags",
+               "remove_boilerplate_ngrams", "bigram_lm_scores"]
     # NOT benched: spaced_seed_distinct_exact — the verification-only
     # exact twin of the HLL query (COUNT DISTINCT over every frame is an
     # inherent all-to-all; the HLL sketch IS the production path)

@@ -1114,3 +1114,221 @@ def repeated_substrings(sf_dir: str, k: int = REPEAT_SUBSTR_K):
     out = npos.merge(rep, on="doc_id", how="left")
     out["n_repeated"] = out.n_repeated.fillna(0).astype(np.int64)
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def pii_redact(sf_dir: str):
+    """PII redaction over the events props column — emails, IPv4
+    literals and digit runs replaced by typed tokens, plus the
+    pre-redaction digit-run count.  Map-only (three pandas C regex
+    passes per batch); no shuffle at any scale.  Patterns are pinned to
+    the Python-re ∩ RE2 common syntax so the DuckDB oracle's
+    ``regexp_replace(..., 'g')`` chain is byte-identical."""
+    from biobloom_ray.stages.webclean import pii_redact_batch
+
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+    out = ds.map_batches(pii_redact_batch, batch_format="pyarrow")
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+def gopher_quality_flags(sf_dir: str):
+    """Gopher-style quality gate per document (Rae et al. 2021 §A.1.1
+    shape) in exact integers — see
+    ``stages/webclean.gopher_flags_batch``.  Map-only; no shuffle."""
+    from biobloom_ray.stages.webclean import gopher_flags_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(gopher_flags_batch, batch_format="pyarrow")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+#: input-row gate for the boilerplate remover's broadcast tier: below
+#: it the corpus-frequent n-gram partials combine on the driver; above
+#: it ONE native groupby(h).Sum reduces them in the cluster first.  The
+#: broadcast set itself is bounded by boilerplate cardinality (n-grams
+#: in >= min_docs distinct docs), not corpus size.
+BOILERPLATE_DRIVER_MAX_ROWS = 200_000
+BOILERPLATE_N = 3
+BOILERPLATE_MIN_DOCS = 3
+
+
+def remove_boilerplate_ngrams(sf_dir: str, n: int = BOILERPLATE_N,
+                              min_docs: int = BOILERPLATE_MIN_DOCS):
+    """Cross-document boilerplate removal (RefinedWeb/CCNet line-dedup
+    analogue for unstructured text): every token position covered by a
+    token n-gram occurring in >= ``min_docs`` DISTINCT documents is
+    dropped, and the survivors are re-joined with single spaces.
+    Output (sorted): ``doc_id, text_clean, n_removed``.
+
+    Shape: scan 1 emits per-batch-deduped narrow ``(h, n_docs)``
+    partials (a doc never splits across rows, so batch dedup is global
+    dedup); the frequent set comes from ONE native ``groupby(h).Sum``
+    (driver-combined below ``BOILERPLATE_DRIVER_MAX_ROWS`` docs —
+    tier-parity-tested) and broadcasts once via ``ray.put`` (size is
+    bounded by boilerplate cardinality); scan 2 is map-only: interval
+    overlay + one vectorized ``binary_join`` reassembly per batch.
+    N-gram identity is the 64-bit combined-token hash (collision odds
+    ~N²/2⁶⁵; swap to 128-bit at 10¹²-doc scale)."""
+    import ray
+
+    from biobloom_ray.stages.webclean import (ngram_doc_partials,
+                                              remove_ngrams_batch)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    parts = ds.map_batches(lambda b: ngram_doc_partials(b, n),
+                           batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= BOILERPLATE_DRIVER_MAX_ROWS:
+        p = parts.to_pandas()
+        agg = p.groupby("h", as_index=False)["n_docs"].sum()
+        freq = np.sort(agg[agg.n_docs >= min_docs].h.to_numpy())
+    else:
+        agg = parts.groupby("h").aggregate(Sum("n_docs",
+                                               alias_name="n_docs"))
+
+        def hot(b: pa.Table) -> pa.Table:
+            return b.filter(pc.greater_equal(b["n_docs"],
+                                             min_docs)).select(["h"])
+
+        freq = np.sort(agg.map_batches(hot, batch_format="pyarrow")
+                       .to_pandas().h.to_numpy())
+    freq_ref = ray.put(freq)
+
+    def clean(b: pa.Table) -> pa.Table:
+        import ray as _r
+        return remove_ngrams_batch(b, _r.get(freq_ref), n)
+
+    out = ds.map_batches(clean, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+#: input-row gate for bigram_lm_scores' broadcast tier (same contract
+#: as RARITY_BROADCAST_MAX_ROWS, one level up: bigram tables are ~V²
+#: at worst, so the gate is lower)
+BIGRAM_BROADCAST_MAX_ROWS = 100_000
+
+
+def bigram_lm_scores(sf_dir: str):
+    """Corpus-trained bigram language-model score per document — the
+    classic LM-quality signal (CCNet-style, with a corpus-internal
+    model instead of an external KenLM): for every adjacent token pair
+    the MLE conditional probability is ``c(w1 w2) / c(w1·)`` where
+    ``c(w1·)`` counts w1 as a bigram prefix; a page's score is the mean
+    log-probability over its bigrams.  Output (docs with >= 2 tokens,
+    sorted): ``doc_id, n_bigrams, sum_bigram_cnt, min_bigram_cnt``
+    (exact ints) and ``avg_logprob_r6`` (mean ln p rounded to 6 dp —
+    the rounding absorbs libm/summation-order ulps vs the oracle).
+
+    Tiered like ``token_rarity_scores``: one tokenize+hash scan emits
+    per-batch-combined ``(hg, hp, cnt)`` partials (hg = bigram hash,
+    hp = prefix-token hash — a function of hg, so carrying it is
+    shuffle-free); bigram and prefix counts are two native Sums over
+    those narrow rows; below the gate they combine on the driver and
+    broadcast once, above it the exploded grams hash-join the two count
+    tables and reduce with native aggregates."""
+    import ray
+
+    from biobloom_ray.hashing import hash_strings
+    from biobloom_ray.stages.textstats import (_token_arrays,
+                                               token_ngram_hashes)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def grams(b: pa.Table, partial: bool) -> pa.Table:
+        flat, lens, row_of = _token_arrays(b)
+        hg, _, gram_row, gram_start = token_ngram_hashes(flat, row_of, 2)
+        hgs = hg.view(np.int64)
+        if not len(hgs):
+            cols = {"hg": pa.array([], type=pa.int64()),
+                    "hp": pa.array([], type=pa.int64()),
+                    "cnt": pa.array([], type=pa.int64())}
+            if not partial:
+                cols["doc_id"] = pa.array([], type=pa.int64())
+                del cols["cnt"]
+            return pa.table(cols)
+        th = hash_strings(pa.array(flat.tolist(),
+                                   type=pa.large_string()))
+        hps = th[gram_start].view(np.int64)
+        if not partial:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            return pa.table({"doc_id": pa.array(ids[gram_row]),
+                             "hg": pa.array(hgs), "hp": pa.array(hps)})
+        order = np.argsort(hgs, kind="stable")
+        hgs_s, hps_s = hgs[order], hps[order]
+        new = np.ones(len(hgs_s), dtype=bool)
+        if len(hgs_s) > 1:
+            new[1:] = hgs_s[1:] != hgs_s[:-1]
+        starts = np.nonzero(new)[0]
+        cnts = np.diff(np.append(starts, len(hgs_s))).astype(np.int64)
+        return pa.table({"hg": pa.array(hgs_s[starts]),
+                         "hp": pa.array(hps_s[starts]),
+                         "cnt": pa.array(cnts)})
+
+    parts = ds.map_batches(lambda b: grams(b, True),
+                           batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+
+    if n_rows is not None and n_rows <= BIGRAM_BROADCAST_MAX_ROWS:
+        p = parts.to_pandas()
+        cg = p.groupby("hg", as_index=False)["cnt"].sum()
+        cp = p.groupby("hp", as_index=False)["cnt"].sum()
+        hg_s = cg.hg.to_numpy()
+        order = np.argsort(hg_s)
+        model = ((hg_s[order], cg.cnt.to_numpy()[order]),
+                 (np.sort(cp.hp.to_numpy()),
+                  cp.cnt.to_numpy()[np.argsort(cp.hp.to_numpy())]))
+        model_ref = ray.put(model)
+
+        def score(b: pa.Table) -> pa.Table:
+            import ray as _r
+            (hg_t, cg_t), (hp_t, cp_t) = _r.get(model_ref)
+            g = grams(b, False)
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            gid = g["doc_id"].to_numpy(zero_copy_only=False)
+            c_g = cg_t[np.searchsorted(hg_t, g["hg"].to_numpy())]
+            c_p = cp_t[np.searchsorted(hp_t, g["hp"].to_numpy())]
+            lp = np.log(c_g / c_p)
+            uid, inv = np.unique(gid, return_inverse=True)
+            nb = np.bincount(inv).astype(np.int64)
+            s_cnt = np.zeros(len(uid), dtype=np.int64)
+            np.add.at(s_cnt, inv, c_g)
+            m_cnt = np.full(len(uid), np.iinfo(np.int64).max)
+            np.minimum.at(m_cnt, inv, c_g)
+            s_lp = np.zeros(len(uid))
+            np.add.at(s_lp, inv, lp)
+            return pa.table({
+                "doc_id": pa.array(uid),
+                "n_bigrams": pa.array(nb),
+                "sum_bigram_cnt": pa.array(s_cnt),
+                "min_bigram_cnt": pa.array(m_cnt),
+                "avg_logprob_r6": pa.array(np.round(s_lp / nb, 6))})
+
+        out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    from biobloom_ray.io import hash_join
+    cg = parts.groupby("hg").aggregate(Sum("cnt", alias_name="c_g"))
+    cp_parts = parts.map_batches(
+        lambda b: b.select(["hp", "cnt"]), batch_format="pyarrow")
+    cp = cp_parts.groupby("hp").aggregate(Sum("cnt", alias_name="c_p"))
+    exploded = ds.map_batches(lambda b: grams(b, False),
+                              batch_format="pyarrow")
+    j = hash_join(hash_join(exploded, cg, on=("hg",)), cp, on=("hp",))
+
+    def lp_col(b: pa.Table) -> pa.Table:
+        c_g = b["c_g"].to_numpy(zero_copy_only=False)
+        c_p = b["c_p"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": b["doc_id"],
+                         "c_g": b["c_g"],
+                         "lp": pa.array(np.log(c_g / c_p))})
+
+    agg = (j.map_batches(lp_col, batch_format="pyarrow")
+           .groupby("doc_id")
+           .aggregate(Count(alias_name="n_bigrams"),
+                      Sum("c_g", alias_name="sum_bigram_cnt"),
+                      Min("c_g", alias_name="min_bigram_cnt"),
+                      Sum("lp", alias_name="s_lp"))
+           .to_pandas())
+    agg["avg_logprob_r6"] = np.round(agg.s_lp / agg.n_bigrams, 6)
+    out = agg[["doc_id", "n_bigrams", "sum_bigram_cnt",
+               "min_bigram_cnt", "avg_logprob_r6"]]
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -66,6 +66,8 @@ SQL_CHECKED = [
     "events_sliding_window", "stratified_sample", "user_event_counts_salted",
     "spaced_seed_distinct_exact", "pack_documents",
     "repetition_stats", "decontaminate", "repeated_substrings",
+    "pii_redact", "gopher_quality_flags", "remove_boilerplate_ngrams",
+    "bigram_lm_scores",
 ]
 
 
