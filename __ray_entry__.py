@@ -876,7 +876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # still execute), then mode variants and golden-covered twins whose
     # incremental driver signal is weakest.
     return {
-        # --- SQL-oracled (40) ---
+        # --- SQL-oracled (43) ---
         "lang_counts": A.lang_counts,
         "frame_counts": A.frame_counts,
         "median_nchars_by_lang": A.median_nchars_by_lang,
@@ -896,6 +896,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality_flags": A.gopher_quality_flags,
         "remove_boilerplate_ngrams": A.remove_boilerplate_ngrams,
         "bigram_lm_scores": A.bigram_lm_scores,
+        "chunk_documents": A.chunk_documents,
+        "tfidf_top_terms": A.tfidf_top_terms,
+        "bigram_ppl_buckets": A.bigram_ppl_buckets,
         "ann_topk": _ann_topk,
         "ann_topk_multi": _ann_topk_multi,
         "user_event_counts": _user_event_counts,
@@ -1287,6 +1290,67 @@ def oracle_sql() -> dict[str, str]:
             " avg_logprob_r6 "
             "FROM big b JOIN cg USING (bg) JOIN cp USING (w1) "
             "GROUP BY b.doc_id ORDER BY b.doc_id",
+        # overlapping token windows: chunk c of an L-token doc covers
+        # tokens [c*48+1, min(c*48+64, L)] (1-based inclusive, DuckDB
+        # list-slice semantics), c in 0..ceil(max(L-64,0)/48) as exact
+        # integer ceiling; zero-token docs emit nothing
+        "chunk_documents":
+            "WITH tok AS (SELECT doc_id, regexp_extract_all(text,"
+            " '\\S+') AS toks FROM documents), "
+            "n AS (SELECT doc_id, toks, len(toks) AS L FROM tok WHERE"
+            " len(toks) > 0), "
+            "ch AS (SELECT doc_id, toks, L, unnest(generate_series(0,"
+            " (greatest(L-64, 0) + 47) // 48)) AS c FROM n) "
+            "SELECT doc_id, CAST(c AS BIGINT) AS chunk_id,"
+            " CAST(least(c*48+64, L) - c*48 AS BIGINT) AS"
+            " n_chunk_tokens,"
+            " array_to_string(toks[c*48+1 : least(c*48+64, L)], ' ')"
+            " AS chunk_text "
+            "FROM ch ORDER BY doc_id, chunk_id",
+        # winner row selected by exact integers only — (tf DESC, df
+        # ASC, token ASC); the float tf·idf is a 6-dp-rounded VALUE
+        # column, never a ranking key, so row identity has no float
+        # hazard (N = total documents incl. empty ones)
+        "tfidf_top_terms":
+            "WITH tok AS (SELECT doc_id, regexp_extract_all(text,"
+            " '\\S+') AS toks FROM documents), "
+            "uni AS (SELECT doc_id, unnest(toks) AS token FROM tok), "
+            "tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS"
+            " tf FROM uni GROUP BY doc_id, token), "
+            "df AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS"
+            " BIGINT) AS df FROM uni GROUP BY token), "
+            "nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM"
+            " documents), "
+            "r AS (SELECT t.doc_id, t.token, t.tf, d.df, ROW_NUMBER()"
+            " OVER (PARTITION BY t.doc_id ORDER BY t.tf DESC, d.df"
+            " ASC, t.token ASC) AS rn FROM tf t JOIN df d USING"
+            " (token)) "
+            "SELECT doc_id, token AS top_term, tf, df,"
+            " ROUND(tf * LN(CAST((SELECT n FROM nd) AS DOUBLE) / df),"
+            " 6) AS tfidf_r6 "
+            "FROM r WHERE rn = 1 ORDER BY doc_id",
+        # NTILE over the bigram-LM ranking (best score = bucket 1);
+        # both engines rank by the IDENTICAL 6-dp-rounded score column
+        # (hash-equal in bigram_lm_scores) + doc_id, and the engine's
+        # closed-form rank->bucket map reproduces SQL NTILE exactly
+        # (earlier buckets take the remainder rows)
+        "bigram_ppl_buckets":
+            "WITH tok AS (SELECT doc_id, regexp_extract_all(text,"
+            " '\\S+') AS toks FROM documents), "
+            "bigidx AS (SELECT doc_id, toks, unnest(generate_series(1,"
+            " len(toks)-1)) AS i FROM tok WHERE len(toks) >= 2), "
+            "big AS (SELECT doc_id, toks[i] AS w1, toks[i] || ' ' ||"
+            " toks[i+1] AS bg FROM bigidx), "
+            "cg AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c_g FROM big"
+            " GROUP BY bg), "
+            "cp AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c_p FROM big"
+            " GROUP BY w1), "
+            "sc AS (SELECT b.doc_id, ROUND(AVG(LN(CAST(c_g AS DOUBLE) /"
+            " c_p)), 6) AS avg_logprob_r6 FROM big b JOIN cg USING (bg)"
+            " JOIN cp USING (w1) GROUP BY b.doc_id) "
+            "SELECT doc_id, avg_logprob_r6, CAST(NTILE(3) OVER (ORDER"
+            " BY avg_logprob_r6 DESC, doc_id ASC) AS BIGINT) AS"
+            " ppl_bucket FROM sc ORDER BY doc_id",
         "top_docs_per_lang":
             "SELECT lang, doc_id, n_chars FROM ("
             "SELECT lang, doc_id, n_chars, ROW_NUMBER() OVER ("

@@ -110,6 +110,7 @@ def _force_cluster_tiers():
     A.REPEAT_DRIVER_MAX_ROWS = 0
     A.BOILERPLATE_DRIVER_MAX_ROWS = 0
     A.BIGRAM_BROADCAST_MAX_ROWS = 0
+    A.TFIDF_BROADCAST_MAX_ROWS = 0
     D.EXACT_DEDUP_DRIVER_MAX_ROWS = 0
     D.BAND_DRIVER_MAX_ROWS = 0
     PR.PAIR_BROADCAST_MAX_ROWS = 0
@@ -157,7 +158,9 @@ def run_queries() -> dict[str, float]:
                "user_event_counts_salted", "pack_documents",
                "repetition_stats", "decontaminate", "repeated_substrings",
                "pii_redact", "gopher_quality_flags",
-               "remove_boilerplate_ngrams", "bigram_lm_scores"]
+               "remove_boilerplate_ngrams", "bigram_lm_scores",
+               "chunk_documents", "tfidf_top_terms",
+               "bigram_ppl_buckets"]
     # NOT benched: spaced_seed_distinct_exact — the verification-only
     # exact twin of the HLL query (COUNT DISTINCT over every frame is an
     # inherent all-to-all; the HLL sketch IS the production path)

@@ -1208,6 +1208,13 @@ BIGRAM_BROADCAST_MAX_ROWS = 100_000
 
 
 def bigram_lm_scores(sf_dir: str):
+    """Pandas-result wrapper over ``_bigram_scores_ds`` (the query
+    contract); see that function for the full design notes."""
+    out = _bigram_scores_ds(sf_dir).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _bigram_scores_ds(sf_dir: str) -> "ray.data.Dataset":
     """Corpus-trained bigram language-model score per document — the
     classic LM-quality signal (CCNet-style, with a corpus-internal
     model instead of an external KenLM): for every adjacent token pair
@@ -1302,8 +1309,7 @@ def bigram_lm_scores(sf_dir: str):
                 "min_bigram_cnt": pa.array(m_cnt),
                 "avg_logprob_r6": pa.array(np.round(s_lp / nb, 6))})
 
-        out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
-        return out.sort_values("doc_id").reset_index(drop=True)
+        return ds.map_batches(score, batch_format="pyarrow")
 
     from biobloom_ray.io import hash_join
     cg = parts.groupby("hg").aggregate(Sum("cnt", alias_name="c_g"))
@@ -1326,9 +1332,237 @@ def bigram_lm_scores(sf_dir: str):
            .aggregate(Count(alias_name="n_bigrams"),
                       Sum("c_g", alias_name="sum_bigram_cnt"),
                       Min("c_g", alias_name="min_bigram_cnt"),
-                      Sum("lp", alias_name="s_lp"))
-           .to_pandas())
-    agg["avg_logprob_r6"] = np.round(agg.s_lp / agg.n_bigrams, 6)
-    out = agg[["doc_id", "n_bigrams", "sum_bigram_cnt",
-               "min_bigram_cnt", "avg_logprob_r6"]]
+                      Sum("lp", alias_name="s_lp")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        s_lp = b["s_lp"].to_numpy(zero_copy_only=False)
+        nb = b["n_bigrams"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": b["doc_id"], "n_bigrams": b["n_bigrams"],
+            "sum_bigram_cnt": b["sum_bigram_cnt"],
+            "min_bigram_cnt": b["min_bigram_cnt"],
+            "avg_logprob_r6": pa.array(np.round(s_lp / nb, 6))})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_documents(sf_dir: str, chunk: int = CHUNK_TOKENS,
+                    stride: int = CHUNK_STRIDE):
+    """Fixed-size overlapping token-window chunking (training-prep
+    fan-out; see ``stages/webclean.chunk_docs_batch`` for the
+    vectorized kernel).  Map-only flat_map — output fan-out is local
+    to each batch, no shuffle at any scale; at 100 TB this is the
+    stage whose OUTPUT exceeds its input (~chunk/stride ×), so it
+    should feed a streaming writer, never a driver collect — the
+    pandas tail here is the small-scale query contract only."""
+    from biobloom_ray.stages.webclean import chunk_docs_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(lambda b: chunk_docs_batch(b, chunk, stride),
+                         batch_format="pyarrow")
+    return (out.to_pandas().sort_values(["doc_id", "chunk_id"])
+            .reset_index(drop=True))
+
+
+#: input-row gate for tfidf_top_terms' broadcast tier (same contract
+#: as RARITY_BROADCAST_MAX_ROWS: below it the vocabulary df table is
+#: driver-combined and broadcast, above it a string-keyed hash join)
+TFIDF_BROADCAST_MAX_ROWS = 100_000
+
+
+def _doc_term_tf(b: pa.Table) -> pa.Table:
+    """Per-batch (doc_id, token, tf) rows — exact, since a doc never
+    splits across input rows.  Codes from np.unique are lex-ordered,
+    which downstream tie-breaks rely on."""
+    from biobloom_ray.stages.textstats import _token_arrays
+
+    flat, lens, row_of = _token_arrays(b)
+    ids = b["doc_id"].to_numpy(zero_copy_only=False)
+    if not len(flat):
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "token": pa.array([], type=pa.string()),
+                         "tf": pa.array([], type=pa.int64())})
+    uniq, codes = np.unique(flat, return_inverse=True)
+    order = np.lexsort((codes, row_of))
+    rs, cs = row_of[order], codes[order]
+    new = np.ones(len(rs), dtype=bool)
+    new[1:] = (rs[1:] != rs[:-1]) | (cs[1:] != cs[:-1])
+    starts = np.nonzero(new)[0]
+    tf = np.diff(np.append(starts, len(rs))).astype(np.int64)
+    return pa.table({
+        "doc_id": pa.array(ids[rs[starts]]),
+        "token": pa.array(uniq[cs[starts]].tolist(), type=pa.string()),
+        "tf": pa.array(tf)})
+
+
+def tfidf_top_terms(sf_dir: str):
+    """Most-salient term per document, ranked by EXACT INTEGERS —
+    (tf desc, df asc, token asc) — so the winning row is float-free on
+    both engines; the tf·idf score ``tf * ln(N/df)`` is emitted as a
+    6-dp-rounded value column only (same float-absorption contract as
+    ``bigram_lm_scores``).  Output (docs with >= 1 token, sorted):
+    ``doc_id, top_term, tf, df, tfidf_r6``.
+
+    Tiered: per-batch-deduped (token, df) partials -> ONE native
+    ``groupby(token).Sum`` (df is exact: a doc never splits across
+    rows).  Below the gate the vocabulary broadcasts once via
+    ``ray.put`` (sorted-array binary search per batch, map-only
+    pick); above it the (doc_id, token, tf) rows hash-join the df
+    table, a global sort on the ranking key range-partitions the rows,
+    each block keeps its first row per doc, and the driver keeps the
+    first survivor per doc in sort order (candidates <= one per
+    block that touches the doc; driver tail is proportional to the
+    OUTPUT, one row per doc)."""
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = _cheap_count(ds)
+    if n_docs is None:
+        n_docs = ds.count()
+
+    tf_ds = ds.map_batches(_doc_term_tf, batch_format="pyarrow")
+
+    def df_partials(b: pa.Table) -> pa.Table:
+        t = _doc_term_tf(b)
+        ones = np.ones(len(t), dtype=np.int64)
+        return pa.table({"token": t["token"], "df": pa.array(ones)})
+
+    parts = ds.map_batches(df_partials, batch_format="pyarrow")
+
+    if n_docs <= TFIDF_BROADCAST_MAX_ROWS:
+        p = parts.to_pandas()
+        dfg = p.groupby("token", as_index=False)["df"].sum()
+        vocab = dfg.token.to_numpy(dtype=object)
+        order = np.argsort(vocab)
+        vocab, dfv = vocab[order], dfg.df.to_numpy()[order]
+        ref = ray.put((vocab, dfv, n_docs))
+
+        def pick(b: pa.Table) -> pa.Table:
+            import ray as _r
+            vocab, dfv, N = _r.get(ref)
+            t = _doc_term_tf(b)
+            if not len(t):
+                return pa.table({
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "top_term": pa.array([], type=pa.string()),
+                    "tf": pa.array([], type=pa.int64()),
+                    "df": pa.array([], type=pa.int64()),
+                    "tfidf_r6": pa.array([], type=pa.float64())})
+            toks = t["token"].to_numpy(zero_copy_only=False)
+            tf = t["tf"].to_numpy(zero_copy_only=False)
+            dids = t["doc_id"].to_numpy(zero_copy_only=False)
+            dfx = dfv[np.searchsorted(vocab, toks)]
+            # lex-ordered token codes keep the tie-break integer-only
+            _, tcodes = np.unique(toks, return_inverse=True)
+            order = np.lexsort((tcodes, dfx, -tf, dids))
+            keep = np.ones(len(order), dtype=bool)
+            keep[1:] = dids[order][1:] != dids[order][:-1]
+            w = order[keep]
+            return pa.table({
+                "doc_id": pa.array(dids[w]),
+                "top_term": pa.array(toks[w].tolist(), type=pa.string()),
+                "tf": pa.array(tf[w]),
+                "df": pa.array(dfx[w]),
+                "tfidf_r6": pa.array(np.round(
+                    tf[w] * np.log(N / dfx[w]), 6))})
+
+        out = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    from biobloom_ray.io import hash_join
+    dfd = parts.groupby("token").aggregate(Sum("df", alias_name="df"))
+    j = hash_join(tf_ds, dfd, on=("token",))
+    ranked = j.sort(["doc_id", "tf", "df", "token"],
+                    descending=[False, True, False, False])
+
+    def block_first(b: pa.Table) -> pa.Table:
+        dids = b["doc_id"].to_numpy(zero_copy_only=False)
+        if not len(dids):
+            return b
+        keep = np.ones(len(dids), dtype=bool)
+        keep[1:] = dids[1:] != dids[:-1]
+        return b.filter(pa.array(keep))
+
+    cand = (ranked.map_batches(block_first, batch_format="pyarrow",
+                               batch_size=None).to_pandas())
+    out = cand.drop_duplicates("doc_id", keep="first").copy()
+    out["tfidf_r6"] = np.round(
+        out.tf.to_numpy() * np.log(n_docs / out.df.to_numpy()), 6)
+    out = out.rename(columns={"token": "top_term"})
+    out = out[["doc_id", "top_term", "tf", "df", "tfidf_r6"]]
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+PPL_BUCKETS = 3
+
+
+def bigram_ppl_buckets(sf_dir: str, n_buckets: int = PPL_BUCKETS):
+    """CCNet-style quality bucketing (head/middle/tail): NTILE over the
+    corpus ranked by the bigram-LM score (best = bucket 1), with exact
+    SQL NTILE semantics — earlier buckets take the remainder rows.
+
+    Distributed global-rank pattern (same primitive as
+    ``pack_documents``): sort by (score desc, doc_id) → materialize
+    (pins the block layout) → pass 1 reads one row per block (first
+    key + row count) → driver computes #blocks exclusive rank offsets
+    → pass 2 adds the broadcast offset to each block's local arange
+    and maps rank → bucket in closed form.  Partitioning assumption,
+    documented: pass 2's batches are exactly pass 1's blocks
+    (``batch_size=None`` on the same materialized dataset)."""
+    import ray
+
+    sc = _bigram_scores_ds(sf_dir).map_batches(
+        lambda b: b.select(["doc_id", "avg_logprob_r6"]),
+        batch_format="pyarrow")
+    sorted_ds = sc.sort(["avg_logprob_r6", "doc_id"],
+                        descending=[True, False]).materialize()
+
+    def block_key_cnt(b: pa.Table) -> pa.Table:
+        lp = b["avg_logprob_r6"].to_numpy(zero_copy_only=False)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        if len(lp) == 0:
+            return pa.table({"k_lp": pa.array([], type=pa.float64()),
+                             "k_docid": pa.array([], type=pa.int64()),
+                             "blk_n": pa.array([], type=pa.int64())})
+        return pa.table({"k_lp": pa.array([float(lp[0])]),
+                         "k_docid": pa.array([int(ids[0])]),
+                         "blk_n": pa.array([len(lp)])})
+
+    blocks = (sorted_ds.map_batches(block_key_cnt, batch_format="pyarrow",
+                                    batch_size=None).to_pandas())
+    blocks = blocks.sort_values(["k_lp", "k_docid"],
+                                ascending=[False, True])
+    offs = blocks.blk_n.cumsum().shift(fill_value=0).to_numpy()
+    n_total = int(blocks.blk_n.sum())
+    off_of = {(float(r.k_lp), int(r.k_docid)): int(o)
+              for r, o in zip(blocks.itertuples(), offs)}
+    off_ref = ray.put(off_of)
+    base_sz, rem = divmod(n_total, n_buckets)
+    cut = rem * (base_sz + 1)
+
+    def assign(b: pa.Table) -> pa.Table:
+        import ray as _r
+        omap = _r.get(off_ref)
+        lp = b["avg_logprob_r6"].to_numpy(zero_copy_only=False)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        if len(lp) == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "avg_logprob_r6": pa.array(
+                                 [], type=pa.float64()),
+                             "ppl_bucket": pa.array([], type=pa.int64())})
+        rank = omap[(float(lp[0]), int(ids[0]))] + np.arange(
+            len(lp), dtype=np.int64)
+        bucket = np.where(
+            rank < cut, rank // (base_sz + 1) + 1,
+            rem + (rank - cut) // max(base_sz, 1) + 1)
+        return pa.table({"doc_id": pa.array(ids),
+                         "avg_logprob_r6": pa.array(lp),
+                         "ppl_bucket": pa.array(bucket)})
+
+    return (sorted_ds.map_batches(assign, batch_format="pyarrow",
+                                  batch_size=None)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))

@@ -108,6 +108,53 @@ def gopher_flags_batch(batch: pa.Table, text_col: str = "text",
     })
 
 
+def chunk_docs_batch(batch: pa.Table, chunk: int, stride: int,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Fixed-size token-window chunking with overlap (the LLM
+    training-prep fan-out): doc with L tokens emits
+    ``1 + ceil(max(L - chunk, 0) / stride)`` chunks, chunk c covering
+    tokens ``[c*stride, min(c*stride + chunk, L))``; zero-token docs
+    emit nothing.  Pure flat_map over a batch — every step (window
+    index fan-out, overlapped token gather, per-chunk reassembly) is a
+    numpy segment op + ONE ``binary_join``; no Python loop over rows,
+    chunks or tokens."""
+    flat, lens, _ = _token_arrays(batch, text_col)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    L = lens
+    n_chunks = np.where(
+        L > 0, 1 + (np.maximum(L - chunk, 0) + stride - 1) // stride, 0)
+    doc_start = np.zeros(len(L) + 1, dtype=np.int64)
+    np.cumsum(L, out=doc_start[1:])
+    total = int(n_chunks.sum())
+    if total == 0:
+        return pa.table({
+            id_col: pa.array([], type=pa.int64()),
+            "chunk_id": pa.array([], type=pa.int64()),
+            "n_chunk_tokens": pa.array([], type=pa.int64()),
+            "chunk_text": pa.array([], type=pa.string())})
+    d_of = np.repeat(np.arange(len(L), dtype=np.int64), n_chunks)
+    chunk_excl = np.zeros(len(L) + 1, dtype=np.int64)
+    np.cumsum(n_chunks, out=chunk_excl[1:])
+    c_of = np.arange(total, dtype=np.int64) - chunk_excl[d_of]
+    start = c_of * stride
+    clen = np.minimum(start + chunk, L[d_of]) - start
+    flat_start = doc_start[d_of] + start
+    tok_excl = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(clen, out=tok_excl[1:])
+    idx = (np.arange(int(tok_excl[-1]), dtype=np.int64)
+           - np.repeat(tok_excl[:-1], clen) + np.repeat(flat_start, clen))
+    lists = pa.ListArray.from_arrays(
+        pa.array(tok_excl, type=pa.int32()),
+        pa.array(flat[idx].tolist(), type=pa.string()))
+    return pa.table({
+        id_col: pa.array(ids[d_of]),
+        "chunk_id": pa.array(c_of),
+        "n_chunk_tokens": pa.array(clen),
+        "chunk_text": pc.binary_join(lists, " "),
+    })
+
+
 def ngram_doc_partials(batch: pa.Table, n: int, text_col: str = "text",
                        seed: int | None = None) -> pa.Table:
     """Per-batch-deduped ``(h, n_docs)`` partial rows for counting the

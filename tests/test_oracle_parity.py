@@ -67,7 +67,8 @@ SQL_CHECKED = [
     "spaced_seed_distinct_exact", "pack_documents",
     "repetition_stats", "decontaminate", "repeated_substrings",
     "pii_redact", "gopher_quality_flags", "remove_boilerplate_ngrams",
-    "bigram_lm_scores",
+    "bigram_lm_scores", "chunk_documents", "tfidf_top_terms",
+    "bigram_ppl_buckets",
 ]
 
 
