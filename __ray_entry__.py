@@ -876,7 +876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # still execute), then mode variants and golden-covered twins whose
     # incremental driver signal is weakest.
     return {
-        # --- SQL-oracled (43) ---
+        # --- SQL-oracled (44) ---
         "lang_counts": A.lang_counts,
         "frame_counts": A.frame_counts,
         "median_nchars_by_lang": A.median_nchars_by_lang,
@@ -899,6 +899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": A.chunk_documents,
         "tfidf_top_terms": A.tfidf_top_terms,
         "bigram_ppl_buckets": A.bigram_ppl_buckets,
+        "dup_clusters": A.dup_clusters,
         "ann_topk": _ann_topk,
         "ann_topk_multi": _ann_topk_multi,
         "user_event_counts": _user_event_counts,
@@ -1351,6 +1352,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, avg_logprob_r6, CAST(NTILE(3) OVER (ORDER"
             " BY avg_logprob_r6 DESC, doc_id ASC) AS BIGINT) AS"
             " ppl_bucket FROM sc ORDER BY doc_id",
+        # connected components over the shared-30-char-substring graph
+        # (grams in 2..10 docs only — hotter grams are boilerplate);
+        # engine labels components by BSP min-label propagation, the
+        # oracle by recursive reachability closure: with symmetric
+        # edges the reachable set IS the component, so MIN over it is
+        # the same min-doc_id label.  Substring identity: engine uses
+        # the 64-bit shingle hash, oracle the literal substring —
+        # equal modulo ~N^2/2^65 collision odds
+        "dup_clusters":
+            "WITH RECURSIVE "
+            "pos AS (SELECT doc_id, text, unnest(generate_series(1,"
+            " length(text) - 30 + 1)) AS p FROM documents WHERE"
+            " length(text) >= 30), "
+            "sub AS (SELECT DISTINCT doc_id, substr(text, p, 30) AS s"
+            " FROM pos), "
+            "keep AS (SELECT s FROM sub GROUP BY s HAVING COUNT(*)"
+            " BETWEEN 2 AND 10), "
+            "edges AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v"
+            " FROM sub a JOIN keep USING (s) JOIN sub b USING (s)"
+            " WHERE a.doc_id <> b.doc_id), "
+            "reach(a, b) AS ("
+            "SELECT u, u FROM (SELECT DISTINCT u FROM edges) "
+            "UNION "
+            "SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u), "
+            "cc AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach"
+            " GROUP BY a), "
+            "sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS"
+            " cluster_size FROM cc GROUP BY cluster_id) "
+            "SELECT c.doc_id, c.cluster_id, s.cluster_size "
+            "FROM cc c JOIN sz s USING (cluster_id) ORDER BY c.doc_id",
         "top_docs_per_lang":
             "SELECT lang, doc_id, n_chars FROM ("
             "SELECT lang, doc_id, n_chars, ROW_NUMBER() OVER ("

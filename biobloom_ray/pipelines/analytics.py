@@ -1566,3 +1566,143 @@ def bigram_ppl_buckets(sf_dir: str, n_buckets: int = PPL_BUCKETS):
     return (sorted_ds.map_batches(assign, batch_format="pyarrow",
                                   batch_size=None)
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+#: input-row gate for dup_clusters' driver tier (same contract as
+#: REPEAT_DRIVER_MAX_ROWS: below it the deduped membership rows combine
+#: on the driver, above it the iterative BSP label propagation runs)
+DUPC_DRIVER_MAX_ROWS = 200_000
+#: window length (chars) for the shared-substring edge definition
+DUPC_SUBSTR_K = 30
+#: grams in more than this many docs are boilerplate, not dup evidence
+DUPC_HOT_GRAM_CAP = 10
+#: hard stop for the label-propagation loop (converges in O(log D)
+#: rounds for D-doc components; real dup clusters have tiny diameter)
+DUPC_MAX_ITERS = 50
+
+
+def _gram_membership(b: pa.Table, k: int) -> pa.Table:
+    """Per-batch-deduped ``(doc_id, h)`` membership rows: doc contains
+    the k-char shingle with 64-bit rolling hash h.  A document never
+    splits across input rows, so per-batch dedup is global dedup."""
+    from biobloom_ray.hashing import shingle_hashes
+
+    texts = b["text"]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    h1, _, nf = shingle_hashes(texts, k)
+    ids = b["doc_id"].to_numpy(zero_copy_only=False)
+    row_of = np.repeat(np.arange(len(ids), dtype=np.int64), nf)
+    hs = h1.view(np.int64)
+    order = np.lexsort((hs, row_of))
+    rs, hss = row_of[order], hs[order]
+    new = np.ones(len(rs), dtype=bool)
+    if len(rs) > 1:
+        new[1:] = (rs[1:] != rs[:-1]) | (hss[1:] != hss[:-1])
+    return pa.table({"doc_id": pa.array(ids[rs[new]]),
+                     "h": pa.array(hss[new])})
+
+
+def dup_clusters(sf_dir: str, k: int = DUPC_SUBSTR_K,
+                 cap: int = DUPC_HOT_GRAM_CAP):
+    """Near-duplicate CLUSTERS by connected components over the
+    shared-substring graph — the grouping step a dedup pipeline runs
+    after pair generation (each cluster keeps one representative): two
+    docs are connected when they share a k-char substring occurring in
+    2..cap distinct docs (the cap excludes boilerplate grams, which are
+    popularity, not duplication — same motivation as
+    ``remove_boilerplate_ngrams``).  Output (docs in a component of
+    size >= 2, sorted): ``doc_id, cluster_id, cluster_size`` with
+    cluster_id = min doc_id of the component.
+
+    Shape: one shingle scan emits per-batch-deduped narrow
+    ``(doc_id, h)`` membership rows; grams kept by ONE native
+    ``groupby(h).Count()`` (rows are deduped per doc, so Count = df);
+    components via BSP min-label propagation on the bipartite doc-gram
+    graph — per round, 2 hash joins + 2 native ``Min`` groupbys:
+    ``lbl(doc) <- min over its grams of min over the gram's docs of
+    lbl``.  Labels decrease monotonically, so ``sum(lbl)`` unchanged
+    <=> fixpoint; rounds needed = O(log max-component-diameter).  The
+    per-round label table is materialized to truncate lineage — it is
+    16 B/doc narrow rows bounded by the DUPLICATE population, not the
+    corpus (checkpoint to parquet above an object-store gate at real
+    scale, as ``stages/dedup`` documents for signatures).  Below
+    ``DUPC_DRIVER_MAX_ROWS`` input docs the membership rows combine on
+    the driver with the identical numpy propagation
+    (tier-parity-tested).  Substring identity is the 64-bit shingle
+    hash — collision odds ~N^2/2^65 (swap in the 128-bit pair at
+    10^12-shingle scale).  Skew: the cap bounds every gram group at
+    ``cap`` rows; the groupby(h) key itself is the dedup bound
+    (<= n_docs rows per h).
+    """
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    mem_all = ds.map_batches(lambda b: _gram_membership(b, k),
+                             batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+
+    def _frame(doc_id, cluster_id, cluster_size):
+        out = pd.DataFrame({
+            "doc_id": np.asarray(doc_id, dtype=np.int64),
+            "cluster_id": np.asarray(cluster_id, dtype=np.int64),
+            "cluster_size": np.asarray(cluster_size, dtype=np.int64)})
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    if n_rows is not None and n_rows <= DUPC_DRIVER_MAX_ROWS:
+        p = mem_all.to_pandas()
+        df_of = p.groupby("h")["doc_id"].transform("size")
+        m = p[(df_of >= 2) & (df_of <= cap)]
+        if len(m) == 0:
+            return _frame([], [], [])
+        docs, gid = np.unique(m.doc_id.to_numpy(), return_inverse=True)
+        _, hidx = np.unique(m.h.to_numpy(), return_inverse=True)
+        n_h = int(hidx.max()) + 1
+        lbl = docs.copy()
+        for _ in range(DUPC_MAX_ITERS):
+            hl = np.full(n_h, np.iinfo(np.int64).max)
+            np.minimum.at(hl, hidx, lbl[gid])
+            nl = lbl.copy()
+            np.minimum.at(nl, gid, hl[hidx])
+            if (nl == lbl).all():
+                break
+            lbl = nl
+        uniq, inv, cnt = np.unique(lbl, return_inverse=True,
+                                   return_counts=True)
+        return _frame(docs, lbl, cnt[inv])
+
+    from biobloom_ray.io import hash_join
+    dfc = mem_all.groupby("h").aggregate(Count(alias_name="n_docs"))
+
+    def kept_only(b: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.greater_equal(b["n_docs"], 2),
+                     pc.less_equal(b["n_docs"], cap))
+        return b.filter(ok).select(["h"])
+
+    kept = dfc.map_batches(kept_only, batch_format="pyarrow")
+    mem = hash_join(mem_all, kept, on=("h",)).materialize()
+
+    def init_lbl(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"], "lbl": b["doc_id"]})
+
+    lbl_ds = (mem.groupby("doc_id").aggregate(Count(alias_name="x"))
+              .map_batches(lambda b: init_lbl(b), batch_format="pyarrow")
+              .materialize())
+    prev_tot = None
+    for _ in range(DUPC_MAX_ITERS):
+        a = hash_join(mem, lbl_ds, on=("doc_id",))
+        hmin = a.groupby("h").aggregate(Min("lbl", alias_name="hlbl"))
+        bjoin = hash_join(mem, hmin, on=("h",))
+        lbl_ds = (bjoin.groupby("doc_id")
+                  .aggregate(Min("hlbl", alias_name="lbl"))
+                  .materialize())
+        tot = lbl_ds.sum("lbl")
+        if tot == prev_tot:
+            break
+        prev_tot = tot
+
+    # label table is output-scale (one row per dup doc) — size the
+    # clusters driver-side rather than paying another shuffle + join
+    out = lbl_ds.to_pandas()
+    if len(out) == 0:
+        return _frame([], [], [])
+    sizes = out.groupby("lbl")["doc_id"].transform("size")
+    return _frame(out.doc_id, out.lbl, sizes)

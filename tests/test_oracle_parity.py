@@ -68,7 +68,7 @@ SQL_CHECKED = [
     "repetition_stats", "decontaminate", "repeated_substrings",
     "pii_redact", "gopher_quality_flags", "remove_boilerplate_ngrams",
     "bigram_lm_scores", "chunk_documents", "tfidf_top_terms",
-    "bigram_ppl_buckets",
+    "bigram_ppl_buckets", "dup_clusters",
 ]
 
 

@@ -305,3 +305,71 @@ class TestPplBuckets:
         finally:
             A._read = orig
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestDupClusters:
+    @staticmethod
+    def _run(texts, tmp_path, k, cap, force_cluster=False):
+        import biobloom_ray.pipelines.analytics as A
+
+        d = tmp_path / "docs"
+        d.mkdir(exist_ok=True)
+        pq.write_table(_docs_table(texts), d / "documents.parquet")
+        gate = 0 if force_cluster else A.DUPC_DRIVER_MAX_ROWS
+        old = A.DUPC_DRIVER_MAX_ROWS
+        try:
+            A.DUPC_DRIVER_MAX_ROWS = gate
+            return A.dup_clusters(str(d), k=k, cap=cap)
+        finally:
+            A.DUPC_DRIVER_MAX_ROWS = old
+
+    def test_chain_transitivity(self, ray_session, tmp_path):
+        """A-B share gram1, B-C share gram2, no A-C gram: one cluster
+        {A,B,C} labeled by the min doc_id — the transitive closure a
+        pair list alone cannot express."""
+        g1, g2 = "aaaaaaaaaa", "bbbbbbbbbb"
+        texts = [f"{g1} xxxxxxxxxx", f"{g1} yyyy {g2}", f"{g2} zzzzzzzz",
+                 "unrelated document with no shared grams at all"]
+        out = self._run(texts, tmp_path, k=10, cap=5)
+        assert out.doc_id.tolist() == [0, 1, 2]
+        assert out.cluster_id.tolist() == [0, 0, 0]
+        assert out.cluster_size.tolist() == [3, 3, 3]
+
+    def test_hot_gram_cap_excludes_boilerplate(self, ray_session,
+                                               tmp_path):
+        """A gram in > cap docs creates no edges (boilerplate)."""
+        hot = "cccccccccc"
+        texts = [f"{hot} doc{i}xxxx" for i in range(4)]
+        out = self._run(texts, tmp_path, k=10, cap=3)
+        assert len(out) == 0
+        assert list(out.columns) == ["doc_id", "cluster_id",
+                                     "cluster_size"]
+
+    def test_tiers_agree_on_fixture(self, ray_session, tmp_path):
+        import biobloom_ray.pipelines.analytics as A
+
+        fast = A.dup_clusters(SF_SMALL)
+        old = A.DUPC_DRIVER_MAX_ROWS
+        try:
+            A.DUPC_DRIVER_MAX_ROWS = 0
+            slow = A.dup_clusters(SF_SMALL)
+        finally:
+            A.DUPC_DRIVER_MAX_ROWS = old
+        pd.testing.assert_frame_equal(fast, slow)
+
+    def test_cluster_tier_multi_round_chain(self, ray_session, tmp_path):
+        """A 5-doc chain (diameter 4) on the forced BSP path: label
+        propagation must run multiple rounds to converge."""
+        grams = [f"g{i}bbbbbbbb"[:10] for i in range(4)]
+        texts = []
+        for i in range(5):
+            parts = []
+            if i > 0:
+                parts.append(grams[i - 1])
+            if i < 4:
+                parts.append(grams[i])
+            texts.append(" ".join(parts) + f" tail{i}xxxx")
+        out = self._run(texts, tmp_path, k=10, cap=3, force_cluster=True)
+        assert out.doc_id.tolist() == [0, 1, 2, 3, 4]
+        assert out.cluster_id.tolist() == [0] * 5
+        assert out.cluster_size.tolist() == [5] * 5
