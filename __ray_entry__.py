@@ -876,7 +876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # still execute), then mode variants and golden-covered twins whose
     # incremental driver signal is weakest.
     return {
-        # --- SQL-oracled (44) ---
+        # --- SQL-oracled (47) ---
         "lang_counts": A.lang_counts,
         "frame_counts": A.frame_counts,
         "median_nchars_by_lang": A.median_nchars_by_lang,
@@ -900,6 +900,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": A.tfidf_top_terms,
         "bigram_ppl_buckets": A.bigram_ppl_buckets,
         "dup_clusters": A.dup_clusters,
+        "source_stats": A.source_stats,
+        "source_quality_gate": A.source_quality_gate,
+        "token_freq_histogram": A.token_freq_histogram,
         "ann_topk": _ann_topk,
         "ann_topk_multi": _ann_topk_multi,
         "user_event_counts": _user_event_counts,
@@ -1382,6 +1385,56 @@ def oracle_sql() -> dict[str, str]:
             " cluster_size FROM cc GROUP BY cluster_id) "
             "SELECT c.doc_id, c.cluster_id, s.cluster_size "
             "FROM cc c JOIN sz s USING (cluster_id) ORDER BY c.doc_id",
+        # avg_chars_r6 is a 6-dp-rounded VALUE column; row identity is
+        # the exact source string, so no float hazard
+        "source_stats":
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,"
+            " CAST(SUM(n_chars) AS BIGINT) AS sum_chars,"
+            " CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,"
+            " ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS"
+            " avg_chars_r6 "
+            "FROM documents GROUP BY source ORDER BY source",
+        # domain gate: keep docs whose source has Gopher pass rate
+        # >= 1/2 in exact integers (2 * n_pass >= n_docs); the per-doc
+        # pass_gopher definition is byte-identical to the
+        # gopher_quality_flags oracle above
+        "source_quality_gate":
+            "WITH tok AS (SELECT doc_id, regexp_extract_all(text,"
+            " '\\S+') AS toks FROM documents), "
+            "uni AS (SELECT doc_id, unnest(toks) AS token FROM tok), "
+            "st AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,"
+            " CAST(SUM(len(token)) AS BIGINT) AS sum_word_len,"
+            " CAST(SUM(CASE WHEN token IN ('the','a','an','and','or',"
+            "'of','to','in','is','are','was','were','be','been','it',"
+            "'this','that','for','on','with','as','at','by','from',"
+            "'not','but') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,"
+            " CAST(SUM(CASE WHEN regexp_full_match(token, '[A-Za-z]+')"
+            " THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_words"
+            " FROM uni GROUP BY doc_id), "
+            "f AS (SELECT d.doc_id, d.source,"
+            " COALESCE(n_words, 0) AS n_words,"
+            " COALESCE(sum_word_len, 0) AS sum_word_len,"
+            " COALESCE(n_stop, 0) AS n_stop,"
+            " COALESCE(n_alpha_words, 0) AS n_alpha_words"
+            " FROM documents d LEFT JOIN st USING (doc_id)), "
+            "p AS (SELECT doc_id, source,"
+            " CASE WHEN n_words >= 20 AND n_words <= 100000 AND"
+            " n_words > 0 AND sum_word_len >= 2*n_words AND"
+            " sum_word_len <= 10*n_words AND n_stop >= 2 AND"
+            " 10*n_alpha_words >= 8*n_words THEN 1 ELSE 0 END AS ok"
+            " FROM f), "
+            "ks AS (SELECT source FROM p GROUP BY source"
+            " HAVING 2 * SUM(ok) >= COUNT(*)) "
+            "SELECT doc_id, source FROM p JOIN ks USING (source)"
+            " ORDER BY doc_id",
+        "token_freq_histogram":
+            "WITH tok AS (SELECT doc_id, regexp_extract_all(text,"
+            " '\\S+') AS toks FROM documents), "
+            "uni AS (SELECT unnest(toks) AS token FROM tok), "
+            "v AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM"
+            " uni GROUP BY token) "
+            "SELECT cnt AS freq, CAST(COUNT(*) AS BIGINT) AS n_tokens "
+            "FROM v GROUP BY cnt ORDER BY freq",
         "top_docs_per_lang":
             "SELECT lang, doc_id, n_chars FROM ("
             "SELECT lang, doc_id, n_chars, ROW_NUMBER() OVER ("

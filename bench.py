@@ -112,6 +112,7 @@ def _force_cluster_tiers():
     A.BIGRAM_BROADCAST_MAX_ROWS = 0
     A.TFIDF_BROADCAST_MAX_ROWS = 0
     A.DUPC_DRIVER_MAX_ROWS = 0
+    A.SRCGATE_BROADCAST_MAX_ROWS = 0
     D.EXACT_DEDUP_DRIVER_MAX_ROWS = 0
     D.BAND_DRIVER_MAX_ROWS = 0
     PR.PAIR_BROADCAST_MAX_ROWS = 0
@@ -161,7 +162,8 @@ def run_queries() -> dict[str, float]:
                "pii_redact", "gopher_quality_flags",
                "remove_boilerplate_ngrams", "bigram_lm_scores",
                "chunk_documents", "tfidf_top_terms",
-               "bigram_ppl_buckets", "dup_clusters"]
+               "bigram_ppl_buckets", "dup_clusters", "source_stats",
+               "source_quality_gate", "token_freq_histogram"]
     # NOT benched: spaced_seed_distinct_exact — the verification-only
     # exact twin of the HLL query (COUNT DISTINCT over every frame is an
     # inherent all-to-all; the HLL sketch IS the production path)

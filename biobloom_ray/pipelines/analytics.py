@@ -1706,3 +1706,168 @@ def dup_clusters(sf_dir: str, k: int = DUPC_SUBSTR_K,
         return _frame([], [], [])
     sizes = out.groupby("lbl")["doc_id"].transform("size")
     return _frame(out.doc_id, out.lbl, sizes)
+
+
+def source_stats(sf_dir: str):
+    """Per-domain corpus profile — the per-source aggregate every web
+    pipeline keeps for domain-level filtering decisions (cf. C4 /
+    RefinedWeb per-domain stats): document count, total chars, distinct
+    languages, and mean chars (6-dp-rounded VALUE column; row identity
+    is the exact source key).  Shape: per-batch pandas partials
+    (#sources rows each) -> ONE native ``groupby(source)`` Sum; the
+    distinct-lang count is a second narrow shuffle keyed on the
+    deduped (source, lang) pair — key cardinality #sources x #langs,
+    never corpus-scale.  Output sorted by source."""
+    ds = _read(sf_dir, "documents", columns=["source", "lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"source": b["source"].to_pandas(),
+                           "n_chars": b["n_chars"].to_numpy(
+                               zero_copy_only=False)})
+        agg = df.groupby("source", as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    stats = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("source")
+             .aggregate(Sum("n_docs", alias_name="n_docs"),
+                        Sum("sum_chars", alias_name="sum_chars"))
+             .to_pandas())
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"source": b["source"].to_pandas(),
+                           "lang": b["lang"].to_pandas()})
+        return pa.Table.from_pandas(df.drop_duplicates(),
+                                    preserve_index=False)
+
+    langs = (ds.map_batches(pair_partial, batch_format="pyarrow")
+             .groupby(["source", "lang"]).aggregate(Count(alias_name="x"))
+             .to_pandas()
+             .groupby("source", as_index=False).agg(n_langs=("x", "size")))
+
+    out = stats.merge(langs, on="source")
+    out["n_docs"] = out.n_docs.astype(np.int64)
+    out["sum_chars"] = out.sum_chars.astype(np.int64)
+    out["n_langs"] = out.n_langs.astype(np.int64)
+    out["avg_chars_r6"] = np.round(
+        out.sum_chars.to_numpy() / out.n_docs.to_numpy(), 6)
+    out = out[["source", "n_docs", "sum_chars", "n_langs", "avg_chars_r6"]]
+    return out.sort_values("source").reset_index(drop=True)
+
+
+#: input-row gate for source_quality_gate's broadcast tier: below it
+#: the kept-source set ships once via ray.put (filter is map-only);
+#: above it a hash semi-join on source runs instead
+SRCGATE_BROADCAST_MAX_ROWS = 100_000
+
+
+def source_quality_gate(sf_dir: str):
+    """Domain-level quality gate — keep documents whose SOURCE has a
+    Gopher pass rate >= 1/2 (exact integers: ``2 * n_pass >= n_docs``),
+    the UT1/RefinedWeb-style 'judge the domain, not the page' filter.
+    Two phases: (1) per-batch (source, n_docs, n_pass) partials from
+    the ``gopher_flags_batch`` kernel -> ONE native ``groupby(source)``
+    Sum -> the kept-source table (#domains rows, never corpus-scale);
+    (2) a map-only filter of the documents scan against that table —
+    broadcast once via ``ray.put`` below ``SRCGATE_BROADCAST_MAX_ROWS``
+    input rows, hash semi-join above it (tier-parity-tested).  Output
+    (kept docs, sorted): ``doc_id, source``."""
+    import ray
+
+    from biobloom_ray.stages.webclean import gopher_flags_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def rate_partial(b: pa.Table) -> pa.Table:
+        flags = gopher_flags_batch(b)
+        df = pd.DataFrame({
+            "source": b["source"].to_pandas(),
+            "p": flags["pass_gopher"].to_numpy(zero_copy_only=False)})
+        agg = df.groupby("source", as_index=False).agg(
+            n_docs=("p", "size"), n_pass=("p", "sum"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    rates = (ds.map_batches(rate_partial, batch_format="pyarrow")
+             .groupby("source")
+             .aggregate(Sum("n_docs", alias_name="n_docs"),
+                        Sum("n_pass", alias_name="n_pass")))
+
+    def kept_only(b: pa.Table) -> pa.Table:
+        n = b["n_docs"].to_numpy(zero_copy_only=False)
+        p = b["n_pass"].to_numpy(zero_copy_only=False)
+        return pa.table({"source": b["source"].filter(
+            pa.array(2 * p >= n))})
+
+    kept = rates.map_batches(kept_only, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+
+    if n_rows is not None and n_rows <= SRCGATE_BROADCAST_MAX_ROWS:
+        kset = np.sort(kept.to_pandas().source.to_numpy(dtype=object))
+        ref = ray.put(kset)
+
+        def pick(b: pa.Table) -> pa.Table:
+            import ray as _r
+            ks = _r.get(ref)
+            src = b["source"].to_numpy(zero_copy_only=False)
+            if len(ks) == 0:
+                m = np.zeros(len(src), dtype=bool)
+            else:
+                i = np.searchsorted(ks, src)
+                i = np.minimum(i, len(ks) - 1)
+                m = ks[i] == src
+            return pa.table({"doc_id": b["doc_id"].filter(pa.array(m)),
+                             "source": b["source"].filter(pa.array(m))})
+
+        out = (ds.map_batches(pick, batch_format="pyarrow")
+               .select_columns(["doc_id", "source"]).to_pandas())
+    else:
+        from biobloom_ray.io import hash_join
+        slim = ds.map_batches(
+            lambda b: b.select(["doc_id", "source"]),
+            batch_format="pyarrow")
+        out = (hash_join(slim, kept, on=("source",))
+               .to_pandas()[["doc_id", "source"]])
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def token_freq_histogram(sf_dir: str):
+    """Zipf profile of the corpus vocabulary: for every global token
+    frequency f, how many distinct tokens occur exactly f times — the
+    frequency-of-frequencies table (Good-Turing input, vocabulary-
+    truncation diagnostics).  Shape: per-batch-combined (token, cnt)
+    partials -> ONE native ``groupby(token)`` Sum (the inherent
+    vocabulary shuffle, narrow rows) -> per-batch histogram partials ->
+    a tiny ``groupby(freq)`` Sum (#distinct-frequencies keys, ~log-
+    scale).  Output sorted by freq: ``freq, n_tokens``."""
+    from biobloom_ray.stages.textstats import _token_arrays
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def tok_partial(b: pa.Table) -> pa.Table:
+        flat, _, _ = _token_arrays(b)
+        if not len(flat):
+            return pa.table({"token": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        uniq, cnt = np.unique(flat, return_counts=True)
+        return pa.table({"token": pa.array(uniq.tolist(),
+                                           type=pa.string()),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    vocab = (ds.map_batches(tok_partial, batch_format="pyarrow")
+             .groupby("token").aggregate(Sum("cnt", alias_name="cnt")))
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        c = b["cnt"].to_numpy(zero_copy_only=False)
+        if not len(c):
+            return pa.table({"freq": pa.array([], type=pa.int64()),
+                             "n_tokens": pa.array([], type=pa.int64())})
+        f, n = np.unique(c, return_counts=True)
+        return pa.table({"freq": pa.array(f.astype(np.int64)),
+                         "n_tokens": pa.array(n.astype(np.int64))})
+
+    out = (vocab.map_batches(hist_partial, batch_format="pyarrow")
+           .groupby("freq").aggregate(Sum("n_tokens",
+                                          alias_name="n_tokens"))
+           .to_pandas())
+    out["n_tokens"] = out.n_tokens.astype(np.int64)
+    return out.sort_values("freq").reset_index(drop=True)

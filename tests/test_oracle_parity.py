@@ -68,7 +68,8 @@ SQL_CHECKED = [
     "repetition_stats", "decontaminate", "repeated_substrings",
     "pii_redact", "gopher_quality_flags", "remove_boilerplate_ngrams",
     "bigram_lm_scores", "chunk_documents", "tfidf_top_terms",
-    "bigram_ppl_buckets", "dup_clusters",
+    "bigram_ppl_buckets", "dup_clusters", "source_stats",
+    "source_quality_gate", "token_freq_histogram",
 ]
 
 

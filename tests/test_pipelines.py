@@ -403,3 +403,58 @@ def test_pack_documents_layout_invariant(ray_session, tmp_path):
     other = A.pack_documents(str(tmp_path), capacity_chars=5000)
     assert base.doc_id.tolist() == other.doc_id.tolist()
     assert base.bin.tolist() == other.bin.tolist()
+
+
+def test_source_quality_gate_tiers_agree(ray_session, monkeypatch):
+    """Broadcast tier == hash-semi-join tier, and the kept set is
+    exactly the docs of sources with Gopher pass rate >= 1/2."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.001"
+    fast = A.source_quality_gate(sf)
+    monkeypatch.setattr(A, "SRCGATE_BROADCAST_MAX_ROWS", 0)
+    slow = A.source_quality_gate(sf)
+    pd.testing.assert_frame_equal(fast, slow)
+
+    flags = A.gopher_quality_flags(sf)
+    import pyarrow.parquet as pq
+    src = pq.read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id", "source"]).to_pandas()
+    j = flags.merge(src, on="doc_id")
+    rate = j.groupby("source").agg(n=("pass_gopher", "size"),
+                                   p=("pass_gopher", "sum"))
+    kept_sources = set(rate[2 * rate.p >= rate.n].index)
+    expect = src[src.source.isin(kept_sources)].sort_values("doc_id")
+    assert fast.doc_id.tolist() == expect.doc_id.tolist()
+
+
+def test_source_stats_matches_pandas(ray_session):
+    import biobloom_ray.pipelines.analytics as A
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    out = A.source_stats(sf)
+    t = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["source", "lang", "n_chars"]).to_pandas()
+    exp = t.groupby("source").agg(
+        n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"),
+        n_langs=("lang", "nunique")).reset_index()
+    assert out.source.tolist() == sorted(exp.source.tolist())
+    m = out.merge(exp, on="source", suffixes=("", "_e"))
+    assert (m.n_docs == m.n_docs_e).all()
+    assert (m.sum_chars == m.sum_chars_e).all()
+    assert (m.n_langs == m.n_langs_e).all()
+    assert np.allclose(m.avg_chars_r6, np.round(m.sum_chars / m.n_docs, 6))
+
+
+def test_token_freq_histogram_mass_conservation(ray_session):
+    """sum(freq * n_tokens) == total token occurrences and
+    sum(n_tokens) == vocabulary size."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.001"
+    out = A.token_freq_histogram(sf)
+    toks = A.token_counts(sf)
+    assert (out.freq * out.n_tokens).sum() == toks.n_tokens.sum()
+    assert (out.freq >= 1).all()
+    assert out.freq.is_monotonic_increasing
