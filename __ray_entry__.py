@@ -876,7 +876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # still execute), then mode variants and golden-covered twins whose
     # incremental driver signal is weakest.
     return {
-        # --- SQL-oracled (47) ---
+        # --- SQL-oracled (48) ---
         "lang_counts": A.lang_counts,
         "frame_counts": A.frame_counts,
         "median_nchars_by_lang": A.median_nchars_by_lang,
@@ -903,6 +903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_stats": A.source_stats,
         "source_quality_gate": A.source_quality_gate,
         "token_freq_histogram": A.token_freq_histogram,
+        "inverted_index": A.inverted_index,
         "ann_topk": _ann_topk,
         "ann_topk_multi": _ann_topk_multi,
         "user_event_counts": _user_event_counts,
@@ -1435,6 +1436,21 @@ def oracle_sql() -> dict[str, str]:
             " uni GROUP BY token) "
             "SELECT cnt AS freq, CAST(COUNT(*) AS BIGINT) AS n_tokens "
             "FROM v GROUP BY cnt ORDER BY freq",
+        # posting lists for tokens in 2..50 distinct docs (rarer is
+        # noise, hotter is stopword-grade); both engines emit the
+        # ascending-doc_id comma-joined string, so the value hash is
+        # exact
+        "inverted_index":
+            "WITH tok AS (SELECT doc_id, regexp_extract_all(text,"
+            " '\\S+') AS toks FROM documents), "
+            "uni AS (SELECT DISTINCT doc_id, unnest(toks) AS token"
+            " FROM tok), "
+            "g AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM"
+            " uni GROUP BY token HAVING COUNT(*) BETWEEN 2 AND 50) "
+            "SELECT u.token, g.df, string_agg(CAST(u.doc_id AS"
+            " VARCHAR), ',' ORDER BY u.doc_id) AS postings "
+            "FROM uni u JOIN g USING (token) "
+            "GROUP BY u.token, g.df ORDER BY u.token",
         "top_docs_per_lang":
             "SELECT lang, doc_id, n_chars FROM ("
             "SELECT lang, doc_id, n_chars, ROW_NUMBER() OVER ("

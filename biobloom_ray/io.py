@@ -45,6 +45,54 @@ def cheap_count(ds) -> int | None:
 
 
 # ---------------------------------------------------------------------------
+# empty-partition join guard
+# ---------------------------------------------------------------------------
+# Ray 2.49's hash-join aggregator builds each partition's side from the
+# shards it received; a partition that received NO rows for one side
+# yields a zero-column table and acero raises "No match or multiple
+# matches for key field ... on right side" — any inner join whose
+# small side doesn't hash into every partition fails (e.g. a filtered
+# vocabulary with a handful of survivors over 2+ partitions).  For an
+# INNER join an empty side means zero output rows, so the patched
+# finalize short-circuits to an empty block (Ray's block union skips
+# schema-less empties); non-inner joins keep the stock behavior.
+
+
+try:
+    from ray.data._internal.execution.operators import join as _join_mod
+
+    class _GuardedJoinAggregation(_join_mod.JoiningShuffleAggregation):
+        """JoiningShuffleAggregation whose finalize tolerates a
+        schema-less (never-fed) partition side on inner joins."""
+
+        def finalize(self, partition_id):
+            left = self._get_partition_builder(
+                input_seq_id=0, partition_id=partition_id).build()
+            right = self._get_partition_builder(
+                input_seq_id=1, partition_id=partition_id).build()
+            if ((left.num_columns == 0 or right.num_columns == 0)
+                    and str(getattr(self, "_join_type", ""))
+                    .lower().endswith("inner")):
+                return pa.table({})
+            verb = _join_mod._JOIN_TYPE_TO_ARROW_JOIN_VERB_MAP[
+                self._join_type]
+            return left.join(
+                right, join_type=verb,
+                keys=list(self._left_key_col_names),
+                right_keys=list(self._right_key_col_names),
+                left_suffix=self._left_columns_suffix,
+                right_suffix=self._right_columns_suffix)
+
+    # The JoinOperator factory lambda resolves this NAME at call time
+    # and cloudpickles the captured class BY REFERENCE to this module,
+    # which worker processes can import — so the guard reaches the
+    # aggregator actors, unlike an in-place method patch.
+    _join_mod.JoiningShuffleAggregation = _GuardedJoinAggregation
+except Exception:  # pragma: no cover - future Ray refactors
+    pass
+
+
+# ---------------------------------------------------------------------------
 # hash-join sizing
 # ---------------------------------------------------------------------------
 # Ray's hash shuffle reserves one aggregator ACTOR per partition for the

@@ -1871,3 +1871,79 @@ def token_freq_histogram(sf_dir: str):
            .to_pandas())
     out["n_tokens"] = out.n_tokens.astype(np.int64)
     return out.sort_values("freq").reset_index(drop=True)
+
+
+#: posting-list df band: tokens in fewer docs are noise for retrieval,
+#: hotter tokens are stopwords whose lists would be corpus-scale
+INVIDX_MIN_DF = 2
+INVIDX_MAX_DF = 50
+
+
+def inverted_index(sf_dir: str, min_df: int = INVIDX_MIN_DF,
+                   max_df: int = INVIDX_MAX_DF):
+    """Token -> posting-list build (the retrieval-side index of a
+    training-data search/decontamination stack): for every token with
+    ``min_df <= df <= max_df`` distinct docs, the ascending doc_id
+    list as a comma-joined string.  The df cap is what makes the op
+    scale-sane — stopword-grade tokens would otherwise carry
+    corpus-scale lists through the shuffle (cap them or shard them;
+    here they are out of the index's scope by definition).
+
+    Shape: per-batch-deduped ``(doc_id, token)`` pairs (a doc never
+    splits across rows) -> df from ONE native ``groupby(token).Count``
+    -> banded tokens hash-join the pairs -> ONE global sort on
+    ``(token, doc_id)`` range-partitions the postings -> per block,
+    segment starts + ``pa.ListArray`` + int->string cast +
+    ``binary_join`` build each token's in-block postings string with
+    zero per-row Python -> the driver stitches the <= #blocks-1
+    tokens that span a block boundary (output-scale tail).  Output
+    sorted by token: ``token, df, postings``."""
+    from biobloom_ray.io import hash_join
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ds.map_batches(_doc_term_tf, batch_format="pyarrow") \
+              .map_batches(lambda b: b.select(["doc_id", "token"]),
+                           batch_format="pyarrow")
+    dfc = pairs.groupby("token").aggregate(Count(alias_name="df"))
+
+    def banded(b: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.greater_equal(b["df"], min_df),
+                     pc.less_equal(b["df"], max_df))
+        return b.filter(ok)
+
+    kept = dfc.map_batches(banded, batch_format="pyarrow")
+    j = hash_join(pairs, kept, on=("token",))
+    srt = j.sort(["token", "doc_id"])
+
+    def block_postings(b: pa.Table) -> pa.Table:
+        toks = b["token"].to_numpy(zero_copy_only=False)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(toks)
+        if n == 0:
+            return pa.table({"token": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64()),
+                             "postings": pa.array([], type=pa.string())})
+        new = np.ones(n, dtype=bool)
+        new[1:] = toks[1:] != toks[:-1]
+        starts = np.nonzero(new)[0]
+        offs = np.append(starts, n).astype(np.int32)
+        id_str = pc.cast(pa.array(ids), pa.string())
+        lists = pa.ListArray.from_arrays(pa.array(offs), id_str)
+        return pa.table({
+            "token": pa.array(toks[starts].tolist(), type=pa.string()),
+            "n": pa.array((offs[1:] - offs[:-1]).astype(np.int64)),
+            "postings": pc.binary_join(lists, ",")})
+
+    part = srt.map_batches(block_postings, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    if len(part) == 0:
+        return pd.DataFrame({"token": pd.Series([], dtype=object),
+                             "df": pd.Series([], dtype=np.int64),
+                             "postings": pd.Series([], dtype=object)})
+    # blocks arrive in global sort order; segments of one token are
+    # adjacent — stitch them (at most #blocks-1 boundary tokens)
+    out = (part.groupby("token", sort=True)
+           .agg(df=("n", "sum"), postings=("postings", ",".join))
+           .reset_index())
+    out["df"] = out.df.astype(np.int64)
+    return out.sort_values("token").reset_index(drop=True)

@@ -69,7 +69,7 @@ SQL_CHECKED = [
     "pii_redact", "gopher_quality_flags", "remove_boilerplate_ngrams",
     "bigram_lm_scores", "chunk_documents", "tfidf_top_terms",
     "bigram_ppl_buckets", "dup_clusters", "source_stats",
-    "source_quality_gate", "token_freq_histogram",
+    "source_quality_gate", "token_freq_histogram", "inverted_index",
 ]
 
 

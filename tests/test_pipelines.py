@@ -458,3 +458,51 @@ def test_token_freq_histogram_mass_conservation(ray_session):
     assert (out.freq * out.n_tokens).sum() == toks.n_tokens.sum()
     assert (out.freq >= 1).all()
     assert out.freq.is_monotonic_increasing
+
+
+def test_inverted_index_postings_sorted_and_banded(ray_session):
+    import biobloom_ray.pipelines.analytics as A
+
+    out = A.inverted_index("/root/testdata/sf0.001")
+    assert len(out) > 0
+    assert (out.df >= A.INVIDX_MIN_DF).all()
+    assert (out.df <= A.INVIDX_MAX_DF).all()
+    for _, r in out.head(50).iterrows():
+        ids = [int(x) for x in r.postings.split(",")]
+        assert ids == sorted(ids)
+        assert len(ids) == len(set(ids)) == r.df
+
+
+def test_hash_join_sparse_right_side(ray_session):
+    """Inner hash_join whose right side survives filtering with so few
+    rows that some hash partitions receive NOTHING: Ray 2.49's stock
+    aggregator feeds acero a zero-column table and dies; the
+    _GuardedJoinAggregation in biobloom_ray.io must return the correct
+    (possibly empty) result instead."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from biobloom_ray.io import hash_join
+
+    L = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a", "b", "c", "q"], type=pa.string()),
+        "v": pa.array([1, 2, 3, 4], type=pa.int64())}))
+    R = (ray.data.from_arrow(pa.table({
+            "k": pa.array(["q", "q", "x"], type=pa.string())}))
+         .groupby("k").aggregate(Count(alias_name="n"))
+         .map_batches(lambda b: b.filter(pc.equal(b["n"], 2)),
+                      batch_format="pyarrow"))
+    out = hash_join(L, R, on=("k",), num_partitions=4).to_pandas()
+    assert out.k.tolist() == ["q"]
+    assert out.v.tolist() == [4]
+
+    # fully-empty right side: inner join is simply empty
+    R0 = (ray.data.from_arrow(pa.table({
+            "k": pa.array(["x"], type=pa.string())}))
+          .groupby("k").aggregate(Count(alias_name="n"))
+          .map_batches(lambda b: b.filter(pc.equal(b["n"], 99)),
+                       batch_format="pyarrow"))
+    out0 = hash_join(L, R0, on=("k",), num_partitions=4)
+    assert out0.count() == 0
