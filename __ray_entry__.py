@@ -876,7 +876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # still execute), then mode variants and golden-covered twins whose
     # incremental driver signal is weakest.
     return {
-        # --- SQL-oracled (48) ---
+        # --- SQL-oracled (49) ---
         "lang_counts": A.lang_counts,
         "frame_counts": A.frame_counts,
         "median_nchars_by_lang": A.median_nchars_by_lang,
@@ -904,6 +904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quality_gate": A.source_quality_gate,
         "token_freq_histogram": A.token_freq_histogram,
         "inverted_index": A.inverted_index,
+        "bm25_topk": A.bm25_topk,
         "ann_topk": _ann_topk,
         "ann_topk_multi": _ann_topk_multi,
         "user_event_counts": _user_event_counts,
@@ -1451,6 +1452,32 @@ def oracle_sql() -> dict[str, str]:
             " VARCHAR), ',' ORDER BY u.doc_id) AS postings "
             "FROM uni u JOIN g USING (token) "
             "GROUP BY u.token, g.df ORDER BY u.token",
+        # Okapi BM25 (k1=1.2, b=0.75) for the fixed query
+        # {merge, spark, window}: every score input is an exact int64
+        # and the constants are folded into the exact rational
+        # 22*tf*T / (10*T*tf + 3*T + 9*dl*N); only ln/round ULPs
+        # remain, absorbed by the repo's 6-dp contract
+        "bm25_topk":
+            "WITH tok AS (SELECT doc_id, regexp_extract_all(text,"
+            " '\\S+') AS toks FROM documents), "
+            "dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl"
+            " FROM tok), "
+            "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,"
+            " CAST(SUM(dl) AS BIGINT) AS t FROM dl), "
+            "hit AS (SELECT doc_id, u AS token, CAST(COUNT(*) AS"
+            " BIGINT) AS tf FROM (SELECT doc_id, unnest(toks) AS u"
+            " FROM tok) WHERE u IN ('merge','spark','window')"
+            " GROUP BY doc_id, u), "
+            "dfx AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df"
+            " FROM hit GROUP BY token), "
+            "sc AS (SELECT h.doc_id, SUM((LN(2*(st.n+1)) -"
+            " LN(2*d.df+1)) * ((22.0*h.tf*st.t) / (10*st.t*h.tf +"
+            " 3*st.t + 9*l.dl*st.n))) AS s FROM hit h"
+            " JOIN dfx d USING (token)"
+            " JOIN dl l ON l.doc_id = h.doc_id CROSS JOIN st"
+            " GROUP BY h.doc_id) "
+            "SELECT doc_id, ROUND(s, 6) AS bm25_r6 FROM sc "
+            "ORDER BY ROUND(s, 6) DESC, doc_id LIMIT 20",
         "top_docs_per_lang":
             "SELECT lang, doc_id, n_chars FROM ("
             "SELECT lang, doc_id, n_chars, ROW_NUMBER() OVER ("

@@ -1947,3 +1947,103 @@ def inverted_index(sf_dir: str, min_df: int = INVIDX_MIN_DF,
            .reset_index())
     out["df"] = out.df.astype(np.int64)
     return out.sort_values("token").reset_index(drop=True)
+
+
+#: fixed retrieval query for bm25_topk (sorted; the summation order of
+#: per-term contributions is pinned to this order in the engine)
+BM25_QUERY_TERMS = ("merge", "spark", "window")
+#: Okapi constants k1=1.2, b=0.75 — folded into the exact-integer
+#: rational denominator (10*T*tf + 3*T + 9*dl*N) / (10*T) below
+BM25_TOPK = 20
+
+
+def bm25_topk(sf_dir: str, terms: tuple[str, ...] = BM25_QUERY_TERMS,
+              k: int = BM25_TOPK):
+    """Okapi-BM25 retrieval of the top-``k`` documents for a fixed
+    term query — the search side of a training-data inspection /
+    decontamination stack.  Float parity with the SQL oracle follows
+    the repo's 6-dp contract (`bigram_lm_scores`): every input to the
+    score is an EXACT int64 (corpus doc count N, corpus token count T,
+    per-term df, per-doc dl, per-doc-term tf), the k1=1.2 / b=0.75
+    constants are folded into an exact rational,
+
+        score = sum_t (ln(2*(N+1)) - ln(2*df_t+1))
+                      * 22*tf*T / (10*T*tf + 3*T + 9*dl*N)
+
+    so both engines evaluate the same double ops on identical exact
+    integers and only ln/rounding ULPs remain, absorbed by ROUND(.,6).
+
+    Shape: pass A is a map-only stats sweep (one fixed-width partial
+    row per batch: n_docs, tot_tokens, per-term df) driver-summed at
+    #batches scale; pass B is map-only scoring with the 5 stats ints
+    closed over (no broadcast object needed), emitting each block's
+    top-k candidates; the driver merges <= k * #blocks rows.  No
+    shuffle at any scale; the corpus is read twice but each read is
+    column-pruned and the stats pass does no groupby.
+
+    Output (sorted by bm25_r6 desc, doc_id): ``doc_id, bm25_r6``."""
+    from biobloom_ray.stages.textstats import _token_arrays
+
+    tvocab = np.array(sorted(terms), dtype=object)
+    m = len(tvocab)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        flat, lens, row_of = _token_arrays(b)
+        cols = {"n_docs": pa.array([b.num_rows], type=pa.int64()),
+                "tot_tokens": pa.array([int(len(flat))],
+                                       type=pa.int64())}
+        hit = np.isin(flat, tvocab)
+        rows, toks = row_of[hit], flat[hit]
+        tcode = np.searchsorted(tvocab, toks)
+        # df partial: distinct docs in this batch containing the term
+        dfp = np.zeros(m, dtype=np.int64)
+        if len(rows):
+            u = np.unique(rows * m + tcode)
+            np.add.at(dfp, u % m, 1)
+        for i in range(m):
+            cols[f"df{i}"] = pa.array([int(dfp[i])], type=pa.int64())
+        return pa.table(cols)
+
+    st = (ds.map_batches(stats_partial, batch_format="pyarrow")
+          .to_pandas().sum())
+    N, T = int(st.n_docs), int(st.tot_tokens)
+    dfv = np.array([int(st[f"df{i}"]) for i in range(m)],
+                   dtype=np.int64)
+    if T == 0 or not (dfv > 0).any():
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "bm25_r6": pd.Series([], dtype=np.float64)})
+    idf = np.log(2.0 * (N + 1)) - np.log(2.0 * dfv + 1)
+
+    def score_block(b: pa.Table) -> pa.Table:
+        flat, lens, row_of = _token_arrays(b)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        hit = np.isin(flat, tvocab)
+        if not hit.any():
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "bm25_r6": pa.array([], type=pa.float64())})
+        rows, toks = row_of[hit], flat[hit]
+        tcode = np.searchsorted(tvocab, toks)
+        # tf per (row, term); np.unique returns keys sorted, so the
+        # per-row summation below runs in fixed (term-sorted) order
+        key, tf = np.unique(rows * m + tcode, return_counts=True)
+        krow, kterm = key // m, key % m
+        dl = lens[krow]
+        num = 22.0 * (tf * T)
+        den = (10 * T * tf + 3 * T + 9 * dl * N).astype(np.float64)
+        contrib = idf[kterm] * (num / den)
+        urow, inv = np.unique(krow, return_inverse=True)
+        score = np.zeros(len(urow), dtype=np.float64)
+        np.add.at(score, inv, contrib)
+        r6 = np.round(score, 6)
+        # block-local top-k on the exact final ranking key
+        order = np.lexsort((ids[urow], -r6))[:k]
+        return pa.table({"doc_id": pa.array(ids[urow][order]),
+                         "bm25_r6": pa.array(r6[order])})
+
+    cand = ds.map_batches(score_block, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    out = cand.sort_values(["bm25_r6", "doc_id"],
+                           ascending=[False, True]).head(k)
+    return out.reset_index(drop=True)

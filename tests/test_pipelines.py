@@ -506,3 +506,40 @@ def test_hash_join_sparse_right_side(ray_session):
                        batch_format="pyarrow"))
     out0 = hash_join(L, R0, on=("k",), num_partitions=4)
     assert out0.count() == 0
+
+
+def test_bm25_topk_ranking_and_brute_force(ray_session):
+    import re
+
+    import biobloom_ray.pipelines.analytics as A
+
+    out = A.bm25_topk("/root/testdata/sf0.001")
+    assert len(out) == A.BM25_TOPK
+    # ranking key is (rounded score desc, doc_id asc)
+    keys = list(zip(-out.bm25_r6, out.doc_id))
+    assert keys == sorted(keys)
+
+    # brute-force recomputation in pandas over the whole fixture
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    toks = docs.text.map(lambda s: re.findall(r"\S+", s))
+    dl = toks.map(len).to_numpy()
+    N, T = len(docs), int(dl.sum())
+    scores = {}
+    for term in A.BM25_QUERY_TERMS:
+        tf = toks.map(lambda ts: ts.count(term)).to_numpy()
+        df = int((tf > 0).sum())
+        idf = np.log(2.0 * (N + 1)) - np.log(2.0 * df + 1)
+        hit = tf > 0
+        contrib = idf * (22.0 * (tf[hit] * T)) / (
+            10 * T * tf[hit] + 3 * T + 9 * dl[hit] * N)
+        for d, c in zip(docs.doc_id.to_numpy()[hit], contrib):
+            scores[d] = scores.get(d, 0.0) + c
+    exp = pd.DataFrame({"doc_id": list(scores),
+                        "bm25_r6": np.round(list(scores.values()), 6)})
+    exp = exp.sort_values(["bm25_r6", "doc_id"],
+                          ascending=[False, True]).head(A.BM25_TOPK)
+    got = out.set_index("doc_id").bm25_r6
+    want = exp.set_index("doc_id").bm25_r6
+    assert set(got.index) == set(want.index)
+    assert np.allclose(got.sort_index(), want.sort_index(), atol=1e-6)
