@@ -876,7 +876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # still execute), then mode variants and golden-covered twins whose
     # incremental driver signal is weakest.
     return {
-        # --- SQL-oracled (49) ---
+        # --- SQL-oracled (51) ---
         "lang_counts": A.lang_counts,
         "frame_counts": A.frame_counts,
         "median_nchars_by_lang": A.median_nchars_by_lang,
@@ -905,6 +905,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_freq_histogram": A.token_freq_histogram,
         "inverted_index": A.inverted_index,
         "bm25_topk": A.bm25_topk,
+        "source_mix_sample": A.source_mix_sample,
+        "lang_centroids": A.lang_centroids,
         "ann_topk": _ann_topk,
         "ann_topk_multi": _ann_topk_multi,
         "user_event_counts": _user_event_counts,
@@ -1478,6 +1480,50 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY h.doc_id) "
             "SELECT doc_id, ROUND(s, 6) AS bm25_r6 FROM sc "
             "ORDER BY ROUND(s, 6) DESC, doc_id LIMIT 20",
+        # source rebalancer: same bit-exact splitmix64 replay as
+        # deterministic_sample_hash, but the keep threshold is the
+        # per-source exact integer (cap << 64) // n_s with
+        # cap = ceil(total/n_sources); sources at/under the cap skip
+        # the hash test entirely (NULL threshold)
+        "source_mix_sample":
+            "WITH cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n"
+            " FROM documents GROUP BY source), "
+            "cap AS (SELECT (SUM(n) + COUNT(*) - 1) // COUNT(*) AS c"
+            " FROM cnt), "
+            "thr AS (SELECT source, n, CASE WHEN n <= (SELECT c FROM"
+            " cap) THEN NULL ELSE CAST((CAST((SELECT c FROM cap) AS"
+            " HUGEINT) * 18446744073709551616) // n AS UBIGINT) END AS t"
+            " FROM cnt), "
+            "s0 AS (SELECT doc_id, source, CAST((CAST(doc_id AS HUGEINT)"
+            " + 11400714819323198485) % 18446744073709551616 AS UBIGINT)"
+            " AS z FROM documents), "
+            "s1 AS (SELECT doc_id, source, xor(z, z >> 30) AS z FROM s0), "
+            "m1 AS (SELECT doc_id, source, CAST(((CAST(z & 4294967295 AS"
+            " HUGEINT) * 484763065) + ((CAST(z & 4294967295 AS HUGEINT) *"
+            " 3210233709 + CAST(z >> 32 AS HUGEINT) * 484763065) %"
+            " 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT)"
+            " AS z FROM s1), "
+            "s2 AS (SELECT doc_id, source, xor(z, z >> 27) AS z FROM m1), "
+            "m2 AS (SELECT doc_id, source, CAST(((CAST(z & 4294967295 AS"
+            " HUGEINT) * 321982955) + ((CAST(z & 4294967295 AS HUGEINT) *"
+            " 2496678331 + CAST(z >> 32 AS HUGEINT) * 321982955) %"
+            " 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT)"
+            " AS z FROM s2), "
+            "fin AS (SELECT doc_id, source, xor(z, z >> 31) AS h FROM m2) "
+            "SELECT f.doc_id, f.source FROM fin f JOIN thr USING (source) "
+            "WHERE thr.t IS NULL OR f.h < thr.t ORDER BY f.doc_id",
+        # per-language embedding centroid: positional double-unnest
+        # zips value with its 1-based subscript; mean under the 6-dp
+        # float contract (cross-engine sum order differs ~1e-12)
+        "lang_centroids":
+            "WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE)"
+            " AS v, unnest(generate_series(1, len(embedding))) AS i"
+            " FROM embeddings), "
+            "j AS (SELECT d.lang, CAST(e.i - 1 AS BIGINT) AS dim, e.v"
+            " AS v FROM e JOIN documents d ON d.doc_id = e.vec_id) "
+            "SELECT lang, dim, CAST(COUNT(*) AS BIGINT) AS n,"
+            " ROUND(SUM(v) / COUNT(*), 6) AS mean_r6 FROM j "
+            "GROUP BY lang, dim ORDER BY lang, dim",
         "top_docs_per_lang":
             "SELECT lang, doc_id, n_chars FROM ("
             "SELECT lang, doc_id, n_chars, ROW_NUMBER() OVER ("

@@ -2047,3 +2047,115 @@ def bm25_topk(sf_dir: str, terms: tuple[str, ...] = BM25_QUERY_TERMS,
     out = cand.sort_values(["bm25_r6", "doc_id"],
                            ascending=[False, True]).head(k)
     return out.reset_index(drop=True)
+
+
+def source_mix_sample(sf_dir: str):
+    """Source-mixture rebalancer — the dataset-mixing step of a
+    training-data pipeline (cap a dominant domain, as in Pile/CCNet
+    source weighting): downsample every over-represented source to the
+    uniform cap ``C = ceil(total_docs / n_sources)`` with the SAME
+    bit-exact splitmix64 keep rule as :func:`deterministic_sample_hash`
+    (keep iff ``splitmix64(doc_id) < (C << 64) // n_s``; sources at or
+    under the cap keep everything, no hash test).  Reproducible across
+    runs/retries/engines; the oracle replays splitmix64 in 128-bit
+    DuckDB arithmetic and computes the identical integer thresholds.
+
+    Shape: one native ``groupby(source).Count`` (tiny shuffle, one row
+    per source) -> per-source integer thresholds closed over (#sources
+    entries, broadcast-trivial) -> map-only vectorized filter pass.
+    Output (sorted by doc_id): ``doc_id, source``."""
+    from biobloom_ray.hashing import splitmix64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    cnt = ds.groupby("source").aggregate(Count(alias_name="n")).to_pandas()
+    total, k = int(cnt.n.sum()), len(cnt)
+    if k == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "source": pd.Series([], dtype=object)})
+    cap = (total + k - 1) // k
+    svocab = cnt.source.to_numpy(dtype=object)
+    order = np.argsort(svocab)
+    svocab = svocab[order]
+    ns = cnt.n.to_numpy()[order].astype(np.int64)
+    keep_all = ns <= cap
+    thr = np.where(keep_all, np.uint64(0),
+                   np.array([(cap << 64) // int(n) if n > cap else 0
+                             for n in ns], dtype=np.uint64))
+
+    def pick(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        src = b["source"].to_numpy(zero_copy_only=False)
+        code = np.searchsorted(svocab, src)
+        mask = keep_all[code] | (splitmix64(ids) < thr[code])
+        return b.filter(pa.array(mask))
+
+    out = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def lang_centroids(sf_dir: str):
+    """Per-language embedding centroid (the seed statistic of
+    clustering-based curation / domain-balance checks): mean embedding
+    vector per ``lang``, one output row per (lang, dim).
+
+    Cross-table shape: embeddings' ``list<float>`` column is packed to
+    a FixedSizeBinary blob (acero rejects list payloads through a hash
+    join — biobloom_ray.io gotcha), hash-joined with the documents
+    (doc_id, lang) projection, then per-batch partial sums collapse
+    each block to #langs x dim rows (factorize + one ``np.add.at``)
+    before ONE native ``groupby([lang, dim]).Sum`` — the all-to-all
+    moves partials only, never vectors.  Mean is emitted under the
+    repo's 6-dp float contract (sum order across engines differs at
+    ~1e-12 relative; ROUND absorbs it).
+
+    Output (sorted by lang, dim): ``lang, dim, n, mean_r6``."""
+    from biobloom_ray.io import hash_join
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def to_blob(b: pa.Table) -> pa.Table:
+        col = b["embedding"].combine_chunks()
+        n = len(col)
+        vals = col.flatten().to_numpy(zero_copy_only=False)
+        vals = np.ascontiguousarray(vals, dtype=np.float32)
+        d = vals.size // max(n, 1)
+        arr = pa.Array.from_buffers(
+            pa.binary(d * 4), n, [None, pa.py_buffer(vals.tobytes())])
+        return pa.table({"doc_id": b["vec_id"], "blob": arr})
+
+    j = hash_join(emb.map_batches(to_blob, batch_format="pyarrow"),
+                  docs, on=("doc_id",))
+
+    def partials(b: pa.Table) -> pa.Table:
+        blob = b["blob"].combine_chunks()
+        n = len(blob)
+        if n == 0:
+            return pa.table({"lang": pa.array([], type=pa.string()),
+                             "dim": pa.array([], type=pa.int64()),
+                             "psum": pa.array([], type=pa.float64()),
+                             "pcnt": pa.array([], type=pa.int64())})
+        d = blob.type.byte_width // 4
+        flat = np.frombuffer(blob.buffers()[1], dtype=np.float32)
+        mat = flat[blob.offset * d:(blob.offset + n) * d].reshape(n, d)
+        codes, uniq = pd.factorize(b["lang"].to_pandas())
+        sums = np.zeros((len(uniq), d), dtype=np.float64)
+        np.add.at(sums, codes, mat)
+        cnts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "lang": pa.array(np.repeat(uniq.to_numpy(dtype=object), d)
+                             .tolist(), type=pa.string()),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                    len(uniq))),
+            "psum": pa.array(sums.ravel()),
+            "pcnt": pa.array(np.repeat(cnts, d))})
+
+    agg = (j.map_batches(partials, batch_format="pyarrow")
+           .groupby(["lang", "dim"])
+           .aggregate(Sum("psum", alias_name="psum"),
+                      Sum("pcnt", alias_name="pcnt"))
+           .to_pandas())
+    agg["n"] = agg.pcnt.astype(np.int64)
+    agg["mean_r6"] = np.round(agg.psum.to_numpy() / agg.pcnt.to_numpy(), 6)
+    out = agg[["lang", "dim", "n", "mean_r6"]]
+    return out.sort_values(["lang", "dim"]).reset_index(drop=True)

@@ -70,7 +70,7 @@ SQL_CHECKED = [
     "bigram_lm_scores", "chunk_documents", "tfidf_top_terms",
     "bigram_ppl_buckets", "dup_clusters", "source_stats",
     "source_quality_gate", "token_freq_histogram", "inverted_index",
-    "bm25_topk",
+    "bm25_topk", "source_mix_sample", "lang_centroids",
 ]
 
 

@@ -543,3 +543,42 @@ def test_bm25_topk_ranking_and_brute_force(ray_session):
     want = exp.set_index("doc_id").bm25_r6
     assert set(got.index) == set(want.index)
     assert np.allclose(got.sort_index(), want.sort_index(), atol=1e-6)
+
+
+def test_source_mix_sample_caps_sources(ray_session):
+    import biobloom_ray.pipelines.analytics as A
+
+    docs = pd.read_parquet("/root/testdata/sf0.01/documents.parquet",
+                           columns=["doc_id", "source"])
+    out = A.source_mix_sample("/root/testdata/sf0.01")
+    before = docs.source.value_counts()
+    after = out.source.value_counts().reindex(before.index).fillna(0)
+    cap = -(-len(docs) // docs.source.nunique())
+    # under-cap sources are untouched; over-cap sources shrink toward
+    # the cap (binomial keep at rate cap/n: mean cap, sd < 16)
+    for s in before.index:
+        if before[s] <= cap:
+            assert after[s] == before[s]
+        else:
+            assert after[s] < before[s]
+            assert abs(after[s] - cap) < 6 * np.sqrt(cap)
+    # kept rows are a subset of the input
+    assert set(out.doc_id).issubset(set(docs.doc_id))
+
+
+def test_lang_centroids_matches_local_mean(ray_session):
+    import biobloom_ray.pipelines.analytics as A
+
+    out = A.lang_centroids("/root/testdata/sf0.001")
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "lang"])
+    emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    m = docs.merge(emb, left_on="doc_id", right_on="vec_id")
+    for lang, grp in m.groupby("lang"):
+        mat = np.stack(grp.embedding.to_numpy()).astype(np.float64)
+        want = mat.mean(axis=0)
+        got = out[out.lang == lang].sort_values("dim")
+        assert (got.n == len(grp)).all()
+        assert np.allclose(got.mean_r6, np.round(want, 6), atol=2e-6)
+    assert len(out) == docs.lang.nunique() * 64
