@@ -876,7 +876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # still execute), then mode variants and golden-covered twins whose
     # incremental driver signal is weakest.
     return {
-        # --- SQL-oracled (51) ---
+        # --- SQL-oracled (52) ---
         "lang_counts": A.lang_counts,
         "frame_counts": A.frame_counts,
         "median_nchars_by_lang": A.median_nchars_by_lang,
@@ -907,6 +907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": A.bm25_topk,
         "source_mix_sample": A.source_mix_sample,
         "lang_centroids": A.lang_centroids,
+        "epoch_shuffle_head": A.epoch_shuffle_head,
         "ann_topk": _ann_topk,
         "ann_topk_multi": _ann_topk_multi,
         "user_event_counts": _user_event_counts,
@@ -1524,6 +1525,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, dim, CAST(COUNT(*) AS BIGINT) AS n,"
             " ROUND(SUM(v) / COUNT(*), 6) AS mean_r6 FROM j "
             "GROUP BY lang, dim ORDER BY lang, dim",
+        # deterministic epoch shuffle: first 100 positions of the
+        # global permutation ordered by splitmix64(doc_id XOR 7),
+        # replayed bit-exactly in HUGEINT arithmetic
+        "epoch_shuffle_head":
+            "WITH s0 AS (SELECT doc_id, CAST((CAST(xor(CAST(doc_id AS"
+            " UBIGINT), CAST(7 AS UBIGINT)) AS HUGEINT) +"
+            " 11400714819323198485) % 18446744073709551616 AS UBIGINT)"
+            " AS z FROM documents), "
+            "s1 AS (SELECT doc_id, xor(z, z >> 30) AS z FROM s0), "
+            "m1 AS (SELECT doc_id, CAST(((CAST(z & 4294967295 AS"
+            " HUGEINT) * 484763065) + ((CAST(z & 4294967295 AS HUGEINT) *"
+            " 3210233709 + CAST(z >> 32 AS HUGEINT) * 484763065) %"
+            " 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT)"
+            " AS z FROM s1), "
+            "s2 AS (SELECT doc_id, xor(z, z >> 27) AS z FROM m1), "
+            "m2 AS (SELECT doc_id, CAST(((CAST(z & 4294967295 AS"
+            " HUGEINT) * 321982955) + ((CAST(z & 4294967295 AS HUGEINT) *"
+            " 2496678331 + CAST(z >> 32 AS HUGEINT) * 321982955) %"
+            " 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT)"
+            " AS z FROM s2), "
+            "fin AS (SELECT doc_id, xor(z, z >> 31) AS h FROM m2) "
+            "SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) AS"
+            " BIGINT) AS pos, doc_id FROM fin ORDER BY h, doc_id"
+            " LIMIT 100",
         "top_docs_per_lang":
             "SELECT lang, doc_id, n_chars FROM ("
             "SELECT lang, doc_id, n_chars, ROW_NUMBER() OVER ("

@@ -2159,3 +2159,48 @@ def lang_centroids(sf_dir: str):
     agg["mean_r6"] = np.round(agg.psum.to_numpy() / agg.pcnt.to_numpy(), 6)
     out = agg[["lang", "dim", "n", "mean_r6"]]
     return out.sort_values(["lang", "dim"]).reset_index(drop=True)
+
+
+#: fixed epoch seed for the oracle-checked query (any uint64 works)
+EPOCH_SHUFFLE_SEED = 7
+EPOCH_SHUFFLE_HEAD = 100
+
+
+def epoch_shuffle_head(sf_dir: str, seed: int = EPOCH_SHUFFLE_SEED,
+                       head: int = EPOCH_SHUFFLE_HEAD):
+    """Deterministic epoch shuffle — the reproducible global permutation
+    a training run draws its batches from: order docs by the bit-exact
+    key ``splitmix64(doc_id XOR seed)`` (new seed => new permutation;
+    same seed => identical order across runs/retries/engines).  The
+    oracle replays the hash in 128-bit DuckDB arithmetic.
+
+    At scale the full permutation is ``sort(key)`` + partitioned write
+    (one range per output shard); the oracle-checked query returns the
+    permutation's first ``head`` rows, which pins the global order
+    without materializing it: per block a vectorized argpartition keeps
+    the ``head`` smallest keys (map-only, no shuffle), the driver
+    merges <= head x #blocks candidate rows.  Output: ``pos`` (1-based
+    position), ``doc_id``."""
+    from biobloom_ray.hashing import splitmix64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    sd = np.uint64(seed)
+
+    def block_head(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        h = splitmix64(ids.astype(np.uint64) ^ sd)
+        k = min(head, len(h))
+        if k == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "h": pa.array([], type=pa.uint64())})
+        part = np.argpartition(h, k - 1)[:k]
+        return pa.table({"doc_id": pa.array(ids[part]),
+                         "h": pa.array(h[part])})
+
+    cand = ds.map_batches(block_head, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    cand = cand.sort_values(["h", "doc_id"]).head(head)
+    out = pd.DataFrame({"pos": np.arange(1, len(cand) + 1,
+                                         dtype=np.int64),
+                        "doc_id": cand.doc_id.to_numpy()})
+    return out

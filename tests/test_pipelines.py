@@ -582,3 +582,24 @@ def test_lang_centroids_matches_local_mean(ray_session):
         assert (got.n == len(grp)).all()
         assert np.allclose(got.mean_r6, np.round(want, 6), atol=2e-6)
     assert len(out) == docs.lang.nunique() * 64
+
+
+def test_epoch_shuffle_head_deterministic_and_seeded(ray_session):
+    import biobloom_ray.pipelines.analytics as A
+    from biobloom_ray.hashing import splitmix64
+
+    out = A.epoch_shuffle_head("/root/testdata/sf0.001")
+    out2 = A.epoch_shuffle_head("/root/testdata/sf0.001")
+    assert out.equals(out2)
+    assert out.pos.tolist() == list(range(1, len(out) + 1))
+    # matches a local full-sort replay of the same hash
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id"])
+    ids = docs.doc_id.to_numpy().astype(np.uint64)
+    h = splitmix64(ids ^ np.uint64(A.EPOCH_SHUFFLE_SEED))
+    want = docs.doc_id.to_numpy()[np.lexsort((docs.doc_id, h))][
+        :A.EPOCH_SHUFFLE_HEAD]
+    assert out.doc_id.tolist() == want.tolist()
+    # a different seed gives a different permutation
+    other = A.epoch_shuffle_head("/root/testdata/sf0.001", seed=99)
+    assert other.doc_id.tolist() != out.doc_id.tolist()
