@@ -1386,7 +1386,15 @@ def _doc_term_tf(b: pa.Table) -> pa.Table:
         return pa.table({"doc_id": pa.array([], type=pa.int64()),
                          "token": pa.array([], type=pa.string()),
                          "tf": pa.array([], type=pa.int64())})
-    uniq, codes = np.unique(flat, return_inverse=True)
+    # hash-based factorize + small-vocab rank beats np.unique's
+    # O(n log n) object-string sort ~30x; output is identical
+    # (lex-sorted uniq, lex-ordered codes)
+    codes0, uniq0 = pd.factorize(pd.Index(flat, dtype=object))
+    vorder = np.argsort(uniq0)
+    rank = np.empty(len(vorder), dtype=np.int64)
+    rank[vorder] = np.arange(len(vorder))
+    uniq = uniq0.to_numpy(dtype=object)[vorder]
+    codes = rank[codes0]
     order = np.lexsort((codes, row_of))
     rs, cs = row_of[order], codes[order]
     new = np.ones(len(rs), dtype=bool)
@@ -1877,6 +1885,11 @@ def token_freq_histogram(sf_dir: str):
 #: hotter tokens are stopwords whose lists would be corpus-scale
 INVIDX_MIN_DF = 2
 INVIDX_MAX_DF = 50
+#: input-row gate for inverted_index's driver tier (same contract as
+#: TFIDF_BROADCAST_MAX_ROWS): below it the banded vocab broadcasts and
+#: the output-scale filtered pairs are driver-assembled; above it the
+#: hash-join + global-sort cluster path runs
+INVIDX_DRIVER_MAX_ROWS = 100_000
 
 
 def inverted_index(sf_dir: str, min_df: int = INVIDX_MIN_DF,
@@ -1889,18 +1902,73 @@ def inverted_index(sf_dir: str, min_df: int = INVIDX_MIN_DF,
     corpus-scale lists through the shuffle (cap them or shard them;
     here they are out of the index's scope by definition).
 
-    Shape: per-batch-deduped ``(doc_id, token)`` pairs (a doc never
-    splits across rows) -> df from ONE native ``groupby(token).Count``
-    -> banded tokens hash-join the pairs -> ONE global sort on
-    ``(token, doc_id)`` range-partitions the postings -> per block,
-    segment starts + ``pa.ListArray`` + int->string cast +
-    ``binary_join`` build each token's in-block postings string with
-    zero per-row Python -> the driver stitches the <= #blocks-1
-    tokens that span a block boundary (output-scale tail).  Output
-    sorted by token: ``token, df, postings``."""
+    Tiered.  Cluster path: per-batch-deduped ``(doc_id, token)`` pairs
+    (a doc never splits across rows) -> df from ONE native
+    ``groupby(token).Count`` -> banded tokens hash-join the pairs ->
+    ONE global sort on ``(token, doc_id)`` range-partitions the
+    postings -> per block, segment starts + ``pa.ListArray`` +
+    int->string cast + ``binary_join`` build each token's in-block
+    postings string with zero per-row Python -> the driver stitches
+    the <= #blocks-1 tokens that span a block boundary (output-scale
+    tail).  Below ``INVIDX_DRIVER_MAX_ROWS`` input docs the banded
+    vocab broadcasts via ``ray.put`` (sorted-array membership per
+    batch) and the df<=max_df filtered pairs — output-scale by the
+    band — are driver-assembled, skipping join and sort (bit-identical
+    by the tier-parity test).  Output sorted by token:
+    ``token, df, postings``."""
+    import ray
+
     from biobloom_ray.io import hash_join
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = _cheap_count(ds)
+    if n_docs is None:
+        n_docs = ds.count()
+
+    if n_docs <= INVIDX_DRIVER_MAX_ROWS:
+        # df from per-batch partials, driver-combined (the TFIDF-tier
+        # contract) — no cluster groupby, no join, no global sort
+        def df_partials(b: pa.Table) -> pa.Table:
+            t = _doc_term_tf(b)
+            return pa.table({
+                "token": t["token"],
+                "df": pa.array(np.ones(len(t), dtype=np.int64))})
+
+        p = (ds.map_batches(df_partials, batch_format="pyarrow")
+             .to_pandas())
+        v = p.groupby("token", as_index=False)["df"].sum()
+        v = v[(v.df >= min_df) & (v.df <= max_df)]
+        vocab = np.sort(v.token.to_numpy(dtype=object))
+        dfv = v.set_index("token").df.loc[vocab].to_numpy(
+            dtype=np.int64) if len(vocab) else np.array([], np.int64)
+        ref = ray.put(vocab)
+
+        def member(b: pa.Table) -> pa.Table:
+            import ray as _r
+            vv = _r.get(ref)
+            t = _doc_term_tf(b).select(["doc_id", "token"])
+            toks = t["token"].to_numpy(zero_copy_only=False)
+            if not len(vv):
+                return t.filter(pa.array(np.zeros(len(toks), bool)))
+            idx = np.searchsorted(vv, toks)
+            idx[idx == len(vv)] = 0
+            return t.filter(pa.array(vv[idx] == toks))
+
+        hit = ds.map_batches(member, batch_format="pyarrow").to_pandas()
+        if len(hit) == 0:
+            return pd.DataFrame({
+                "token": pd.Series([], dtype=object),
+                "df": pd.Series([], dtype=np.int64),
+                "postings": pd.Series([], dtype=object)})
+        hit = hit.sort_values(["token", "doc_id"])
+        out = (hit.groupby("token", sort=True)["doc_id"]
+               .agg(lambda s: ",".join(str(int(x)) for x in s))
+               .rename("postings").reset_index())
+        out["df"] = dfv[np.searchsorted(vocab, out.token.to_numpy(
+            dtype=object))]
+        out = out[["token", "df", "postings"]]
+        return out.sort_values("token").reset_index(drop=True)
+
     pairs = ds.map_batches(_doc_term_tf, batch_format="pyarrow") \
               .map_batches(lambda b: b.select(["doc_id", "token"]),
                            batch_format="pyarrow")

@@ -603,3 +603,12 @@ def test_epoch_shuffle_head_deterministic_and_seeded(ray_session):
     # a different seed gives a different permutation
     other = A.epoch_shuffle_head("/root/testdata/sf0.001", seed=99)
     assert other.doc_id.tolist() != out.doc_id.tolist()
+
+
+def test_inverted_index_tiers_agree(ray_session, monkeypatch):
+    import biobloom_ray.pipelines.analytics as A
+
+    drv = A.inverted_index("/root/testdata/sf0.001")
+    monkeypatch.setattr(A, "INVIDX_DRIVER_MAX_ROWS", 0)
+    clu = A.inverted_index("/root/testdata/sf0.001")
+    pd.testing.assert_frame_equal(drv, clu)
