@@ -1721,39 +1721,31 @@ def source_stats(sf_dir: str):
     pipeline keeps for domain-level filtering decisions (cf. C4 /
     RefinedWeb per-domain stats): document count, total chars, distinct
     languages, and mean chars (6-dp-rounded VALUE column; row identity
-    is the exact source key).  Shape: per-batch pandas partials
-    (#sources rows each) -> ONE native ``groupby(source)`` Sum; the
-    distinct-lang count is a second narrow shuffle keyed on the
-    deduped (source, lang) pair — key cardinality #sources x #langs,
-    never corpus-scale.  Output sorted by source."""
+    is the exact source key).  Shape: per-batch pandas partials at
+    (source, lang) granularity -> ONE native ``groupby([source, lang])``
+    Sum (key cardinality #sources x #langs, never corpus-scale) -> the
+    driver folds langs into the per-source row (output-scale).  Output
+    sorted by source."""
     ds = _read(sf_dir, "documents", columns=["source", "lang", "n_chars"])
 
     def partial(b: pa.Table) -> pa.Table:
         df = pd.DataFrame({"source": b["source"].to_pandas(),
+                           "lang": b["lang"].to_pandas(),
                            "n_chars": b["n_chars"].to_numpy(
                                zero_copy_only=False)})
-        agg = df.groupby("source", as_index=False).agg(
+        agg = df.groupby(["source", "lang"], as_index=False).agg(
             n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"))
         return pa.Table.from_pandas(agg, preserve_index=False)
 
-    stats = (ds.map_batches(partial, batch_format="pyarrow")
-             .groupby("source")
-             .aggregate(Sum("n_docs", alias_name="n_docs"),
-                        Sum("sum_chars", alias_name="sum_chars"))
-             .to_pandas())
-
-    def pair_partial(b: pa.Table) -> pa.Table:
-        df = pd.DataFrame({"source": b["source"].to_pandas(),
-                           "lang": b["lang"].to_pandas()})
-        return pa.Table.from_pandas(df.drop_duplicates(),
-                                    preserve_index=False)
-
-    langs = (ds.map_batches(pair_partial, batch_format="pyarrow")
-             .groupby(["source", "lang"]).aggregate(Count(alias_name="x"))
-             .to_pandas()
-             .groupby("source", as_index=False).agg(n_langs=("x", "size")))
-
-    out = stats.merge(langs, on="source")
+    sl = (ds.map_batches(partial, batch_format="pyarrow")
+          .groupby(["source", "lang"])
+          .aggregate(Sum("n_docs", alias_name="n_docs"),
+                     Sum("sum_chars", alias_name="sum_chars"))
+          .to_pandas())
+    out = (sl.groupby("source", as_index=False)
+           .agg(n_docs=("n_docs", "sum"),
+                sum_chars=("sum_chars", "sum"),
+                n_langs=("lang", "size")))
     out["n_docs"] = out.n_docs.astype(np.int64)
     out["sum_chars"] = out.sum_chars.astype(np.int64)
     out["n_langs"] = out.n_langs.astype(np.int64)
@@ -1808,6 +1800,9 @@ def source_quality_gate(sf_dir: str):
 
     kept = rates.map_batches(kept_only, batch_format="pyarrow")
     n_rows = _cheap_count(ds)
+    # phase-2 scan re-reads only the two output columns — the text
+    # column (the bulk of the table's bytes) stays in storage
+    slim = _read(sf_dir, "documents", columns=["doc_id", "source"])
 
     if n_rows is not None and n_rows <= SRCGATE_BROADCAST_MAX_ROWS:
         kset = np.sort(kept.to_pandas().source.to_numpy(dtype=object))
@@ -1823,16 +1818,12 @@ def source_quality_gate(sf_dir: str):
                 i = np.searchsorted(ks, src)
                 i = np.minimum(i, len(ks) - 1)
                 m = ks[i] == src
-            return pa.table({"doc_id": b["doc_id"].filter(pa.array(m)),
-                             "source": b["source"].filter(pa.array(m))})
+            return b.filter(pa.array(m))
 
-        out = (ds.map_batches(pick, batch_format="pyarrow")
-               .select_columns(["doc_id", "source"]).to_pandas())
+        out = (slim.map_batches(pick, batch_format="pyarrow")
+               .to_pandas())
     else:
         from biobloom_ray.io import hash_join
-        slim = ds.map_batches(
-            lambda b: b.select(["doc_id", "source"]),
-            batch_format="pyarrow")
         out = (hash_join(slim, kept, on=("source",))
                .to_pandas()[["doc_id", "source"]])
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -1856,9 +1847,12 @@ def token_freq_histogram(sf_dir: str):
         if not len(flat):
             return pa.table({"token": pa.array([], type=pa.string()),
                              "cnt": pa.array([], type=pa.int64())})
-        uniq, cnt = np.unique(flat, return_counts=True)
-        return pa.table({"token": pa.array(uniq.tolist(),
-                                           type=pa.string()),
+        # hash-based factorize beats np.unique's object-string sort
+        # ~30x; partial order is irrelevant (feeds a groupby)
+        codes, uniq = pd.factorize(pd.Index(flat, dtype=object))
+        cnt = np.bincount(codes, minlength=len(uniq))
+        return pa.table({"token": pa.array(uniq.to_numpy(dtype=object)
+                                           .tolist(), type=pa.string()),
                          "cnt": pa.array(cnt.astype(np.int64))})
 
     vocab = (ds.map_batches(tok_partial, batch_format="pyarrow")
