@@ -876,7 +876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # still execute), then mode variants and golden-covered twins whose
     # incremental driver signal is weakest.
     return {
-        # --- SQL-oracled (52) ---
+        # --- SQL-oracled (53) ---
         "lang_counts": A.lang_counts,
         "frame_counts": A.frame_counts,
         "median_nchars_by_lang": A.median_nchars_by_lang,
@@ -908,6 +908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mix_sample": A.source_mix_sample,
         "lang_centroids": A.lang_centroids,
         "epoch_shuffle_head": A.epoch_shuffle_head,
+        "clean_corpus": A.clean_corpus,
         "ann_topk": _ann_topk,
         "ann_topk_multi": _ann_topk_multi,
         "user_event_counts": _user_event_counts,
@@ -1549,6 +1550,44 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) AS"
             " BIGINT) AS pos, doc_id FROM fin ORDER BY h, doc_id"
             " LIMIT 100",
+        # composed cleaning pipeline: Gopher gate -> first-wins exact
+        # dedup (among gopher-passing non-benchmark docs) -> drop docs
+        # sharing any trigram with the benchmark slice (doc_id%97==0,
+        # trigrams drawn from the FULL corpus slice)
+        "clean_corpus":
+            "WITH tok AS (SELECT doc_id, regexp_extract_all(text,"
+            " '\\S+') AS toks FROM documents), "
+            "uni AS (SELECT doc_id, unnest(toks) AS token FROM tok), "
+            "st AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,"
+            " CAST(SUM(len(token)) AS BIGINT) AS sum_word_len,"
+            " CAST(SUM(CASE WHEN token IN ('the','a','an','and','or',"
+            "'of','to','in','is','are','was','were','be','been','it',"
+            "'this','that','for','on','with','as','at','by','from',"
+            "'not','but') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,"
+            " CAST(SUM(CASE WHEN regexp_full_match(token, '[A-Za-z]+')"
+            " THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_words"
+            " FROM uni GROUP BY doc_id), "
+            "pass AS (SELECT doc_id FROM st WHERE n_words >= 20 AND"
+            " n_words <= 100000 AND sum_word_len >= 2*n_words AND"
+            " sum_word_len <= 10*n_words AND n_stop >= 2 AND"
+            " 10*n_alpha_words >= 8*n_words), "
+            "cand AS (SELECT d.doc_id, d.text FROM documents d"
+            " JOIN pass USING (doc_id) WHERE d.doc_id % 97 <> 0), "
+            "win AS (SELECT MIN(doc_id) AS doc_id FROM cand"
+            " GROUP BY text), "
+            "triidx AS (SELECT doc_id, toks, unnest(generate_series(1,"
+            " len(toks)-2)) AS i FROM tok WHERE len(toks) >= 3), "
+            "tri AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' '"
+            " || toks[i+2] AS tg FROM triidx), "
+            "bench AS (SELECT DISTINCT tg FROM tri WHERE doc_id % 97"
+            " = 0), "
+            "contam AS (SELECT DISTINCT t.doc_id FROM tri t JOIN bench"
+            " b ON t.tg = b.tg) "
+            "SELECT w.doc_id, d.lang, CAST(len(t.toks) AS BIGINT) AS"
+            " n_tokens FROM win w JOIN documents d ON d.doc_id ="
+            " w.doc_id JOIN tok t ON t.doc_id = w.doc_id LEFT JOIN"
+            " contam c ON c.doc_id = w.doc_id WHERE c.doc_id IS NULL"
+            " ORDER BY w.doc_id",
         "top_docs_per_lang":
             "SELECT lang, doc_id, n_chars FROM ("
             "SELECT lang, doc_id, n_chars, ROW_NUMBER() OVER ("

@@ -2266,3 +2266,104 @@ def epoch_shuffle_head(sf_dir: str, seed: int = EPOCH_SHUFFLE_SEED,
                                          dtype=np.int64),
                         "doc_id": cand.doc_id.to_numpy()})
     return out
+
+
+def clean_corpus(sf_dir: str, bench_mod: int = DECON_BENCH_MOD):
+    """The canonical web-cleaning pipeline COMPOSED end-to-end in one
+    streaming plan — quality gate -> exact dedup -> benchmark
+    decontamination (the C4/Gopher/GPT-3 preparation order), proving
+    the operators chain: (1) map-only Gopher gate + benchmark-doc
+    exclusion, (2) first-wins exact dedup via ONE native
+    ``groupby(fp_md5)`` with ``Min`` over a zero-padded
+    ``doc_id|lang`` composite (the composite's lex order IS doc_id
+    order, so one Min recovers the winner's lang with no join back),
+    (3) map-only contamination probe of the winners against the
+    broadcast benchmark-trigram state (Bloom prefilter + exact set —
+    the same subtract-filter shape as :func:`decontaminate`).  The
+    only shuffle is the dedup groupby.
+
+    Output (kept docs, sorted by doc_id): ``doc_id, lang, n_tokens``."""
+    import ray
+
+    from biobloom_ray.sketches.bloom import BloomFilter
+    from biobloom_ray.stages.dedup import add_content_hash
+    from biobloom_ray.stages.textstats import (_token_arrays,
+                                               ngram_strings_at,
+                                               token_ngram_hashes)
+    from biobloom_ray.stages.webclean import gopher_flags_batch
+
+    n = 3
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    # benchmark trigram state over the FULL corpus bench slice (the
+    # eval suite is fixed before any cleaning decision)
+    def bench_grams(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        sel = np.nonzero(ids % bench_mod == 0)[0]
+        if len(sel) == 0:
+            return pa.table({"tg": pa.array([], type=pa.string()),
+                             "h1": pa.array([], type=pa.uint64()),
+                             "h2": pa.array([], type=pa.uint64())})
+        sub = b.take(sel)
+        flat, lens, row_of = _token_arrays(sub)
+        h1, h2, _, start = token_ngram_hashes(flat, row_of, n)
+        tg = ngram_strings_at(flat, start, n)
+        df = pd.DataFrame({"tg": tg.to_numpy(dtype=object),
+                           "h1": h1, "h2": h2}).drop_duplicates("tg")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    bench = (ds.map_batches(bench_grams, batch_format="pyarrow")
+             .to_pandas().drop_duplicates("tg"))
+    bf = BloomFilter.for_entries(max(len(bench), 1), DECON_BLOOM_FPR,
+                                 kmer_size=n, filter_id="clean_bench")
+    if len(bench):
+        bf.insert(bench.h1.to_numpy(dtype=np.uint64),
+                  bench.h2.to_numpy(dtype=np.uint64))
+    state_ref = ray.put((bf.words, bf.m, bf.hash_num,
+                         frozenset(bench.tg.to_numpy(dtype=object))))
+
+    def cand(b: pa.Table) -> pa.Table:
+        flags = gopher_flags_batch(b)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        ok = (flags["pass_gopher"].to_numpy(zero_copy_only=False) == 1) \
+            & (ids % bench_mod != 0)
+        sub = b.filter(pa.array(ok))
+        h = add_content_hash(sub)
+        wk = (pd.Series(sub["doc_id"].to_numpy(zero_copy_only=False))
+              .astype(str).str.zfill(18)
+              + "|" + sub["lang"].to_pandas().reset_index(drop=True))
+        return pa.table({"fp_md5": h["fp_md5"],
+                         "wk": pa.array(wk.to_numpy(dtype=object),
+                                        type=pa.string()),
+                         "text": sub["text"]})
+
+    winners = (ds.map_batches(cand, batch_format="pyarrow")
+               .groupby("fp_md5")
+               .aggregate(Min("wk", alias_name="wk"),
+                          Min("text", alias_name="text")))
+
+    def probe(b: pa.Table) -> pa.Table:
+        import ray as _r
+        words, m, hnum, exact = _r.get(state_ref)
+        pf = BloomFilter(m=m, hash_num=hnum, kmer_size=n, words=words)
+        wk = b["wk"].to_pandas()
+        ids = wk.str.slice(0, 18).astype(np.int64).to_numpy()
+        langs = wk.str.slice(19)
+        flat, lens, row_of = _token_arrays(b)
+        h1, h2, trow, tstart = token_ngram_hashes(flat, row_of, n)
+        contam = np.zeros(len(ids), dtype=bool)
+        if len(h1):
+            hit = pf.contains(h1, h2)
+            if hit.any():
+                cs = ngram_strings_at(flat, tstart[hit], n)
+                verified = cs.isin(exact).to_numpy()
+                contam[trow[hit][verified]] = True
+        keep = ~contam
+        return pa.table({
+            "doc_id": pa.array(ids[keep]),
+            "lang": pa.array(langs.to_numpy(dtype=object)[keep]
+                             .tolist(), type=pa.string()),
+            "n_tokens": pa.array(lens[keep])})
+
+    out = winners.map_batches(probe, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -612,3 +612,25 @@ def test_inverted_index_tiers_agree(ray_session, monkeypatch):
     monkeypatch.setattr(A, "INVIDX_DRIVER_MAX_ROWS", 0)
     clu = A.inverted_index("/root/testdata/sf0.001")
     pd.testing.assert_frame_equal(drv, clu)
+
+
+def test_clean_corpus_composition_invariants(ray_session):
+    import biobloom_ray.pipelines.analytics as A
+
+    out = A.clean_corpus("/root/testdata/sf0.001")
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    # no benchmark docs survive, all kept ids exist, langs match source
+    assert (out.doc_id % A.DECON_BENCH_MOD != 0).all()
+    m = out.merge(docs[["doc_id", "lang"]], on="doc_id",
+                  suffixes=("", "_src"))
+    assert len(m) == len(out)
+    assert (m.lang == m.lang_src).all()
+    # kept set is duplicate-free by text
+    kept = docs[docs.doc_id.isin(out.doc_id)]
+    assert kept.text.duplicated().sum() == 0
+    # every kept doc passes the word-count leg of the Gopher gate
+    ntok = kept.text.str.count(r"\S+")
+    assert (ntok >= 20).all()
+    # n_tokens column is the \S+ count
+    chk = out.merge(docs[["doc_id", "text"]], on="doc_id")
+    assert (chk.n_tokens == chk.text.str.count(r"\S+")).all()
