@@ -112,6 +112,7 @@ def _force_cluster_tiers():
     A.BIGRAM_BROADCAST_MAX_ROWS = 0
     A.TFIDF_BROADCAST_MAX_ROWS = 0
     A.INVIDX_DRIVER_MAX_ROWS = 0
+    A.CENTROID_BROADCAST_MAX_ROWS = 0
     A.DUPC_DRIVER_MAX_ROWS = 0
     A.SRCGATE_BROADCAST_MAX_ROWS = 0
     D.EXACT_DEDUP_DRIVER_MAX_ROWS = 0

@@ -2155,26 +2155,90 @@ def source_mix_sample(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+#: input-row gate for lang_centroids' broadcast tier: below it the
+#: (doc_id, lang) map ships once via ray.put (sorted-id searchsorted
+#: per batch — no join); above it the blob-packed hash join runs
+CENTROID_BROADCAST_MAX_ROWS = 100_000
+
+
 def lang_centroids(sf_dir: str):
     """Per-language embedding centroid (the seed statistic of
     clustering-based curation / domain-balance checks): mean embedding
     vector per ``lang``, one output row per (lang, dim).
 
-    Cross-table shape: embeddings' ``list<float>`` column is packed to
-    a FixedSizeBinary blob (acero rejects list payloads through a hash
-    join — biobloom_ray.io gotcha), hash-joined with the documents
-    (doc_id, lang) projection, then per-batch partial sums collapse
-    each block to #langs x dim rows (factorize + one ``np.add.at``)
-    before ONE native ``groupby([lang, dim]).Sum`` — the all-to-all
-    moves partials only, never vectors.  Mean is emitted under the
-    repo's 6-dp float contract (sum order across engines differs at
-    ~1e-12 relative; ROUND absorbs it).
+    Cross-table shape (above the gate): embeddings' ``list<float>``
+    column is packed to a FixedSizeBinary blob (acero rejects list
+    payloads through a hash join — biobloom_ray.io gotcha),
+    hash-joined with the documents (doc_id, lang) projection, then
+    per-batch partial sums collapse each block to #langs x dim rows
+    (factorize + one ``np.add.at``) before ONE native
+    ``groupby([lang, dim]).Sum`` — the all-to-all moves partials only,
+    never vectors.  Below ``CENTROID_BROADCAST_MAX_ROWS`` docs the
+    (doc_id, lang) map broadcasts once and the whole op is map-only
+    partials + a driver fold (#langs x dim rows per block,
+    tier-parity-tested).  Mean is emitted under the repo's 6-dp float
+    contract (sum order across engines differs at ~1e-12 relative;
+    ROUND absorbs it).
 
     Output (sorted by lang, dim): ``lang, dim, n, mean_r6``."""
+    import ray
+
     from biobloom_ray.io import hash_join
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    n_docs = _cheap_count(docs)
+    if n_docs is not None and n_docs <= CENTROID_BROADCAST_MAX_ROWS:
+        dmap = docs.to_pandas()
+        ids = dmap.doc_id.to_numpy()
+        order = np.argsort(ids)
+        ref = ray.put((ids[order],
+                       dmap.lang.to_numpy(dtype=object)[order]))
+
+        def bpartials(b: pa.Table) -> pa.Table:
+            import ray as _r
+            sid, slang = _r.get(ref)
+            col = b["embedding"].combine_chunks()
+            nr = len(col)
+            if nr == 0:
+                return pa.table({
+                    "lang": pa.array([], type=pa.string()),
+                    "dim": pa.array([], type=pa.int64()),
+                    "psum": pa.array([], type=pa.float64()),
+                    "pcnt": pa.array([], type=pa.int64())})
+            vals = col.flatten().to_numpy(zero_copy_only=False)
+            d = vals.size // nr
+            mat = np.ascontiguousarray(vals, dtype=np.float64) \
+                .reshape(nr, d)
+            vid = b["vec_id"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(sid, vid)
+            idx = np.minimum(idx, len(sid) - 1)
+            ok = sid[idx] == vid
+            langs = slang[idx[ok]]
+            codes, uniq = pd.factorize(pd.Index(langs, dtype=object))
+            sums = np.zeros((len(uniq), d), dtype=np.float64)
+            np.add.at(sums, codes, mat[ok])
+            cnts = np.bincount(codes, minlength=len(uniq)) \
+                .astype(np.int64)
+            return pa.table({
+                "lang": pa.array(np.repeat(uniq.to_numpy(dtype=object),
+                                           d).tolist(),
+                                 type=pa.string()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                        len(uniq))),
+                "psum": pa.array(sums.ravel()),
+                "pcnt": pa.array(np.repeat(cnts, d))})
+
+        part = (emb.map_batches(bpartials, batch_format="pyarrow")
+                .to_pandas())
+        agg = (part.groupby(["lang", "dim"], as_index=False)
+               .agg(psum=("psum", "sum"), pcnt=("pcnt", "sum")))
+        agg["n"] = agg.pcnt.astype(np.int64)
+        agg["mean_r6"] = np.round(
+            agg.psum.to_numpy() / agg.pcnt.to_numpy(), 6)
+        out = agg[["lang", "dim", "n", "mean_r6"]]
+        return out.sort_values(["lang", "dim"]).reset_index(drop=True)
 
     def to_blob(b: pa.Table) -> pa.Table:
         col = b["embedding"].combine_chunks()

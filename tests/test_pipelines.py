@@ -634,3 +634,12 @@ def test_clean_corpus_composition_invariants(ray_session):
     # n_tokens column is the \S+ count
     chk = out.merge(docs[["doc_id", "text"]], on="doc_id")
     assert (chk.n_tokens == chk.text.str.count(r"\S+")).all()
+
+
+def test_lang_centroids_tiers_agree(ray_session, monkeypatch):
+    import biobloom_ray.pipelines.analytics as A
+
+    drv = A.lang_centroids("/root/testdata/sf0.001")
+    monkeypatch.setattr(A, "CENTROID_BROADCAST_MAX_ROWS", 0)
+    clu = A.lang_centroids("/root/testdata/sf0.001")
+    pd.testing.assert_frame_equal(drv, clu)
