@@ -876,7 +876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # still execute), then mode variants and golden-covered twins whose
     # incremental driver signal is weakest.
     return {
-        # --- SQL-oracled (53) ---
+        # --- SQL-oracled (54) ---
         "lang_counts": A.lang_counts,
         "frame_counts": A.frame_counts,
         "median_nchars_by_lang": A.median_nchars_by_lang,
@@ -909,6 +909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_centroids": A.lang_centroids,
         "epoch_shuffle_head": A.epoch_shuffle_head,
         "clean_corpus": A.clean_corpus,
+        "source_overlap": A.source_overlap,
         "ann_topk": _ann_topk,
         "ann_topk_multi": _ann_topk_multi,
         "user_event_counts": _user_event_counts,
@@ -1588,6 +1589,23 @@ def oracle_sql() -> dict[str, str]:
             " w.doc_id JOIN tok t ON t.doc_id = w.doc_id LEFT JOIN"
             " contam c ON c.doc_id = w.doc_id WHERE c.doc_id IS NULL"
             " ORDER BY w.doc_id",
+        # cross-source shared-trigram matrix: distinct (source,
+        # trigram) pairs self-joined on the trigram; engine identity
+        # is the 64-bit combined-token hash (repeated_substrings
+        # collision contract)
+        "source_overlap":
+            "WITH tok AS (SELECT doc_id, regexp_extract_all(text,"
+            " '\\S+') AS toks FROM documents), "
+            "triidx AS (SELECT doc_id, toks, unnest(generate_series(1,"
+            " len(toks)-2)) AS i FROM tok WHERE len(toks) >= 3), "
+            "tri AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' '"
+            " || toks[i+2] AS tg FROM triidx), "
+            "dtg AS (SELECT DISTINCT d.source, t.tg FROM tri t"
+            " JOIN documents d USING (doc_id)) "
+            "SELECT a.source AS src_a, b.source AS src_b,"
+            " CAST(COUNT(*) AS BIGINT) AS n_shared FROM dtg a"
+            " JOIN dtg b ON a.tg = b.tg AND a.source < b.source "
+            "GROUP BY a.source, b.source ORDER BY src_a, src_b",
         "top_docs_per_lang":
             "SELECT lang, doc_id, n_chars FROM ("
             "SELECT lang, doc_id, n_chars, ROW_NUMBER() OVER ("

@@ -167,7 +167,8 @@ def run_queries() -> dict[str, float]:
                "bigram_ppl_buckets", "dup_clusters", "source_stats",
                "source_quality_gate", "token_freq_histogram",
                "inverted_index", "bm25_topk", "source_mix_sample",
-               "lang_centroids", "epoch_shuffle_head", "clean_corpus"]
+               "lang_centroids", "epoch_shuffle_head", "clean_corpus",
+               "source_overlap"]
     # NOT benched: spaced_seed_distinct_exact — the verification-only
     # exact twin of the HLL query (COUNT DISTINCT over every frame is an
     # inherent all-to-all; the HLL sketch IS the production path)

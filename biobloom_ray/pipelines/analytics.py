@@ -2431,3 +2431,111 @@ def clean_corpus(sf_dir: str, bench_mod: int = DECON_BENCH_MOD):
 
     out = winners.map_batches(probe, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def source_overlap(sf_dir: str):
+    """Cross-source contamination matrix — for every pair of sources,
+    the number of distinct token trigrams they share (the leakage
+    diagnostic behind 'which domains are mirroring each other / the
+    benchmark').  Trigram identity is the 64-bit combined-token hash
+    (same contract as :func:`repeated_substrings`: collision odds
+    ~N²/2⁶⁵; swap a 128-bit hash above ~10¹² distinct grams).
+
+    Shape: per-batch-deduped ``(h, source)`` rows -> global dedup via
+    ONE native ``groupby([h, source]).Count`` -> a second
+    ``groupby(h).Count`` + hash join keeps only hashes seen in >= 2
+    (h, source) rows (the only ones that can pair; boilerplate-grade
+    hashes are bounded at #sources rows each because rows are already
+    per-source distinct) -> ONE global sort on (h, source)
+    range-partitions the survivors -> per block a pandas self-merge
+    expands pairs for hashes wholly inside the block (#pairs per hash
+    <= #sources² — bounded), while rows of the <= #blocks-1
+    block-spanning hashes go to the driver raw and are expanded there
+    (output-scale tail).  Output (sorted): ``src_a, src_b, n_shared``."""
+    from biobloom_ray.io import hash_join
+    from biobloom_ray.stages.textstats import (_token_arrays,
+                                               token_ngram_hashes)
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def hs_partial(b: pa.Table) -> pa.Table:
+        flat, lens, row_of = _token_arrays(b)
+        h1, _, trow, _ = token_ngram_hashes(flat, row_of, 3)
+        if not len(h1):
+            return pa.table({"h": pa.array([], type=pa.int64()),
+                             "source": pa.array([], type=pa.string())})
+        src = b["source"].to_pandas()
+        codes, uniq = pd.factorize(src)
+        hc = h1.view(np.int64)
+        sc = codes[trow]
+        order = np.lexsort((sc, hc))
+        hs, ss = hc[order], sc[order]
+        new = np.ones(len(hs), dtype=bool)
+        new[1:] = (hs[1:] != hs[:-1]) | (ss[1:] != ss[:-1])
+        return pa.table({
+            "h": pa.array(hs[new]),
+            "source": pa.array(uniq.to_numpy(dtype=object)[ss[new]]
+                               .tolist(), type=pa.string())})
+
+    distinct = (ds.map_batches(hs_partial, batch_format="pyarrow")
+                .groupby(["h", "source"]).aggregate(Count(alias_name="_c"))
+                .map_batches(lambda b: b.select(["h", "source"]),
+                             batch_format="pyarrow"))
+    hc = distinct.groupby("h").aggregate(Count(alias_name="c"))
+    hot = hc.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["c"], 2))
+        .select(["h"]), batch_format="pyarrow")
+    surv = hash_join(distinct, hot, on=("h",))
+    srt = surv.sort(["h", "source"])
+
+    def block_pairs(b: pa.Table) -> pa.Table:
+        h = b["h"].to_numpy(zero_copy_only=False)
+        n = len(h)
+        empty = pa.table({
+            "kind": pa.array([], type=pa.int8()),
+            "h": pa.array([], type=pa.int64()),
+            "src_a": pa.array([], type=pa.string()),
+            "src_b": pa.array([], type=pa.string()),
+            "n_shared": pa.array([], type=pa.int64())})
+        if n == 0:
+            return empty
+        src = b["source"].to_pandas().to_numpy(dtype=object)
+        interior = (h != h[0]) & (h != h[-1])
+        dfb = pd.DataFrame({"h": h[interior], "s": src[interior]})
+        m = dfb.merge(dfb, on="h")
+        m = m[m.s_x < m.s_y]
+        pairs = (m.groupby(["s_x", "s_y"], as_index=False)
+                 .agg(n_shared=("h", "size")))
+        bnd = ~interior
+        out = pd.DataFrame({
+            "kind": np.concatenate([
+                np.zeros(len(pairs), dtype=np.int8),
+                np.ones(int(bnd.sum()), dtype=np.int8)]),
+            "h": np.concatenate([np.zeros(len(pairs), dtype=np.int64),
+                                 h[bnd]]),
+            "src_a": np.concatenate([pairs.s_x.to_numpy(dtype=object),
+                                     src[bnd]]),
+            "src_b": np.concatenate([pairs.s_y.to_numpy(dtype=object),
+                                     np.full(int(bnd.sum()), "",
+                                             dtype=object)]),
+            "n_shared": np.concatenate([
+                pairs.n_shared.to_numpy(dtype=np.int64),
+                np.zeros(int(bnd.sum()), dtype=np.int64)])})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    part = (srt.map_batches(block_pairs, batch_format="pyarrow",
+                            batch_size=None).to_pandas())
+    got = part[part.kind == 0][["src_a", "src_b", "n_shared"]]
+    bnd = part[part.kind == 1][["h", "src_a"]].drop_duplicates()
+    if len(bnd):
+        m = bnd.merge(bnd, on="h")
+        m = m[m.src_a_x < m.src_a_y]
+        extra = (m.groupby(["src_a_x", "src_a_y"], as_index=False)
+                 .agg(n_shared=("h", "size"))
+                 .rename(columns={"src_a_x": "src_a",
+                                  "src_a_y": "src_b"}))
+        got = pd.concat([got, extra], ignore_index=True)
+    out = (got.groupby(["src_a", "src_b"], as_index=False)["n_shared"]
+           .sum())
+    out["n_shared"] = out.n_shared.astype(np.int64)
+    return out.sort_values(["src_a", "src_b"]).reset_index(drop=True)

@@ -71,7 +71,7 @@ SQL_CHECKED = [
     "bigram_ppl_buckets", "dup_clusters", "source_stats",
     "source_quality_gate", "token_freq_histogram", "inverted_index",
     "bm25_topk", "source_mix_sample", "lang_centroids",
-    "epoch_shuffle_head", "clean_corpus",
+    "epoch_shuffle_head", "clean_corpus", "source_overlap",
 ]
 
 

@@ -643,3 +643,44 @@ def test_lang_centroids_tiers_agree(ray_session, monkeypatch):
     monkeypatch.setattr(A, "CENTROID_BROADCAST_MAX_ROWS", 0)
     clu = A.lang_centroids("/root/testdata/sf0.001")
     pd.testing.assert_frame_equal(drv, clu)
+
+
+def test_source_overlap_symmetric_brute_force(ray_session):
+    import re
+
+    import biobloom_ray.pipelines.analytics as A
+
+    out = A.source_overlap("/root/testdata/sf0.001")
+    assert (out.src_a < out.src_b).all()
+    assert (out.n_shared >= 1).all()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["source", "text"])
+    grams = {}
+    for src, txt in zip(docs.source, docs.text):
+        toks = re.findall(r"\S+", txt)
+        gs = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        grams.setdefault(src, set()).update(gs)
+    srcs = sorted(grams)
+    want = {(a, b): len(grams[a] & grams[b])
+            for i, a in enumerate(srcs) for b in srcs[i + 1:]
+            if grams[a] & grams[b]}
+    got = {(r.src_a, r.src_b): r.n_shared for r in out.itertuples()}
+    assert got == want
+
+
+def test_source_overlap_boundary_stitch_block_invariance(ray_session):
+    """The sort+segment pair expansion must be invariant to how the
+    sorted rows split into blocks (the boundary-stitch path)."""
+    import ray.data
+
+    import biobloom_ray.pipelines.analytics as A
+
+    base = A.source_overlap("/root/testdata/sf0.001")
+    ctx = ray.data.DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 16 * 1024  # force many tiny blocks
+        tiny = A.source_overlap("/root/testdata/sf0.001")
+    finally:
+        ctx.target_max_block_size = old
+    pd.testing.assert_frame_equal(base, tiny)
