@@ -2441,18 +2441,18 @@ def source_overlap(sf_dir: str):
     (same contract as :func:`repeated_substrings`: collision odds
     ~N²/2⁶⁵; swap a 128-bit hash above ~10¹² distinct grams).
 
-    Shape: per-batch-deduped ``(h, source)`` rows -> global dedup via
-    ONE native ``groupby([h, source]).Count`` -> a second
-    ``groupby(h).Count`` + hash join keeps only hashes seen in >= 2
-    (h, source) rows (the only ones that can pair; boilerplate-grade
-    hashes are bounded at #sources rows each because rows are already
-    per-source distinct) -> ONE global sort on (h, source)
-    range-partitions the survivors -> per block a pandas self-merge
-    expands pairs for hashes wholly inside the block (#pairs per hash
-    <= #sources² — bounded), while rows of the <= #blocks-1
-    block-spanning hashes go to the driver raw and are expanded there
-    (output-scale tail).  Output (sorted): ``src_a, src_b, n_shared``."""
-    from biobloom_ray.io import hash_join
+    Shape — ONE all-to-all total: per-batch-deduped ``(h, source)``
+    rows go straight into a global sort on (h, source); the sort
+    co-locates every surviving duplicate, so a vectorized
+    adjacent-row dedup inside each block IS the global dedup (a
+    duplicate split across a block boundary makes its hash the block
+    edge and falls into the stitch path).  Per block a pandas
+    self-merge then expands pairs for hashes wholly inside the block
+    (#pairs per hash <= #sources² — bounded, because rows are
+    per-source distinct), while rows of the <= #blocks-1
+    block-spanning hashes go to the driver raw, are deduped and
+    expanded there (output-scale tail).  No groupby, no join — the
+    sort replaces both.  Output (sorted): ``src_a, src_b, n_shared``."""
     from biobloom_ray.stages.textstats import (_token_arrays,
                                                token_ngram_hashes)
 
@@ -2477,16 +2477,8 @@ def source_overlap(sf_dir: str):
             "source": pa.array(uniq.to_numpy(dtype=object)[ss[new]]
                                .tolist(), type=pa.string())})
 
-    distinct = (ds.map_batches(hs_partial, batch_format="pyarrow")
-                .groupby(["h", "source"]).aggregate(Count(alias_name="_c"))
-                .map_batches(lambda b: b.select(["h", "source"]),
-                             batch_format="pyarrow"))
-    hc = distinct.groupby("h").aggregate(Count(alias_name="c"))
-    hot = hc.map_batches(
-        lambda b: b.filter(pc.greater_equal(b["c"], 2))
-        .select(["h"]), batch_format="pyarrow")
-    surv = hash_join(distinct, hot, on=("h",))
-    srt = surv.sort(["h", "source"])
+    srt = (ds.map_batches(hs_partial, batch_format="pyarrow")
+           .sort(["h", "source"]))
 
     def block_pairs(b: pa.Table) -> pa.Table:
         h = b["h"].to_numpy(zero_copy_only=False)
@@ -2500,6 +2492,12 @@ def source_overlap(sf_dir: str):
         if n == 0:
             return empty
         src = b["source"].to_pandas().to_numpy(dtype=object)
+        # adjacent-row dedup = global dedup (sort co-located dups;
+        # boundary-split dups fall into the raw stitch path)
+        keep = np.ones(n, dtype=bool)
+        keep[1:] = (h[1:] != h[:-1]) | (src[1:] != src[:-1])
+        h, src = h[keep], src[keep]
+        n = len(h)
         interior = (h != h[0]) & (h != h[-1])
         dfb = pd.DataFrame({"h": h[interior], "s": src[interior]})
         m = dfb.merge(dfb, on="h")
