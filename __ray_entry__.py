@@ -876,7 +876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # still execute), then mode variants and golden-covered twins whose
     # incremental driver signal is weakest.
     return {
-        # --- SQL-oracled (54) ---
+        # --- SQL-oracled (55) ---
         "lang_counts": A.lang_counts,
         "frame_counts": A.frame_counts,
         "median_nchars_by_lang": A.median_nchars_by_lang,
@@ -910,6 +910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle_head": A.epoch_shuffle_head,
         "clean_corpus": A.clean_corpus,
         "source_overlap": A.source_overlap,
+        "quality_weighted_sample": A.quality_weighted_sample,
         "ann_topk": _ann_topk,
         "ann_topk_multi": _ann_topk_multi,
         "user_event_counts": _user_event_counts,
@@ -1485,14 +1486,14 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ROUND(s, 6) DESC, doc_id LIMIT 20",
         # source rebalancer: same bit-exact splitmix64 replay as
         # deterministic_sample_hash, but the keep threshold is the
-        # per-source exact integer (cap << 64) // n_s with
-        # cap = ceil(total/n_sources); sources at/under the cap skip
-        # the hash test entirely (NULL threshold)
+        # per-source exact integer (cap << 64) // n_s with the
+        # headroom cap = ceil(total/(2*n_sources)); sources at/under
+        # the cap skip the hash test entirely (NULL threshold)
         "source_mix_sample":
             "WITH cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n"
             " FROM documents GROUP BY source), "
-            "cap AS (SELECT (SUM(n) + COUNT(*) - 1) // COUNT(*) AS c"
-            " FROM cnt), "
+            "cap AS (SELECT (SUM(n) + 2*COUNT(*) - 1) // (2*COUNT(*))"
+            " AS c FROM cnt), "
             "thr AS (SELECT source, n, CASE WHEN n <= (SELECT c FROM"
             " cap) THEN NULL ELSE CAST((CAST((SELECT c FROM cap) AS"
             " HUGEINT) * 18446744073709551616) // n AS UBIGINT) END AS t"
@@ -1606,6 +1607,43 @@ def oracle_sql() -> dict[str, str]:
             " CAST(COUNT(*) AS BIGINT) AS n_shared FROM dtg a"
             " JOIN dtg b ON a.tg = b.tg AND a.source < b.source "
             "GROUP BY a.source, b.source ORDER BY src_a, src_b",
+        # quality-weighted importance sampler: keep-probability =
+        # mean word length / 10 (Gopher signal), decided by
+        # splitmix64(doc_id) against the exact integer threshold
+        # (sum_word_len << 64) // (10*n_words), saturated at 2^64-1
+        # when mean word length >= 10
+        "quality_weighted_sample":
+            "WITH tok AS (SELECT doc_id, regexp_extract_all(text,"
+            " '\\S+') AS toks FROM documents), "
+            "uni AS (SELECT doc_id, unnest(toks) AS token FROM tok), "
+            "st AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,"
+            " CAST(SUM(len(token)) AS BIGINT) AS sum_word_len"
+            " FROM uni GROUP BY doc_id), "
+            "thr AS (SELECT doc_id, n_words, sum_word_len,"
+            " CASE WHEN sum_word_len >= 10*n_words THEN"
+            " CAST(18446744073709551615 AS UBIGINT) ELSE"
+            " CAST((CAST(sum_word_len AS HUGEINT) *"
+            " 18446744073709551616) // (10*n_words) AS UBIGINT) END AS t"
+            " FROM st WHERE n_words > 0), "
+            "s0 AS (SELECT doc_id, CAST((CAST(doc_id AS HUGEINT)"
+            " + 11400714819323198485) % 18446744073709551616 AS UBIGINT)"
+            " AS z FROM thr), "
+            "s1 AS (SELECT doc_id, xor(z, z >> 30) AS z FROM s0), "
+            "m1 AS (SELECT doc_id, CAST(((CAST(z & 4294967295 AS"
+            " HUGEINT) * 484763065) + ((CAST(z & 4294967295 AS HUGEINT) *"
+            " 3210233709 + CAST(z >> 32 AS HUGEINT) * 484763065) %"
+            " 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT)"
+            " AS z FROM s1), "
+            "s2 AS (SELECT doc_id, xor(z, z >> 27) AS z FROM m1), "
+            "m2 AS (SELECT doc_id, CAST(((CAST(z & 4294967295 AS"
+            " HUGEINT) * 321982955) + ((CAST(z & 4294967295 AS HUGEINT) *"
+            " 2496678331 + CAST(z >> 32 AS HUGEINT) * 321982955) %"
+            " 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT)"
+            " AS z FROM s2), "
+            "fin AS (SELECT doc_id, xor(z, z >> 31) AS h FROM m2) "
+            "SELECT f.doc_id, t.n_words, t.sum_word_len FROM fin f"
+            " JOIN thr t USING (doc_id) WHERE f.h < t.t"
+            " ORDER BY f.doc_id",
         "top_docs_per_lang":
             "SELECT lang, doc_id, n_chars FROM ("
             "SELECT lang, doc_id, n_chars, ROW_NUMBER() OVER ("

@@ -2114,8 +2114,10 @@ def bm25_topk(sf_dir: str, terms: tuple[str, ...] = BM25_QUERY_TERMS,
 def source_mix_sample(sf_dir: str):
     """Source-mixture rebalancer — the dataset-mixing step of a
     training-data pipeline (cap a dominant domain, as in Pile/CCNet
-    source weighting): downsample every over-represented source to the
-    uniform cap ``C = ceil(total_docs / n_sources)`` with the SAME
+    source weighting): downsample every source above the headroom cap
+    ``C = ceil(total_docs / (2 * n_sources))`` (half the uniform
+    share — the standard dominance bound that leaves room for
+    under-represented domains to be upweighted later) with the SAME
     bit-exact splitmix64 keep rule as :func:`deterministic_sample_hash`
     (keep iff ``splitmix64(doc_id) < (C << 64) // n_s``; sources at or
     under the cap keep everything, no hash test).  Reproducible across
@@ -2134,7 +2136,7 @@ def source_mix_sample(sf_dir: str):
     if k == 0:
         return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
                              "source": pd.Series([], dtype=object)})
-    cap = (total + k - 1) // k
+    cap = (total + 2 * k - 1) // (2 * k)
     svocab = cnt.source.to_numpy(dtype=object)
     order = np.argsort(svocab)
     svocab = svocab[order]
@@ -2537,3 +2539,53 @@ def source_overlap(sf_dir: str):
            .sum())
     out["n_shared"] = out.n_shared.astype(np.int64)
     return out.sort_values(["src_a", "src_b"]).reset_index(drop=True)
+
+
+def quality_weighted_sample(sf_dir: str):
+    """Quality-weighted importance sampler — keep each document with
+    probability proportional to its Gopher mean-word-length signal
+    (the DoReMi-flavoured 'sample good text more' mixing step): keep
+    iff ``splitmix64(doc_id) < (sum_word_len << 64) // (10 *
+    n_words)`` — i.e. keep-probability = mean word length / 10, an
+    exact integer threshold per doc (docs at mean length >= 10
+    saturate to always-keep; zero-token docs are dropped).
+    Deterministic across runs/retries/engines — the oracle replays
+    both the hash and the thresholds in 128-bit DuckDB arithmetic.
+    Map-only: quality stats and the keep decision happen in one fused
+    scan, no shuffle at any scale.
+
+    Output (kept docs, sorted by doc_id): ``doc_id, n_words,
+    sum_word_len``."""
+    from biobloom_ray.hashing import splitmix64
+    from biobloom_ray.stages.webclean import gopher_flags_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pick(b: pa.Table) -> pa.Table:
+        flags = gopher_flags_batch(b)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        nw = flags["n_words"].to_numpy(zero_copy_only=False)
+        swl = flags["sum_word_len"].to_numpy(zero_copy_only=False)
+        h = splitmix64(ids.astype(np.uint64))
+        nz = nw > 0
+        thr = np.zeros(len(ids), dtype=np.uint64)
+        if nz.any():
+            # exact (swl << 64) // (10*nw), vectorized as two 32-bit
+            # long-division steps (10*nw < 2^31, so each partial fits
+            # int64); swl >= 10*nw saturates to 2^64-1 (mirrored in
+            # the SQL)
+            num, den = swl[nz], 10 * nw[nz]
+            r0 = num % den
+            t1 = (r0 << 32) // den
+            t2 = (((r0 << 32) % den) << 32) // den
+            t = (t1.astype(np.uint64) << np.uint64(32)) \
+                + t2.astype(np.uint64)
+            t[num >= den] = np.uint64((1 << 64) - 1)
+            thr[nz] = t
+        keep = nz & (h < thr)
+        return pa.table({"doc_id": pa.array(ids[keep]),
+                         "n_words": pa.array(nw[keep]),
+                         "sum_word_len": pa.array(swl[keep])})
+
+    out = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

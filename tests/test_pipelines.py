@@ -553,7 +553,7 @@ def test_source_mix_sample_caps_sources(ray_session):
     out = A.source_mix_sample("/root/testdata/sf0.01")
     before = docs.source.value_counts()
     after = out.source.value_counts().reindex(before.index).fillna(0)
-    cap = -(-len(docs) // docs.source.nunique())
+    cap = -(-len(docs) // (2 * docs.source.nunique()))
     # under-cap sources are untouched; over-cap sources shrink toward
     # the cap (binomial keep at rate cap/n: mean cap, sd < 16)
     for s in before.index:
@@ -684,3 +684,28 @@ def test_source_overlap_boundary_stitch_block_invariance(ray_session):
     finally:
         ctx.target_max_block_size = old
     pd.testing.assert_frame_equal(base, tiny)
+
+
+def test_quality_weighted_sample_brute_force(ray_session):
+    import re
+
+    import biobloom_ray.pipelines.analytics as A
+    from biobloom_ray.hashing import splitmix64
+
+    out = A.quality_weighted_sample("/root/testdata/sf0.001")
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    keep = []
+    for did, txt in zip(docs.doc_id, docs.text):
+        toks = re.findall(r"\S+", txt)
+        nw, swl = len(toks), sum(len(t) for t in toks)
+        if nw == 0:
+            continue
+        thr = min((swl << 64) // (10 * nw), (1 << 64) - 1)
+        h = int(splitmix64(np.array([did], dtype=np.uint64))[0])
+        if h < thr:
+            keep.append(did)
+    assert out.doc_id.tolist() == sorted(keep)
+    # the weight has real spread on the fixture: a nontrivial fraction
+    # is dropped AND a nontrivial fraction kept
+    assert 0.1 < len(out) / len(docs) < 0.9
