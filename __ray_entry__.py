@@ -206,6 +206,30 @@ def _ann_topk(sf_dir: str):
     return top.select_columns(["vec_id"]).to_pandas()
 
 
+def _ann_topk_filtered(sf_dir: str, label: int = 3):
+    """Filtered vector search: top-10 cosine neighbours among the rows
+    passing a metadata predicate (label == 3) — the filter runs before
+    the distance kernel, so each block's matmul only sees surviving
+    rows (at scale this is the pushed-down predicate of a hybrid
+    metadata+vector query)."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from biobloom_ray.stages.ann import brute_force_topk
+
+    emb = _rp(f"{sf_dir}/embeddings.parquet",
+              columns=["vec_id", "embedding", "label"])
+
+    def flt(b):
+        return b.filter(pc.equal(b["label"], label)) \
+                .select(["vec_id", "embedding"])
+
+    top = brute_force_topk(emb.map_batches(flt, batch_format="pyarrow"),
+                           _query_vec(sf_dir), k=10)
+    return top.select_columns(["vec_id"]).to_pandas()
+
+
 def _embedding_kmeans(sf_dir: str):
     """Distributed spherical k-means assignments over the embeddings
     table (rows-only; determinism + purity pinned in pytest)."""
@@ -876,7 +900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # still execute), then mode variants and golden-covered twins whose
     # incremental driver signal is weakest.
     return {
-        # --- SQL-oracled (55) ---
+        # --- SQL-oracled (56) ---
         "lang_counts": A.lang_counts,
         "frame_counts": A.frame_counts,
         "median_nchars_by_lang": A.median_nchars_by_lang,
@@ -912,6 +936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": A.source_overlap,
         "quality_weighted_sample": A.quality_weighted_sample,
         "ann_topk": _ann_topk,
+        "ann_topk_filtered": _ann_topk_filtered,
         "ann_topk_multi": _ann_topk_multi,
         "user_event_counts": _user_event_counts,
         "top_users_by_events": _top_users_by_events,
@@ -1720,5 +1745,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.vec_id AS vec_id, "
             "list_cosine_similarity(e.embedding, q.qe) AS sim "
             "FROM embeddings e, q) "
+            "ORDER BY sim DESC, vec_id ASC LIMIT 10",
+        "ann_topk_filtered":
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
+            "SELECT vec_id FROM ("
+            "SELECT e.vec_id AS vec_id, "
+            "list_cosine_similarity(e.embedding, q.qe) AS sim "
+            "FROM embeddings e, q WHERE e.label = 3) "
             "ORDER BY sim DESC, vec_id ASC LIMIT 10",
     }

@@ -168,7 +168,8 @@ def run_queries() -> dict[str, float]:
                "source_quality_gate", "token_freq_histogram",
                "inverted_index", "bm25_topk", "source_mix_sample",
                "lang_centroids", "epoch_shuffle_head", "clean_corpus",
-               "source_overlap", "quality_weighted_sample"]
+               "source_overlap", "quality_weighted_sample",
+               "ann_topk_filtered"]
     # NOT benched: spaced_seed_distinct_exact — the verification-only
     # exact twin of the HLL query (COUNT DISTINCT over every frame is an
     # inherent all-to-all; the HLL sketch IS the production path)
