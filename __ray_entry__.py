@@ -893,14 +893,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from biobloom_ray.pipelines import analytics as A
 
     # Ordering contract: the driver records correctness rows for (at
-    # most) the first 50 entries, so ALL DuckDB-oracle-backed queries
-    # (rows+schema+value-hash checks) come first, then the ten
-    # rows-only pipelines whose driver signal is most informative
-    # (sketch/LSH/model paths that pytest bounds but the driver should
-    # still execute), then mode variants and golden-covered twins whose
-    # incremental driver signal is weakest.
+    # most) the first 50 entries.  With 56 oracled queries the first
+    # 50 slots go to the strongest-signal oracles (one per operator
+    # family); the six demoted past the cap are twins or overlap
+    # variants of still-rowed queries (md5 sampler twin, exact-distinct
+    # verification twin, a second events rollup, ...) and every one of
+    # them is still DuckDB-checked on each pytest run
+    # (tests/test_oracle_parity.py).  After those come the sketch/LSH/
+    # model pipelines no SQL oracle can express (pytest bounds/parity).
     return {
-        # --- SQL-oracled (56) ---
+        # --- SQL-oracled, driver-row priority (50) ---
         "lang_counts": A.lang_counts,
         "frame_counts": A.frame_counts,
         "median_nchars_by_lang": A.median_nchars_by_lang,
@@ -910,7 +912,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": A.token_counts,
         "bpe_token_counts": _bpe_token_counts,
         "quality_scores": A.quality_scores,
-        "doc_fingerprint": A.doc_fingerprints,
         "heavy_tokens_topk": A.heavy_tokens_topk,
         "token_rarity_scores": A.token_rarity_scores,
         "repetition_stats": A.repetition_stats,
@@ -938,9 +939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _ann_topk,
         "ann_topk_filtered": _ann_topk_filtered,
         "ann_topk_multi": _ann_topk_multi,
-        "user_event_counts": _user_event_counts,
         "top_users_by_events": _top_users_by_events,
-        "event_type_daily": _event_type_daily,
         "user_event_counts_salted": _user_event_counts_salted,
         "lineitem_pricing_summary": A.lineitem_pricing_summary,
         "orders_per_nation": A.orders_per_nation,
@@ -949,15 +948,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": A.events_sliding_window,
         "stratified_sample": A.stratified_sample,
         "pack_documents": A.pack_documents,
-        "deterministic_sample": A.deterministic_sample,
         "deterministic_sample_hash": A.deterministic_sample_hash,
         "events_asof_join": A.events_asof_join,
-        "top_docs_per_lang": A.top_docs_per_lang,
         "paired_join": _paired_join,
         "minhash_dedup_kept": _minhash_dedup_kept,
         "ngram_jaccard_pairs": _ngram_jaccard,
+        # --- SQL-oracled twins/overlap variants (past the ~50-row
+        # driver-CORRECTNESS cap; still DuckDB-checked every pytest
+        # run via tests/test_oracle_parity.py) ---
+        "deterministic_sample": A.deterministic_sample,
         "spaced_seed_distinct_exact": _spaced_seed_distinct_exact,
-        # --- rows-only, strongest driver signal (10) ---
+        "top_docs_per_lang": A.top_docs_per_lang,
+        "event_type_daily": _event_type_daily,
+        "doc_fingerprint": A.doc_fingerprints,
+        "user_event_counts": _user_event_counts,
+        # --- sketch/LSH/model pipelines (no SQL oracle can exist;
+        # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
         "mibf_classify_paired": _mibf_classify_paired,
         "categorize_length": _categorize_length,
@@ -968,10 +974,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_pred": _lang_id,
         "hll_distinct_per_lang": A.hll_distinct_shingles_per_lang,
         "cms_heavy_hitters": A.cms_heavy_hitters,
-        # --- weakest incremental driver signal (mode variants of
-        # golden/pytest-covered pipelines, approx twins of exact
-        # oracled queries, FakeCodec plumbing) — if the driver caps at
-        # 50 these are the right ones to miss a row ---
         "bloom_build_info": _bloom_build_info,
         "categorize_summary": _categorize_summary,
         "kll_nchars_quantiles": A.kll_nchars_quantiles,
