@@ -910,7 +910,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _exact_dedup_ds,
         "distinct_text_per_lang": A.distinct_text_per_lang,
         "token_counts": A.token_counts,
-        "bpe_token_counts": _bpe_token_counts,
         "quality_scores": A.quality_scores,
         "heavy_tokens_topk": A.heavy_tokens_topk,
         "token_rarity_scores": A.token_rarity_scores,
@@ -936,6 +935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": A.clean_corpus,
         "source_overlap": A.source_overlap,
         "quality_weighted_sample": A.quality_weighted_sample,
+        "token_entropy": A.token_entropy,
         "ann_topk": _ann_topk,
         "ann_topk_filtered": _ann_topk_filtered,
         "ann_topk_multi": _ann_topk_multi,
@@ -956,6 +956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- SQL-oracled twins/overlap variants (past the ~50-row
         # driver-CORRECTNESS cap; still DuckDB-checked every pytest
         # run via tests/test_oracle_parity.py) ---
+        "bpe_token_counts": _bpe_token_counts,
         "deterministic_sample": A.deterministic_sample,
         "spaced_seed_distinct_exact": _spaced_seed_distinct_exact,
         "top_docs_per_lang": A.top_docs_per_lang,
@@ -1755,4 +1756,18 @@ def oracle_sql() -> dict[str, str]:
             "list_cosine_similarity(e.embedding, q.qe) AS sim "
             "FROM embeddings e, q WHERE e.label = 3) "
             "ORDER BY sim DESC, vec_id ASC LIMIT 10",
+        # unigram Shannon entropy per doc: H = ln(n) - (1/n) sum c ln c
+        # over exact integer counts; 6-dp float contract
+        "token_entropy":
+            "WITH tok AS (SELECT doc_id, regexp_extract_all(text,"
+            " '\\S+') AS toks FROM documents), "
+            "uni AS (SELECT doc_id, unnest(toks) AS token FROM tok), "
+            "c AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c"
+            " FROM uni GROUP BY doc_id, token), "
+            "st AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,"
+            " CAST(COUNT(*) AS BIGINT) AS nd, SUM(c * LN(c)) AS s"
+            " FROM c GROUP BY doc_id) "
+            "SELECT doc_id, n AS n_tokens, nd AS n_distinct,"
+            " ROUND(LN(CAST(n AS DOUBLE)) - s / n, 6) AS entropy_r6"
+            " FROM st ORDER BY doc_id",
     }

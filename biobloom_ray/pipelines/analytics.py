@@ -2589,3 +2589,49 @@ def quality_weighted_sample(sf_dir: str):
 
     out = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def token_entropy(sf_dir: str):
+    """Per-document Shannon entropy of the token distribution — the
+    unigram-diversity quality signal (low entropy = repetitive /
+    template pages; pairs with :func:`repetition_stats`'s exact-count
+    view).  ``H = ln(n) - (1/n) * sum_t c_t ln c_t`` over the doc's
+    token counts — every input an exact int64, emitted 6-dp-rounded
+    under the repo's float contract (the per-doc sum has <= #distinct
+    tokens terms; engine sums in token-code order, ULPs absorbed by
+    ROUND).  Map-only: factorize + one segment reduce per batch, no
+    shuffle at any scale.
+
+    Output (docs with >= 1 token, sorted): ``doc_id, n_tokens,
+    n_distinct, entropy_r6``."""
+    from biobloom_ray.stages.textstats import _token_arrays
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ent(b: pa.Table) -> pa.Table:
+        flat, lens, row_of = _token_arrays(b)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        if not len(flat):
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_tokens": pa.array([], type=pa.int64()),
+                "n_distinct": pa.array([], type=pa.int64()),
+                "entropy_r6": pa.array([], type=pa.float64())})
+        codes, _ = pd.factorize(pd.Index(flat, dtype=object))
+        key = row_of * (codes.max() + 1) + codes
+        uk, cnt = np.unique(key, return_counts=True)
+        urow = (uk // (codes.max() + 1)).astype(np.int64)
+        nd = np.bincount(urow, minlength=len(ids))
+        clogc = np.zeros(len(ids), dtype=np.float64)
+        np.add.at(clogc, urow, cnt * np.log(cnt))
+        nz = lens > 0
+        n = lens[nz].astype(np.float64)
+        h = np.log(n) - clogc[nz] / n
+        return pa.table({
+            "doc_id": pa.array(ids[nz]),
+            "n_tokens": pa.array(lens[nz]),
+            "n_distinct": pa.array(nd[nz].astype(np.int64)),
+            "entropy_r6": pa.array(np.round(h, 6))})
+
+    out = ds.map_batches(ent, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

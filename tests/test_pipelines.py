@@ -709,3 +709,29 @@ def test_quality_weighted_sample_brute_force(ray_session):
     # the weight has real spread on the fixture: a nontrivial fraction
     # is dropped AND a nontrivial fraction kept
     assert 0.1 < len(out) / len(docs) < 0.9
+
+
+def test_token_entropy_brute_force(ray_session):
+    import re
+    from collections import Counter
+
+    import biobloom_ray.pipelines.analytics as A
+
+    out = A.token_entropy("/root/testdata/sf0.001")
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    got = out.set_index("doc_id")
+    for did, txt in list(zip(docs.doc_id, docs.text))[:100]:
+        toks = re.findall(r"\S+", txt)
+        if not toks:
+            assert did not in got.index
+            continue
+        c = np.array(list(Counter(toks).values()), dtype=np.float64)
+        h = np.log(len(toks)) - (c * np.log(c)).sum() / len(toks)
+        r = got.loc[did]
+        assert r.n_tokens == len(toks)
+        assert r.n_distinct == len(set(toks))
+        assert abs(r.entropy_r6 - round(h, 6)) < 2e-6
+    # entropy bounds: 0 <= H <= ln(n_distinct)
+    assert (out.entropy_r6 >= -1e-6).all()
+    assert (out.entropy_r6 <= np.log(out.n_distinct) + 1e-6).all()
