@@ -2203,7 +2203,7 @@ def lang_centroids(sf_dir: str):
             sid, slang = _r.get(ref)
             col = b["embedding"].combine_chunks()
             nr = len(col)
-            if nr == 0:
+            if nr == 0 or len(sid) == 0:
                 return pa.table({
                     "lang": pa.array([], type=pa.string()),
                     "dim": pa.array([], type=pa.int64()),
