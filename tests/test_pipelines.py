@@ -735,3 +735,47 @@ def test_token_entropy_brute_force(ray_session):
     # entropy bounds: 0 <= H <= ln(n_distinct)
     assert (out.entropy_r6 >= -1e-6).all()
     assert (out.entropy_r6 <= np.log(out.n_distinct) + 1e-6).all()
+
+
+def test_u64_long_division_matches_bigint():
+    """The vectorized two-step 32-bit long division inside
+    quality_weighted_sample must equal exact bigint (num << 64) // den
+    for every den < 2^31, num <= den."""
+    from hypothesis import given, settings, strategies as st
+
+    @given(st.integers(min_value=1, max_value=2**31 - 1),
+           st.data())
+    @settings(max_examples=300, deadline=None)
+    def check(den, data):
+        num = data.draw(st.integers(min_value=0, max_value=den))
+        n = np.array([num], dtype=np.int64)
+        d = np.array([den], dtype=np.int64)
+        r0 = n % d
+        t1 = (r0 << 32) // d
+        t2 = (((r0 << 32) % d) << 32) // d
+        got = int((t1.astype(np.uint64) << np.uint64(32))
+                  + t2.astype(np.uint64)[0])
+        want = ((num % den) << 64) // den
+        assert got == want
+
+    check()
+
+
+def test_inverted_index_cluster_tier_block_invariance(ray_session,
+                                                      monkeypatch):
+    """The cluster tier's block-postings assembly + driver stitch must
+    be invariant to block fragmentation of the sorted pair rows."""
+    import ray.data
+
+    import biobloom_ray.pipelines.analytics as A
+
+    monkeypatch.setattr(A, "INVIDX_DRIVER_MAX_ROWS", 0)
+    base = A.inverted_index("/root/testdata/sf0.001")
+    ctx = ray.data.DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 16 * 1024
+        tiny = A.inverted_index("/root/testdata/sf0.001")
+    finally:
+        ctx.target_max_block_size = old
+    pd.testing.assert_frame_equal(base, tiny)
