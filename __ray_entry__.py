@@ -910,7 +910,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _exact_dedup_ds,
         "distinct_text_per_lang": A.distinct_text_per_lang,
         "token_counts": A.token_counts,
-        "quality_scores": A.quality_scores,
         "heavy_tokens_topk": A.heavy_tokens_topk,
         "token_rarity_scores": A.token_rarity_scores,
         "repetition_stats": A.repetition_stats,
@@ -936,6 +935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": A.source_overlap,
         "quality_weighted_sample": A.quality_weighted_sample,
         "token_entropy": A.token_entropy,
+        "corpus_report": A.corpus_report,
         "ann_topk": _ann_topk,
         "ann_topk_filtered": _ann_topk_filtered,
         "ann_topk_multi": _ann_topk_multi,
@@ -956,6 +956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- SQL-oracled twins/overlap variants (past the ~50-row
         # driver-CORRECTNESS cap; still DuckDB-checked every pytest
         # run via tests/test_oracle_parity.py) ---
+        "quality_scores": A.quality_scores,
         "bpe_token_counts": _bpe_token_counts,
         "deterministic_sample": A.deterministic_sample,
         "spaced_seed_distinct_exact": _spaced_seed_distinct_exact,
@@ -1770,4 +1771,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n AS n_tokens, nd AS n_distinct,"
             " ROUND(LN(CAST(n AS DOUBLE)) - s / n, 6) AS entropy_r6"
             " FROM st ORDER BY doc_id",
+        # one-row corpus health report, all exact integers; dup docs
+        # = rows minus distinct texts (the first of each group is the
+        # keeper)
+        "corpus_report":
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,"
+            " CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS"
+            " BIGINT) AS n_tokens,"
+            " CAST(SUM(n_chars) AS BIGINT) AS n_chars,"
+            " CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,"
+            " CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,"
+            " CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS"
+            " n_dup_docs,"
+            " CAST(SUM(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_bench_docs FROM documents",
     }

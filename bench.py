@@ -169,7 +169,7 @@ def run_queries() -> dict[str, float]:
                "inverted_index", "bm25_topk", "source_mix_sample",
                "lang_centroids", "epoch_shuffle_head", "clean_corpus",
                "source_overlap", "quality_weighted_sample",
-               "ann_topk_filtered", "token_entropy"]
+               "ann_topk_filtered", "token_entropy", "corpus_report"]
     # NOT benched: spaced_seed_distinct_exact — the verification-only
     # exact twin of the HLL query (COUNT DISTINCT over every frame is an
     # inherent all-to-all; the HLL sketch IS the production path)

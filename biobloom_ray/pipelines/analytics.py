@@ -2635,3 +2635,73 @@ def token_entropy(sf_dir: str):
 
     out = ds.map_batches(ent, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def corpus_report(sf_dir: str):
+    """One-row corpus health report — the summary a 100 TB curation run
+    prints at the end: doc/token/char totals, language and source
+    cardinalities, exact duplicate count, and the benchmark-slice size
+    (all exact integers, so the oracle hash is float-free).
+
+    Single scan -> per-batch partial row (ONE row per batch: counts +
+    per-batch md5 multiset partials are impossible driver-side, so the
+    dup count reuses the exact_dedup shuffle on narrow (fp, 1) rows) —
+    concretely: a map-only partial pass for the scan stats plus ONE
+    native ``groupby(fp_md5).Count`` whose >1 groups are summed in a
+    per-block partial before a driver fold.  lang/source cardinality
+    is folded from per-batch distinct strings — report-scale by
+    assumption (langs and named sources print in the report); swap the
+    HLL sketch when the source column is an unbounded URL domain.
+    Output: ``n_docs, n_tokens, n_chars, n_langs, n_sources,
+    n_dup_docs, n_bench_docs``."""
+    from biobloom_ray.stages.dedup import add_content_hash
+    from biobloom_ray.stages.textstats import _token_arrays
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "lang", "source", "n_chars"])
+
+    def scan_partial(b: pa.Table) -> pa.Table:
+        flat, lens, _ = _token_arrays(b)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_docs": pa.array([b.num_rows], type=pa.int64()),
+            "n_tokens": pa.array([int(lens.sum())], type=pa.int64()),
+            "n_chars": pa.array([int(pc.sum(b["n_chars"]).as_py() or 0)],
+                                type=pa.int64()),
+            "n_bench_docs": pa.array(
+                [int((ids % DECON_BENCH_MOD == 0).sum())],
+                type=pa.int64()),
+            "langs": pa.array([",".join(sorted(set(
+                b["lang"].to_pylist())))], type=pa.string()),
+            "sources": pa.array([",".join(sorted(set(
+                b["source"].to_pylist())))], type=pa.string())})
+
+    p = ds.map_batches(scan_partial, batch_format="pyarrow").to_pandas()
+    langs = set()
+    sources = set()
+    for ls in p.langs:
+        langs.update(x for x in ls.split(",") if x)
+    for ss in p.sources:
+        sources.update(x for x in ss.split(",") if x)
+
+    fps = ds.map_batches(
+        lambda b: add_content_hash(b).select(["fp_md5"]),
+        batch_format="pyarrow")
+    grp = fps.groupby("fp_md5").aggregate(Count(alias_name="c"))
+
+    def dup_partial(b: pa.Table) -> pa.Table:
+        c = b["c"].to_numpy(zero_copy_only=False)
+        # docs that are NOT the kept first of their group
+        return pa.table({"d": pa.array([int((c[c > 1] - 1).sum())],
+                                       type=pa.int64())})
+
+    dups = int(grp.map_batches(dup_partial, batch_format="pyarrow")
+               .to_pandas().d.sum())
+    return pd.DataFrame({
+        "n_docs": [np.int64(p.n_docs.sum())],
+        "n_tokens": [np.int64(p.n_tokens.sum())],
+        "n_chars": [np.int64(p.n_chars.sum())],
+        "n_langs": [np.int64(len(langs))],
+        "n_sources": [np.int64(len(sources))],
+        "n_dup_docs": [np.int64(dups)],
+        "n_bench_docs": [np.int64(p.n_bench_docs.sum())]})
