@@ -893,9 +893,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from biobloom_ray.pipelines import analytics as A
 
     # Ordering contract: the driver records correctness rows for (at
-    # most) the first 50 entries.  With 56 oracled queries the first
+    # most) the first 50 entries.  With 58 oracled queries the first
     # 50 slots go to the strongest-signal oracles (one per operator
-    # family); the six demoted past the cap are twins or overlap
+    # family); the eight demoted past the cap are twins or overlap
     # variants of still-rowed queries (md5 sampler twin, exact-distinct
     # verification twin, a second events rollup, ...) and every one of
     # them is still DuckDB-checked on each pytest run

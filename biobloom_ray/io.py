@@ -56,6 +56,10 @@ def cheap_count(ds) -> int | None:
 # INNER join an empty side means zero output rows, so the patched
 # finalize short-circuits to an empty block (Ray's block union skips
 # schema-less empties); non-inner joins keep the stock behavior.
+# CALLER CAVEAT: if one side is empty in EVERY partition (a fully
+# empty join input) the whole result is schema-less — a caller that
+# column-selects the output must restore its expected columns on an
+# empty frame (see source_quality_gate).
 
 
 try:

@@ -1824,8 +1824,13 @@ def source_quality_gate(sf_dir: str):
                .to_pandas())
     else:
         from biobloom_ray.io import hash_join
-        out = (hash_join(slim, kept, on=("source",))
-               .to_pandas()[["doc_id", "source"]])
+        out = hash_join(slim, kept, on=("source",)).to_pandas()
+        if out.empty:
+            # a fully-empty kept side makes every guarded-join
+            # partition emit a schema-less block; restore the columns
+            out = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                "source": pd.Series([], dtype=object)})
+        out = out[["doc_id", "source"]]
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -1904,14 +1909,13 @@ def inverted_index(sf_dir: str, min_df: int = INVIDX_MIN_DF,
     int->string cast + ``binary_join`` build each token's in-block
     postings string with zero per-row Python -> the driver stitches
     the <= #blocks-1 tokens that span a block boundary (output-scale
-    tail).  Below ``INVIDX_DRIVER_MAX_ROWS`` input docs the banded
-    vocab broadcasts via ``ray.put`` (sorted-array membership per
-    batch) and the df<=max_df filtered pairs — output-scale by the
-    band — are driver-assembled, skipping join and sort (bit-identical
-    by the tier-parity test).  Output sorted by token:
+    tail).  Below ``INVIDX_DRIVER_MAX_ROWS`` input docs ONE
+    tokenization scan ships the per-doc-distinct (doc_id, token)
+    pairs to the driver and the df/band/postings fold runs in pandas
+    — no second scan, no shuffle; driver rows are bounded by
+    gate_docs x distinct tokens per doc (bit-identical by the
+    tier-parity test).  Output sorted by token:
     ``token, df, postings``."""
-    import ray
-
     from biobloom_ray.io import hash_join
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1920,35 +1924,24 @@ def inverted_index(sf_dir: str, min_df: int = INVIDX_MIN_DF,
         n_docs = ds.count()
 
     if n_docs <= INVIDX_DRIVER_MAX_ROWS:
-        # df from per-batch partials, driver-combined (the TFIDF-tier
-        # contract) — no cluster groupby, no join, no global sort
-        def df_partials(b: pa.Table) -> pa.Table:
-            t = _doc_term_tf(b)
-            return pa.table({
-                "token": t["token"],
-                "df": pa.array(np.ones(len(t), dtype=np.int64))})
+        # ONE tokenization scan: the per-doc-distinct (doc_id, token)
+        # pairs come to the driver (rows <= gate_docs x distinct
+        # tokens per doc — the gate bounds it, same memory order as
+        # the TFIDF tier) and df + band + postings fold in pandas;
+        # no cluster groupby, no join, no global sort, no re-scan
+        def pairs_partial(b: pa.Table) -> pa.Table:
+            return _doc_term_tf(b).select(["doc_id", "token"])
 
-        p = (ds.map_batches(df_partials, batch_format="pyarrow")
-             .to_pandas())
-        v = p.groupby("token", as_index=False)["df"].sum()
-        v = v[(v.df >= min_df) & (v.df <= max_df)]
-        vocab = np.sort(v.token.to_numpy(dtype=object))
-        dfv = v.set_index("token").df.loc[vocab].to_numpy(
-            dtype=np.int64) if len(vocab) else np.array([], np.int64)
-        ref = ray.put(vocab)
-
-        def member(b: pa.Table) -> pa.Table:
-            import ray as _r
-            vv = _r.get(ref)
-            t = _doc_term_tf(b).select(["doc_id", "token"])
-            toks = t["token"].to_numpy(zero_copy_only=False)
-            if not len(vv):
-                return t.filter(pa.array(np.zeros(len(toks), bool)))
-            idx = np.searchsorted(vv, toks)
-            idx[idx == len(vv)] = 0
-            return t.filter(pa.array(vv[idx] == toks))
-
-        hit = ds.map_batches(member, batch_format="pyarrow").to_pandas()
+        hit = (ds.map_batches(pairs_partial, batch_format="pyarrow")
+               .to_pandas())
+        if len(hit) == 0:
+            return pd.DataFrame({
+                "token": pd.Series([], dtype=object),
+                "df": pd.Series([], dtype=np.int64),
+                "postings": pd.Series([], dtype=object)})
+        dfs = hit.groupby("token").size()
+        band = dfs[(dfs >= min_df) & (dfs <= max_df)]
+        hit = hit[hit.token.isin(band.index)]
         if len(hit) == 0:
             return pd.DataFrame({
                 "token": pd.Series([], dtype=object),
@@ -1958,8 +1951,7 @@ def inverted_index(sf_dir: str, min_df: int = INVIDX_MIN_DF,
         out = (hit.groupby("token", sort=True)["doc_id"]
                .agg(lambda s: ",".join(str(int(x)) for x in s))
                .rename("postings").reset_index())
-        out["df"] = dfv[np.searchsorted(vocab, out.token.to_numpy(
-            dtype=object))]
+        out["df"] = band.loc[out.token].to_numpy().astype(np.int64)
         out = out[["token", "df", "postings"]]
         return out.sort_values("token").reset_index(drop=True)
 
@@ -2092,8 +2084,19 @@ def bm25_topk(sf_dir: str, terms: tuple[str, ...] = BM25_QUERY_TERMS,
         key, tf = np.unique(rows * m + tcode, return_counts=True)
         krow, kterm = key // m, key % m
         dl = lens[krow]
-        num = 22.0 * (tf * T)
-        den = (10 * T * tf + 3 * T + 9 * dl * N).astype(np.float64)
+        if T < 1 << 40:
+            # exact-integer path (oracle-parity contract): every
+            # product stays well inside int64/2^53
+            num = 22.0 * (tf * T)
+            den = (10 * T * tf + 3 * T + 9 * dl * N) \
+                .astype(np.float64)
+        else:
+            # corpus scale: 10*T*tf would wrap int64 — compute in
+            # float64 (rel err ~1e-16, far below the 6-dp contract)
+            tff = tf.astype(np.float64)
+            num = 22.0 * tff * T
+            den = 10.0 * T * tff + 3.0 * T \
+                + 9.0 * dl.astype(np.float64) * N
         contrib = idf[kterm] * (num / den)
         urow, inv = np.unique(krow, return_inverse=True)
         score = np.zeros(len(urow), dtype=np.float64)
@@ -2180,7 +2183,9 @@ def lang_centroids(sf_dir: str):
     partials + a driver fold (#langs x dim rows per block,
     tier-parity-tested).  Mean is emitted under the repo's 6-dp float
     contract (sum order across engines differs at ~1e-12 relative;
-    ROUND absorbs it).
+    ROUND absorbs it).  Rows with a null ``lang`` are dropped (no
+    centroid is defined for them; mirror with ``WHERE lang IS NOT
+    NULL`` when the input can contain nulls).
 
     Output (sorted by lang, dim): ``lang, dim, n, mean_r6``."""
     import ray
@@ -2219,9 +2224,10 @@ def lang_centroids(sf_dir: str):
             ok = sid[idx] == vid
             langs = slang[idx[ok]]
             codes, uniq = pd.factorize(pd.Index(langs, dtype=object))
+            keep = codes >= 0  # null lang rows are dropped (documented)
             sums = np.zeros((len(uniq), d), dtype=np.float64)
-            np.add.at(sums, codes, mat[ok])
-            cnts = np.bincount(codes, minlength=len(uniq)) \
+            np.add.at(sums, codes[keep], mat[ok][keep])
+            cnts = np.bincount(codes[keep], minlength=len(uniq)) \
                 .astype(np.int64)
             return pa.table({
                 "lang": pa.array(np.repeat(uniq.to_numpy(dtype=object),
@@ -2243,13 +2249,19 @@ def lang_centroids(sf_dir: str):
         return out.sort_values(["lang", "dim"]).reset_index(drop=True)
 
     def to_blob(b: pa.Table) -> pa.Table:
+        # LargeBinary (variable-width, all rows d*4 bytes) keeps the
+        # schema constant even for empty blocks, where the row dim is
+        # unknowable and a fixed_size_binary(0) would poison the union
         col = b["embedding"].combine_chunks()
         n = len(col)
         vals = col.flatten().to_numpy(zero_copy_only=False)
         vals = np.ascontiguousarray(vals, dtype=np.float32)
         d = vals.size // max(n, 1)
-        arr = pa.Array.from_buffers(
-            pa.binary(d * 4), n, [None, pa.py_buffer(vals.tobytes())])
+        offs = pa.array((np.arange(n + 1, dtype=np.int64) * d * 4))
+        arr = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), n,
+            [None, pa.py_buffer(offs.buffers()[1]),
+             pa.py_buffer(vals.tobytes())])
         return pa.table({"doc_id": b["vec_id"], "blob": arr})
 
     j = hash_join(emb.map_batches(to_blob, batch_format="pyarrow"),
@@ -2263,13 +2275,17 @@ def lang_centroids(sf_dir: str):
                              "dim": pa.array([], type=pa.int64()),
                              "psum": pa.array([], type=pa.float64()),
                              "pcnt": pa.array([], type=pa.int64())})
-        d = blob.type.byte_width // 4
-        flat = np.frombuffer(blob.buffers()[1], dtype=np.float32)
-        mat = flat[blob.offset * d:(blob.offset + n) * d].reshape(n, d)
+        offs = np.frombuffer(blob.buffers()[1], dtype=np.int64)[
+            blob.offset:blob.offset + n + 1]
+        d = int(offs[1] - offs[0]) // 4
+        flat = np.frombuffer(blob.buffers()[2], dtype=np.uint8)
+        mat = flat[offs[0]:offs[-1]].view(np.float32).reshape(n, d)
         codes, uniq = pd.factorize(b["lang"].to_pandas())
+        ok = codes >= 0  # null lang rows are dropped (documented)
         sums = np.zeros((len(uniq), d), dtype=np.float64)
-        np.add.at(sums, codes, mat)
-        cnts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        np.add.at(sums, codes[ok], mat[ok])
+        cnts = np.bincount(codes[ok], minlength=len(uniq)) \
+            .astype(np.int64)
         return pa.table({
             "lang": pa.array(np.repeat(uniq.to_numpy(dtype=object), d)
                              .tolist(), type=pa.string()),
@@ -2341,8 +2357,10 @@ def clean_corpus(sf_dir: str, bench_mod: int = DECON_BENCH_MOD):
     the operators chain: (1) map-only Gopher gate + benchmark-doc
     exclusion, (2) first-wins exact dedup via ONE native
     ``groupby(fp_md5)`` with ``Min`` over a zero-padded
-    ``doc_id|lang`` composite (the composite's lex order IS doc_id
-    order, so one Min recovers the winner's lang with no join back),
+    ``doc_id|lang`` composite (19 digits covers every nonnegative
+    int64, so the composite's lex order IS doc_id order and one Min
+    recovers the winner's lang with no join back; negative doc_ids
+    are out of contract),
     (3) map-only contamination probe of the winners against the
     broadcast benchmark-trigram state (Bloom prefilter + exact set —
     the same subtract-filter shape as :func:`decontaminate`).  The
@@ -2396,7 +2414,7 @@ def clean_corpus(sf_dir: str, bench_mod: int = DECON_BENCH_MOD):
         sub = b.filter(pa.array(ok))
         h = add_content_hash(sub)
         wk = (pd.Series(sub["doc_id"].to_numpy(zero_copy_only=False))
-              .astype(str).str.zfill(18)
+              .astype(str).str.zfill(19)
               + "|" + sub["lang"].to_pandas().reset_index(drop=True))
         return pa.table({"fp_md5": h["fp_md5"],
                          "wk": pa.array(wk.to_numpy(dtype=object),
@@ -2413,8 +2431,8 @@ def clean_corpus(sf_dir: str, bench_mod: int = DECON_BENCH_MOD):
         words, m, hnum, exact = _r.get(state_ref)
         pf = BloomFilter(m=m, hash_num=hnum, kmer_size=n, words=words)
         wk = b["wk"].to_pandas()
-        ids = wk.str.slice(0, 18).astype(np.int64).to_numpy()
-        langs = wk.str.slice(19)
+        ids = wk.str.slice(0, 19).astype(np.int64).to_numpy()
+        langs = wk.str.slice(20)
         flat, lens, row_of = _token_arrays(b)
         h1, h2, trow, tstart = token_ngram_hashes(flat, row_of, n)
         contam = np.zeros(len(ids), dtype=bool)
@@ -2470,6 +2488,8 @@ def source_overlap(sf_dir: str):
         codes, uniq = pd.factorize(src)
         hc = h1.view(np.int64)
         sc = codes[trow]
+        ok = sc >= 0  # null-source docs carry no attributable grams
+        hc, sc = hc[ok], sc[ok]
         order = np.lexsort((sc, hc))
         hs, ss = hc[order], sc[order]
         new = np.ones(len(hs), dtype=bool)
@@ -2671,18 +2691,24 @@ def corpus_report(sf_dir: str):
             "n_bench_docs": pa.array(
                 [int((ids % DECON_BENCH_MOD == 0).sum())],
                 type=pa.int64()),
-            "langs": pa.array([",".join(sorted(set(
-                b["lang"].to_pylist())))], type=pa.string()),
-            "sources": pa.array([",".join(sorted(set(
-                b["source"].to_pylist())))], type=pa.string())})
+            # list-typed distinct partials — no delimiter to collide
+            # with data; nulls excluded like SQL COUNT(DISTINCT)
+            "langs": pa.array(
+                [[x for x in set(b["lang"].to_pylist())
+                  if x is not None]],
+                type=pa.large_list(pa.large_string())),
+            "sources": pa.array(
+                [[x for x in set(b["source"].to_pylist())
+                  if x is not None]],
+                type=pa.large_list(pa.large_string()))})
 
     p = ds.map_batches(scan_partial, batch_format="pyarrow").to_pandas()
     langs = set()
     sources = set()
     for ls in p.langs:
-        langs.update(x for x in ls.split(",") if x)
+        langs.update(ls)
     for ss in p.sources:
-        sources.update(x for x in ss.split(",") if x)
+        sources.update(ss)
 
     fps = ds.map_batches(
         lambda b: add_content_hash(b).select(["fp_md5"]),

@@ -779,3 +779,24 @@ def test_inverted_index_cluster_tier_block_invariance(ray_session,
     finally:
         ctx.target_max_block_size = old
     pd.testing.assert_frame_equal(base, tiny)
+
+
+def test_source_quality_gate_empty_kept_join_path(ray_session,
+                                                  monkeypatch):
+    """When NO source passes the gate, the guarded hash join yields a
+    schema-less empty dataset; the caller must restore the output
+    columns instead of KeyError-ing (code-review regression)."""
+    import pyarrow as pa
+
+    import biobloom_ray.pipelines.analytics as A
+    import biobloom_ray.stages.webclean as W
+
+    def _no_pass_flags(b):  # local => cloudpickled by value
+        return pa.table({"pass_gopher": pa.array([0] * b.num_rows,
+                                                 type=pa.int64())})
+
+    monkeypatch.setattr(W, "gopher_flags_batch", _no_pass_flags)
+    monkeypatch.setattr(A, "SRCGATE_BROADCAST_MAX_ROWS", 0)
+    out = A.source_quality_gate("/root/testdata/sf0.001")
+    assert len(out) == 0
+    assert list(out.columns) == ["doc_id", "source"]
