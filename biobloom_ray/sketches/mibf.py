@@ -80,10 +80,15 @@ class MIBloomFilter:
 
     # -- bit vector ------------------------------------------------------------
     def positions(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
-        """(n, hash_num) probe positions."""
+        """(n, hash_num) probe positions — preallocated, column writes
+        in place (no np.stack copy; this is the classify hot kernel)."""
+        out = np.empty((len(h1), self.hash_num), dtype=np.uint64)
         with np.errstate(over="ignore"):
-            cols = [((h1 + U64(i) * h2) % U64(self.m)) for i in range(self.hash_num)]
-        return np.stack(cols, axis=1)
+            m = U64(self.m)
+            np.mod(h1, m, out=out[:, 0])
+            for i in range(1, self.hash_num):
+                np.mod(h1 + U64(i) * h2, m, out=out[:, i])
+        return out
 
     def set_bits(self, pos: np.ndarray) -> None:
         flat = pos.reshape(-1)
@@ -99,14 +104,15 @@ class MIBloomFilter:
 
     def contains(self, pos: np.ndarray) -> np.ndarray:
         flat = pos.reshape(-1)
-        w = self.words[(flat >> _SIX).astype(np.int64)]
+        # uint64 fancy indexing is valid — no astype copy in the hot path
+        w = self.words[flat >> _SIX]
         return (((w >> (flat & _M63)) & _ONE) == 1).reshape(pos.shape)
 
     def rank(self, pos: np.ndarray) -> np.ndarray:
         """Slot index of each SET position (rank of the bit). Caller must
         ensure the bits are set."""
         flat = pos.reshape(-1)
-        widx = (flat >> _SIX).astype(np.int64)
+        widx = flat >> _SIX
         bit = flat & _M63
         with np.errstate(over="ignore"):
             below = self.words[widx] & ((_ONE << bit) - _ONE)
