@@ -125,15 +125,9 @@ def _force_cluster_tiers():
     ANN.KMEANS_DRIVER_MAX_ROWS = 0
 
 
-def run_queries() -> dict[str, float]:
-    import __ray_entry__ as E
-
-    if os.environ.get("GRAFT_FORCE_CLUSTER"):
-        _force_cluster_tiers()
-
-    qs = E.queries()
-    out = {}
-    ordered = ["lang_counts", "frame_counts", "exact_dedup",
+#: bench query order (module-level so the contract test can check
+#: it stays a subset of the registry)
+QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "distinct_text_per_lang", "token_counts", "quality_scores",
                "heavy_tokens_topk", "median_nchars_by_lang", "events_hourly",
                "doc_fingerprint", "ann_topk", "ann_ivf_topk",
@@ -170,6 +164,17 @@ def run_queries() -> dict[str, float]:
                "lang_centroids", "epoch_shuffle_head", "clean_corpus",
                "source_overlap", "quality_weighted_sample",
                "ann_topk_filtered", "token_entropy", "corpus_report"]
+
+
+def run_queries() -> dict[str, float]:
+    import __ray_entry__ as E
+
+    if os.environ.get("GRAFT_FORCE_CLUSTER"):
+        _force_cluster_tiers()
+
+    qs = E.queries()
+    out = {}
+    ordered = list(QUERIES)
     # NOT benched: spaced_seed_distinct_exact — the verification-only
     # exact twin of the HLL query (COUNT DISTINCT over every frame is an
     # inherent all-to-all; the HLL sketch IS the production path)
