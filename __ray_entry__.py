@@ -906,7 +906,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": A.lang_counts,
         "frame_counts": A.frame_counts,
         "median_nchars_by_lang": A.median_nchars_by_lang,
-        "events_hourly": A.events_hourly,
         "exact_dedup": _exact_dedup_ds,
         "distinct_text_per_lang": A.distinct_text_per_lang,
         "token_counts": A.token_counts,
@@ -950,12 +949,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_documents": A.pack_documents,
         "deterministic_sample_hash": A.deterministic_sample_hash,
         "events_asof_join": A.events_asof_join,
+        "events_range_join": A.events_range_join,
         "paired_join": _paired_join,
         "minhash_dedup_kept": _minhash_dedup_kept,
         "ngram_jaccard_pairs": _ngram_jaccard,
         # --- SQL-oracled twins/overlap variants (past the ~50-row
         # driver-CORRECTNESS cap; still DuckDB-checked every pytest
         # run via tests/test_oracle_parity.py) ---
+        "events_hourly": A.events_hourly,
         "quality_scores": A.quality_scores,
         "bpe_token_counts": _bpe_token_counts,
         "deterministic_sample": A.deterministic_sample,
@@ -1771,6 +1772,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n AS n_tokens, nd AS n_distinct,"
             " ROUND(LN(CAST(n AS DOUBLE)) - s / n, 6) AS entropy_r6"
             " FROM st ORDER BY doc_id",
+        # range join: per click, count/sum same-user purchases in
+        # (t, t+3600s]; exact integer cents; left join keeps zero rows
+        "events_range_join":
+            "WITH e AS (SELECT event_id, user_id, ts, event_type,"
+            " CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events), "
+            "l AS (SELECT event_id, user_id, ts FROM e WHERE"
+            " event_type = 'click'), "
+            "r AS (SELECT user_id, ts, cents FROM e WHERE"
+            " event_type = 'purchase') "
+            "SELECT l.event_id, CAST(COUNT(r.ts) AS BIGINT) AS"
+            " n_in_window, CAST(COALESCE(SUM(r.cents), 0) AS BIGINT)"
+            " AS sum_value_cents FROM l LEFT JOIN r ON r.user_id ="
+            " l.user_id AND r.ts > l.ts AND r.ts <= l.ts +"
+            " INTERVAL 3600 SECOND "
+            "GROUP BY l.event_id ORDER BY l.event_id",
         # one-row corpus health report, all exact integers; dup docs
         # = rows minus distinct texts (the first of each group is the
         # keeper)

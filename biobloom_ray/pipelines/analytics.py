@@ -2731,3 +2731,82 @@ def corpus_report(sf_dir: str):
         "n_sources": [np.int64(len(sources))],
         "n_dup_docs": [np.int64(dups)],
         "n_bench_docs": [np.int64(p.n_bench_docs.sum())]})
+
+
+#: range-join window (seconds): purchases counted within (t, t+3600]
+RANGE_JOIN_WINDOW_S = 3600
+
+
+def events_range_join(sf_dir: str, left_type: str = "click",
+                      right_type: str = "purchase",
+                      window_s: int = RANGE_JOIN_WINDOW_S):
+    """Range join (the second custom temporal join Ray Data lacks,
+    alongside :func:`events_asof_join`): for every ``click`` event,
+    count and sum the SAME user's ``purchase`` events inside the
+    window ``(t, t + window_s]`` — the conversion-funnel primitive.
+
+    Composition mirrors the as-of join: one scan splits the stream by
+    side, ONE ``groupby(user_id)`` co-locates each entity's history,
+    and the per-group kernel is two vectorized ``searchsorted`` cuts
+    over the time-sorted purchase array plus a prefix-sum difference
+    for the value sum (no row loops).  Partitioning assumption: an
+    entity's history fits one group (salt by time-range for
+    pathological single-entity streams).  Sum is emitted as exact
+    integer cents to keep the oracle hash float-free.  Clicks with no
+    in-window purchase are kept with zeros (left join).
+
+    Output (sorted by event_id): ``event_id, n_in_window,
+    sum_value_cents``."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type", "value"])
+    win_ns = np.int64(window_s) * np.int64(1_000_000_000)
+
+    def tag(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["event_type"],
+                        value_set=pa.array([left_type, right_type]))
+        b = b.filter(keep)
+        ts_ns = b["ts"].cast(pa.timestamp("ns")).cast(pa.int64())
+        # exact integer cents (values are 2-dp decimals in the fixture;
+        # round handles float representation)
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0)),
+                        pa.int64())
+        return pa.table({
+            "user_id": b["user_id"],
+            "event_id": b["event_id"],
+            "ts_ns": ts_ns,
+            "is_left": pc.equal(b["event_type"], left_type),
+            "cents": cents,
+        })
+
+    def rjoin(g: pa.Table) -> pa.Table:
+        left = g.filter(g["is_left"])
+        if len(left) == 0:
+            return pa.table({
+                "event_id": pa.array([], type=pa.int64()),
+                "n_in_window": pa.array([], type=pa.int64()),
+                "sum_value_cents": pa.array([], type=pa.int64())})
+        right = g.filter(pc.invert(g["is_left"]))
+        l_ts = left["ts_ns"].to_numpy(zero_copy_only=False)
+        l_id = left["event_id"].to_numpy(zero_copy_only=False)
+        if len(right) == 0:
+            z = np.zeros(len(l_id), dtype=np.int64)
+            return pa.table({"event_id": pa.array(l_id),
+                             "n_in_window": pa.array(z),
+                             "sum_value_cents": pa.array(z)})
+        r_ts = right["ts_ns"].to_numpy(zero_copy_only=False)
+        r_c = right["cents"].to_numpy(zero_copy_only=False)
+        order = np.argsort(r_ts, kind="stable")
+        r_ts, r_c = r_ts[order], r_c[order]
+        csum = np.zeros(len(r_c) + 1, dtype=np.int64)
+        np.cumsum(r_c, out=csum[1:])
+        lo = np.searchsorted(r_ts, l_ts, side="right")
+        hi = np.searchsorted(r_ts, l_ts + win_ns, side="right")
+        return pa.table({
+            "event_id": pa.array(l_id),
+            "n_in_window": pa.array((hi - lo).astype(np.int64)),
+            "sum_value_cents": pa.array(csum[hi] - csum[lo])})
+
+    out = (ds.map_batches(tag, batch_format="pyarrow")
+           .groupby("user_id")
+           .map_groups(rjoin, batch_format="pyarrow").to_pandas())
+    return out.sort_values("event_id").reset_index(drop=True)

@@ -800,3 +800,24 @@ def test_source_quality_gate_empty_kept_join_path(ray_session,
     out = A.source_quality_gate("/root/testdata/sf0.001")
     assert len(out) == 0
     assert list(out.columns) == ["doc_id", "source"]
+
+
+def test_events_range_join_brute_force(ray_session):
+    import biobloom_ray.pipelines.analytics as A
+
+    out = A.events_range_join("/root/testdata/sf0.001")
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type", "value"])
+    clicks = ev[ev.event_type == "click"]
+    buys = ev[ev.event_type == "purchase"]
+    assert len(out) == len(clicks)
+    got = out.set_index("event_id")
+    for r in clicks.itertuples():
+        w = buys[(buys.user_id == r.user_id) & (buys.ts > r.ts)
+                 & (buys.ts <= r.ts + pd.Timedelta(seconds=3600))]
+        g = got.loc[r.event_id]
+        assert g.n_in_window == len(w)
+        assert g.sum_value_cents == int(round(w.value.mul(100)
+                                              .round().sum()))
+    assert (out.n_in_window > 0).any()
