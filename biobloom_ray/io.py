@@ -63,7 +63,29 @@ def cheap_count(ds) -> int | None:
 
 
 try:
+    import ray as _ray_ver_mod
     from ray.data._internal.execution.operators import join as _join_mod
+
+    # Pin the internals this patch targets: the Ray minor version the
+    # guard was written against AND the attributes finalize() touches.
+    # A future Ray refactor must fail LOUDLY (warning + stock classes),
+    # not silently drop the guard that callers like source_quality_gate
+    # rely on to survive sparse inner-join partitions.
+    _PATCH_TESTED_RAY = ("2.49",)
+    if not any(_ray_ver_mod.__version__.startswith(v + ".") or
+               _ray_ver_mod.__version__ == v for v in _PATCH_TESTED_RAY):
+        raise RuntimeError(
+            f"ray {_ray_ver_mod.__version__} not in tested set "
+            f"{_PATCH_TESTED_RAY}")
+    import inspect as _inspect
+    _src = _inspect.getsource(_join_mod.JoiningShuffleAggregation)
+    for _attr in ("_get_partition_builder", "_join_type",
+                  "_left_key_col_names", "_right_key_col_names",
+                  "_left_columns_suffix", "_right_columns_suffix"):
+        if _attr not in _src:
+            raise RuntimeError(f"JoiningShuffleAggregation lost {_attr}")
+    if not hasattr(_join_mod, "_JOIN_TYPE_TO_ARROW_JOIN_VERB_MAP"):
+        raise RuntimeError("join verb map moved")
 
     class _GuardedJoinAggregation(_join_mod.JoiningShuffleAggregation):
         """JoiningShuffleAggregation whose finalize tolerates a
@@ -92,8 +114,14 @@ try:
     # which worker processes can import — so the guard reaches the
     # aggregator actors, unlike an in-place method patch.
     _join_mod.JoiningShuffleAggregation = _GuardedJoinAggregation
-except Exception:  # pragma: no cover - future Ray refactors
-    pass
+except Exception as _patch_err:  # pragma: no cover - future Ray refactors
+    import warnings as _warnings
+    _warnings.warn(
+        "biobloom_ray: empty-partition inner-join guard NOT applied "
+        f"({_patch_err!r}); sparse inner-join partitions may raise "
+        "acero 'No match ... for key field' — re-validate the patch "
+        "against this Ray version (biobloom_ray/io.py)",
+        RuntimeWarning)
 
 
 # ---------------------------------------------------------------------------

@@ -30,6 +30,14 @@ def _read(sf_dir: str, table: str, columns=None):
     return _rp(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _cents_away(x: np.ndarray) -> np.ndarray:
+    """Integer cents with SQL ROUND semantics (half AWAY from zero).
+    ``np.round``/``pc.round`` default to banker's half-to-even, which
+    diverges from DuckDB's ROUND on an exact .5 at the cent boundary
+    (latent on 2-dp fixtures, real on >=3-dp data)."""
+    return (np.sign(x) * np.floor(np.abs(x) * 100.0 + 0.5)).astype(np.int64)
+
+
 # -- simple grouped aggregates ------------------------------------------------
 
 def lang_counts(sf_dir: str):
@@ -446,9 +454,8 @@ def lineitem_pricing_summary(sf_dir: str):
             "l_linestatus": b["l_linestatus"].to_pandas(),
             "qty": b["l_quantity"].to_numpy(zero_copy_only=False)
                    .astype(np.int64),
-            "base_cents": np.round(
-                b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
-            ).astype(np.int64),
+            "base_cents": _cents_away(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False)),
         })
         agg = (df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
                .agg(sum_qty=("qty", "sum"),
@@ -506,9 +513,13 @@ def orders_per_nation(sf_dir: str):
             import ray as _r
             keys_s, nat_s = _r.get(lut_ref)
             ck = b["o_custkey"].to_numpy(zero_copy_only=False)
-            cents = np.round(
-                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
-            ).astype(np.int64)
+            if len(keys_s) == 0 or len(ck) == 0:  # inner join: empty out
+                return pa.table({
+                    "nationkey": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                    "cents": pa.array([], type=pa.int64())})
+            cents = _cents_away(
+                b["o_totalprice"].to_numpy(zero_copy_only=False))
             idx = np.searchsorted(keys_s, ck)
             idx[idx == len(keys_s)] = 0
             ok = keys_s[idx] == ck          # inner join semantics
@@ -537,9 +548,8 @@ def orders_per_nation(sf_dir: str):
         # order — the standard partial-aggregate pushdown below a join
         df = pd.DataFrame({
             "o_custkey": b["o_custkey"].to_numpy(zero_copy_only=False),
-            "cents": np.round(
-                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
-            ).astype(np.int64)})
+            "cents": _cents_away(
+                b["o_totalprice"].to_numpy(zero_copy_only=False))})
         agg = (df.groupby("o_custkey", as_index=False)
                .agg(n=("cents", "size"), cents=("cents", "sum")))
         return pa.Table.from_pandas(agg, preserve_index=False)
@@ -585,10 +595,8 @@ def top_parts_by_revenue(sf_dir: str, k: int = 10):
                columns=["l_partkey", "l_extendedprice", "l_discount"])
 
     def partial(b: pa.Table) -> pa.Table:
-        cents = np.round(b["l_extendedprice"].to_numpy(zero_copy_only=False)
-                         * 100).astype(np.int64)
-        disc = np.round(b["l_discount"].to_numpy(zero_copy_only=False)
-                        * 100).astype(np.int64)
+        cents = _cents_away(b["l_extendedprice"].to_numpy(zero_copy_only=False))
+        disc = _cents_away(b["l_discount"].to_numpy(zero_copy_only=False))
         rev = cents * (100 - disc)
         df = pd.DataFrame({"l_partkey":
                            b["l_partkey"].to_numpy(zero_copy_only=False),
@@ -2766,9 +2774,10 @@ def events_range_join(sf_dir: str, left_type: str = "click",
                         value_set=pa.array([left_type, right_type]))
         b = b.filter(keep)
         ts_ns = b["ts"].cast(pa.timestamp("ns")).cast(pa.int64())
-        # exact integer cents (values are 2-dp decimals in the fixture;
-        # round handles float representation)
-        cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0)),
+        # exact integer cents; half_towards_infinity matches SQL ROUND
+        # (pc.round's default half_to_even diverges on exact .5 cents)
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0),
+                                 round_mode="half_towards_infinity"),
                         pa.int64())
         return pa.table({
             "user_id": b["user_id"],

@@ -316,6 +316,13 @@ def embedding_kmeans(ds, k: int = 8, iters: int = 10,
               .to_pandas())
     sample = (sample.sort_values(["_h", "_id"], kind="stable")
               .head(train_sample))
+    if len(sample) == 0:  # empty input: no centroids, no assignments
+        import ray as _ray
+        empty = pa.table({
+            id_col: pa.array([], type=pa.int64()),
+            "cluster": pa.array([], type=pa.int64()),
+            "cos_sim": pa.array([], type=pa.float64())})
+        return _ray.data.from_arrow(empty), np.empty((0, 0))
     train = _normalize_rows(
         np.stack(sample[emb_col].to_numpy()).astype(np.float64))
     k = min(k, len(train))

@@ -122,6 +122,8 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         def keep_winners(b: pa.Table) -> pa.Table:
             import ray as _r
             w = _r.get(keep_ref)
+            if len(w) == 0:  # empty input -> nothing can win
+                return b.slice(0, 0)
             ids = b[id_col].to_numpy(zero_copy_only=False)
             idx = np.searchsorted(w, ids)
             idx[idx == len(w)] = 0

@@ -37,7 +37,8 @@ def bpe_ish_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Tab
     """Sub-word-ish token count: alpha runs + short digit groups + single
     punctuation — a deterministic, tokenizer-free BPE proxy."""
     s = batch[text_col].to_pandas()
-    n = s.map(lambda t: len(_BPE_ISH_RE.findall(t)) if isinstance(t, str) else 0)
+    # pandas' C regex-count kernel == len(findall) for this pattern
+    n = s.str.count(_BPE_ISH_RE).fillna(0)
     return batch.append_column("n_bpe_tokens",
                                pa.array(n.to_numpy().astype(np.int64)))
 
@@ -51,8 +52,13 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     n_alpha = s.str.count(_ALPHA_RE).fillna(0).astype(np.int64)
     n_punct = s.str.count(_PUNCT_RE).fillna(0).astype(np.int64)
     n_tokens = s.str.count(_TOKEN_RE).fillna(0).astype(np.int64)
+    # explode → vectorized set-membership → segment-sum back to docs
+    # (exact whitespace-token semantics; no per-row Python)
     toks = s.str.lower().str.findall(_TOKEN_RE)
-    n_stop = toks.map(lambda ws: sum(w in _STOPWORDS for w in ws)).astype(np.int64)
+    ex = toks.explode()
+    n_stop = (ex.isin(_STOPWORDS)
+              .groupby(level=0).sum()
+              .reindex(s.index, fill_value=0).astype(np.int64))
     denom = np.maximum(n_chars.to_numpy(), 1).astype(np.float64)
     tok_denom = np.maximum(n_tokens.to_numpy(), 1).astype(np.float64)
     out = batch
@@ -272,10 +278,13 @@ def repetition_stats_batch(batch: pa.Table, text_col: str = "text",
     })
 
 
-# mixing multipliers for combining n token hashes into one n-gram hash
-# (odd 64-bit constants; golden-ratio family like the splitmix64 mixers)
-_NGRAM_MIX = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
-              0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63)
+# chain multiplier for folding n token hashes into one n-gram hash
+# (golden-ratio odd constant, splitmix64 family).  The combine is a
+# position-CHAINED mix — h = splitmix64(h * MULT ^ th[j]) per step — so
+# any reordering or repetition of tokens changes the hash for every n
+# (the previous XOR-of-multiplied scheme cycled 5 multipliers and
+# collided deterministically on position swaps j ↔ j+5 for n > 5).
+_NGRAM_CHAIN_MULT = 0x9E3779B97F4A7C15
 
 
 def token_ngram_hashes(flat: np.ndarray, row_of: np.ndarray, n: int,
@@ -296,9 +305,10 @@ def token_ngram_hashes(flat: np.ndarray, row_of: np.ndarray, n: int,
     ok = row_of[: len(row_of) - n + 1] == row_of[n - 1:]
     start = np.nonzero(ok)[0]
     with np.errstate(over="ignore"):
+        # chained position mix: order-sensitive for ANY n (no cap)
         raw = np.zeros(len(start), dtype=U64)
         for j in range(n):
-            raw ^= th[start + j] * U64(_NGRAM_MIX[j % len(_NGRAM_MIX)])
+            raw = splitmix64(raw * U64(_NGRAM_CHAIN_MULT) ^ th[start + j])
         h1 = splitmix64(raw + U64(seed))
         h2 = splitmix64(raw) | U64(1)
     return h1, h2, row_of[start], start

@@ -195,7 +195,26 @@ class TestTokenNgramHashes:
         assert sorted(grow.tolist()) == [0, 1]
 
     def test_order_sensitivity(self):
-        # "a b" and "b a" must hash differently (mix multipliers are
+        # "a b" and "b a" must hash differently (the chained mix is
         # position-dependent)
         h1, _, _, s = self._grams(["a b", "b a"], 2)
+        assert len(set(h1.tolist())) == 2
+
+    def test_long_ngram_position_swaps_do_not_collide(self):
+        # regression (round-4 advice): the old XOR-of-5-multipliers
+        # combine collided deterministically on token swaps at distance
+        # 5 for n > 5 and on XOR-cancelling repeats; the chained mix
+        # must distinguish all of these
+        toks = [f"t{i}" for i in range(8)]
+        swapped = toks.copy()
+        swapped[0], swapped[5] = swapped[5], swapped[0]  # j <-> j+5
+        docs = [" ".join(toks), " ".join(swapped)]
+        for n in (6, 7, 8):
+            h1, h2, _, s = self._grams(docs, n)
+            import pandas as pd
+            df = pd.DataFrame({"s": s.to_numpy(dtype=object), "h1": h1})
+            assert df.groupby("s").h1.nunique().eq(1).all()
+            assert df.drop_duplicates("s").h1.is_unique
+        # XOR-cancelling repeat pattern: "x y x y x y" vs "y x y x y x"
+        h1, _, _, _ = self._grams(["x y x y x y", "y x y x y x"], 6)
         assert len(set(h1.tolist())) == 2
