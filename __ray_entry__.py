@@ -710,13 +710,37 @@ _MIBF_CACHE: dict = {}
 
 
 def _get_mibf(sf_dir: str):
+    """Build-once miBF shared by ``mibf_classify`` and
+    ``mibf_classify_paired``: process-level cache first, then an
+    on-disk artifact (``state/artifacts.save_mibf`` — the S10 store/load
+    path) keyed by the input parquet's identity + build params, so a
+    fresh driver process loads the filter instead of rebuilding it (the
+    reference categorizer likewise consumes a prebuilt ``.bf``).  The
+    distributed/driver-tier BUILD itself stays covered by pytest parity
+    and the ``progressive_build_info``/``bloom_build_info`` queries."""
     if sf_dir not in _MIBF_CACHE:
+        import os
+
+        from biobloom_ray.state.artifacts import load_mibf, save_mibf
+
+        src = f"{sf_dir}/documents.parquet"
+        st = os.stat(src)
+        key = f"k8h3-train3-{st.st_size}-{int(st.st_mtime)}"
+        cache_dir = os.path.join("/tmp/biobloom_ray_artifacts",
+                                 os.path.basename(os.path.normpath(sf_dir)))
+        path = os.path.join(cache_dir, f"mibf-{key}.mibf")
+        if os.path.exists(path):
+            try:
+                _MIBF_CACHE[sf_dir] = load_mibf(path)
+                return _MIBF_CACHE[sf_dir]
+            except Exception:
+                pass  # stale/corrupt artifact: rebuild below
+
         import pyarrow as pa
 
         from biobloom_ray.pipelines.mibf import build_mibf
 
-        docs = _rp(f"{sf_dir}/documents.parquet",
-                   columns=["doc_id", "text", "lang"])
+        docs = _rp(src, columns=["doc_id", "text", "lang"])
 
         def train_split(b: pa.Table) -> pa.Table:
             ids = b["doc_id"].to_numpy(zero_copy_only=False)
@@ -728,6 +752,10 @@ def _get_mibf(sf_dir: str):
                                          label_col="lang", kmer_size=8,
                                          hash_num=3,
                                          n_rows=cheap_count(docs))
+        try:
+            save_mibf(_MIBF_CACHE[sf_dir], cache_dir, f"mibf-{key}")
+        except OSError:
+            pass  # read-only scratch: in-process cache still applies
 
     return _MIBF_CACHE[sf_dir]
 

@@ -472,12 +472,18 @@ class MIBFClassifierActor:
         fid = flat_ids[keep]
         from biobloom_ray.hashing import splitmix64
 
+        import pandas as pd
+
         salt = np.uint64(mate_salt)
         with np.errstate(over="ignore"):
             trip_key = (splitmix64(h1[fi] + U64_ROW * row_of[fi].astype(np.uint64)
                                    + salt)
                         ^ splitmix64(fid.astype(np.uint64)))
-        _, first_idx = np.unique(trip_key, return_index=True)
+        # first occurrence per distinct key via the hashtable kernel
+        # (pd.duplicated, O(N)) — ~2x faster than np.unique's argsort on
+        # the ~nf*h-sized 64-bit key arrays; downstream only consumes the
+        # SET of first-occurrence indices, so the semantics are identical
+        first_idx = ~pd.Series(trip_key).duplicated().to_numpy()
         p_row = row_of[fi[first_idx]]
         p_id = fid[first_idx]
 
@@ -486,8 +492,8 @@ class MIBFClassifierActor:
             row_shingle = splitmix64(h1 + U64_ROW * row_of.astype(np.uint64)
                                      + salt)
         n_trials = np.zeros(n, dtype=np.int64)
-        uniq_rs_idx = np.unique(row_shingle, return_index=True)[1]
-        np.add.at(n_trials, row_of[uniq_rs_idx], 1)
+        uniq_rs = ~pd.Series(row_shingle).duplicated().to_numpy()
+        np.add.at(n_trials, row_of[uniq_rs], 1)
         return n, p_row, p_id, n_trials
 
     def _decide(self, batch: pa.Table, n: int, p_row: np.ndarray,

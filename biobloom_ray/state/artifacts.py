@@ -49,6 +49,22 @@ def load_filter(path: str) -> BloomFilter:
         return BloomFilter.deserialize(f.read())
 
 
+def save_mibf(mibf, directory: str, name: str = "mibf") -> str:
+    """S10 analogue: persist a built multi-index Bloom filter (raw
+    serialized blob, atomic write) so downstream classify jobs — or a
+    resumed run — load it instead of rebuilding (the reference ships
+    the ``.bf`` + id-table pair to the categorizer the same way)."""
+    path = os.path.join(directory, name + ".mibf")
+    _atomic_write(path, mibf.serialize())
+    return path
+
+
+def load_mibf(path: str):
+    from biobloom_ray.sketches.mibf import MIBloomFilter
+    with open(path, "rb") as f:
+        return MIBloomFilter.deserialize(f.read())
+
+
 def load_filter_bank(directory: str) -> list[BloomFilter]:
     """Load every ``*.bf`` in a directory, sorted by filename — the -f
     filter-order list of the categorizer (``BioBloomClassifier.cpp:950-971``)."""
