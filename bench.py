@@ -115,6 +115,7 @@ def _force_cluster_tiers():
     A.CENTROID_BROADCAST_MAX_ROWS = 0
     A.DUPC_DRIVER_MAX_ROWS = 0
     A.SRCGATE_BROADCAST_MAX_ROWS = 0
+    A.EVENTS_ENTITY_DIRECT_MAX_ROWS = 0
     D.EXACT_DEDUP_DRIVER_MAX_ROWS = 0
     D.BAND_DRIVER_MAX_ROWS = 0
     PR.PAIR_BROADCAST_MAX_ROWS = 0

@@ -827,6 +827,50 @@ def deterministic_sample(sf_dir: str, keep_hex: str = "01"):
     return ds.map_batches(pick, batch_format="pyarrow").to_pandas()
 
 
+#: total-event-row gate for the direct (unsalted) temporal-join plans:
+#: below this many input rows every entity's history trivially fits one
+#: ``map_groups`` block, so the joins run as ONE groupby(user_id); above
+#: it (or when the input size is not metadata-cheap) they switch to the
+#: salt-by-time-range plan — groupby((user, time-bucket)) with a
+#: window-sized halo (range join) / a tiny per-bucket carry table (as-of
+#: join) — so a pathological single-entity stream spreads over many
+#: groups instead of landing in one block.  Identical output
+#: (tier-parity-tested with the gate forced to 0).
+EVENTS_ENTITY_DIRECT_MAX_ROWS = 5_000_000
+
+#: time-bucket span of the salted as-of plan (the range join's span is
+#: its window — the natural halo); one hour keeps the per-(user,bucket)
+#: carry table output-scale for multi-year streams
+ASOF_SALT_SPAN_S = 3600
+
+
+def _dedup_rights(r_ts_raw: np.ndarray, r_val_raw: np.ndarray):
+    """Deterministic ties (ADVICE r2): purchases sharing a (user, ts)
+    collapse to ONE row keeping the max value — DuckDB's ASOF pick among
+    equal timestamps is unspecified, so both sides aggregate before the
+    as-of (the oracle SQL mirrors this MAX).  Returns time-sorted
+    (ts, value) arrays with unique ts."""
+    order = np.lexsort((r_val_raw, r_ts_raw))
+    ts_s, val_s = r_ts_raw[order], r_val_raw[order]
+    last = np.r_[ts_s[1:] != ts_s[:-1], True]
+    return ts_s[last], val_s[last]
+
+
+def _asof_tag(b: pa.Table, left_type: str, right_type: str) -> pa.Table:
+    keep = pc.is_in(b["event_type"],
+                    value_set=pa.array([left_type, right_type]))
+    b = b.filter(keep)
+    # input-unit-independent, lossless nanosecond epochs
+    ts_ns = b["ts"].cast(pa.timestamp("ns")).cast(pa.int64())
+    return pa.table({
+        "user_id": b["user_id"],
+        "event_id": b["event_id"],
+        "ts_ns": ts_ns,
+        "is_left": pc.equal(b["event_type"], left_type),
+        "value": b["value"],
+    })
+
+
 def events_asof_join(sf_dir: str, left_type: str = "click",
                      right_type: str = "purchase"):
     """As-of join (a custom operator Ray Data lacks): for each ``click``
@@ -836,27 +880,22 @@ def events_asof_join(sf_dir: str, left_type: str = "click",
     Composition: one scan splits the stream by side, one
     ``groupby(user_id)`` co-locates each entity's full history, and the
     per-group kernel is a vectorized ``searchsorted`` two-pointer over
-    the time-sorted arrays (no row loops).  Partitioning assumption,
-    documented: an entity's history fits one group — the standard as-of
-    sharding; salt by time-range for pathological single-entity streams.
-    Clicks with no prior purchase are dropped (inner as-of).
+    the time-sorted arrays (no row loops).  Tiered by scale: below
+    ``EVENTS_ENTITY_DIRECT_MAX_ROWS`` total events an entity's history
+    trivially fits one group; above it the salted plan
+    (:func:`_asof_join_salted`) shards each entity by time bucket and
+    resolves cross-bucket lookbacks through a per-(user, bucket) carry
+    table, so a single-entity stream of 10^8 events never lands in one
+    ``map_groups`` block.  Clicks with no prior purchase are dropped
+    (inner as-of).
     """
     ds = _read(sf_dir, "events",
                columns=["event_id", "user_id", "ts", "event_type", "value"])
-
-    def tag(b: pa.Table) -> pa.Table:
-        keep = pc.is_in(b["event_type"],
-                        value_set=pa.array([left_type, right_type]))
-        b = b.filter(keep)
-        # input-unit-independent, lossless nanosecond epochs
-        ts_ns = b["ts"].cast(pa.timestamp("ns")).cast(pa.int64())
-        return pa.table({
-            "user_id": b["user_id"],
-            "event_id": b["event_id"],
-            "ts_ns": ts_ns,
-            "is_left": pc.equal(b["event_type"], left_type),
-            "value": b["value"],
-        })
+    n_rows = _cheap_count(ds)
+    tagged = ds.map_batches(lambda b: _asof_tag(b, left_type, right_type),
+                            batch_format="pyarrow")
+    if n_rows is None or n_rows > EVENTS_ENTITY_DIRECT_MAX_ROWS:
+        return _asof_join_salted(tagged, ASOF_SALT_SPAN_S)
 
     def asof(g: pa.Table) -> pa.Table:
         left = g.filter(g["is_left"])
@@ -867,16 +906,9 @@ def events_asof_join(sf_dir: str, left_type: str = "click",
                              "asof_value": pa.array([], type=pa.float64())})
         l_ts = left["ts_ns"].to_numpy(zero_copy_only=False)
         l_id = left["event_id"].to_numpy(zero_copy_only=False)
-        # deterministic ties (ADVICE r2): purchases sharing a (user, ts)
-        # collapse to ONE row keeping the max value — DuckDB's ASOF pick
-        # among equal timestamps is unspecified, so both sides aggregate
-        # before the as-of (the oracle SQL mirrors this MAX)
-        r_ts_raw = right["ts_ns"].to_numpy(zero_copy_only=False)
-        r_val_raw = right["value"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((r_val_raw, r_ts_raw))
-        ts_s, val_s = r_ts_raw[order], r_val_raw[order]
-        last = np.r_[ts_s[1:] != ts_s[:-1], True]
-        r_ts, r_val = ts_s[last], val_s[last]
+        r_ts, r_val = _dedup_rights(
+            right["ts_ns"].to_numpy(zero_copy_only=False),
+            right["value"].to_numpy(zero_copy_only=False))
         idx = np.searchsorted(r_ts, l_ts, side="right") - 1
         ok = idx >= 0
         return pa.table({
@@ -885,9 +917,142 @@ def events_asof_join(sf_dir: str, left_type: str = "click",
             "asof_value": pa.array(r_val[idx[ok]]),
         })
 
-    return (ds.map_batches(tag, batch_format="pyarrow")
-            .groupby("user_id")
+    return (tagged.groupby("user_id")
             .map_groups(asof, batch_format="pyarrow").to_pandas())
+
+
+def _asof_join_salted(tagged, span_s: int = ASOF_SALT_SPAN_S):
+    """Salt-by-time-range as-of plan (VERDICT r3 #5).  Each entity's
+    stream is sharded into ``span_s``-wide time buckets and grouped on
+    (user, bucket) — many parallel groups per entity.  The as-of
+    lookback is unbounded backwards, so a left whose own bucket holds no
+    earlier right is resolved in a second pass against the CARRY table:
+    one summary row per (user, bucket-with-rights) holding that bucket's
+    latest right.  Any right in an earlier bucket precedes every left in
+    a later one, so the carry answer for an unresolved left in bucket b
+    is exactly the summary of the latest bucket b' < b — a backward
+    ``merge_asof`` on bucket number (vectorized, per-user via ``by``).
+    The carry table is output-scale (≤ one row per touched (user,
+    bucket)) and is broadcast once via ``ray.put``; the pass-1 result is
+    materialized to object-store blocks (narrow, ≤ one row per left) so
+    the summary extraction does not re-execute the shuffle."""
+    import ray
+
+    span_ns = np.int64(span_s) * np.int64(1_000_000_000)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        ts = b["ts_ns"].to_numpy(zero_copy_only=False)
+        return b.append_column("bucket", pa.array(ts // span_ns))
+
+    def local_asof(g: pa.Table) -> pa.Table:
+        """kind 0 = resolved left, 1 = unresolved left (needs carry),
+        2 = bucket summary (latest right)."""
+        left = g.filter(g["is_left"])
+        right = g.filter(pc.invert(g["is_left"]))
+        uid = g["user_id"][0].as_py()
+        bkt = int(g["bucket"][0].as_py())
+        parts = []
+        if len(right):
+            r_ts, r_val = _dedup_rights(
+                right["ts_ns"].to_numpy(zero_copy_only=False),
+                right["value"].to_numpy(zero_copy_only=False))
+        if len(left):
+            l_ts = left["ts_ns"].to_numpy(zero_copy_only=False)
+            l_id = left["event_id"].to_numpy(zero_copy_only=False)
+            if len(right):
+                idx = np.searchsorted(r_ts, l_ts, side="right") - 1
+                ok = idx >= 0
+            else:
+                ok = np.zeros(len(l_ts), dtype=bool)
+            n_ok = int(ok.sum())
+            if n_ok:
+                parts.append(pa.table({
+                    "kind": pa.array(np.zeros(n_ok, dtype=np.int8)),
+                    "user_id": pa.array(np.full(n_ok, uid, dtype=np.int64)),
+                    "bucket": pa.array(np.full(n_ok, bkt, dtype=np.int64)),
+                    "event_id": pa.array(l_id[ok]),
+                    "asof_ts_ns": pa.array(r_ts[idx[ok]]),
+                    "asof_value": pa.array(r_val[idx[ok]])}))
+            n_un = len(l_ts) - n_ok
+            if n_un:
+                parts.append(pa.table({
+                    "kind": pa.array(np.ones(n_un, dtype=np.int8)),
+                    "user_id": pa.array(np.full(n_un, uid, dtype=np.int64)),
+                    "bucket": pa.array(np.full(n_un, bkt, dtype=np.int64)),
+                    "event_id": pa.array(l_id[~ok]),
+                    "asof_ts_ns": pa.array(
+                        np.zeros(n_un, dtype=np.int64)),
+                    "asof_value": pa.array(
+                        np.zeros(n_un, dtype=np.float64))}))
+        if len(right):
+            parts.append(pa.table({
+                "kind": pa.array(np.array([2], dtype=np.int8)),
+                "user_id": pa.array([uid], type=pa.int64()),
+                "bucket": pa.array([bkt], type=pa.int64()),
+                "event_id": pa.array([-1], type=pa.int64()),
+                "asof_ts_ns": pa.array([r_ts[-1]], type=pa.int64()),
+                "asof_value": pa.array([r_val[-1]], type=pa.float64())}))
+        if not parts:
+            return pa.table({
+                "kind": pa.array([], type=pa.int8()),
+                "user_id": pa.array([], type=pa.int64()),
+                "bucket": pa.array([], type=pa.int64()),
+                "event_id": pa.array([], type=pa.int64()),
+                "asof_ts_ns": pa.array([], type=pa.int64()),
+                "asof_value": pa.array([], type=pa.float64())})
+        return pa.concat_tables(parts)
+
+    pass1 = (tagged.map_batches(bucketize, batch_format="pyarrow")
+             .groupby(["user_id", "bucket"])
+             .map_groups(local_asof, batch_format="pyarrow")
+             .materialize())
+
+    summ = (pass1.map_batches(
+        lambda b: b.filter(pc.equal(b["kind"], 2)),
+        batch_format="pyarrow").to_pandas())
+    summ = summ.sort_values("bucket", kind="stable").reset_index(drop=True)
+    # merge a POSITIONAL index, not the values: merge_asof upcasts
+    # int64 columns to float64 when any row is unmatched, and float64
+    # cannot represent ns epochs (~2^60) exactly — indices (< 2^53) are
+    # safe, the ts/value arrays are gathered exactly afterwards
+    summ_keys = pd.DataFrame({
+        "user_id": summ["user_id"].to_numpy(np.int64),
+        "bucket": summ["bucket"].to_numpy(np.int64),
+        "c_idx": np.arange(len(summ), dtype=np.int64)})
+    summ_ref = ray.put((summ_keys,
+                        summ["asof_ts_ns"].to_numpy(np.int64),
+                        summ["asof_value"].to_numpy(np.float64)))
+
+    def patch(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.not_equal(b["kind"], 2))
+        if len(b) == 0:
+            return pa.table({"event_id": pa.array([], type=pa.int64()),
+                             "asof_ts_ns": pa.array([], type=pa.int64()),
+                             "asof_value": pa.array([], type=pa.float64())})
+        df = b.select(["kind", "user_id", "bucket", "event_id",
+                       "asof_ts_ns", "asof_value"]).to_pandas()
+        res = df[df["kind"] == 0]
+        un = df[df["kind"] == 1]
+        outs = [res[["event_id", "asof_ts_ns", "asof_value"]]]
+        if len(un):
+            s_keys, c_ts, c_val = ray.get(summ_ref)
+            # carry from the latest STRICTLY-earlier bucket: the left's
+            # own bucket had no right at-or-before it, so exact-bucket
+            # matches are excluded
+            m = pd.merge_asof(
+                un.sort_values("bucket", kind="stable"), s_keys,
+                on="bucket", by="user_id", direction="backward",
+                allow_exact_matches=False)
+            m = m[m["c_idx"].notna()]
+            idx = m["c_idx"].to_numpy(np.int64)
+            outs.append(pd.DataFrame({
+                "event_id": m["event_id"].to_numpy(np.int64),
+                "asof_ts_ns": c_ts[idx],
+                "asof_value": c_val[idx]}))
+        out = pd.concat(outs, ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return pass1.map_batches(patch, batch_format="pyarrow").to_pandas()
 
 
 def top_docs_per_lang(sf_dir: str, k: int = 3):
@@ -2767,6 +2932,7 @@ def events_range_join(sf_dir: str, left_type: str = "click",
     sum_value_cents``."""
     ds = _read(sf_dir, "events",
                columns=["event_id", "user_id", "ts", "event_type", "value"])
+    n_rows = _cheap_count(ds)
     win_ns = np.int64(window_s) * np.int64(1_000_000_000)
 
     def tag(b: pa.Table) -> pa.Table:
@@ -2815,7 +2981,37 @@ def events_range_join(sf_dir: str, left_type: str = "click",
             "n_in_window": pa.array((hi - lo).astype(np.int64)),
             "sum_value_cents": pa.array(csum[hi] - csum[lo])})
 
-    out = (ds.map_batches(tag, batch_format="pyarrow")
-           .groupby("user_id")
-           .map_groups(rjoin, batch_format="pyarrow").to_pandas())
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    if n_rows is None or n_rows > EVENTS_ENTITY_DIRECT_MAX_ROWS:
+        # salt-by-time-range plan (VERDICT r3 #5): bucket span = the
+        # window itself, so a left in bucket b sees every in-window
+        # right inside buckets {b, b+1}.  Lefts keep their own bucket
+        # (each left lands in exactly ONE group); every right is
+        # replicated into its bucket and the one BELOW it (the halo) —
+        # so the group for bucket b holds rights from (b·S, (b+2)·S),
+        # a superset of every member left's window, and the
+        # searchsorted cuts inside ``rjoin`` trim it exactly.  No
+        # carry pass is needed (the window is bounded, unlike as-of);
+        # 2× replication of the right side is the whole overhead.
+        def salt(b: pa.Table) -> pa.Table:
+            bkt = b["ts_ns"].to_numpy(zero_copy_only=False) // win_ns
+            lefts = (b.filter(b["is_left"])
+                     .append_column("bucket", pa.array(
+                         bkt[b["is_left"].to_numpy(zero_copy_only=False)])))
+            right_mask = pc.invert(b["is_left"]).to_numpy(
+                zero_copy_only=False)
+            rights = b.filter(pa.array(right_mask))
+            r_bkt = bkt[right_mask]
+            halo = pa.concat_tables([
+                rights.append_column("bucket", pa.array(r_bkt)),
+                rights.append_column("bucket", pa.array(r_bkt - 1))])
+            return pa.concat_tables([lefts, halo])
+
+        grouped = (tagged.map_batches(salt, batch_format="pyarrow")
+                   .groupby(["user_id", "bucket"])
+                   .map_groups(rjoin, batch_format="pyarrow"))
+    else:
+        grouped = (tagged.groupby("user_id")
+                   .map_groups(rjoin, batch_format="pyarrow"))
+    out = grouped.to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
