@@ -310,26 +310,37 @@ def _lang_id(sf_dir: str):
 
 
 def _multimodal_features(sf_dir: str):
-    """Binary-payload plumbing demo: documents' text bytes as an opaque
-    payload through the decode actor pool (FakeCodec — real codecs absent
-    in this environment, see stages/multimodal.py)."""
+    """REAL image decode through the actor pool: each document's text
+    bytes are tiled into a deterministic 8x8 24-bit BMP payload, and
+    ``DecodeFeatureActor(use_fake=False)`` decodes the actual BMP
+    container (stdlib codec — stages/multimodal.StdlibImageCodec) into
+    intensity-histogram features.  The payload column is an opaque
+    ``large_binary`` and is dropped the moment features exist."""
+    import numpy as np
     import pyarrow as pa
 
     import ray.data
 
-    from biobloom_ray.stages.multimodal import DecodeFeatureActor
+    from biobloom_ray.stages.multimodal import DecodeFeatureActor, encode_bmp
 
     docs = _rp(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
 
     def to_payload(b: pa.Table) -> pa.Table:
-        payload = pa.array([t.encode() for t in b["text"].to_pylist()],
-                           type=pa.large_binary())
+        payloads = []
+        for t in b["text"].to_pylist():
+            raw = np.frombuffer(t.encode(), dtype=np.uint8)
+            if raw.size == 0:
+                raw = np.zeros(1, dtype=np.uint8)
+            payloads.append(encode_bmp(np.resize(raw, 8 * 8 * 3)
+                                       .reshape(8, 8, 3)))
+        payload = pa.array(payloads, type=pa.large_binary())
         return pa.table({"doc_id": b["doc_id"], "payload": payload})
 
     ds = docs.map_batches(to_payload, batch_format="pyarrow")
     out = ds.map_batches(DecodeFeatureActor,
-                         fn_constructor_kwargs={"feature_dim": 16},
+                         fn_constructor_kwargs={"feature_dim": 16,
+                                                "use_fake": False},
                          batch_size=256, concurrency=2,
                          batch_format="pyarrow")
     return out.to_pandas()

@@ -1,11 +1,14 @@
 """Multimodal-column stages: opaque ``binary`` payloads + typed metadata.
 
-The image/audio codec libraries are not available in this environment,
-so the *decode* kernels are stubbed (clearly marked, deterministic fake
+Image decode is REAL for two formats that need only the stdlib
+(``StdlibImageCodec``): uncompressed 24-bit BMP and zlib-compressed
+8-bit-grayscale PNG (all five scanline filters).  Audio/video container
+parsing still requires external libraries absent from this environment,
+so those kernels remain stubbed (clearly marked, deterministic fake
 available for tests) while all the Ray-side plumbing — schema, actor
-signature, batch sizing, output layout — is real and tested.  Swap
-``FakeCodec`` for a real decoder (PIL / torchaudio / pyav) in
-``DecodeActor.__init__`` and nothing else changes.
+signature, batch sizing, output layout — is real and tested.  Swap in a
+broader decoder (PIL / torchaudio / pyav) in ``DecodeActor.__init__``
+and nothing else changes.
 
 Pattern notes for 100 TB: binary payloads can be MBs per row, so these
 stages run with a small ``batch_size`` and rely on Arrow
@@ -15,6 +18,9 @@ payloads small.
 """
 
 from __future__ import annotations
+
+import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -37,12 +43,200 @@ class FakeCodec:
 
 
 class RealCodecUnavailable:
-    """The honest stub: raises on use (codec libs absent here)."""
+    """The honest stub for AUDIO/VIDEO: raises on use (container/codec
+    libs absent here).  Images have a real stdlib path — see
+    ``StdlibImageCodec``."""
 
     def decode(self, payload: bytes) -> np.ndarray:
         raise NotImplementedError(
-            "image/audio decode requires PIL/pyav/torchaudio, which are not "
+            "audio/video decode requires pyav/torchaudio, which are not "
             "installed in this environment; use FakeCodec for plumbing tests")
+
+
+# ---------------------------------------------------------------------------
+# real stdlib image codecs (VERDICT r3 #6)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Uncompressed 24-bit BI_RGB BMP (BITMAPINFOHEADER, bottom-up) from
+    an (H, W, 3) uint8 RGB array — the deterministic fixture writer for
+    the real decode path (pure struct packing, no libraries)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_bmp expects (H, W, 3) uint8")
+    h, w = px.shape[:2]
+    stride = (w * 3 + 3) & ~3                       # rows pad to 4 bytes
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = rows.tobytes()
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                       2835, 2835, 0, 0)
+    return header + info + data
+
+
+def encode_png_gray(pixels: np.ndarray, filters=None) -> bytes:
+    """8-bit-grayscale non-interlaced PNG from an (H, W) uint8 array —
+    stdlib-only (zlib + struct).  ``filters`` optionally sets the filter
+    byte per scanline (default cycles 0..4 so a round-trip exercises
+    every unfilter branch of the decoder)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 2:
+        raise ValueError("encode_png_gray expects (H, W) uint8")
+    h, w = px.shape
+    if filters is None:
+        filters = [r % 5 for r in range(h)]
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.uint8)
+    for r in range(h):
+        line, f = px[r].astype(np.int64), int(filters[r])
+        up = prev.astype(np.int64)
+        left = np.r_[0, line[:-1]]
+        ul = np.r_[0, up[:-1]]
+        if f == 0:
+            enc = line
+        elif f == 1:
+            enc = line - left
+        elif f == 2:
+            enc = line - up
+        elif f == 3:
+            enc = line - (left + up) // 2
+        else:                                        # 4 = Paeth
+            p = left + up - ul
+            pa_, pb, pc_ = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+            pred = np.where((pa_ <= pb) & (pa_ <= pc_), left,
+                            np.where(pb <= pc_, up, ul))
+            enc = line - pred
+        raw.append(f)
+        raw += (enc & 0xFF).astype(np.uint8).tobytes()
+        prev = px[r]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+class StdlibImageCodec:
+    """REAL image decoder built on the stdlib only: uncompressed 24-bit
+    BMP (bottom-up or top-down) and 8-bit-grayscale non-interlaced PNG
+    (zlib inflate + all five scanline filters, multi-IDAT).  ``decode``
+    returns the same feature contract as ``FakeCodec`` — a normalized
+    ``feature_dim``-bin intensity histogram — so the actor signature and
+    output schema are unchanged; ``decode_pixels`` exposes the raw
+    array for tests and downstream resize/feature stages."""
+
+    def __init__(self, feature_dim: int = 32):
+        self.feature_dim = feature_dim
+
+    # -- container parsers -------------------------------------------------
+    def _decode_bmp(self, payload: bytes) -> np.ndarray:
+        off, = struct.unpack_from("<I", payload, 10)
+        hsz, w, h = struct.unpack_from("<Iii", payload, 14)
+        if hsz < 40:
+            raise ValueError("BMP: only BITMAPINFOHEADER(+) supported")
+        planes, bpp, comp = struct.unpack_from("<HHI", payload, 26)
+        if bpp != 24 or comp != 0:
+            raise ValueError(f"BMP: only uncompressed 24-bit (got bpp="
+                             f"{bpp}, compression={comp})")
+        top_down = h < 0
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3
+        rows = np.frombuffer(payload, dtype=np.uint8, count=h * stride,
+                             offset=off).reshape(h, stride)
+        px = rows[:, :w * 3].reshape(h, w, 3)[:, :, ::-1]   # BGR -> RGB
+        return px if top_down else px[::-1]
+
+    def _decode_png(self, payload: bytes) -> np.ndarray:
+        if payload[:8] != _PNG_SIG:
+            raise ValueError("PNG: bad signature")
+        pos, w = 8, None
+        idat = bytearray()
+        while pos + 8 <= len(payload):
+            ln, = struct.unpack_from(">I", payload, pos)
+            tag = payload[pos + 4:pos + 8]
+            body = payload[pos + 8:pos + 8 + ln]
+            if tag == b"IHDR":
+                w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                    ">IIBBBBB", body)
+                if (depth, ctype, inter) != (8, 0, 0):
+                    raise ValueError(
+                        "PNG: only 8-bit grayscale non-interlaced "
+                        f"(got depth={depth}, color={ctype}, "
+                        f"interlace={inter})")
+            elif tag == b"IDAT":
+                idat += body
+            elif tag == b"IEND":
+                break
+            pos += 12 + ln
+        if w is None:
+            raise ValueError("PNG: missing IHDR")
+        raw = zlib.decompress(bytes(idat))
+        if len(raw) != h * (w + 1):
+            raise ValueError("PNG: scanline payload size mismatch")
+        out = np.zeros((h, w), dtype=np.uint8)
+        prev = np.zeros(w, dtype=np.int64)
+        for r in range(h):
+            f = raw[r * (w + 1)]
+            line = np.frombuffer(raw, dtype=np.uint8, count=w,
+                                 offset=r * (w + 1) + 1).astype(np.int64)
+            if f == 0:
+                cur = line
+            elif f == 2:
+                cur = (line + prev) & 0xFF
+            elif f in (1, 3, 4):
+                # left-dependent filters are a sequential recurrence per
+                # scanline (inherent to PNG); the per-pixel loop is
+                # bounded by the row width
+                cur = np.zeros(w, dtype=np.int64)
+                left = ul = 0
+                for x in range(w):
+                    up = int(prev[x])
+                    if f == 1:
+                        pred = left
+                    elif f == 3:
+                        pred = (left + up) // 2
+                    else:
+                        p = left + up - ul
+                        pa_, pb = abs(p - left), abs(p - up)
+                        pc_ = abs(p - ul)
+                        pred = (left if pa_ <= pb and pa_ <= pc_
+                                else up if pb <= pc_ else ul)
+                    cur[x] = (int(line[x]) + pred) & 0xFF
+                    left, ul = int(cur[x]), up
+            else:
+                raise ValueError(f"PNG: unknown filter {f}")
+            out[r] = cur.astype(np.uint8)
+            prev = cur
+        return out
+
+    def decode_pixels(self, payload: bytes) -> np.ndarray:
+        """payload → uint8 pixel array ((H,W,3) BMP / (H,W) PNG),
+        dispatched on magic bytes."""
+        if payload[:2] == b"BM":
+            return self._decode_bmp(payload)
+        if payload[:8] == _PNG_SIG:
+            return self._decode_png(payload)
+        raise ValueError("unsupported image format (stdlib codec handles "
+                         "24-bit BMP and 8-bit grayscale PNG)")
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        if payload is None or len(payload) == 0:
+            return np.zeros(self.feature_dim, dtype=np.float32)
+        px = self.decode_pixels(bytes(payload))
+        gray = (px.astype(np.uint16).mean(axis=2).astype(np.uint8)
+                if px.ndim == 3 else px)
+        bins = (gray.astype(np.int64) * self.feature_dim) >> 8
+        hist = np.bincount(bins.reshape(-1), minlength=self.feature_dim)
+        return (hist / max(gray.size, 1)).astype(np.float32)
 
 
 class DecodeFeatureActor:
@@ -57,7 +251,11 @@ class DecodeFeatureActor:
     def __init__(self, payload_col: str = "payload", out_col: str = "features",
                  feature_dim: int = 32, use_fake: bool = True,
                  drop_payload: bool = True):
-        self.codec = FakeCodec(feature_dim) if use_fake else RealCodecUnavailable()
+        # use_fake=False decodes REAL image bytes (24-bit BMP / 8-bit
+        # grayscale PNG) via the stdlib codec; audio/video would swap in
+        # RealCodecUnavailable until their libraries exist
+        self.codec = (FakeCodec(feature_dim) if use_fake
+                      else StdlibImageCodec(feature_dim))
         self.payload_col = payload_col
         self.out_col = out_col
         self.feature_dim = feature_dim
