@@ -254,6 +254,25 @@ def _ann_ivf(sf_dir: str):
     return top.select_columns(["vec_id", "cos_sim"]).to_pandas()
 
 
+def _ann_ivf_exact(sf_dir: str):
+    """IVF at full probe width (n_probe == n_lists) MUST equal the exact
+    brute-force top-k — every vector is assigned to exactly one of the
+    probed lists, so the candidate set is the whole table and only the
+    partition-and-merge machinery (sampled k-means assign, per-list
+    block top-k, global sort-limit) stands between the query and the
+    answer.  This pins the whole IVF plumbing against the exact SQL
+    oracle (r3 verdict #9 — the production n_probe<n_lists variant
+    stays recall-bounded in pytest)."""
+    import ray.data
+
+    from biobloom_ray.stages.ann import ivf_topk
+
+    emb = _rp(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    top = ivf_topk(emb, _query_vec(sf_dir), k=10, n_lists=8, n_probe=8)
+    return top.select_columns(["vec_id"]).to_pandas()
+
+
 def _ann_topk_multi(sf_dir: str):
     """Batched multi-query exact top-k (one broadcast query matrix, one
     matmul per block): queries = vectors with vec_id < 5."""
@@ -1009,6 +1028,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_by_events": _top_users_by_events,
         "top_parts_by_revenue": A.top_parts_by_revenue,
         "events_asof_join": A.events_asof_join,
+        # round-4 oracle additions (r3 verdict #9)
+        "epoch_shuffle_full": A.epoch_shuffle_full,
+        "ann_ivf_exact": _ann_ivf_exact,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -1626,6 +1648,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) AS"
             " BIGINT) AS pos, doc_id FROM fin ORDER BY h, doc_id"
             " LIMIT 100",
+        # the FULL permutation (r4): same bit-exact splitmix64 replay,
+        # every global position — pins the distributed sort + prefix
+        # scan end-to-end, not just the head
+        "epoch_shuffle_full":
+            "WITH s0 AS (SELECT doc_id, CAST((CAST(xor(CAST(doc_id AS"
+            " UBIGINT), CAST(7 AS UBIGINT)) AS HUGEINT) +"
+            " 11400714819323198485) % 18446744073709551616 AS UBIGINT)"
+            " AS z FROM documents), "
+            "s1 AS (SELECT doc_id, xor(z, z >> 30) AS z FROM s0), "
+            "m1 AS (SELECT doc_id, CAST(((CAST(z & 4294967295 AS"
+            " HUGEINT) * 484763065) + ((CAST(z & 4294967295 AS HUGEINT) *"
+            " 3210233709 + CAST(z >> 32 AS HUGEINT) * 484763065) %"
+            " 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT)"
+            " AS z FROM s1), "
+            "s2 AS (SELECT doc_id, xor(z, z >> 27) AS z FROM m1), "
+            "m2 AS (SELECT doc_id, CAST(((CAST(z & 4294967295 AS"
+            " HUGEINT) * 321982955) + ((CAST(z & 4294967295 AS HUGEINT) *"
+            " 2496678331 + CAST(z >> 32 AS HUGEINT) * 321982955) %"
+            " 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT)"
+            " AS z FROM s2), "
+            "fin AS (SELECT doc_id, xor(z, z >> 31) AS h FROM m2) "
+            "SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) AS"
+            " BIGINT) AS pos, doc_id FROM fin ORDER BY h, doc_id",
         # composed cleaning pipeline: Gopher gate -> first-wins exact
         # dedup (among gopher-passing non-benchmark docs) -> drop docs
         # sharing any trigram with the benchmark slice (doc_id%97==0,
@@ -1789,6 +1834,16 @@ def oracle_sql() -> dict[str, str]:
             "AS rn FROM embeddings e, q) WHERE rn <= 10 "
             "ORDER BY query_id, vec_id",
         "ann_topk":
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
+            "SELECT vec_id FROM ("
+            "SELECT e.vec_id AS vec_id, "
+            "list_cosine_similarity(e.embedding, q.qe) AS sim "
+            "FROM embeddings e, q) "
+            "ORDER BY sim DESC, vec_id ASC LIMIT 10",
+        # IVF at n_probe == n_lists must EQUAL exact top-k: the oracle
+        # is the brute-force cosine query (r4 — pins the IVF
+        # partition-and-merge machinery)
+        "ann_ivf_exact":
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
             "SELECT vec_id FROM ("
             "SELECT e.vec_id AS vec_id, "

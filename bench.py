@@ -165,7 +165,9 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "lang_centroids", "epoch_shuffle_head", "clean_corpus",
                "source_overlap", "quality_weighted_sample",
                "ann_topk_filtered", "token_entropy", "corpus_report",
-               "events_range_join"]
+               "events_range_join",
+               # round-4 additions
+               "epoch_shuffle_full", "ann_ivf_exact"]
 
 
 def run_queries() -> dict[str, float]:

@@ -2523,6 +2523,68 @@ def epoch_shuffle_head(sf_dir: str, seed: int = EPOCH_SHUFFLE_SEED,
     return out
 
 
+def epoch_shuffle_full(sf_dir: str, seed: int = EPOCH_SHUFFLE_SEED):
+    """The FULL epoch permutation with GLOBAL 1-based positions (r3
+    verdict #9: the head query pins only the first rows; this one pins
+    every position).  Distributed plan — no driver sort of the corpus:
+    ``sort(h, doc_id)`` (Ray's range-partitioned exchange) +
+    the :func:`pack_documents` block-offset prefix pattern: pass 1
+    reads ONE row per block (first key + row count; the sort's range
+    partitioning makes first-keys order the blocks), the driver prefixes
+    the #blocks-sized counts, pass 2 adds the broadcast base offset to
+    each block's local ``arange``.  Oracle: the same bit-exact
+    128-bit splitmix64 SQL replay as the head query, without the LIMIT.
+
+    Output (sorted by pos): ``pos``, ``doc_id``."""
+    import ray
+
+    from biobloom_ray.hashing import splitmix64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    sd = np.uint64(seed)
+
+    def key(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        h = splitmix64(ids.astype(np.uint64) ^ sd)
+        return pa.table({"doc_id": pa.array(ids), "h": pa.array(h)})
+
+    sorted_ds = (ds.map_batches(key, batch_format="pyarrow")
+                 .sort(["h", "doc_id"]).materialize())
+
+    def block_meta(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"k_h": pa.array([], type=pa.uint64()),
+                             "k_id": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        return pa.table({"k_h": pa.array([b["h"][0].as_py()],
+                                         type=pa.uint64()),
+                         "k_id": pa.array([b["doc_id"][0].as_py()],
+                                          type=pa.int64()),
+                         "n": pa.array([len(b)], type=pa.int64())})
+
+    blocks = (sorted_ds.map_batches(block_meta, batch_format="pyarrow",
+                                    batch_size=None).to_pandas())
+    blocks = blocks.sort_values(["k_h", "k_id"])
+    offs = blocks.n.cumsum().shift(fill_value=0).to_numpy()
+    off_of = {(int(r.k_h), int(r.k_id)): int(o)
+              for r, o in zip(blocks.itertuples(), offs)}
+    off_ref = ray.put(off_of)
+
+    def assign(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"pos": pa.array([], type=pa.int64()),
+                             "doc_id": pa.array([], type=pa.int64())})
+        omap = ray.get(off_ref)
+        base = omap[(int(b["h"][0].as_py()), int(b["doc_id"][0].as_py()))]
+        return pa.table({
+            "pos": pa.array(base + 1 + np.arange(len(b), dtype=np.int64)),
+            "doc_id": b["doc_id"]})
+
+    return (sorted_ds.map_batches(assign, batch_format="pyarrow",
+                                  batch_size=None)
+            .to_pandas().sort_values("pos").reset_index(drop=True))
+
+
 def clean_corpus(sf_dir: str, bench_mod: int = DECON_BENCH_MOD):
     """The canonical web-cleaning pipeline COMPOSED end-to-end in one
     streaming plan — quality gate -> exact dedup -> benchmark

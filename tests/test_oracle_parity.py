@@ -74,6 +74,8 @@ SQL_CHECKED = [
     "epoch_shuffle_head", "clean_corpus", "source_overlap",
     "quality_weighted_sample", "ann_topk_filtered", "token_entropy",
     "corpus_report", "events_range_join",
+    # round-4 additions
+    "epoch_shuffle_full", "ann_ivf_exact",
 ]
 
 
