@@ -147,15 +147,23 @@ class BloomFilter:
         pre = self.contains(uh1, h2[first_idx])
         distinct = int((~pre).sum())
         redundant = n - distinct
+        mm = U64(self.m)
+        idx_buf = np.empty(min(n, _CHUNK), dtype=U64)
+        bit_buf = np.empty(min(n, _CHUNK), dtype=U64)
         with np.errstate(over="ignore"):
             for lo in range(0, n, _CHUNK):
                 ch1 = h1[lo:lo + _CHUNK]
                 ch2 = h2[lo:lo + _CHUNK]
+                k = len(ch1)
+                ix, bits = idx_buf[:k], bit_buf[:k]
                 for i in range(self.hash_num):
-                    idx = (ch1 + U64(i) * ch2) % U64(self.m)
-                    np.bitwise_or.at(self.words,
-                                     (idx >> _SIX).astype(np.int64),
-                                     _ONE << (idx & _M63))
+                    np.multiply(ch2, U64(i), out=ix)
+                    np.add(ix, ch1, out=ix)
+                    np.mod(ix, mm, out=ix)
+                    np.bitwise_and(ix, _M63, out=bits)
+                    np.left_shift(_ONE, bits, out=bits)
+                    np.right_shift(ix, _SIX, out=ix)
+                    np.bitwise_or.at(self.words, ix, bits)
         self.n_inserted += n
         self.n_distinct += distinct
         self.n_redundant += redundant
@@ -164,23 +172,35 @@ class BloomFilter:
     def contains(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
         """Vectorized membership: AND over h bit probes, with a shrinking
         candidate set (early exit per probe round).  Processed in
-        cache-sized chunks so probe temporaries never hit DRAM."""
+        cache-sized chunks, and every per-round temporary is computed
+        into two reused scratch buffers (``out=`` kernels) — per probe
+        round only the word gather and one small bool allocate, so the
+        L3/DRAM write traffic stays flat when 32 workers share a socket
+        (the measured 8→32 limiter, BASELINE.md)."""
         n = len(h1)
         out = np.zeros(n, dtype=bool)
         if n == 0:
             return out
+        mm = U64(self.m)
+        idx_buf = np.empty(min(n, _CHUNK), dtype=U64)
+        sh_buf = np.empty(min(n, _CHUNK), dtype=U64)
         with np.errstate(over="ignore"):
             for lo in range(0, n, _CHUNK):
                 sl = slice(lo, min(lo + _CHUNK, n))
                 ch1, ch2 = h1[sl], h2[sl]
                 alive = np.arange(lo, sl.stop, dtype=np.int64)
                 for i in range(self.hash_num):
-                    idx = ch1 + U64(i) * ch2
-                    idx %= U64(self.m)
-                    widx = (idx >> _SIX).astype(np.int64)
-                    hit = self.words[widx]
-                    hit >>= idx & _M63
-                    keep = (hit & _ONE).astype(bool)
+                    k = len(ch1)
+                    ix, s = idx_buf[:k], sh_buf[:k]
+                    np.multiply(ch2, U64(i), out=ix)
+                    np.add(ix, ch1, out=ix)
+                    np.mod(ix, mm, out=ix)
+                    np.bitwise_and(ix, _M63, out=s)     # bit offsets
+                    np.right_shift(ix, _SIX, out=ix)    # word indices
+                    hit = self.words[ix]
+                    np.right_shift(hit, s, out=hit)
+                    np.bitwise_and(hit, _ONE, out=hit)
+                    keep = hit != 0
                     alive = alive[keep]
                     if len(alive) == 0:
                         break
