@@ -1031,6 +1031,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 oracle additions (r3 verdict #9)
         "epoch_shuffle_full": A.epoch_shuffle_full,
         "ann_ivf_exact": _ann_ivf_exact,
+        # round-4 operator additions: semi-structured extraction,
+        # per-group heavy hitters, window rank, non-parquet formats
+        "events_props_stats": A.events_props_stats,
+        "top_bigrams_per_lang": A.top_bigrams_per_lang,
+        "nchars_rank_in_source": A.nchars_rank_in_source,
+        "jsonl_roundtrip_lang_counts": A.jsonl_roundtrip_lang_counts,
+        "csv_roundtrip_event_counts": A.csv_roundtrip_event_counts,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -1850,6 +1857,48 @@ def oracle_sql() -> dict[str, str]:
             "list_cosine_similarity(e.embedding, q.qe) AS sim "
             "FROM embeddings e, q) "
             "ORDER BY sim DESC, vec_id ASC LIMIT 10",
+        # semi-structured props extraction + rollup: exact integers;
+        # the pipeline parses with ONE vectorized RE2 pass
+        "events_props_stats":
+            "WITH e AS (SELECT event_type, CAST(regexp_extract(props,"
+            " '\"k\":\\s*(-?\\d+)', 1) AS BIGINT) AS k FROM events) "
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,"
+            " CAST(SUM(k) AS BIGINT) AS sum_k,"
+            " CAST(MIN(k) AS BIGINT) AS min_k,"
+            " CAST(MAX(k) AS BIGINT) AS max_k"
+            " FROM e GROUP BY event_type ORDER BY event_type",
+        # per-lang top-5 word bigrams, exact counts, lexicographic ties
+        "top_bigrams_per_lang":
+            "WITH tok AS (SELECT doc_id, lang, regexp_extract_all(text,"
+            " '\\S+') AS toks FROM documents), "
+            "uni AS (SELECT doc_id, lang, unnest(toks) AS w,"
+            " generate_subscripts(toks, 1) AS i FROM tok), "
+            "bg AS (SELECT a.lang AS lang, a.w || ' ' || b.w AS bigram"
+            " FROM uni a JOIN uni b ON a.doc_id = b.doc_id AND"
+            " b.i = a.i + 1), "
+            "c AS (SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS cnt"
+            " FROM bg GROUP BY lang, bigram), "
+            "r AS (SELECT lang, bigram, cnt, ROW_NUMBER() OVER ("
+            "PARTITION BY lang ORDER BY cnt DESC, bigram ASC) AS rn"
+            " FROM c) "
+            "SELECT lang, bigram, cnt FROM r WHERE rn <= 5"
+            " ORDER BY lang, cnt DESC, bigram",
+        # RANK within source without a global sort: exact integers
+        "nchars_rank_in_source":
+            "SELECT doc_id, source, n_chars,"
+            " CAST(RANK() OVER (PARTITION BY source ORDER BY n_chars)"
+            " AS BIGINT) AS rnk,"
+            " CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT)"
+            " AS n_in_source"
+            " FROM documents ORDER BY doc_id",
+        # format round-trips: the oracle sees the ORIGINAL table, so a
+        # lossy JSONL/CSV write->read would hash-mismatch
+        "jsonl_roundtrip_lang_counts":
+            "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang"
+            " ORDER BY lang",
+        "csv_roundtrip_event_counts":
+            "SELECT event_type, COUNT(*) AS n FROM events"
+            " GROUP BY event_type ORDER BY event_type",
         "ann_topk_filtered":
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
             "SELECT vec_id FROM ("

@@ -167,7 +167,10 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "ann_topk_filtered", "token_entropy", "corpus_report",
                "events_range_join",
                # round-4 additions
-               "epoch_shuffle_full", "ann_ivf_exact"]
+               "epoch_shuffle_full", "ann_ivf_exact",
+               "events_props_stats", "top_bigrams_per_lang",
+               "nchars_rank_in_source", "jsonl_roundtrip_lang_counts",
+               "csv_roundtrip_event_counts"]
 
 
 def run_queries() -> dict[str, float]:

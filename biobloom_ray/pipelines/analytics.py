@@ -3077,3 +3077,233 @@ def events_range_join(sf_dir: str, left_type: str = "click",
                    .map_groups(rjoin, batch_format="pyarrow"))
     out = grouped.to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+# -- round-4 additions: semi-structured props, per-group top-k bigrams,
+# -- window ranks, and non-parquet source/sink round-trips ------------------
+
+def events_props_stats(sf_dir: str):
+    """Semi-structured column extraction + rollup: parse the JSON
+    ``props`` payload (``{"k": N}``) with ONE vectorized RE2 pass
+    (``pc.extract_regex`` — no Python-level json.loads per row) and
+    aggregate per event_type.  Same tiering as the other event rollups:
+    per-block partials always pre-reduce inside map_batches; below
+    ``EVENTS_DRIVER_MAX_ROWS`` the output-scale partials combine on the
+    driver, above it a native Sum/Min/Max groupby finishes."""
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(b["props"], pattern=r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        df = pd.DataFrame({
+            "event_type": b["event_type"].to_pandas(),
+            "k": k.to_numpy(zero_copy_only=False)})
+        agg = (df.groupby("event_type", as_index=False)
+               .agg(n=("k", "size"), sum_k=("k", "sum"),
+                    min_k=("k", "min"), max_k=("k", "max")))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        p = parts_ds.to_pandas()
+        out = (p.groupby("event_type", as_index=False)
+               .agg(n=("n", "sum"), sum_k=("sum_k", "sum"),
+                    min_k=("min_k", "min"), max_k=("max_k", "max")))
+    else:
+        out = (parts_ds.groupby("event_type")
+               .aggregate(Sum("n", alias_name="n"),
+                          Sum("sum_k", alias_name="sum_k"),
+                          Min("min_k", alias_name="min_k"),
+                          Max("max_k", alias_name="max_k"))
+               .to_pandas())
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+#: driver-combine gate for the bigram count table (output-scale:
+#: #langs × distinct bigrams rows); above it the native groupby runs
+BIGRAM_DRIVER_MAX_ROWS = 2_000_000
+
+
+def top_bigrams_per_lang(sf_dir: str, k: int = 5):
+    """Per-group heavy hitters: the k most frequent word bigrams of
+    every language (exact counts, ties broken lexicographically).  Block
+    partials factorize (lang, bigram) pairs with ONE pandas C groupby —
+    at most the block's distinct-pair count leaves any block — then the
+    count table reduces (driver below the gate, native Sum groupby
+    above) and a per-block local-top-k → tiny per-lang reduce picks the
+    winners, the same two-level shape as ``top_docs_per_lang``."""
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        from biobloom_ray.stages.textstats import _token_arrays
+
+        flat, _lens, row_of = _token_arrays(b)
+        if len(flat) < 2:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "bigram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        langs = b["lang"].to_pandas().to_numpy(dtype=object)
+        same = row_of[1:] == row_of[:-1]  # adjacent pairs within one doc
+        bg = (pd.Series(flat[:-1][same], dtype=object)
+              .str.cat(pd.Series(flat[1:][same], dtype=object), sep=" "))
+        df = pd.DataFrame({
+            "lang": langs[row_of[:-1][same]],
+            "bigram": bg.to_numpy(dtype=object)})
+        agg = df.groupby(["lang", "bigram"], as_index=False).size()
+        agg = agg.rename(columns={"size": "cnt"})
+        agg["cnt"] = agg["cnt"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= BIGRAM_DRIVER_MAX_ROWS:
+        p = parts_ds.to_pandas()
+        counts = (p.groupby(["lang", "bigram"], as_index=False)["cnt"]
+                  .sum())
+        counts = counts.sort_values(["lang", "cnt", "bigram"],
+                                    ascending=[True, False, True])
+        out = counts.groupby("lang").head(k)
+        return (out.reset_index(drop=True)[["lang", "bigram", "cnt"]])
+
+    counts_ds = (parts_ds.groupby(["lang", "bigram"])
+                 .aggregate(Sum("cnt", alias_name="cnt")))
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df.sort_values(["lang", "cnt", "bigram"],
+                            ascending=[True, False, True])
+        return pa.Table.from_pandas(df.groupby("lang").head(k),
+                                    preserve_index=False)
+
+    def final_topk(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(
+            ["cnt", "bigram"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (counts_ds.map_batches(local_topk, batch_format="pyarrow")
+           .groupby("lang").map_groups(final_topk, batch_format="pyarrow")
+           .to_pandas())
+    return (out.sort_values(["lang", "cnt", "bigram"],
+                            ascending=[True, False, True])
+            .reset_index(drop=True)[["lang", "bigram", "cnt"]])
+
+
+#: input-row gate for the rank count-table reduce: the per-block
+#: partials are output-scale ((source, n_chars) rows), so below this
+#: many input rows they combine on the driver instead of a native
+#: groupby shuffle; above it the unchanged native Sum groupby runs
+RANK_DRIVER_MAX_ROWS = 5_000_000
+
+#: rank-table broadcast gate: the (source, n_chars, rnk) table grows
+#: with value cardinality, not corpus rows; above this many table rows
+#: the map-side broadcast merge switches to a Dataset hash join
+RANK_BROADCAST_MAX_ROWS = 2_000_000
+
+
+def nchars_rank_in_source(sf_dir: str):
+    """Window-function shape without a global sort: RANK() of each
+    document's length within its source.  The per-(source, n_chars)
+    count table is output-scale (≤ #sources × distinct lengths), so it
+    reduces small, turns into cumulative ranks on the driver, and
+    broadcasts back for a map-only join — no all-to-all over the
+    documents themselves at any corpus size (the count table grows with
+    VALUE cardinality, not row count)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": b["source"].to_pandas(),
+            "n_chars": b["n_chars"].to_numpy(zero_copy_only=False)})
+        agg = df.groupby(["source", "n_chars"], as_index=False).size()
+        agg = agg.rename(columns={"size": "cnt"})
+        agg["cnt"] = agg["cnt"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= RANK_DRIVER_MAX_ROWS:
+        counts = (parts_ds.to_pandas()
+                  .groupby(["source", "n_chars"], as_index=False)["cnt"]
+                  .sum())
+    else:
+        counts = (parts_ds.groupby(["source", "n_chars"])
+                  .aggregate(Sum("cnt", alias_name="cnt"))
+                  .to_pandas())
+    counts = counts.sort_values(["source", "n_chars"]).reset_index(drop=True)
+    # RANK() = 1 + #strictly-smaller within the source (exclusive cumsum)
+    csum = counts.groupby("source")["cnt"].cumsum() - counts["cnt"]
+    counts["rnk"] = (csum + 1).astype(np.int64)
+    n_src = (counts.groupby("source", as_index=False)["cnt"].sum()
+             .rename(columns={"cnt": "n_in_source"}))
+    n_src["n_in_source"] = n_src["n_in_source"].astype(np.int64)
+    import ray
+
+    if len(counts) > RANK_BROADCAST_MAX_ROWS:
+        # value cardinality too high to broadcast: hash-join the rank
+        # table back instead (counts already carries rnk; n_in_source
+        # joins on source alone — both sides stay Dataset-resident)
+        from biobloom_ray.io import hash_join
+
+        rank_ds = ray.data.from_pandas(
+            counts[["source", "n_chars", "rnk"]].merge(n_src, on="source"))
+        out = hash_join(ds, rank_ds,
+                        on=("source", "n_chars")).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)[
+            ["doc_id", "source", "n_chars", "rnk", "n_in_source"]]
+
+    lookup_ref = ray.put((counts[["source", "n_chars", "rnk"]], n_src))
+
+    def attach(b: pa.Table) -> pa.Table:
+        cdf, ndf = ray.get(lookup_ref)
+        df = pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(zero_copy_only=False),
+            "source": b["source"].to_pandas(),
+            "n_chars": b["n_chars"].to_numpy(zero_copy_only=False)})
+        df = (df.merge(cdf, on=["source", "n_chars"], how="left")
+              .merge(ndf, on="source", how="left"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = ds.map_batches(attach, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def jsonl_roundtrip_lang_counts(sf_dir: str):
+    """Non-parquet source/sink (§2.1 format coverage, the reference's
+    fasta/fastq-alongside-gz analogue): documents → JSONL shards under
+    /tmp via ``Dataset.write_json`` → ``ray.data.read_json`` → the
+    lang_counts rollup.  The oracle is plain lang_counts SQL over the
+    original table, so the round-trip must be lossless."""
+    import os
+    import shutil
+    import tempfile
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    tmp = tempfile.mkdtemp(prefix="bbr_jsonl_", dir="/tmp")
+    try:
+        ds.write_json(tmp)
+        back = ray.data.read_json(tmp)
+        out = (back.groupby("lang").aggregate(Count(alias_name="n"))
+               .to_pandas())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def csv_roundtrip_event_counts(sf_dir: str):
+    """CSV source/sink round-trip: events (event_id, event_type) →
+    CSV shards → ``ray.data.read_csv`` → per-type counts; oracled by
+    the plain SQL rollup over the original parquet view."""
+    import shutil
+    import tempfile
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+    tmp = tempfile.mkdtemp(prefix="bbr_csv_", dir="/tmp")
+    try:
+        ds.write_csv(tmp)
+        back = ray.data.read_csv(tmp)
+        out = (back.groupby("event_type")
+               .aggregate(Count(alias_name="n")).to_pandas())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.sort_values("event_type").reset_index(drop=True)

@@ -76,6 +76,8 @@ SQL_CHECKED = [
     "corpus_report", "events_range_join",
     # round-4 additions
     "epoch_shuffle_full", "ann_ivf_exact",
+    "events_props_stats", "top_bigrams_per_lang", "nchars_rank_in_source",
+    "jsonl_roundtrip_lang_counts", "csv_roundtrip_event_counts",
 ]
 
 

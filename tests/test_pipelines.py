@@ -821,3 +821,37 @@ def test_events_range_join_brute_force(ray_session):
         assert g.sum_value_cents == int(round(w.value.mul(100)
                                               .round().sum()))
     assert (out.n_in_window > 0).any()
+
+
+def test_round4_new_op_tiers_agree(ray_session, monkeypatch):
+    """Round-4 operators: every tier pair returns identical tables —
+    events_props_stats (driver combine vs native groupby),
+    top_bigrams_per_lang (driver count-table vs native Sum + two-level
+    top-k), nchars_rank_in_source (driver combine + broadcast merge vs
+    native groupby + Dataset hash join)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+
+    def canon(df):
+        cols = list(df.columns)
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    fast_props = A.events_props_stats(sf)
+    fast_bg = A.top_bigrams_per_lang(sf)
+    fast_rank = A.nchars_rank_in_source(sf)
+
+    monkeypatch.setattr(A, "EVENTS_DRIVER_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "BIGRAM_DRIVER_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "RANK_DRIVER_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "RANK_BROADCAST_MAX_ROWS", 0)
+
+    slow_props = A.events_props_stats(sf)[list(fast_props.columns)]
+    slow_bg = A.top_bigrams_per_lang(sf)[list(fast_bg.columns)]
+    slow_rank = A.nchars_rank_in_source(sf)[list(fast_rank.columns)]
+
+    for name, f, s in [("props", fast_props, slow_props),
+                       ("bigrams", fast_bg, slow_bg),
+                       ("rank", fast_rank, slow_rank)]:
+        f, s = canon(f), canon(s)
+        assert len(f) > 0 and f.equals(s), name
