@@ -1038,6 +1038,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nchars_rank_in_source": A.nchars_rank_in_source,
         "jsonl_roundtrip_lang_counts": A.jsonl_roundtrip_lang_counts,
         "csv_roundtrip_event_counts": A.csv_roundtrip_event_counts,
+        "windowed_distinct_users": A.windowed_distinct_users,
+        "segment_revenue_topk": A.segment_revenue_topk,
+        "nb_class_scores": A.nb_class_scores,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -1899,6 +1902,47 @@ def oracle_sql() -> dict[str, str]:
         "csv_roundtrip_event_counts":
             "SELECT event_type, COUNT(*) AS n FROM events"
             " GROUP BY event_type ORDER BY event_type",
+        # exact windowed DISTINCT (the HLL sketch's exact twin)
+        "windowed_distinct_users":
+            "SELECT event_type,"
+            " CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS"
+            " hour_epoch,"
+            " CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users"
+            " FROM events GROUP BY event_type, date_trunc('hour', ts)"
+            " ORDER BY event_type, hour_epoch",
+        # TPC-H Q3 shape: 3-way join, exact 10^-4-dollar revenue units
+        "segment_revenue_topk":
+            "SELECT l.l_orderkey AS o_orderkey,"
+            " CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT) *"
+            " (100 - CAST(ROUND(l.l_discount*100) AS BIGINT)))"
+            " AS BIGINT) AS revenue"
+            " FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey"
+            " JOIN lineitem l ON l.l_orderkey = o.o_orderkey"
+            " WHERE c.c_mktsegment = 'BUILDING'"
+            " GROUP BY l.l_orderkey"
+            " ORDER BY revenue DESC, o_orderkey ASC LIMIT 10",
+        # Naive Bayes log-odds: exact-integer companions pin the
+        # token<->vocab join; the float is 6-dp rounded (same
+        # summation-ulp-absorption contract as bigram_lm_scores)
+        "nb_class_scores":
+            "WITH tok AS (SELECT doc_id, source, unnest("
+            "regexp_extract_all(text, '\\S+')) AS w FROM documents), "
+            "cls AS (SELECT doc_id, w, (CAST(regexp_extract(source,"
+            " '(\\d+)', 1) AS BIGINT) % 2 = 0) AS is_a FROM tok), "
+            "vocab AS (SELECT w, CAST(COUNT(*) FILTER (is_a) AS BIGINT)"
+            " AS ca, CAST(COUNT(*) FILTER (NOT is_a) AS BIGINT) AS cb"
+            " FROM cls GROUP BY w), "
+            "tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS ta,"
+            " CAST(SUM(cb) AS BIGINT) AS tb,"
+            " CAST(COUNT(*) AS BIGINT) AS v FROM vocab) "
+            "SELECT t.doc_id,"
+            " CAST(COUNT(*) AS BIGINT) AS n_tokens,"
+            " CAST(SUM(vb.ca) AS BIGINT) AS sum_ca,"
+            " CAST(SUM(vb.cb) AS BIGINT) AS sum_cb,"
+            " ROUND(SUM(LN((vb.ca + 1.0) / (tot.ta + tot.v))"
+            " - LN((vb.cb + 1.0) / (tot.tb + tot.v))), 6) AS score_r6"
+            " FROM cls t JOIN vocab vb ON t.w = vb.w CROSS JOIN tot"
+            " GROUP BY t.doc_id ORDER BY t.doc_id",
         "ann_topk_filtered":
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
             "SELECT vec_id FROM ("

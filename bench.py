@@ -170,7 +170,8 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "epoch_shuffle_full", "ann_ivf_exact",
                "events_props_stats", "top_bigrams_per_lang",
                "nchars_rank_in_source", "jsonl_roundtrip_lang_counts",
-               "csv_roundtrip_event_counts"]
+               "csv_roundtrip_event_counts", "windowed_distinct_users",
+               "segment_revenue_topk", "nb_class_scores"]
 
 
 def run_queries() -> dict[str, float]:

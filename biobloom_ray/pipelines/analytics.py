@@ -3307,3 +3307,285 @@ def csv_roundtrip_event_counts(sf_dir: str):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def windowed_distinct_users(sf_dir: str):
+    """Windowed DISTINCT: exact unique users per (event_type, hour).
+    Per-block pre-dedup of (type, hour, user) triples bounds what any
+    block emits by its own distinct count; below the row gate the
+    triples dedup+count on the driver, above it two chained native
+    groupbys on the SAME key prefix finish (the first dedups the
+    triples cluster-wide, the second counts survivors per window) —
+    the exact twin of the HLL sketch path (`hll_distinct_per_lang`),
+    kept for windows where exactness is worth the wider shuffle."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        hour = (pc.floor_temporal(b["ts"], unit="hour")
+                .cast(pa.timestamp("s")).cast(pa.int64()))
+        df = pd.DataFrame({
+            "event_type": b["event_type"].to_pandas(),
+            "hour_epoch": hour.to_numpy(zero_copy_only=False),
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False)})
+        return pa.Table.from_pandas(df.drop_duplicates(),
+                                    preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        p = parts_ds.to_pandas().drop_duplicates()
+        out = (p.groupby(["event_type", "hour_epoch"], as_index=False)
+               .agg(n_users=("user_id", "size")))
+        out["n_users"] = out["n_users"].astype(np.int64)
+    else:
+        dedup = (parts_ds
+                 .groupby(["event_type", "hour_epoch", "user_id"])
+                 .aggregate(Count(alias_name="_c"))
+                 .drop_columns(["_c"]))
+        out = (dedup.groupby(["event_type", "hour_epoch"])
+               .aggregate(Count(alias_name="n_users")).to_pandas())
+    return (out.sort_values(["event_type", "hour_epoch"])
+            .reset_index(drop=True)[["event_type", "hour_epoch",
+                                     "n_users"]])
+
+
+#: segment-customer broadcast gate: below this many CUSTOMER rows the
+#: in-segment custkey set (and then the matching orderkey set) rides
+#: ray.put broadcasts; above it both links become Dataset hash joins
+SEGMENT_BROADCAST_MAX_ROWS = 1_000_000
+
+
+def segment_revenue_topk(sf_dir: str, segment: str = "BUILDING",
+                         k: int = 10):
+    """TPC-H Q3 shape — a THREE-way join: customers of one market
+    segment ⋈ their orders ⋈ lineitem revenue, top-k orders by exact
+    integer revenue (10⁻⁴-dollar units, same fixed-point contract as
+    ``top_parts_by_revenue``).  Below the gate the two link tables
+    (in-segment custkeys, then matching orderkeys) broadcast via
+    ``ray.put`` and revenue partials combine on the driver; above it
+    the same DAG runs as two ``io.hash_join``s + a native Sum groupby
+    + per-block exact top-k (nothing driver-bound grows with the
+    corpus; the revenue rollup shuffles (orderkey, cents) partials
+    only)."""
+    import ray
+
+    from biobloom_ray.io import hash_join
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def seg_keys(b: pa.Table) -> pa.Table:
+        return (b.filter(pc.equal(b["c_mktsegment"], segment))
+                .select(["c_custkey"]))
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        cents = _cents_away(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False))
+        disc = _cents_away(b["l_discount"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_numpy(zero_copy_only=False),
+            "revenue": cents * (100 - disc)})
+        agg = df.groupby("l_orderkey", as_index=False)["revenue"].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    n_cust = _cheap_count(cust)
+    if n_cust is not None and n_cust <= SEGMENT_BROADCAST_MAX_ROWS:
+        ck = np.sort(cust.map_batches(seg_keys, batch_format="pyarrow")
+                     .to_pandas()["c_custkey"].to_numpy())
+        ck_ref = ray.put(ck)
+
+        def order_keys(b: pa.Table) -> pa.Table:
+            keys = ray.get(ck_ref)
+            oc = b["o_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, oc)
+            pos[pos >= len(keys)] = 0
+            hit = len(keys) > 0
+            mask = (keys[pos] == oc) if hit else np.zeros(len(oc), bool)
+            return b.filter(pa.array(mask)).select(["o_orderkey"])
+
+        ok = np.sort(orders.map_batches(order_keys,
+                                        batch_format="pyarrow")
+                     .to_pandas()["o_orderkey"].to_numpy())
+        ok_ref = ray.put(ok)
+
+        def rev_in_seg(b: pa.Table) -> pa.Table:
+            keys = ray.get(ok_ref)
+            lk = b["l_orderkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, lk)
+            pos[pos >= len(keys)] = 0
+            hit = len(keys) > 0
+            mask = (keys[pos] == lk) if hit else np.zeros(len(lk), bool)
+            return rev_partial(b.filter(pa.array(mask)))
+
+        p = li.map_batches(rev_in_seg, batch_format="pyarrow").to_pandas()
+        agg = p.groupby("l_orderkey", as_index=False)["revenue"].sum()
+        agg = agg.rename(columns={"l_orderkey": "o_orderkey"})
+        out = agg.sort_values(["revenue", "o_orderkey"],
+                              ascending=[False, True]).head(k)
+        return out.reset_index(drop=True)[["o_orderkey", "revenue"]]
+
+    seg_ds = cust.map_batches(seg_keys, batch_format="pyarrow")
+    seg_orders = hash_join(orders, seg_ds, on=("o_custkey",),
+                           right_on=("c_custkey",)).select_columns(
+                               ["o_orderkey"])
+    rev = (li.map_batches(rev_partial, batch_format="pyarrow")
+           .groupby("l_orderkey")
+           .aggregate(Sum("revenue", alias_name="revenue")))
+    joined = hash_join(rev, seg_orders, on=("l_orderkey",),
+                       right_on=("o_orderkey",))
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        rev_np = b["revenue"].to_numpy(zero_copy_only=False)
+        keys = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((keys, -rev_np))[:k]
+        return pa.table({"o_orderkey": pa.array(keys[idx]),
+                         "revenue": pa.array(rev_np[idx])})
+
+    cand = (joined.map_batches(local_topk, batch_format="pyarrow")
+            .to_pandas())
+    out = cand.sort_values(["revenue", "o_orderkey"],
+                           ascending=[False, True]).head(k)
+    return out.reset_index(drop=True)[["o_orderkey", "revenue"]]
+
+
+#: document-row gate for the NB vocabulary broadcast (same contract as
+#: RARITY_BROADCAST_MAX_ROWS: the class-count vocab table broadcasts
+#: below it; above, the exploded tokens hash-join the vocab Dataset)
+NB_BROADCAST_MAX_ROWS = 100_000
+
+
+def nb_class_scores(sf_dir: str):
+    """Supervised corpus-trained scorer — a multinomial Naive Bayes
+    log-odds per document, the fastText-style quality-classifier shape
+    (train a linear bag-of-words model on a labeled split, score every
+    page) with a corpus-internal label: class A = documents whose
+    source number is even, B = odd.  Training is ONE tokenize pass
+    (per-block (token, ca, cb) partials, factorize-based); scoring is
+    map-only against the broadcast vocabulary.  Output per doc:
+    ``n_tokens, sum_ca, sum_cb`` (exact integers — they pin the
+    token⋈vocab join float-free) and ``score_r6`` = Laplace-smoothed
+    log-odds Σ ln((ca+1)/(ta+V)) − ln((cb+1)/(tb+V)) rounded to 6 dp
+    (absorbs libm/summation-order ulps, same contract as
+    ``bigram_lm_scores``).  Docs with zero tokens drop (no score).
+
+    Tiered: below ``NB_BROADCAST_MAX_ROWS`` docs the vocab broadcasts
+    once via ``ray.put`` (searchsorted per batch); above it the
+    exploded (doc_id, token) rows hash-join the vocab Dataset and
+    per-doc native Count/Sum aggregates finish — the float column sums
+    per doc in whatever order the join emits, which the 6-dp rounding
+    absorbs (tier-parity asserted at 1e-6)."""
+    import ray
+
+    from biobloom_ray.io import hash_join
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def _class_a(source: pd.Series) -> np.ndarray:
+        nums = source.str.extract(r"(\d+)", expand=False).astype(np.int64)
+        return (nums % 2 == 0).to_numpy()
+
+    def vocab_partial(b: pa.Table) -> pa.Table:
+        from biobloom_ray.stages.textstats import _token_arrays
+
+        flat, lens, row_of = _token_arrays(b)
+        if not len(flat):
+            return pa.table({"token": pa.array([], pa.string()),
+                             "ca": pa.array([], pa.int64()),
+                             "cb": pa.array([], pa.int64())})
+        is_a = _class_a(b["source"].to_pandas())[row_of]
+        codes, uniq = pd.factorize(pd.Index(flat, dtype=object))
+        ca = np.zeros(len(uniq), dtype=np.int64)
+        cb = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(ca, codes[is_a], 1)
+        np.add.at(cb, codes[~is_a], 1)
+        return pa.table({"token": pa.array(uniq.to_numpy(dtype=object)
+                                           .tolist(), type=pa.string()),
+                         "ca": pa.array(ca), "cb": pa.array(cb)})
+
+    vocab_parts = ds.map_batches(vocab_partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+
+    if n_rows is not None and n_rows <= NB_BROADCAST_MAX_ROWS:
+        vp = (vocab_parts.to_pandas().groupby("token", as_index=False)
+              [["ca", "cb"]].sum())
+        ta, tb, v = (int(vp.ca.sum()), int(vp.cb.sum()), len(vp))
+        tok_sorted = vp.token.to_numpy(dtype=object)
+        order = np.argsort(tok_sorted, kind="stable")
+        model_ref = ray.put((tok_sorted[order],
+                             vp.ca.to_numpy()[order],
+                             vp.cb.to_numpy()[order], ta, tb, v))
+
+        def score(b: pa.Table) -> pa.Table:
+            import ray as _r
+
+            from biobloom_ray.stages.textstats import _token_arrays
+
+            toks_s, ca_s, cb_s, ta_, tb_, v_ = _r.get(model_ref)
+            flat, lens, row_of = _token_arrays(b)
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(toks_s, flat)
+            ca = ca_s[idx]
+            cb = cb_s[idx]
+            lp = (np.log((ca + 1.0) / (ta_ + v_))
+                  - np.log((cb + 1.0) / (tb_ + v_)))
+            n = len(ids)
+            sc = np.zeros(n)
+            sa = np.zeros(n, dtype=np.int64)
+            sb = np.zeros(n, dtype=np.int64)
+            np.add.at(sc, row_of, lp)
+            np.add.at(sa, row_of, ca)
+            np.add.at(sb, row_of, cb)
+            keep = lens > 0
+            return pa.table({
+                "doc_id": pa.array(ids[keep]),
+                "n_tokens": pa.array(lens[keep]),
+                "sum_ca": pa.array(sa[keep]),
+                "sum_cb": pa.array(sb[keep]),
+                "score_r6": pa.array(np.round(sc[keep], 6))})
+
+        out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    vocab = (vocab_parts.groupby("token")
+             .aggregate(Sum("ca", alias_name="ca"),
+                        Sum("cb", alias_name="cb")))
+    tot = (vocab.map_batches(
+        lambda b: pa.table({
+            "ta": pa.array([int(pc.sum(b["ca"]).as_py() or 0)]),
+            "tb": pa.array([int(pc.sum(b["cb"]).as_py() or 0)]),
+            "v": pa.array([b.num_rows])}), batch_format="pyarrow")
+        .to_pandas().sum())
+    ta, tb, v = int(tot.ta), int(tot.tb), int(tot.v)
+
+    def explode(b: pa.Table) -> pa.Table:
+        from biobloom_ray.stages.textstats import _token_arrays
+
+        flat, lens, row_of = _token_arrays(b)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[row_of]),
+            "token": pa.array(flat.tolist(), type=pa.string())})
+
+    toks = ds.map_batches(explode, batch_format="pyarrow")
+    joined = hash_join(toks, vocab, on=("token",))
+
+    def lp_col(b: pa.Table) -> pa.Table:
+        ca = b["ca"].to_numpy(zero_copy_only=False)
+        cb = b["cb"].to_numpy(zero_copy_only=False)
+        lp = (np.log((ca + 1.0) / (ta + v))
+              - np.log((cb + 1.0) / (tb + v)))
+        return b.append_column("lp", pa.array(lp))
+
+    out = (joined.map_batches(lp_col, batch_format="pyarrow")
+           .groupby("doc_id")
+           .aggregate(Count(alias_name="n_tokens"),
+                      Sum("ca", alias_name="sum_ca"),
+                      Sum("cb", alias_name="sum_cb"),
+                      Sum("lp", alias_name="score"))
+           .to_pandas())
+    out["score_r6"] = np.round(out["score"].to_numpy(), 6)
+    return (out[["doc_id", "n_tokens", "sum_ca", "sum_cb", "score_r6"]]
+            .sort_values("doc_id").reset_index(drop=True))

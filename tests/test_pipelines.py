@@ -855,3 +855,36 @@ def test_round4_new_op_tiers_agree(ray_session, monkeypatch):
                        ("rank", fast_rank, slow_rank)]:
         f, s = canon(f), canon(s)
         assert len(f) > 0 and f.equals(s), name
+
+
+def test_round4_wave2_tiers_agree(ray_session, monkeypatch):
+    """windowed_distinct_users (driver dedup vs chained native
+    groupbys), segment_revenue_topk (broadcast key sets vs two hash
+    joins + native rollup), nb_class_scores (broadcast vocab vs
+    token hash join; integer columns exact, float at 1e-6 like
+    bigram_lm_scores)."""
+    import numpy as np
+
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+
+    fast_w = A.windowed_distinct_users(sf)
+    fast_s = A.segment_revenue_topk(sf)
+    fast_nb = A.nb_class_scores(sf)
+
+    monkeypatch.setattr(A, "EVENTS_DRIVER_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "SEGMENT_BROADCAST_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "NB_BROADCAST_MAX_ROWS", 0)
+
+    slow_w = A.windowed_distinct_users(sf)[list(fast_w.columns)]
+    slow_s = A.segment_revenue_topk(sf)[list(fast_s.columns)]
+    slow_nb = A.nb_class_scores(sf)[list(fast_nb.columns)]
+
+    assert len(fast_w) > 0 and fast_w.equals(slow_w)
+    assert len(fast_s) > 0 and fast_s.equals(slow_s)
+    assert len(fast_nb) > 0
+    for c in ("doc_id", "n_tokens", "sum_ca", "sum_cb"):
+        assert (fast_nb[c].to_numpy() == slow_nb[c].to_numpy()).all(), c
+    assert np.allclose(fast_nb.score_r6, slow_nb.score_r6,
+                       rtol=0, atol=1e-6)
