@@ -1041,6 +1041,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_distinct_users": A.windowed_distinct_users,
         "segment_revenue_topk": A.segment_revenue_topk,
         "nb_class_scores": A.nb_class_scores,
+        "user_event_pivot": A.user_event_pivot,
+        "token_drift_topk": A.token_drift_topk,
+        "latest_event_per_user_type": A.latest_event_per_user_type,
+        "events_hourly_anomaly": A.events_hourly_anomaly,
+        "docs_rollup_cube": A.docs_rollup_cube,
+        "nchars_ntile_buckets": A.nchars_ntile_buckets,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -1943,6 +1949,72 @@ def oracle_sql() -> dict[str, str]:
             " - LN((vb.cb + 1.0) / (tot.tb + tot.v))), 6) AS score_r6"
             " FROM cls t JOIN vocab vb ON t.w = vb.w CROSS JOIN tot"
             " GROUP BY t.doc_id ORDER BY t.doc_id",
+        # pivot/crosstab: static per-type count columns, exact ints
+        "user_event_pivot":
+            "SELECT user_id,"
+            " CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT)"
+            " AS n_click,"
+            " CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT)"
+            " AS n_error,"
+            " CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)"
+            " AS n_purchase,"
+            " CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT)"
+            " AS n_signup,"
+            " CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT)"
+            " AS n_view"
+            " FROM events GROUP BY user_id ORDER BY user_id",
+        # drift monitor: top-20 tokens by |count(even docs) -
+        # count(odd docs)|, exact integers, lexicographic ties
+        "token_drift_topk":
+            "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all("
+            "text, '\\S+')) AS w FROM documents), "
+            "c AS (SELECT w AS token,"
+            " CAST(COUNT(*) FILTER (doc_id % 2 = 0) AS BIGINT) AS"
+            " c_even,"
+            " CAST(COUNT(*) FILTER (doc_id % 2 = 1) AS BIGINT) AS"
+            " c_odd FROM tok GROUP BY w) "
+            "SELECT token, c_even, c_odd,"
+            " CAST(ABS(c_even - c_odd) AS BIGINT) AS drift FROM c"
+            " ORDER BY drift DESC, token ASC LIMIT 20",
+        # latest-wins compaction (CDC/upsert): newest event per
+        # (user, type), event_id desc tiebreak; exact integers
+        "latest_event_per_user_type":
+            "WITH r AS (SELECT user_id, event_type, event_id,"
+            " CAST(epoch_us(ts) AS BIGINT) AS ts_us,"
+            " ROW_NUMBER() OVER (PARTITION BY user_id, event_type"
+            " ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+            "SELECT user_id, event_type, event_id, ts_us FROM r"
+            " WHERE rn = 1 ORDER BY user_id, event_type",
+        # per-type z-score of hourly counts (anomaly flags); exact n,
+        # 6-dp float z (STDDEV_SAMP == pandas std ddof=1)
+        "events_hourly_anomaly":
+            "WITH c AS (SELECT event_type,"
+            " CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS"
+            " hour_epoch, CAST(COUNT(*) AS BIGINT) AS n FROM events"
+            " GROUP BY event_type, date_trunc('hour', ts)) "
+            "SELECT event_type, hour_epoch, n,"
+            " ROUND((n - AVG(n) OVER (PARTITION BY event_type)) /"
+            " STDDEV_SAMP(n) OVER (PARTITION BY event_type), 6)"
+            " AS z_r6 FROM c ORDER BY event_type, hour_epoch",
+        # GROUPING SETS rollup at three grains from ONE scan
+        "docs_rollup_cube":
+            "SELECT CAST(CASE WHEN GROUPING(lang) = 1 AND"
+            " GROUPING(source) = 1 THEN 3 WHEN GROUPING(source) = 1"
+            " THEN 1 ELSE 0 END AS BIGINT) AS grouping_id,"
+            " COALESCE(lang, '') AS lang,"
+            " COALESCE(source, '') AS source,"
+            " CAST(COUNT(*) AS BIGINT) AS n,"
+            " CAST(SUM(n_chars) AS BIGINT) AS sum_chars"
+            " FROM documents"
+            " GROUP BY GROUPING SETS ((lang, source), (lang), ())"
+            " ORDER BY grouping_id, lang, source",
+        # distributed NTILE: equi-depth quartile of n_chars in source,
+        # ROW_NUMBER total order (n_chars, doc_id)
+        "nchars_ntile_buckets":
+            "SELECT doc_id, source, n_chars,"
+            " CAST(NTILE(4) OVER (PARTITION BY source"
+            " ORDER BY n_chars, doc_id) AS BIGINT) AS bucket"
+            " FROM documents ORDER BY doc_id",
         "ann_topk_filtered":
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
             "SELECT vec_id FROM ("

@@ -116,6 +116,11 @@ def _force_cluster_tiers():
     A.DUPC_DRIVER_MAX_ROWS = 0
     A.SRCGATE_BROADCAST_MAX_ROWS = 0
     A.EVENTS_ENTITY_DIRECT_MAX_ROWS = 0
+    A.BIGRAM_DRIVER_MAX_ROWS = 0
+    A.RANK_DRIVER_MAX_ROWS = 0
+    A.RANK_BROADCAST_MAX_ROWS = 0
+    A.SEGMENT_BROADCAST_MAX_ROWS = 0
+    A.NB_BROADCAST_MAX_ROWS = 0
     D.EXACT_DEDUP_DRIVER_MAX_ROWS = 0
     D.BAND_DRIVER_MAX_ROWS = 0
     PR.PAIR_BROADCAST_MAX_ROWS = 0
@@ -171,7 +176,10 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "events_props_stats", "top_bigrams_per_lang",
                "nchars_rank_in_source", "jsonl_roundtrip_lang_counts",
                "csv_roundtrip_event_counts", "windowed_distinct_users",
-               "segment_revenue_topk", "nb_class_scores"]
+               "segment_revenue_topk", "nb_class_scores",
+               "user_event_pivot", "token_drift_topk",
+               "latest_event_per_user_type", "events_hourly_anomaly",
+               "docs_rollup_cube", "nchars_ntile_buckets"]
 
 
 def run_queries() -> dict[str, float]:

@@ -3589,3 +3589,337 @@ def nb_class_scores(sf_dir: str):
     out["score_r6"] = np.round(out["score"].to_numpy(), 6)
     return (out[["doc_id", "n_tokens", "sum_ca", "sum_cb", "score_r6"]]
             .sort_values("doc_id").reset_index(drop=True))
+
+
+def user_event_pivot(sf_dir: str):
+    """Pivot / one-hot rollup — the feature-engineering crosstab: one
+    row per user with a count column per event type (the fixture's
+    closed set: click/error/purchase/signup/view).  Per-block pandas
+    crosstab partials (C groupby, no Python loop) pre-reduce to at most
+    #users-in-block rows; the tiered combine mirrors the other event
+    rollups (driver fold below ``EVENTS_DRIVER_MAX_ROWS``, native Sum
+    groupby above).  Unseen types stay all-zero columns so the schema
+    is static at any scale."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    cols = [f"n_{t}" for t in types]
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": b["event_type"].to_pandas()})
+        ct = pd.crosstab(df["user_id"], df["event_type"])
+        ct = ct.reindex(columns=types, fill_value=0).astype(np.int64)
+        ct.columns = cols
+        ct = ct.reset_index()
+        return pa.Table.from_pandas(ct, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        out = (parts_ds.to_pandas().groupby("user_id", as_index=False)
+               [cols].sum())
+    else:
+        out = (parts_ds.groupby("user_id")
+               .aggregate(*[Sum(c, alias_name=c) for c in cols])
+               .to_pandas())
+    return (out.sort_values("user_id").reset_index(drop=True)
+            [["user_id"] + cols])
+
+
+def token_drift_topk(sf_dir: str, k: int = 20):
+    """Distribution-drift monitor between two corpus slices (here: even
+    vs odd doc_id, standing in for yesterday's crawl vs today's): the k
+    tokens with the largest absolute count difference — all exact
+    integers, ties broken lexicographically.  ONE tokenize pass emits
+    per-block (token, c_even, c_odd) partials; the count table reduces
+    through the shared ``RARITY_BROADCAST_MAX_ROWS`` tier contract
+    (driver fold below, native Sum groupby above) and top-k is a
+    driver sort of the output-scale table below the gate / per-block
+    local top-k + final reduce above it."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        from biobloom_ray.stages.textstats import _token_arrays
+
+        flat, lens, row_of = _token_arrays(b)
+        if not len(flat):
+            return pa.table({"token": pa.array([], pa.string()),
+                             "c_even": pa.array([], pa.int64()),
+                             "c_odd": pa.array([], pa.int64())})
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        is_even = (ids % 2 == 0)[row_of]
+        codes, uniq = pd.factorize(pd.Index(flat, dtype=object))
+        ce = np.zeros(len(uniq), dtype=np.int64)
+        co = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(ce, codes[is_even], 1)
+        np.add.at(co, codes[~is_even], 1)
+        return pa.table({"token": pa.array(uniq.to_numpy(dtype=object)
+                                           .tolist(), type=pa.string()),
+                         "c_even": pa.array(ce), "c_odd": pa.array(co)})
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= RARITY_BROADCAST_MAX_ROWS:
+        p = (parts_ds.to_pandas().groupby("token", as_index=False)
+             [["c_even", "c_odd"]].sum())
+        p["drift"] = np.abs(p.c_even - p.c_odd).astype(np.int64)
+        out = p.sort_values(["drift", "token"],
+                            ascending=[False, True]).head(k)
+        return (out.reset_index(drop=True)
+                [["token", "c_even", "c_odd", "drift"]])
+
+    counts_ds = (parts_ds.groupby("token")
+                 .aggregate(Sum("c_even", alias_name="c_even"),
+                            Sum("c_odd", alias_name="c_odd")))
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        ce = b["c_even"].to_numpy(zero_copy_only=False)
+        co = b["c_odd"].to_numpy(zero_copy_only=False)
+        drift = np.abs(ce - co)
+        toks = b["token"].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((toks, -drift))[:k]
+        return pa.table({"token": pa.array(toks[idx].tolist(),
+                                           type=pa.string()),
+                         "c_even": pa.array(ce[idx]),
+                         "c_odd": pa.array(co[idx]),
+                         "drift": pa.array(drift[idx])})
+
+    cand = (counts_ds.map_batches(local_topk, batch_format="pyarrow")
+            .to_pandas())
+    out = cand.sort_values(["drift", "token"],
+                           ascending=[False, True]).head(k)
+    return (out.reset_index(drop=True)
+            [["token", "c_even", "c_odd", "drift"]])
+
+
+def latest_event_per_user_type(sf_dir: str):
+    """Latest-wins compaction (the CDC/upsert shape): for every
+    (user_id, event_type) keep the newest event, ties broken by
+    event_id desc.  Per-block argmax partials bound block output by
+    the block's own distinct key count — at most #blocks candidate
+    rows per key ever shuffle; the combine is tiered on the shared
+    event gate (driver fold below, native groupby + per-group argmax
+    above)."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = (b["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+                 .to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": b["event_type"].to_pandas(),
+            "event_id": b["event_id"].to_numpy(zero_copy_only=False),
+            "ts_us": ts_us})
+        df = df.sort_values(["user_id", "event_type", "ts_us",
+                             "event_id"])
+        keep = df.groupby(["user_id", "event_type"], as_index=False)
+        return pa.Table.from_pandas(keep.tail(1), preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        p = parts_ds.to_pandas()
+        p = p.sort_values(["user_id", "event_type", "ts_us", "event_id"])
+        out = p.groupby(["user_id", "event_type"], as_index=False).tail(1)
+    else:
+        def pick_latest(g: pa.Table) -> pa.Table:
+            ts = g["ts_us"].to_numpy(zero_copy_only=False)
+            eid = g["event_id"].to_numpy(zero_copy_only=False)
+            i = int(np.lexsort((eid, ts))[-1])
+            return g.slice(i, 1)
+
+        out = (parts_ds.groupby(["user_id", "event_type"])
+               .map_groups(pick_latest, batch_format="pyarrow")
+               .to_pandas())
+    return (out.sort_values(["user_id", "event_type"])
+            .reset_index(drop=True)
+            [["user_id", "event_type", "event_id", "ts_us"]])
+
+
+def events_hourly_anomaly(sf_dir: str):
+    """Anomaly flags over the hourly rollup: per event_type, the
+    z-score of each hour's event count against that type's own
+    hourly mean/stddev (sample).  The corpus-scale work is the SAME
+    tiered hourly rollup as ``events_hourly``; the z-pass runs on the
+    output-scale (type, hour) table on the driver — #hours × #types
+    rows regardless of corpus size.  Exact-integer ``n`` pins the
+    rollup; the float z is 6-dp rounded (same absorption contract as
+    the other float oracles)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        hour = (pc.floor_temporal(b["ts"], unit="hour")
+                .cast(pa.timestamp("s")).cast(pa.int64()))
+        df = pd.DataFrame({
+            "event_type": b["event_type"].to_pandas(),
+            "hour_epoch": hour.to_numpy(zero_copy_only=False)})
+        agg = (df.groupby(["event_type", "hour_epoch"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        agg["n"] = agg["n"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        p = parts_ds.to_pandas()
+        counts = (p.groupby(["event_type", "hour_epoch"], as_index=False)
+                  ["n"].sum())
+    else:
+        counts = (parts_ds.groupby(["event_type", "hour_epoch"])
+                  .aggregate(Sum("n", alias_name="n")).to_pandas())
+    g = counts.groupby("event_type")["n"]
+    mu = g.transform("mean")
+    sd = g.transform("std")  # sample stddev, ddof=1 == SQL STDDEV_SAMP
+    counts["z_r6"] = np.round((counts["n"] - mu) / sd, 6)
+    return (counts.sort_values(["event_type", "hour_epoch"])
+            .reset_index(drop=True)
+            [["event_type", "hour_epoch", "n", "z_r6"]])
+
+
+def docs_rollup_cube(sf_dir: str):
+    """GROUPING-SETS rollup: doc counts and char sums at THREE grains —
+    (lang, source), (lang), and grand total — in one result, the
+    warehouse CUBE/ROLLUP shape.  The corpus touches ONE tiered
+    (lang, source) rollup (driver fold below the shared gate, native
+    Sum groupby above); both coarser grains derive from that
+    output-scale table on the driver (#langs × #sources rows), so no
+    second scan or shuffle exists at any corpus size.  `grouping_id`
+    follows SQL GROUPING() numbering: 0 = (lang, source), 1 = lang
+    subtotal (source grouped out), 3 = grand total; grouped-out key
+    columns are empty strings (the oracle COALESCEs to match)."""
+    ds = _read(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": b["lang"].to_pandas(),
+            "source": b["source"].to_pandas(),
+            "n_chars": b["n_chars"].to_numpy(zero_copy_only=False)})
+        agg = (df.groupby(["lang", "source"], as_index=False)
+               .agg(n=("n_chars", "size"), sum_chars=("n_chars", "sum")))
+        agg["n"] = agg["n"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= RANK_DRIVER_MAX_ROWS:
+        fine = (parts_ds.to_pandas().groupby(["lang", "source"],
+                                             as_index=False)
+                [["n", "sum_chars"]].sum())
+    else:
+        fine = (parts_ds.groupby(["lang", "source"])
+                .aggregate(Sum("n", alias_name="n"),
+                           Sum("sum_chars", alias_name="sum_chars"))
+                .to_pandas())
+    by_lang = fine.groupby("lang", as_index=False)[["n", "sum_chars"]].sum()
+    by_lang["source"] = ""
+    by_lang["grouping_id"] = np.int64(1)
+    total = pd.DataFrame({
+        "lang": [""], "source": [""],
+        "n": [np.int64(fine.n.sum())],
+        "sum_chars": [np.int64(fine.sum_chars.sum())],
+        "grouping_id": [np.int64(3)]})
+    fine = fine.copy()
+    fine["grouping_id"] = np.int64(0)
+    out = pd.concat([fine, by_lang, total], ignore_index=True)
+    return (out.sort_values(["grouping_id", "lang", "source"])
+            .reset_index(drop=True)
+            [["grouping_id", "lang", "source", "n", "sum_chars"]])
+
+
+def nchars_ntile_buckets(sf_dir: str, n_buckets: int = 4):
+    """Distributed NTILE (equi-depth binning) without a global sort:
+    each document's quartile bucket of n_chars within its source.
+    ROW_NUMBER's total order is (n_chars, doc_id); the cumulative
+    BASE of each (source, n_chars) run comes from the same
+    value-cardinality count table as ``nchars_rank_in_source``
+    (broadcast once), and the within-run offset of tied docs is
+    resolved by one tiny groupby over ONLY the runs that straddle a
+    bucket boundary — ties on (source, n_chars) whose run lies fully
+    inside a bucket need no ordering at all, so the shuffled residue
+    is output-bucket-edge-scale, not corpus-scale."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+
+    def cpartial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": b["source"].to_pandas(),
+            "n_chars": b["n_chars"].to_numpy(zero_copy_only=False)})
+        agg = df.groupby(["source", "n_chars"], as_index=False).size()
+        agg = agg.rename(columns={"size": "cnt"})
+        agg["cnt"] = agg["cnt"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(cpartial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= RANK_DRIVER_MAX_ROWS:
+        counts = (parts_ds.to_pandas()
+                  .groupby(["source", "n_chars"], as_index=False)["cnt"]
+                  .sum())
+    else:
+        counts = (parts_ds.groupby(["source", "n_chars"])
+                  .aggregate(Sum("cnt", alias_name="cnt")).to_pandas())
+    counts = counts.sort_values(["source", "n_chars"]).reset_index(drop=True)
+    base = (counts.groupby("source")["cnt"].cumsum()
+            - counts["cnt"]).astype(np.int64)  # exclusive prefix
+    counts["base"] = base
+    n_src = counts.groupby("source")["cnt"].transform("sum").astype(np.int64)
+    counts["n_src"] = n_src
+    import ray
+
+    def ntile_of(rownum: np.ndarray, n: np.ndarray) -> np.ndarray:
+        """SQL NTILE(k): first (n % k) buckets take ceil(n/k) rows."""
+        q, r = n // n_buckets, n % n_buckets
+        big = r * (q + 1)
+        idx0 = rownum - 1
+        in_big = idx0 < big
+        t = np.where(in_big, idx0 // np.maximum(q + 1, 1),
+                     r + (idx0 - big) // np.maximum(q, 1))
+        return (t + 1).astype(np.int64)
+
+    # a run (all docs tying on (source, n_chars)) needs intra-run
+    # ordering ONLY if a bucket boundary falls inside it: ≤ k−1 runs
+    # per source, regardless of corpus size
+    counts["b_lo"] = ntile_of(counts["base"].to_numpy() + 1,
+                              counts["n_src"].to_numpy())
+    counts["b_hi"] = ntile_of(counts["base"].to_numpy()
+                              + counts["cnt"].to_numpy(),
+                              counts["n_src"].to_numpy())
+    lookup_ref = ray.put(counts[["source", "n_chars", "base", "n_src",
+                                 "b_lo", "b_hi"]])
+
+    def attach(b: pa.Table) -> pa.Table:
+        cdf = ray.get(lookup_ref)
+        df = pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(zero_copy_only=False),
+            "source": b["source"].to_pandas(),
+            "n_chars": b["n_chars"].to_numpy(zero_copy_only=False)})
+        df = df.merge(cdf, on=["source", "n_chars"], how="left")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    tagged = ds.map_batches(attach, batch_format="pyarrow")
+    inside = (tagged
+              .filter(expr="b_lo == b_hi")
+              .map_batches(lambda b: pa.table({
+                  "doc_id": b["doc_id"], "source": b["source"],
+                  "n_chars": b["n_chars"], "bucket": b["b_lo"]}),
+                  batch_format="pyarrow"))
+
+    def resolve_run(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        rownum = g["base"].to_numpy(zero_copy_only=False)[order] \
+            + np.arange(len(ids), dtype=np.int64) + 1
+        bkt = ntile_of(rownum, g["n_src"].to_numpy(
+            zero_copy_only=False)[order])
+        return pa.table({"doc_id": pa.array(ids[order]),
+                         "source": g["source"].take(order),
+                         "n_chars": g["n_chars"].take(order),
+                         "bucket": pa.array(bkt)})
+
+    straddling = (tagged.filter(expr="b_lo != b_hi")
+                  .groupby(["source", "n_chars"])
+                  .map_groups(resolve_run, batch_format="pyarrow"))
+    out = inside.union(straddling).to_pandas()
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            [["doc_id", "source", "n_chars", "bucket"]])

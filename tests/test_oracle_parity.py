@@ -79,6 +79,9 @@ SQL_CHECKED = [
     "events_props_stats", "top_bigrams_per_lang", "nchars_rank_in_source",
     "jsonl_roundtrip_lang_counts", "csv_roundtrip_event_counts",
     "windowed_distinct_users", "segment_revenue_topk", "nb_class_scores",
+    "user_event_pivot", "token_drift_topk",
+    "latest_event_per_user_type", "events_hourly_anomaly",
+    "docs_rollup_cube", "nchars_ntile_buckets",
 ]
 
 

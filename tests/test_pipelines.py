@@ -888,3 +888,92 @@ def test_round4_wave2_tiers_agree(ray_session, monkeypatch):
         assert (fast_nb[c].to_numpy() == slow_nb[c].to_numpy()).all(), c
     assert np.allclose(fast_nb.score_r6, slow_nb.score_r6,
                        rtol=0, atol=1e-6)
+
+
+def test_round4_wave3_tiers_agree(ray_session, monkeypatch):
+    """user_event_pivot (driver fold vs native multi-Sum groupby) and
+    token_drift_topk (driver count-table vs native Sum + block top-k)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_p = A.user_event_pivot(sf)
+    fast_d = A.token_drift_topk(sf)
+
+    monkeypatch.setattr(A, "EVENTS_DRIVER_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "RARITY_BROADCAST_MAX_ROWS", 0)
+
+    slow_p = A.user_event_pivot(sf)[list(fast_p.columns)]
+    slow_d = A.token_drift_topk(sf)[list(fast_d.columns)]
+    assert len(fast_p) > 0 and fast_p.equals(slow_p)
+    assert len(fast_d) > 0 and fast_d.equals(slow_d)
+
+
+def test_round4_wave4_tiers_agree(ray_session, monkeypatch):
+    """latest_event_per_user_type (driver fold vs native groupby +
+    per-group argmax) and events_hourly_anomaly (tiered rollup under
+    the driver-side z-pass)."""
+    import numpy as np
+
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_l = A.latest_event_per_user_type(sf)
+    fast_a = A.events_hourly_anomaly(sf)
+
+    monkeypatch.setattr(A, "EVENTS_DRIVER_MAX_ROWS", 0)
+
+    slow_l = (A.latest_event_per_user_type(sf)[list(fast_l.columns)]
+              .reset_index(drop=True))
+    slow_a = (A.events_hourly_anomaly(sf)[list(fast_a.columns)]
+              .reset_index(drop=True))
+    assert len(fast_l) > 0 and fast_l.reset_index(drop=True).equals(slow_l)
+    assert len(fast_a) > 0
+    for c in ("event_type", "hour_epoch", "n"):
+        assert (fast_a[c].to_numpy() == slow_a[c].to_numpy()).all(), c
+    assert np.allclose(fast_a.z_r6, slow_a.z_r6, rtol=0, atol=1e-6)
+
+
+def test_round4_wave5_tiers_agree(ray_session, monkeypatch):
+    """docs_rollup_cube (driver fold vs native Sum groupby for the fine
+    grain) and nchars_ntile_buckets (driver count-table vs native Sum;
+    plus a forced-ties fixture exercising the straddling-run resolver)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_c = A.docs_rollup_cube(sf)
+    fast_n = A.nchars_ntile_buckets(sf)
+
+    monkeypatch.setattr(A, "RANK_DRIVER_MAX_ROWS", 0)
+
+    slow_c = A.docs_rollup_cube(sf)[list(fast_c.columns)]
+    slow_n = A.nchars_ntile_buckets(sf)[list(fast_n.columns)]
+    assert len(fast_c) > 0 and fast_c.equals(slow_c)
+    assert len(fast_n) > 0 and fast_n.equals(slow_n)
+
+
+def test_ntile_straddling_runs(ray_session, tmp_path):
+    """All-ties fixture: every doc in a source shares n_chars, so every
+    bucket boundary falls inside one giant run and the distributed
+    resolver must reproduce NTILE's (n_chars, doc_id) total order."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import biobloom_ray.pipelines.analytics as A
+
+    n = 103  # not divisible by 4: exercises the ceil/floor bucket split
+    t = pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "source": pa.array(["s0"] * n),
+        "n_chars": pa.array([42] * n, pa.int64())})
+    d = tmp_path / "ntile_fixture"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    got = A.nchars_ntile_buckets(str(d))
+    want = duckdb.sql(
+        f"SELECT doc_id, CAST(NTILE(4) OVER (PARTITION BY source"
+        f" ORDER BY n_chars, doc_id) AS BIGINT) AS bucket"
+        f" FROM read_parquet('{d}/documents.parquet')"
+        f" ORDER BY doc_id").df()
+    assert (got.doc_id.to_numpy() == want.doc_id.to_numpy()).all()
+    assert (got.bucket.to_numpy() == want.bucket.to_numpy()).all()
