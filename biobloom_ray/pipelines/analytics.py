@@ -3431,6 +3431,18 @@ def segment_revenue_topk(sf_dir: str, segment: str = "BUILDING",
     seg_orders = hash_join(orders, seg_ds, on=("o_custkey",),
                            right_on=("c_custkey",)).select_columns(
                                ["o_orderkey"])
+    # runtime Bloom join filter (the Spark/Presto "runtime filter"
+    # move): prune ~4/5 of lineitem BEFORE its rollup shuffle with a
+    # broadcast Bloom over the in-segment orderkeys; FPs drop in the
+    # real hash join below, so the result is exactly unchanged
+    # (tier-parity + forced-FP pytest pin this)
+    from biobloom_ray.stages.joinfilter import (bloom_semi_filter,
+                                                build_key_bloom)
+
+    n_ord = _cheap_count(orders)
+    okey_bloom = build_key_bloom(seg_orders, "o_orderkey",
+                                 expected=max((n_ord or 1000) // 4, 1))
+    li = bloom_semi_filter(li, "l_orderkey", okey_bloom)
     rev = (li.map_batches(rev_partial, batch_format="pyarrow")
            .groupby("l_orderkey")
            .aggregate(Sum("revenue", alias_name="revenue")))
