@@ -1047,6 +1047,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_anomaly": A.events_hourly_anomaly,
         "docs_rollup_cube": A.docs_rollup_cube,
         "nchars_ntile_buckets": A.nchars_ntile_buckets,
+        # round-4 wave 6: relational anti-join / 5-table join / EXISTS
+        "customers_without_orders": A.customers_without_orders,
+        "region_revenue": A.region_revenue,
+        "orders_priority_semijoin": A.orders_priority_semijoin,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -2065,4 +2069,37 @@ def oracle_sql() -> dict[str, str]:
             " n_dup_docs,"
             " CAST(SUM(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END)"
             " AS BIGINT) AS n_bench_docs FROM documents",
+        # distributed anti-join: customers with no order in one year
+        # (lapsed customers); exact cents
+        "customers_without_orders":
+            "SELECT c_custkey, c_name,"
+            " CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents"
+            " FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o"
+            " WHERE o.o_custkey = c.c_custkey"
+            " AND o.o_orderdate >= DATE '1996-01-01'"
+            " AND o.o_orderdate < DATE '1997-01-01')"
+            " ORDER BY c_custkey",
+        # TPC-H Q5 shape: 5-table join, revenue per region for one
+        # order year, exact 10^-4-dollar units
+        "region_revenue":
+            "SELECT r_name,"
+            " CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) *"
+            " (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT)"
+            " AS revenue_e4,"
+            " CAST(COUNT(*) AS BIGINT) AS n_items"
+            " FROM lineitem"
+            " JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " JOIN nation ON c_nationkey = n_nationkey"
+            " JOIN region ON n_regionkey = r_regionkey"
+            " WHERE o_orderdate >= DATE '1996-01-01'"
+            " AND o_orderdate < DATE '1997-01-01'"
+            " GROUP BY r_name ORDER BY r_name",
+        # TPC-H Q4 shape: EXISTS as an aggregate semi-join
+        "orders_priority_semijoin":
+            "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n"
+            " FROM orders o WHERE EXISTS (SELECT 1 FROM lineitem l"
+            " WHERE l.l_orderkey = o.o_orderkey"
+            " AND l.l_shipdate > o.o_orderdate)"
+            " GROUP BY o_orderpriority ORDER BY o_orderpriority",
     }

@@ -3935,3 +3935,330 @@ def nchars_ntile_buckets(sf_dir: str, n_buckets: int = 4):
     out = inside.union(straddling).to_pandas()
     return (out.sort_values("doc_id").reset_index(drop=True)
             [["doc_id", "source", "n_chars", "bucket"]])
+
+
+# -- round-4 wave 6: relational anti-join / multi-way join / EXISTS ----------
+
+#: orders-side row gate: below it the distinct-buyer key set (bounded
+#: by #customers, referential integrity) broadcasts once and the
+#: anti-probe is a map-side sorted-array miss test; above it Ray's
+#: native left_anti hash join shuffles both sides by key once
+ANTI_BROADCAST_MAX_ROWS = 2_000_000
+
+
+def customers_without_orders(sf_dir: str, year: int = 1996):
+    """Distributed ANTI-join (SQL NOT EXISTS): customers who placed no
+    order in one calendar year (lapsed-customer shape).  A Bloom
+    filter is deliberately NOT used on this path — in the anti
+    direction a Bloom false positive would wrongly DROP a customer, so
+    the exact key set is required (contrast ``segment_revenue_topk``'s
+    FP-safe semi-join pushdown).  Below the gate, per-block distinct
+    in-year o_custkey partials reduce on the driver and broadcast once
+    (``ray.put``); the probe is ``searchsorted`` misses — zero
+    shuffle.  Above it the per-block-deduped buyer keys hash-join
+    ``customer`` with ``join_type="left_anti"`` (duplicate right keys
+    are anti-join-neutral, so block-local dedup suffices — no global
+    distinct pass)."""
+    import ray
+
+    from biobloom_ray.io import hash_join
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_name", "c_acctbal"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    lo = np.datetime64(f"{year}-01-01", "us").astype(np.int64)
+    hi = np.datetime64(f"{year + 1}-01-01", "us").astype(np.int64)
+
+    def buyer_keys(b: pa.Table) -> pa.Table:
+        ts = (b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        k = np.unique(ck[(ts >= lo) & (ts < hi)])
+        return pa.table({"o_custkey": pa.array(k)})
+
+    keys_ds = orders.map_batches(buyer_keys, batch_format="pyarrow")
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": b["c_custkey"],
+            "c_name": b["c_name"],
+            "acctbal_cents": pa.array(_cents_away(
+                b["c_acctbal"].to_numpy(zero_copy_only=False)))})
+
+    n_ord = _cheap_count(orders)
+    if n_ord is not None and n_ord <= ANTI_BROADCAST_MAX_ROWS:
+        buyers = np.unique(keys_ds.to_pandas()["o_custkey"].to_numpy())
+        b_ref = ray.put(buyers)
+
+        def anti_probe(b: pa.Table) -> pa.Table:
+            keys = ray.get(b_ref)
+            ck = b["c_custkey"].to_numpy(zero_copy_only=False)
+            if len(keys) == 0:
+                return project(b)
+            pos = np.searchsorted(keys, ck)
+            pos[pos >= len(keys)] = 0
+            miss = keys[pos] != ck
+            return project(b.filter(pa.array(miss)))
+
+        out = (cust.map_batches(anti_probe, batch_format="pyarrow")
+               .to_pandas())
+    else:
+        anti = hash_join(cust, keys_ds, on=("c_custkey",),
+                         right_on=("o_custkey",), join_type="left_anti")
+        out = anti.map_batches(project, batch_format="pyarrow").to_pandas()
+    if out.empty:  # an all-buyers corpus: keep the output schema stable
+        out = pd.DataFrame({"c_custkey": pd.Series([], dtype=np.int64),
+                            "c_name": pd.Series([], dtype=object),
+                            "acctbal_cents": pd.Series([], dtype=np.int64)})
+    return (out.sort_values("c_custkey").reset_index(drop=True)
+            [["c_custkey", "c_name", "acctbal_cents"]])
+
+
+def region_revenue(sf_dir: str, year: int = 1996):
+    """TPC-H Q5 shape — a FIVE-table join pruned to one fact-table
+    pass: lineitem revenue per REGION for orders placed in one year.
+    The three dimension hops (customer→nation→region) collapse into a
+    single orderkey→region-code link table; below the gate that table
+    broadcasts once and lineitem reduces map-side straight to ≤5 rows
+    per block (zero shuffle on the fact table).  Above it, orders hash-
+    joins customer, the tiny nation⋈region lookup rides along as a
+    broadcast dict, a runtime Bloom over the year's orderkeys prunes
+    lineitem BEFORE its rollup shuffle (FPs drop in the real hash join
+    below, so the result is exactly unchanged), and the final groupby
+    sums (region, cents·(100−disc)) partials.  Revenue is exact integer
+    10⁻⁴-dollar units (int64 headroom ≈ 1.8·10¹⁰ line items per region
+    at worst-case prices; overflow-guarded upstream contracts apply)."""
+    import ray
+
+    from biobloom_ray.io import hash_join
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    nation = _read(sf_dir, "nation",
+                   columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region",
+                   columns=["r_regionkey", "r_name"]).to_pandas()
+    reg_of_nat = dict(zip(nation.n_nationkey.astype(np.int64),
+                          nation.n_regionkey.astype(np.int64)))
+    name_of_reg = dict(zip(region.r_regionkey.astype(np.int64),
+                           region.r_name))
+
+    lo = np.datetime64(f"{year}-01-01", "us").astype(np.int64)
+    hi = np.datetime64(f"{year + 1}-01-01", "us").astype(np.int64)
+
+    def year_orders(b: pa.Table) -> pa.Table:
+        ts = (b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        m = (ts >= lo) & (ts < hi)
+        return pa.table({
+            "o_orderkey": b["o_orderkey"].filter(pa.array(m)),
+            "o_custkey": b["o_custkey"].filter(pa.array(m))})
+
+    ykeys = orders.map_batches(year_orders, batch_format="pyarrow")
+
+    def finish(parts: pd.DataFrame) -> pd.DataFrame:
+        agg = (parts.groupby("rcode", as_index=False)
+               .agg(revenue_e4=("revenue_e4", "sum"),
+                    n_items=("n_items", "sum")))
+        agg["r_name"] = agg.rcode.map(name_of_reg)
+        out = agg.sort_values("r_name").reset_index(drop=True)
+        return out[["r_name", "revenue_e4", "n_items"]]
+
+    n_ord = _cheap_count(orders)
+    if n_ord is not None and n_ord <= ANTI_BROADCAST_MAX_ROWS:
+        cd = cust.to_pandas()
+        nat_of_cust = dict(zip(cd.c_custkey.astype(np.int64),
+                               cd.c_nationkey.astype(np.int64)))
+        yo = ykeys.to_pandas()
+        rcode = (yo.o_custkey.map(nat_of_cust).map(reg_of_nat)
+                 .to_numpy(np.int64))
+        order_ = np.argsort(yo.o_orderkey.to_numpy())
+        link_ref = ray.put((yo.o_orderkey.to_numpy()[order_],
+                            rcode[order_]))
+
+        def li_partial(b: pa.Table) -> pa.Table:
+            okeys, rc = ray.get(link_ref)
+            lk = b["l_orderkey"].to_numpy(zero_copy_only=False)
+            if len(okeys) == 0 or len(lk) == 0:
+                return pa.table({"rcode": pa.array([], pa.int64()),
+                                 "revenue_e4": pa.array([], pa.int64()),
+                                 "n_items": pa.array([], pa.int64())})
+            pos = np.searchsorted(okeys, lk)
+            pos[pos >= len(okeys)] = 0
+            hit = okeys[pos] == lk
+            cents = _cents_away(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False))[hit]
+            disc = _cents_away(
+                b["l_discount"].to_numpy(zero_copy_only=False))[hit]
+            rev = cents * (100 - disc)
+            r = rc[pos[hit]]
+            nbins = int(r.max()) + 1 if len(r) else 1
+            n_per = np.bincount(r, minlength=nbins)
+            rev_per = np.zeros(nbins, dtype=np.int64)
+            np.add.at(rev_per, r, rev)
+            nz = np.nonzero(n_per)[0]
+            return pa.table({
+                "rcode": pa.array(nz.astype(np.int64)),
+                "revenue_e4": pa.array(rev_per[nz]),
+                "n_items": pa.array(n_per[nz].astype(np.int64))})
+
+        parts = li.map_batches(li_partial, batch_format="pyarrow").to_pandas()
+        return finish(parts)
+
+    # cluster tier: orders ⋈ customer, dims ride as a broadcast dict
+    yo_cust = hash_join(ykeys, cust, on=("o_custkey",),
+                        right_on=("c_custkey",))
+    lut_ref = ray.put((reg_of_nat,))
+
+    def tag_region(b: pa.Table) -> pa.Table:
+        (r_of_n,) = ray.get(lut_ref)
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False)
+        rc = pd.Series(nk).map(r_of_n).to_numpy(np.int64)
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "rcode": pa.array(rc)})
+
+    link = yo_cust.map_batches(tag_region, batch_format="pyarrow")
+
+    from biobloom_ray.stages.joinfilter import (bloom_semi_filter,
+                                                build_key_bloom)
+
+    okey_bloom = build_key_bloom(link, "o_orderkey",
+                                 expected=max((n_ord or 1000) // 4, 1))
+    li = bloom_semi_filter(li, "l_orderkey", okey_bloom)
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        cents = _cents_away(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False))
+        disc = _cents_away(b["l_discount"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_numpy(zero_copy_only=False),
+            "revenue_e4": cents * (100 - disc),
+            "n_items": np.ones(len(cents), dtype=np.int64)})
+        agg = (df.groupby("l_orderkey", as_index=False)
+               [["revenue_e4", "n_items"]].sum())
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    rev = li.map_batches(rev_partial, batch_format="pyarrow")
+    joined = hash_join(rev, link, on=("l_orderkey",),
+                       right_on=("o_orderkey",))
+
+    def reg_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "rcode": b["rcode"].to_numpy(zero_copy_only=False),
+            "revenue_e4": b["revenue_e4"].to_numpy(zero_copy_only=False),
+            "n_items": b["n_items"].to_numpy(zero_copy_only=False)})
+        agg = (df.groupby("rcode", as_index=False)
+               [["revenue_e4", "n_items"]].sum())
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts = (joined.map_batches(reg_partial, batch_format="pyarrow")
+             .to_pandas())
+    return finish(parts)
+
+
+def orders_priority_semijoin(sf_dir: str):
+    """TPC-H Q4 shape — EXISTS rewritten as an aggregate semi-join:
+    count orders per priority where some line item shipped AFTER the
+    order date.  ``EXISTS(l_shipdate > o_orderdate)`` ⇔
+    ``MAX(l_shipdate) per orderkey > o_orderdate``, so the fact table
+    reduces FIRST (per-block max partials → tiered combine: driver
+    fold below ``LINEITEM_DRIVER_MAX_ROWS``, native Max groupby above)
+    and only one row per orderkey reaches the join.  The join is
+    tiered on the orders side: the orderkey→max-shipdate table
+    broadcasts below ``ANTI_BROADCAST_MAX_ROWS`` (map-side probe, ≤5
+    rows out per block); above it an ``io.hash_join`` + the same
+    5-row rollup."""
+    import ray
+
+    from biobloom_ray.io import hash_join
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def max_partial(b: pa.Table) -> pa.Table:
+        ship = (b["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64())
+                .to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_numpy(zero_copy_only=False),
+            "max_ship_us": ship})
+        agg = df.groupby("l_orderkey", as_index=False)["max_ship_us"].max()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = li.map_batches(max_partial, batch_format="pyarrow")
+
+    n_li = _cheap_count(li)
+    if n_li is not None and n_li <= LINEITEM_DRIVER_MAX_ROWS:
+        maxship = (parts_ds.to_pandas()
+                   .groupby("l_orderkey", as_index=False)["max_ship_us"]
+                   .max())
+    else:
+        maxship = None  # stays a Dataset below
+
+    def count_partial(prio, hit_mask) -> pa.Table:
+        s = pd.Series(prio)[hit_mask]
+        vc = s.value_counts()
+        return pa.table({
+            "o_orderpriority": pa.array(vc.index.to_numpy(dtype=object)
+                                        .tolist(), type=pa.string()),
+            "n": pa.array(vc.to_numpy(np.int64))})
+
+    n_ord = _cheap_count(orders)
+    if (maxship is not None and n_ord is not None
+            and n_ord <= ANTI_BROADCAST_MAX_ROWS):
+        order_ = np.argsort(maxship.l_orderkey.to_numpy())
+        ms_ref = ray.put((maxship.l_orderkey.to_numpy()[order_],
+                          maxship.max_ship_us.to_numpy()[order_]))
+
+        def probe(b: pa.Table) -> pa.Table:
+            keys, ms = ray.get(ms_ref)
+            ok = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            od = (b["o_orderdate"].cast(pa.timestamp("us"))
+                  .cast(pa.int64()).to_numpy(zero_copy_only=False))
+            if len(keys) == 0 or len(ok) == 0:
+                return pa.table({
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64())})
+            pos = np.searchsorted(keys, ok)
+            pos[pos >= len(keys)] = 0
+            hit = (keys[pos] == ok) & (ms[pos] > od)
+            return count_partial(
+                b["o_orderpriority"].to_numpy(zero_copy_only=False), hit)
+
+        parts = (orders.map_batches(probe, batch_format="pyarrow")
+                 .to_pandas())
+    else:
+        if maxship is not None:
+            ms_ds = ray.data.from_arrow(
+                pa.Table.from_pandas(maxship, preserve_index=False))
+        else:
+            ms_ds = (parts_ds.groupby("l_orderkey")
+                     .aggregate(Max("max_ship_us",
+                                    alias_name="max_ship_us")))
+
+        def order_proj(b: pa.Table) -> pa.Table:
+            od = (b["o_orderdate"].cast(pa.timestamp("us"))
+                  .cast(pa.int64()))
+            return pa.table({"o_orderkey": b["o_orderkey"],
+                             "od_us": od,
+                             "o_orderpriority": b["o_orderpriority"]})
+
+        joined = hash_join(orders.map_batches(order_proj,
+                                              batch_format="pyarrow"),
+                           ms_ds, on=("o_orderkey",),
+                           right_on=("l_orderkey",))
+
+        def filt_count(b: pa.Table) -> pa.Table:
+            hit = (b["max_ship_us"].to_numpy(zero_copy_only=False)
+                   > b["od_us"].to_numpy(zero_copy_only=False))
+            return count_partial(
+                b["o_orderpriority"].to_numpy(zero_copy_only=False), hit)
+
+        parts = (joined.map_batches(filt_count, batch_format="pyarrow")
+                 .to_pandas())
+    out = parts.groupby("o_orderpriority", as_index=False)["n"].sum()
+    return (out.sort_values("o_orderpriority").reset_index(drop=True)
+            [["o_orderpriority", "n"]])

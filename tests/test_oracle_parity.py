@@ -82,6 +82,8 @@ SQL_CHECKED = [
     "user_event_pivot", "token_drift_topk",
     "latest_event_per_user_type", "events_hourly_anomaly",
     "docs_rollup_cube", "nchars_ntile_buckets",
+    "customers_without_orders", "region_revenue",
+    "orders_priority_semijoin",
 ]
 
 

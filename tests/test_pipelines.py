@@ -977,3 +977,28 @@ def test_ntile_straddling_runs(ray_session, tmp_path):
         f" ORDER BY doc_id").df()
     assert (got.doc_id.to_numpy() == want.doc_id.to_numpy()).all()
     assert (got.bucket.to_numpy() == want.bucket.to_numpy()).all()
+
+
+def test_round4_wave6_tiers_agree(ray_session, monkeypatch):
+    """customers_without_orders (broadcast anti-probe vs native
+    left_anti hash join), region_revenue (broadcast orderkey→region
+    link vs hash joins + Bloom-pruned rollup), orders_priority_semijoin
+    (driver max-combine + broadcast probe vs native Max groupby + hash
+    join)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_c = A.customers_without_orders(sf)
+    fast_r = A.region_revenue(sf)
+    fast_p = A.orders_priority_semijoin(sf)
+
+    monkeypatch.setattr(A, "ANTI_BROADCAST_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "LINEITEM_DRIVER_MAX_ROWS", 0)
+
+    slow_c = A.customers_without_orders(sf)[list(fast_c.columns)]
+    slow_r = A.region_revenue(sf)[list(fast_r.columns)]
+    slow_p = A.orders_priority_semijoin(sf)[list(fast_p.columns)]
+
+    assert len(fast_c) > 0 and fast_c.equals(slow_c)
+    assert len(fast_r) > 0 and fast_r.equals(slow_r)
+    assert len(fast_p) > 0 and fast_p.equals(slow_p)
