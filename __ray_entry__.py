@@ -1051,6 +1051,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": A.customers_without_orders,
         "region_revenue": A.region_revenue,
         "orders_priority_semijoin": A.orders_priority_semijoin,
+        # round-4 wave 7: event-stream operators
+        "event_transitions": A.event_transitions,
+        "event_type_daily_ma7": A.event_type_daily_ma7,
+        "funnel_conversion": A.funnel_conversion,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -2102,4 +2106,43 @@ def oracle_sql() -> dict[str, str]:
             " WHERE l.l_orderkey = o.o_orderkey"
             " AND l.l_shipdate > o.o_orderdate)"
             " GROUP BY o_orderpriority ORDER BY o_orderpriority",
+        # Markov transition counts, exact LAG semantics per user
+        "event_transitions":
+            "WITH s AS (SELECT user_id, event_type,"
+            " LAG(event_type) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id) AS prev FROM events)"
+            " SELECT prev AS prev_type, event_type AS next_type,"
+            " CAST(COUNT(*) AS BIGINT) AS n FROM s"
+            " WHERE prev IS NOT NULL"
+            " GROUP BY prev, event_type ORDER BY prev_type, next_type",
+        # trailing 7-row window over the daily rollup, exact integers
+        "event_type_daily_ma7":
+            "WITH d AS (SELECT event_type,"
+            " CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,"
+            " CAST(COUNT(*) AS BIGINT) AS n"
+            " FROM events GROUP BY 1, 2)"
+            " SELECT event_type, day_epoch, n,"
+            " CAST(SUM(n) OVER w AS BIGINT) AS sum7,"
+            " CAST(COUNT(n) OVER w AS BIGINT) AS cnt7"
+            " FROM d WINDOW w AS (PARTITION BY event_type"
+            " ORDER BY day_epoch"
+            " ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
+            " ORDER BY event_type, day_epoch",
+        # strict ordered funnel over first-touch minima, one exact row
+        "funnel_conversion":
+            "WITH m AS (SELECT user_id,"
+            " min(ts) FILTER (WHERE event_type = 'view') AS mv,"
+            " min(ts) FILTER (WHERE event_type = 'click') AS mc,"
+            " min(ts) FILTER (WHERE event_type = 'purchase') AS mp"
+            " FROM events"
+            " WHERE event_type IN ('view', 'click', 'purchase')"
+            " GROUP BY user_id)"
+            " SELECT CAST(COUNT(*) AS BIGINT) AS n_users,"
+            " CAST(SUM(CASE WHEN mv IS NOT NULL THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_view,"
+            " CAST(SUM(CASE WHEN mv IS NOT NULL AND mc IS NOT NULL"
+            " AND mv < mc THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,"
+            " CAST(SUM(CASE WHEN mv IS NOT NULL AND mc IS NOT NULL"
+            " AND mv < mc AND mp IS NOT NULL AND mc < mp THEN 1 ELSE 0"
+            " END) AS BIGINT) AS n_full_funnel FROM m",
     }

@@ -4262,3 +4262,260 @@ def orders_priority_semijoin(sf_dir: str):
     out = parts.groupby("o_orderpriority", as_index=False)["n"].sum()
     return (out.sort_values("o_orderpriority").reset_index(drop=True)
             [["o_orderpriority", "n"]])
+
+
+# -- round-4 wave 7: event-stream operators ----------------------------------
+
+def event_transitions(sf_dir: str):
+    """Markov transition counts with exact SQL LAG semantics: for each
+    user's event stream ordered by (ts, event_id), count every
+    consecutive (prev_type → next_type) pair.  Below the gate one
+    pandas sort+shift on the driver; above it the salt-by-time-range
+    plan: events shard into (user, hour-bucket) groups, each group
+    emits its WITHIN-bucket transition partials plus one boundary row
+    (its first/last event), and a second, much smaller
+    ``groupby(user_id)`` stitches transitions across consecutive
+    touched buckets (per-user group size = #touched buckets, bounded
+    by stream duration / span — never by event count).  The final
+    (prev, next) rollup is ≤ |types|² rows per block, summed on the
+    driver at any scale."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+    n_rows = _cheap_count(ds)
+
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        df = ds.to_pandas()
+        df["ts_us"] = df["ts"].astype("datetime64[us]").astype(np.int64)
+        df = df.sort_values(["user_id", "ts_us", "event_id"])
+        same = df["user_id"].to_numpy() == np.roll(
+            df["user_id"].to_numpy(), 1)
+        same[0] = False
+        prev = np.roll(df["event_type"].to_numpy(dtype=object), 1)
+        out = pd.DataFrame({
+            "prev_type": prev[same],
+            "next_type": df["event_type"].to_numpy(dtype=object)[same]})
+        agg = (out.groupby(["prev_type", "next_type"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        agg["n"] = agg["n"].astype(np.int64)
+        return (agg.sort_values(["prev_type", "next_type"])
+                .reset_index(drop=True))
+
+    span_us = np.int64(ASOF_SALT_SPAN_S) * np.int64(1_000_000)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({
+            "user_id": b["user_id"],
+            "event_id": b["event_id"],
+            "ts_us": ts_us,
+            "event_type": b["event_type"],
+            "bucket": pc.divide(ts_us, span_us)})
+
+    def local_trans(g: pa.Table) -> pa.Table:
+        """kind 0 = within-bucket (prev,next) partial count; kind 1 =
+        boundary row carrying the bucket's first and last event type."""
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        et = et[order]
+        uid = g["user_id"][0].as_py()
+        bkt = int(g["bucket"][0].as_py())
+        parts = []
+        if len(et) > 1:
+            pairs = pd.DataFrame({"p": et[:-1], "q": et[1:]})
+            agg = (pairs.groupby(["p", "q"], as_index=False).size()
+                   .rename(columns={"size": "n"}))
+            parts.append(pa.table({
+                "kind": pa.array(np.zeros(len(agg), dtype=np.int8)),
+                "user_id": pa.array(np.full(len(agg), uid, np.int64)),
+                "bucket": pa.array(np.full(len(agg), bkt, np.int64)),
+                "prev_type": pa.array(agg.p.tolist(), type=pa.string()),
+                "next_type": pa.array(agg.q.tolist(), type=pa.string()),
+                "n": pa.array(agg.n.to_numpy(np.int64))}))
+        parts.append(pa.table({
+            "kind": pa.array(np.array([1], dtype=np.int8)),
+            "user_id": pa.array([uid], type=pa.int64()),
+            "bucket": pa.array([bkt], type=pa.int64()),
+            "prev_type": pa.array([str(et[0])], type=pa.string()),
+            "next_type": pa.array([str(et[-1])], type=pa.string()),
+            "n": pa.array([1], type=pa.int64())}))
+        return pa.concat_tables(parts)
+
+    pass1 = (ds.map_batches(bucketize, batch_format="pyarrow")
+             .groupby(["user_id", "bucket"])
+             .map_groups(local_trans, batch_format="pyarrow")
+             .materialize())
+
+    def stitch(g: pa.Table) -> pa.Table:
+        """Boundary rows of ONE user, across buckets: the transition
+        last(bucket_i) → first(bucket_{i+1}) for consecutive touched
+        buckets (intervening empty buckets contribute nothing)."""
+        bkt = g["bucket"].to_numpy(zero_copy_only=False)
+        order = np.argsort(bkt)
+        first = g["prev_type"].to_numpy(zero_copy_only=False)[order]
+        last = g["next_type"].to_numpy(zero_copy_only=False)[order]
+        if len(bkt) < 2:
+            return pa.table({"prev_type": pa.array([], pa.string()),
+                             "next_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        pairs = pd.DataFrame({"p": last[:-1], "q": first[1:]})
+        agg = (pairs.groupby(["p", "q"], as_index=False).size()
+               .rename(columns={"size": "n"}))
+        return pa.table({
+            "prev_type": pa.array(agg.p.tolist(), type=pa.string()),
+            "next_type": pa.array(agg.q.tolist(), type=pa.string()),
+            "n": pa.array(agg.n.to_numpy(np.int64))})
+
+    boundary = (pass1.map_batches(
+        lambda b: b.filter(pc.equal(b["kind"], 1)),
+        batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(stitch, batch_format="pyarrow"))
+
+    within = pass1.map_batches(
+        lambda b: (b.filter(pc.equal(b["kind"], 0))
+                   .select(["prev_type", "next_type", "n"])),
+        batch_format="pyarrow")
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "prev_type": b["prev_type"].to_pandas(),
+            "next_type": b["next_type"].to_pandas(),
+            "n": b["n"].to_numpy(zero_copy_only=False)})
+        agg = (df.groupby(["prev_type", "next_type"], as_index=False)
+               ["n"].sum())
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts = (within.union(boundary)
+             .map_batches(pair_partial, batch_format="pyarrow")
+             .to_pandas())
+    agg = (parts.groupby(["prev_type", "next_type"], as_index=False)
+           ["n"].sum())
+    agg["n"] = agg["n"].astype(np.int64)
+    return (agg.sort_values(["prev_type", "next_type"])
+            .reset_index(drop=True))
+
+
+def event_type_daily_ma7(sf_dir: str):
+    """Trailing 7-row moving window over the daily rollup (SQL ROWS
+    BETWEEN 6 PRECEDING AND CURRENT ROW, per event_type ordered by
+    day): emits the exact-integer window sum and row count alongside
+    each day's n.  The corpus-scale work is the SAME tiered daily
+    rollup as ``event_type_daily``; the window pass runs on the
+    output-scale (type, day) table on the driver — #days × #types rows
+    regardless of corpus size.  All columns are exact integers (no
+    float AVG crosses the oracle hash)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = (pc.floor_temporal(b["ts"], unit="day")
+               .cast(pa.timestamp("s")).cast(pa.int64()))
+        df = pd.DataFrame({
+            "event_type": b["event_type"].to_pandas(),
+            "day_epoch": day.to_numpy(zero_copy_only=False)})
+        agg = (df.groupby(["event_type", "day_epoch"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        agg["n"] = agg["n"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        counts = (parts_ds.to_pandas()
+                  .groupby(["event_type", "day_epoch"], as_index=False)
+                  ["n"].sum())
+    else:
+        counts = (parts_ds.groupby(["event_type", "day_epoch"])
+                  .aggregate(Sum("n", alias_name="n")).to_pandas())
+    counts = (counts.sort_values(["event_type", "day_epoch"])
+              .reset_index(drop=True))
+    g = counts.groupby("event_type")["n"]
+    counts["sum7"] = g.transform(
+        lambda s: s.rolling(7, min_periods=1).sum()).astype(np.int64)
+    counts["cnt7"] = g.transform(
+        lambda s: s.rolling(7, min_periods=1).count()).astype(np.int64)
+    return counts[["event_type", "day_epoch", "n", "sum7", "cnt7"]]
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_conversion(sf_dir: str):
+    """Ordered funnel (strict): count users whose FIRST view precedes
+    their first click, which precedes their first purchase.  Stage 1
+    reduces the corpus to per-(user, stage) first-touch minima (block
+    partials → tiered combine: driver fold below the events gate,
+    native Min groupby above); stage 2 co-locates each user's ≤3
+    minima (``groupby(user_id)``, 3-row groups) and emits per-block
+    flag-count partials — the driver ever sees ≤ 3 ints per block.
+    One exact-integer summary row."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def min_partial(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["event_type"],
+                        value_set=pa.array(list(FUNNEL_STAGES)))
+        b = b.filter(keep)
+        ts_us = (b["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+                 .to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": b["event_type"].to_pandas(),
+            "ts_us": ts_us})
+        agg = (df.groupby(["user_id", "event_type"], as_index=False)
+               ["ts_us"].min())
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(min_partial, batch_format="pyarrow")
+
+    def flags_of(piv: pd.DataFrame) -> pd.DataFrame:
+        mv = piv.get("view")
+        mc = piv.get("click")
+        mp = piv.get("purchase")
+        n = len(piv)
+        z = pd.Series(np.full(n, np.iinfo(np.int64).max), index=piv.index)
+        mv = z if mv is None else mv.fillna(np.iinfo(np.int64).max)
+        mc = z if mc is None else mc.fillna(np.iinfo(np.int64).max)
+        mp = z if mp is None else mp.fillna(np.iinfo(np.int64).max)
+        has_v = mv < np.iinfo(np.int64).max
+        vc = has_v & (mc < np.iinfo(np.int64).max) & (mv < mc)
+        full = vc & (mp < np.iinfo(np.int64).max) & (mc < mp)
+        return pd.DataFrame({
+            "n_users": [np.int64(n)],
+            "n_view": [np.int64(has_v.sum())],
+            "n_view_click": [np.int64(vc.sum())],
+            "n_full_funnel": [np.int64(full.sum())]})
+
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        m = (parts_ds.to_pandas()
+             .groupby(["user_id", "event_type"], as_index=False)
+             ["ts_us"].min())
+        piv = m.pivot(index="user_id", columns="event_type",
+                      values="ts_us")
+        out = flags_of(piv)
+    else:
+        mins = (parts_ds.groupby(["user_id", "event_type"])
+                .aggregate(Min("ts_us", alias_name="ts_us")))
+
+        def user_flags(g: pa.Table) -> pa.Table:
+            piv = (g.to_pandas()
+                   .pivot(index="user_id", columns="event_type",
+                          values="ts_us"))
+            return pa.Table.from_pandas(flags_of(piv),
+                                        preserve_index=False)
+
+        def sum_partial(b: pa.Table) -> pa.Table:
+            return pa.table({c: pa.array([int(pc.sum(b[c]).as_py() or 0)],
+                                         type=pa.int64())
+                             for c in ("n_users", "n_view",
+                                       "n_view_click", "n_full_funnel")})
+
+        parts = (mins.groupby("user_id")
+                 .map_groups(user_flags, batch_format="pyarrow")
+                 .map_batches(sum_partial, batch_format="pyarrow")
+                 .to_pandas())
+        out = pd.DataFrame({c: [np.int64(parts[c].sum())]
+                            for c in ("n_users", "n_view",
+                                      "n_view_click", "n_full_funnel")})
+    return out

@@ -84,6 +84,7 @@ SQL_CHECKED = [
     "docs_rollup_cube", "nchars_ntile_buckets",
     "customers_without_orders", "region_revenue",
     "orders_priority_semijoin",
+    "event_transitions", "event_type_daily_ma7", "funnel_conversion",
 ]
 
 

@@ -1002,3 +1002,67 @@ def test_round4_wave6_tiers_agree(ray_session, monkeypatch):
     assert len(fast_c) > 0 and fast_c.equals(slow_c)
     assert len(fast_r) > 0 and fast_r.equals(slow_r)
     assert len(fast_p) > 0 and fast_p.equals(slow_p)
+
+
+def test_round4_wave7_tiers_agree(ray_session, monkeypatch):
+    """event_transitions (driver sort+shift vs salt-by-time-bucket +
+    boundary stitching), event_type_daily_ma7 (tiered daily rollup
+    under the driver window pass), funnel_conversion (driver pivot vs
+    native Min groupby + per-user map_groups + block partials)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_t = A.event_transitions(sf)
+    fast_m = A.event_type_daily_ma7(sf)
+    fast_f = A.funnel_conversion(sf)
+
+    monkeypatch.setattr(A, "EVENTS_DRIVER_MAX_ROWS", 0)
+
+    slow_t = A.event_transitions(sf)[list(fast_t.columns)]
+    slow_m = A.event_type_daily_ma7(sf)[list(fast_m.columns)]
+    slow_f = A.funnel_conversion(sf)[list(fast_f.columns)]
+
+    assert len(fast_t) > 0 and fast_t.equals(slow_t)
+    assert len(fast_m) > 0 and fast_m.equals(slow_m)
+    assert len(fast_f) == 1 and fast_f.equals(slow_f)
+    # the funnel is strictly ordered: counts must be monotone
+    r = fast_f.iloc[0]
+    assert r.n_users >= r.n_view >= r.n_view_click >= r.n_full_funnel
+
+
+def test_event_transitions_single_entity(ray_session, monkeypatch):
+    """One user, events spanning many time buckets with ties on ts:
+    the salted plan's boundary stitching must reproduce exact LAG
+    semantics (ordered by ts then event_id) across bucket edges."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import biobloom_ray.pipelines.analytics as A
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    ts_us = np.sort(rng.integers(0, 40 * 3600 * 1_000_000, n))
+    ts_us[100:110] = ts_us[100]  # a tie run inside one bucket
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime(np.sort(ts_us), unit="us"),
+        "user_id": np.zeros(n, dtype=np.int64),
+        "event_type": rng.choice(["a", "b", "c"], n),
+        "value": np.zeros(n), "props": [""] * n})
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(d, "events.parquet"))
+
+    monkeypatch.setattr(A, "EVENTS_DRIVER_MAX_ROWS", 0)
+    got = A.event_transitions(d)
+    want = duckdb.sql(
+        "WITH s AS (SELECT user_id, event_type, LAG(event_type) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM "
+        f"'{d}/events.parquet') SELECT prev AS prev_type, event_type AS"
+        " next_type, CAST(COUNT(*) AS BIGINT) AS n FROM s WHERE prev IS"
+        " NOT NULL GROUP BY 1, 2 ORDER BY 1, 2").df()
+    assert got.equals(want)
