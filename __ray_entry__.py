@@ -1055,6 +1055,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": A.event_transitions,
         "event_type_daily_ma7": A.event_type_daily_ma7,
         "funnel_conversion": A.funnel_conversion,
+        # round-4 wave 8: exact quantiles / rendezvous sharding /
+        # partitioned sink round-trip
+        "acctbal_percentiles_per_nation": A.acctbal_percentiles_per_nation,
+        "shard_assignment_counts": A.shard_assignment_counts,
+        "partitioned_roundtrip_source_counts":
+            A.partitioned_roundtrip_source_counts,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -2145,4 +2151,50 @@ def oracle_sql() -> dict[str, str]:
             " CAST(SUM(CASE WHEN mv IS NOT NULL AND mc IS NOT NULL"
             " AND mv < mc AND mp IS NOT NULL AND mc < mp THEN 1 ELSE 0"
             " END) AS BIGINT) AS n_full_funnel FROM m",
+        # exact distributed PERCENTILE_DISC, integer-cents domain
+        "acctbal_percentiles_per_nation":
+            "SELECT n_name,"
+            " PERCENTILE_DISC(0.1) WITHIN GROUP (ORDER BY"
+            " CAST(ROUND(c_acctbal*100) AS BIGINT)) AS p10_cents,"
+            " PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY"
+            " CAST(ROUND(c_acctbal*100) AS BIGINT)) AS p50_cents,"
+            " PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY"
+            " CAST(ROUND(c_acctbal*100) AS BIGINT)) AS p90_cents,"
+            " CAST(COUNT(*) AS BIGINT) AS n_cust"
+            " FROM customer JOIN nation ON c_nationkey = n_nationkey"
+            " GROUP BY n_name ORDER BY n_name",
+        # rendezvous sharding: bit-exact splitmix64 replay over
+        # doc_id*16+s, argmax weight per doc (hashing.py:65 contract)
+        "shard_assignment_counts":
+            "WITH ds AS (SELECT doc_id, n_chars, t.s AS s FROM"
+            " documents, range(16) t(s)), "
+            "s0 AS (SELECT doc_id, n_chars, s, CAST((CAST(doc_id*16 + s"
+            " AS HUGEINT) + 11400714819323198485) % 18446744073709551616"
+            " AS UBIGINT) AS z FROM ds), "
+            "s1 AS (SELECT doc_id, n_chars, s, xor(z, z >> 30) AS z"
+            " FROM s0), "
+            "m1 AS (SELECT doc_id, n_chars, s, CAST(((CAST(z & 4294967295"
+            " AS HUGEINT) * 484763065) + ((CAST(z & 4294967295 AS"
+            " HUGEINT) * 3210233709 + CAST(z >> 32 AS HUGEINT) *"
+            " 484763065) % 4294967296) * 4294967296) %"
+            " 18446744073709551616 AS UBIGINT) AS z FROM s1), "
+            "s2 AS (SELECT doc_id, n_chars, s, xor(z, z >> 27) AS z"
+            " FROM m1), "
+            "m2 AS (SELECT doc_id, n_chars, s, CAST(((CAST(z & 4294967295"
+            " AS HUGEINT) * 321982955) + ((CAST(z & 4294967295 AS"
+            " HUGEINT) * 2496678331 + CAST(z >> 32 AS HUGEINT) *"
+            " 321982955) % 4294967296) * 4294967296) %"
+            " 18446744073709551616 AS UBIGINT) AS z FROM s2), "
+            "h AS (SELECT doc_id, n_chars, s, xor(z, z >> 31) AS h"
+            " FROM m2), "
+            "pick AS (SELECT doc_id, n_chars, s, ROW_NUMBER() OVER"
+            " (PARTITION BY doc_id ORDER BY h DESC, s) AS rn FROM h) "
+            "SELECT CAST(s AS BIGINT) AS shard,"
+            " CAST(COUNT(*) AS BIGINT) AS n_docs,"
+            " CAST(SUM(n_chars) AS BIGINT) AS sum_chars"
+            " FROM pick WHERE rn = 1 GROUP BY s ORDER BY shard",
+        # hive-partitioned sink + pruned single-partition re-read
+        "partitioned_roundtrip_source_counts":
+            "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents"
+            " WHERE source = 'src7' GROUP BY lang ORDER BY lang",
     }

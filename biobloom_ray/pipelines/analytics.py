@@ -4519,3 +4519,141 @@ def funnel_conversion(sf_dir: str):
                             for c in ("n_users", "n_view",
                                       "n_view_click", "n_full_funnel")})
     return out
+
+
+# -- round-4 wave 8: exact quantiles / rendezvous sharding / partitioned sink -
+
+PCTL_QS = ((1, 10), (1, 2), (9, 10))  # exact rationals: p10, p50, p90
+
+
+def acctbal_percentiles_per_nation(sf_dir: str):
+    """EXACT distributed PERCENTILE_DISC (p10/p50/p90 of customer
+    account balance per nation) — the exact twin of the KLL/t-digest
+    sketch quantiles.  The corpus reduces to a value-cardinality count
+    table ((nationkey, cents) → n; same move as ``nchars_ntile``):
+    driver fold below ``RANK_DRIVER_MAX_ROWS``, native Sum groupby
+    above.  The percentile pass walks the output-scale count table
+    (bounded by the value domain ≈ distinct cent amounts, not by
+    customer count) with integer-exact rank thresholds
+    ``ceil(q_num·n / q_den)`` — no float boundary can flip the picked
+    rank."""
+    cust = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+    nation = _read(sf_dir, "nation",
+                   columns=["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(nation.n_nationkey.astype(np.int64), nation.n_name))
+
+    def cpartial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "nationkey": b["c_nationkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "cents": _cents_away(
+                b["c_acctbal"].to_numpy(zero_copy_only=False))})
+        agg = (df.groupby(["nationkey", "cents"], as_index=False)
+               .size().rename(columns={"size": "cnt"}))
+        agg["cnt"] = agg["cnt"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = cust.map_batches(cpartial, batch_format="pyarrow")
+    n_rows = _cheap_count(cust)
+    if n_rows is not None and n_rows <= RANK_DRIVER_MAX_ROWS:
+        counts = (parts_ds.to_pandas()
+                  .groupby(["nationkey", "cents"], as_index=False)["cnt"]
+                  .sum())
+    else:
+        counts = (parts_ds.groupby(["nationkey", "cents"])
+                  .aggregate(Sum("cnt", alias_name="cnt")).to_pandas())
+    counts = (counts.sort_values(["nationkey", "cents"])
+              .reset_index(drop=True))
+    rows = []
+    for nk, g in counts.groupby("nationkey"):
+        cum = g["cnt"].cumsum().to_numpy(np.int64)
+        vals = g["cents"].to_numpy(np.int64)
+        n = int(cum[-1])
+        picks = []
+        for num, den in PCTL_QS:
+            rank = max(-((-num * n) // den), 1)  # ceil, integer-exact
+            picks.append(int(vals[np.searchsorted(cum, rank)]))
+        rows.append((name_of[int(nk)], *picks, np.int64(n)))
+    out = pd.DataFrame(rows, columns=["n_name", "p10_cents", "p50_cents",
+                                      "p90_cents", "n_cust"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+SHARD_COUNT = 16
+
+
+def shard_assignment_counts(sf_dir: str, n_shards: int = SHARD_COUNT):
+    """Rendezvous (highest-random-weight) sharding: each document goes
+    to ``argmax_s splitmix64(doc_id·n_shards + s)`` — the consistent-
+    hashing scheme where removing one shard reassigns ONLY that shard's
+    documents.  Map-only and bit-exactly SQL-replayable (same mixer
+    contract as ``deterministic_sample_hash``); per-block rollup emits
+    ≤ n_shards rows, summed on the driver at any corpus size."""
+    from biobloom_ray.hashing import splitmix64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    ns = np.uint64(n_shards)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = (b["doc_id"].to_numpy(zero_copy_only=False)
+               .astype(np.uint64))
+        if len(ids) == 0:
+            return pa.table({"shard": pa.array([], pa.int64()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "sum_chars": pa.array([], pa.int64())})
+        w = np.empty((n_shards, len(ids)), dtype=np.uint64)
+        for s in range(n_shards):
+            w[s] = splitmix64(ids * ns + np.uint64(s))
+        shard = np.argmax(w, axis=0).astype(np.int64)  # first max wins
+        nc = b["n_chars"].to_numpy(zero_copy_only=False)
+        n_per = np.bincount(shard, minlength=n_shards)
+        c_per = np.zeros(n_shards, dtype=np.int64)
+        np.add.at(c_per, shard, nc)
+        nz = np.nonzero(n_per)[0]
+        return pa.table({"shard": pa.array(nz.astype(np.int64)),
+                         "n_docs": pa.array(n_per[nz].astype(np.int64)),
+                         "sum_chars": pa.array(c_per[nz])})
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow").to_pandas())
+    out = (parts.groupby("shard", as_index=False)
+           [["n_docs", "sum_chars"]].sum())
+    return out.sort_values("shard").reset_index(drop=True)
+
+
+PART_ROUNDTRIP_SOURCE = "src7"
+
+
+def partitioned_roundtrip_source_counts(sf_dir: str,
+                                        source: str = PART_ROUNDTRIP_SOURCE):
+    """Partitioned parquet sink + pruned re-read (the resumable-output
+    contract, S5 analogue): write documents hive-partitioned by
+    ``source``, then read back ONLY the requested partition directory
+    — the re-read never opens the other partitions' files — and roll
+    up language counts.  A crashed run re-reads only the partitions it
+    needs; each partition directory is independently re-creatable."""
+    import os
+    import shutil
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+    root = os.path.join("/tmp", "biobloom_ray_part_roundtrip",
+                        os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    ds.write_parquet(root, partition_cols=["source"])
+
+    part_dir = os.path.join(root, f"source={source}")
+    back = _rp(part_dir, columns=["lang"])
+
+    def lpartial(b: pa.Table) -> pa.Table:
+        vc = pd.Series(b["lang"].to_pandas()).value_counts()
+        return pa.table({
+            "lang": pa.array(vc.index.to_numpy(dtype=object).tolist(),
+                             type=pa.string()),
+            "n": pa.array(vc.to_numpy(np.int64))})
+
+    parts = back.map_batches(lpartial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("lang", as_index=False)["n"].sum()
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)

@@ -85,6 +85,8 @@ SQL_CHECKED = [
     "customers_without_orders", "region_revenue",
     "orders_priority_semijoin",
     "event_transitions", "event_type_daily_ma7", "funnel_conversion",
+    "acctbal_percentiles_per_nation", "shard_assignment_counts",
+    "partitioned_roundtrip_source_counts",
 ]
 
 

@@ -1066,3 +1066,33 @@ def test_event_transitions_single_entity(ray_session, monkeypatch):
         " next_type, CAST(COUNT(*) AS BIGINT) AS n FROM s WHERE prev IS"
         " NOT NULL GROUP BY 1, 2 ORDER BY 1, 2").df()
     assert got.equals(want)
+
+
+def test_round4_wave8_tiers_agree(ray_session, monkeypatch):
+    """acctbal_percentiles_per_nation (driver count-table fold vs
+    native Sum groupby), shard_assignment_counts (map-only: invariant
+    under repartition; all docs assigned exactly once), and the
+    partitioned sink round-trip (pruned partition read == full-table
+    filtered rollup)."""
+    import duckdb
+
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_q = A.acctbal_percentiles_per_nation(sf)
+    monkeypatch.setattr(A, "RANK_DRIVER_MAX_ROWS", 0)
+    slow_q = A.acctbal_percentiles_per_nation(sf)[list(fast_q.columns)]
+    assert len(fast_q) > 0 and fast_q.equals(slow_q)
+
+    sh = A.shard_assignment_counts(sf)
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{sf}/documents.parquet'").fetchone()[0]
+    assert sh.n_docs.sum() == n_docs  # every doc lands in exactly 1 shard
+    assert sh.shard.between(0, 15).all()
+
+    pr = A.partitioned_roundtrip_source_counts(sf)
+    want = duckdb.sql(
+        f"SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM"
+        f" '{sf}/documents.parquet' WHERE source = 'src7'"
+        " GROUP BY lang ORDER BY lang").df()
+    assert pr.equals(want)
