@@ -1061,6 +1061,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_assignment_counts": A.shard_assignment_counts,
         "partitioned_roundtrip_source_counts":
             A.partitioned_roundtrip_source_counts,
+        # round-4 wave 9: LAG delta / union rollup / multi-distinct
+        "nation_monthly_revenue_delta": A.nation_monthly_revenue_delta,
+        "nation_balance_union": A.nation_balance_union,
+        "brand_distinct_sizes": A.brand_distinct_sizes,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -2197,4 +2201,37 @@ def oracle_sql() -> dict[str, str]:
         "partitioned_roundtrip_source_counts":
             "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents"
             " WHERE source = 'src7' GROUP BY lang ORDER BY lang",
+        # month-over-month LAG delta on the (nation, month) rollup;
+        # first month reports its own total (COALESCE)
+        "nation_monthly_revenue_delta":
+            "WITH m AS (SELECT n_name,"
+            " CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT)"
+            " AS month_epoch,"
+            " CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))"
+            " AS BIGINT) AS cents"
+            " FROM orders JOIN customer ON o_custkey = c_custkey"
+            " JOIN nation ON c_nationkey = n_nationkey"
+            " GROUP BY 1, 2)"
+            " SELECT n_name, month_epoch, cents,"
+            " CAST(COALESCE(cents - LAG(cents) OVER (PARTITION BY n_name"
+            " ORDER BY month_epoch), cents) AS BIGINT) AS delta_cents"
+            " FROM m ORDER BY n_name, month_epoch",
+        # UNION ALL across customer + supplier balances per nation
+        "nation_balance_union":
+            "WITH u AS ("
+            "SELECT c_nationkey AS nationkey, 'customer' AS side,"
+            " CAST(ROUND(c_acctbal*100) AS BIGINT) AS cents FROM customer"
+            " UNION ALL"
+            " SELECT s_nationkey, 'supplier',"
+            " CAST(ROUND(s_acctbal*100) AS BIGINT) FROM supplier)"
+            " SELECT n_name, side, CAST(COUNT(*) AS BIGINT) AS n,"
+            " CAST(SUM(cents) AS BIGINT) AS sum_cents"
+            " FROM u JOIN nation ON nationkey = n_nationkey"
+            " GROUP BY n_name, side ORDER BY n_name, side",
+        # per-brand multi-DISTINCT rollup
+        "brand_distinct_sizes":
+            "SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,"
+            " CAST(COUNT(DISTINCT p_size) AS BIGINT) AS n_sizes,"
+            " CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types"
+            " FROM part GROUP BY p_brand ORDER BY p_brand",
     }

@@ -179,7 +179,15 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "segment_revenue_topk", "nb_class_scores",
                "user_event_pivot", "token_drift_topk",
                "latest_event_per_user_type", "events_hourly_anomaly",
-               "docs_rollup_cube", "nchars_ntile_buckets"]
+               "docs_rollup_cube", "nchars_ntile_buckets",
+               # round-4 waves 6-8
+               "customers_without_orders", "region_revenue",
+               "orders_priority_semijoin", "event_transitions",
+               "event_type_daily_ma7", "funnel_conversion",
+               "acctbal_percentiles_per_nation", "shard_assignment_counts",
+               "partitioned_roundtrip_source_counts",
+               "nation_monthly_revenue_delta", "nation_balance_union",
+               "brand_distinct_sizes"]
 
 
 def run_queries() -> dict[str, float]:

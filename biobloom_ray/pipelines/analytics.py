@@ -4657,3 +4657,216 @@ def partitioned_roundtrip_source_counts(sf_dir: str,
     out = parts.groupby("lang", as_index=False)["n"].sum()
     out["n"] = out["n"].astype(np.int64)
     return out.sort_values("lang").reset_index(drop=True)
+
+
+# -- round-4 wave 9: LAG delta / union rollup / multi-distinct ---------------
+
+def nation_monthly_revenue_delta(sf_dir: str):
+    """Month-over-month revenue delta per nation (SQL LAG): the
+    corpus-scale work is ONE tiered orders⋈customer rollup to
+    (nation, month) — broadcast custkey→nationkey map below
+    ``CUST_BROADCAST_MAX_ROWS`` (map-side partials straight to
+    ≤ #nations × #months rows per block), hash join + native Sum
+    groupby above — and the LAG pass runs on the output-scale table
+    on the driver.  ``delta_cents`` is NULL-free: the first month of
+    each nation reports its own total (SQL COALESCE(c - LAG(c), c))."""
+    import ray
+
+    from biobloom_ray.io import hash_join
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation",
+                   columns=["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(nation.n_nationkey.astype(np.int64), nation.n_name))
+
+    def month_col(b: pa.Table) -> pa.Array:
+        return (pc.floor_temporal(b["o_orderdate"], unit="month")
+                .cast(pa.timestamp("s")).cast(pa.int64()))
+
+    n_cust = _cheap_count(cust)
+    if n_cust is not None and n_cust <= CUST_BROADCAST_MAX_ROWS:
+        cd = cust.to_pandas()
+        order_ = np.argsort(cd.c_custkey.to_numpy())
+        lut_ref = ray.put((cd.c_custkey.to_numpy()[order_],
+                           cd.c_nationkey.to_numpy()[order_]
+                           .astype(np.int64)))
+
+        def partial(b: pa.Table) -> pa.Table:
+            keys_s, nat_s = ray.get(lut_ref)
+            ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+            if len(keys_s) == 0 or len(ck) == 0:
+                return pa.table({"nationkey": pa.array([], pa.int64()),
+                                 "month_epoch": pa.array([], pa.int64()),
+                                 "cents": pa.array([], pa.int64())})
+            idx = np.searchsorted(keys_s, ck)
+            idx[idx >= len(keys_s)] = 0
+            ok = keys_s[idx] == ck
+            df = pd.DataFrame({
+                "nationkey": nat_s[idx[ok]],
+                "month_epoch": month_col(b).to_numpy(
+                    zero_copy_only=False)[ok],
+                "cents": _cents_away(b["o_totalprice"].to_numpy(
+                    zero_copy_only=False))[ok]})
+            agg = (df.groupby(["nationkey", "month_epoch"], as_index=False)
+                   ["cents"].sum())
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+        monthly = (orders.map_batches(partial, batch_format="pyarrow")
+                   .to_pandas()
+                   .groupby(["nationkey", "month_epoch"], as_index=False)
+                   ["cents"].sum())
+    else:
+        def order_proj(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "o_custkey": b["o_custkey"],
+                "month_epoch": month_col(b),
+                "cents": pa.array(_cents_away(
+                    b["o_totalprice"].to_numpy(zero_copy_only=False)))})
+
+        joined = hash_join(orders.map_batches(order_proj,
+                                              batch_format="pyarrow"),
+                           cust, on=("o_custkey",), right_on=("c_custkey",))
+
+        def mpartial(b: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "nationkey": b["c_nationkey"].to_numpy(
+                    zero_copy_only=False).astype(np.int64),
+                "month_epoch": b["month_epoch"].to_numpy(
+                    zero_copy_only=False),
+                "cents": b["cents"].to_numpy(zero_copy_only=False)})
+            agg = (df.groupby(["nationkey", "month_epoch"],
+                              as_index=False)["cents"].sum())
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+        monthly = (joined.map_batches(mpartial, batch_format="pyarrow")
+                   .groupby(["nationkey", "month_epoch"])
+                   .aggregate(Sum("cents", alias_name="cents"))
+                   .to_pandas())
+    monthly["n_name"] = monthly.nationkey.map(name_of)
+    monthly = (monthly.sort_values(["n_name", "month_epoch"])
+               .reset_index(drop=True))
+    prev = monthly.groupby("n_name")["cents"].shift(1)
+    monthly["delta_cents"] = np.where(
+        prev.isna(), monthly["cents"],
+        monthly["cents"] - prev.fillna(0).astype(np.int64)).astype(np.int64)
+    return monthly[["n_name", "month_epoch", "cents", "delta_cents"]]
+
+
+def nation_balance_union(sf_dir: str):
+    """``Dataset.union`` across two fact tables: customer and supplier
+    account balances rolled up per (nation, side).  Each side maps to
+    per-block (nationkey, side, n, sum_cents) partials BEFORE the
+    union, so the united stream is output-scale (≤ #nations × 2 rows
+    per block) and the driver sum never grows with the corpus — no
+    gate needed."""
+    cust = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+    supp = _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+    nation = _read(sf_dir, "nation",
+                   columns=["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(nation.n_nationkey.astype(np.int64), nation.n_name))
+
+    def side_partial(key_col: str, bal_col: str, side: str):
+        def partial(b: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "nationkey": b[key_col].to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "cents": _cents_away(
+                    b[bal_col].to_numpy(zero_copy_only=False))})
+            agg = (df.groupby("nationkey", as_index=False)
+                   .agg(n=("cents", "size"), sum_cents=("cents", "sum")))
+            agg["n"] = agg["n"].astype(np.int64)
+            agg.insert(1, "side", side)
+            return pa.Table.from_pandas(agg, preserve_index=False)
+        return partial
+
+    c_parts = cust.map_batches(
+        side_partial("c_nationkey", "c_acctbal", "customer"),
+        batch_format="pyarrow")
+    s_parts = supp.map_batches(
+        side_partial("s_nationkey", "s_acctbal", "supplier"),
+        batch_format="pyarrow")
+    parts = c_parts.union(s_parts).to_pandas()
+    agg = (parts.groupby(["nationkey", "side"], as_index=False)
+           [["n", "sum_cents"]].sum())
+    agg["n_name"] = agg.nationkey.map(name_of)
+    return (agg.sort_values(["n_name", "side"]).reset_index(drop=True)
+            [["n_name", "side", "n", "sum_cents"]])
+
+
+#: part-side row gate (same contract as the other driver gates)
+PART_DRIVER_MAX_ROWS = 2_000_000
+
+
+def brand_distinct_sizes(sf_dir: str):
+    """Multi-DISTINCT rollup: per brand, the part count plus TWO
+    distinct-counts (sizes, types) — the two-level dedup-then-count
+    shape.  Block partials dedup (brand, size) / (brand, type) locally
+    and pre-sum raw counts; below the gate one driver pass finishes,
+    above it each distinct count is a chained native groupby (dedup
+    groupby((brand, dim)) → Count per brand) and the part count a
+    native Sum — three output-scale shuffles of deduped rows, never
+    the part table itself."""
+    ds = _read(sf_dir, "part", columns=["p_brand", "p_size", "p_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"brand": b["p_brand"].to_pandas(),
+                           "size": b["p_size"].to_numpy(
+                               zero_copy_only=False).astype(np.int64),
+                           "type": b["p_type"].to_pandas()})
+        cnt = (df.groupby("brand", as_index=False).size()
+               .rename(columns={"size": "n_parts"}))
+        cnt["n_parts"] = cnt["n_parts"].astype(np.int64)
+        bs = df[["brand", "size"]].drop_duplicates()
+        bt = df[["brand", "type"]].drop_duplicates()
+        return pa.table({
+            "kind": pa.array(
+                np.r_[np.zeros(len(cnt), np.int8),
+                      np.ones(len(bs), np.int8),
+                      np.full(len(bt), 2, np.int8)]),
+            "brand": pa.array(pd.concat([cnt.brand, bs.brand, bt.brand])
+                              .tolist(), type=pa.string()),
+            "size": pa.array(np.r_[np.zeros(len(cnt), np.int64),
+                                   bs["size"].to_numpy(np.int64),
+                                   np.zeros(len(bt), np.int64)]),
+            "type": pa.array([""] * (len(cnt) + len(bs))
+                             + bt["type"].tolist(), type=pa.string()),
+            "n": pa.array(np.r_[cnt.n_parts.to_numpy(np.int64),
+                                np.zeros(len(bs), np.int64),
+                                np.zeros(len(bt), np.int64)])})
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= PART_DRIVER_MAX_ROWS:
+        p = parts_ds.to_pandas()
+        n_parts = (p[p.kind == 0].groupby("brand", as_index=False)["n"]
+                   .sum().rename(columns={"n": "n_parts"}))
+        n_sizes = (p[p.kind == 1][["brand", "size"]].drop_duplicates()
+                   .groupby("brand", as_index=False).size()
+                   .rename(columns={"size": "n_sizes"}))
+        n_types = (p[p.kind == 2][["brand", "type"]].drop_duplicates()
+                   .groupby("brand", as_index=False).size()
+                   .rename(columns={"size": "n_types"}))
+    else:
+        n_parts = (parts_ds
+                   .filter(expr="kind == 0")
+                   .groupby("brand")
+                   .aggregate(Sum("n", alias_name="n_parts")).to_pandas())
+        n_sizes = (parts_ds.filter(expr="kind == 1")
+                   .groupby(["brand", "size"])
+                   .aggregate(Count(alias_name="c"))
+                   .groupby("brand")
+                   .aggregate(Count(alias_name="n_sizes")).to_pandas()
+                   [["brand", "n_sizes"]])
+        n_types = (parts_ds.filter(expr="kind == 2")
+                   .groupby(["brand", "type"])
+                   .aggregate(Count(alias_name="c"))
+                   .groupby("brand")
+                   .aggregate(Count(alias_name="n_types")).to_pandas()
+                   [["brand", "n_types"]])
+    out = n_parts.merge(n_sizes, on="brand").merge(n_types, on="brand")
+    for c in ("n_parts", "n_sizes", "n_types"):
+        out[c] = out[c].astype(np.int64)
+    out = out.rename(columns={"brand": "p_brand"})
+    return out.sort_values("p_brand").reset_index(drop=True)

@@ -87,6 +87,8 @@ SQL_CHECKED = [
     "event_transitions", "event_type_daily_ma7", "funnel_conversion",
     "acctbal_percentiles_per_nation", "shard_assignment_counts",
     "partitioned_roundtrip_source_counts",
+    "nation_monthly_revenue_delta", "nation_balance_union",
+    "brand_distinct_sizes",
 ]
 
 

