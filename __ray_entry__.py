@@ -1065,6 +1065,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_monthly_revenue_delta": A.nation_monthly_revenue_delta,
         "nation_balance_union": A.nation_balance_union,
         "brand_distinct_sizes": A.brand_distinct_sizes,
+        # round-4 wave 10: Pareto cum-share / diversity / supplier topk
+        "revenue_pareto_nations": A.revenue_pareto_nations,
+        "source_lang_entropy": A.source_lang_entropy,
+        "top_suppliers_by_quantity": A.top_suppliers_by_quantity,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -2234,4 +2238,39 @@ def oracle_sql() -> dict[str, str]:
             " CAST(COUNT(DISTINCT p_size) AS BIGINT) AS n_sizes,"
             " CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types"
             " FROM part GROUP BY p_brand ORDER BY p_brand",
+        # Pareto cumulative share, exact-integer top-80% membership
+        "revenue_pareto_nations":
+            "WITH b AS (SELECT n_name,"
+            " CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))"
+            " AS BIGINT) AS total_cents"
+            " FROM orders JOIN customer ON o_custkey = c_custkey"
+            " JOIN nation ON c_nationkey = n_nationkey"
+            " GROUP BY n_name), "
+            "w AS (SELECT n_name, total_cents,"
+            " CAST(SUM(total_cents) OVER (ORDER BY total_cents DESC,"
+            " n_name ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,"
+            " CAST(ROW_NUMBER() OVER (ORDER BY total_cents DESC, n_name)"
+            " AS BIGINT) AS rank,"
+            " CAST(SUM(total_cents) OVER () AS BIGINT) AS total FROM b)"
+            " SELECT rank, n_name, total_cents, cum_cents,"
+            " (cum_cents * 10 <= total * 8) AS in_top80"
+            " FROM w ORDER BY rank",
+        # language-diversity entropy per source, 6-dp float contract
+        "source_lang_entropy":
+            "WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT)"
+            " AS c FROM documents GROUP BY 1, 2), "
+            "st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,"
+            " CAST(COUNT(*) AS BIGINT) AS n_langs, SUM(c * LN(c)) AS s"
+            " FROM c GROUP BY source) "
+            "SELECT source, n_docs, n_langs,"
+            " ROUND(LN(CAST(n_docs AS DOUBLE)) - s / n_docs, 6)"
+            " AS entropy_r6 FROM st ORDER BY source",
+        # supplier league table: exact integer quantities
+        "top_suppliers_by_quantity":
+            "SELECT l_suppkey, s_name,"
+            " CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,"
+            " CAST(COUNT(*) AS BIGINT) AS n_items"
+            " FROM lineitem JOIN supplier ON l_suppkey = s_suppkey"
+            " GROUP BY l_suppkey, s_name"
+            " ORDER BY sum_qty DESC, l_suppkey LIMIT 10",
     }

@@ -187,7 +187,9 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "acctbal_percentiles_per_nation", "shard_assignment_counts",
                "partitioned_roundtrip_source_counts",
                "nation_monthly_revenue_delta", "nation_balance_union",
-               "brand_distinct_sizes"]
+               "brand_distinct_sizes",
+               "revenue_pareto_nations", "source_lang_entropy",
+               "top_suppliers_by_quantity"]
 
 
 def run_queries() -> dict[str, float]:

@@ -4870,3 +4870,118 @@ def brand_distinct_sizes(sf_dir: str):
         out[c] = out[c].astype(np.int64)
     out = out.rename(columns={"brand": "p_brand"})
     return out.sort_values("p_brand").reset_index(drop=True)
+
+
+# -- round-4 wave 10: Pareto cum-share / diversity entropy / supplier topk ---
+
+def revenue_pareto_nations(sf_dir: str):
+    """Pareto (80/20) analysis: nations ranked by revenue with
+    cumulative totals and an exact-integer top-80% membership flag
+    (``cum·10 ≤ total·8`` — no float share crosses the oracle hash).
+    Corpus-scale work is the same tiered orders⋈customer rollup
+    as ``orders_per_nation``; the cumulative window runs on the
+    ≤ #nations-row output."""
+    base = orders_per_nation(sf_dir)  # n_name, n_orders, total_cents
+    out = (base.sort_values(["total_cents", "n_name"],
+                            ascending=[False, True])
+           .reset_index(drop=True))
+    out["cum_cents"] = out["total_cents"].cumsum().astype(np.int64)
+    total = np.int64(out["total_cents"].sum())
+    out["in_top80"] = (out["cum_cents"] * 10 <= total * 8)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["rank", "n_name", "total_cents", "cum_cents", "in_top80"]]
+
+
+def source_lang_entropy(sf_dir: str):
+    """Language-diversity entropy per source: H = ln(n) − (1/n)·Σ c·ln c
+    over the (source, lang) count table — the mixture-diversity
+    monitor for corpus curation.  Corpus work is ONE tiered
+    (source, lang) rollup (shared ``RANK_DRIVER_MAX_ROWS`` gate); the
+    entropy pass runs on the output-scale table.  Counts are exact
+    integers; the entropy is 6-dp rounded (same float contract as
+    ``token_entropy``)."""
+    ds = _read(sf_dir, "documents", columns=["source", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"source": b["source"].to_pandas(),
+                           "lang": b["lang"].to_pandas()})
+        agg = (df.groupby(["source", "lang"], as_index=False).size()
+               .rename(columns={"size": "c"}))
+        agg["c"] = agg["c"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= RANK_DRIVER_MAX_ROWS:
+        counts = (parts_ds.to_pandas()
+                  .groupby(["source", "lang"], as_index=False)["c"].sum())
+    else:
+        counts = (parts_ds.groupby(["source", "lang"])
+                  .aggregate(Sum("c", alias_name="c")).to_pandas())
+    g = counts.groupby("source")
+    n = g["c"].transform("sum").to_numpy(np.int64)
+    c = counts["c"].to_numpy(np.int64)
+    counts["s"] = c * np.log(c)
+    agg = (counts.groupby("source", as_index=False)
+           .agg(n_docs=("c", "sum"), n_langs=("c", "size"),
+                s=("s", "sum")))
+    agg["n_docs"] = agg["n_docs"].astype(np.int64)
+    agg["n_langs"] = agg["n_langs"].astype(np.int64)
+    agg["entropy_r6"] = np.round(
+        np.log(agg["n_docs"].to_numpy(np.float64))
+        - agg["s"].to_numpy() / agg["n_docs"].to_numpy(np.float64), 6)
+    return (agg.sort_values("source").reset_index(drop=True)
+            [["source", "n_docs", "n_langs", "entropy_r6"]])
+
+
+def top_suppliers_by_quantity(sf_dir: str, k: int = 10):
+    """Supplier league table: top-k suppliers by total shipped
+    quantity, name attached.  Lineitem reduces per block to
+    (suppkey, qty, n) partials; tiered combine (driver fold below
+    ``LINEITEM_DRIVER_MAX_ROWS``, native Sum groupby + per-block exact
+    top-k above — post-groupby blocks hold disjoint keys); the ≤k-row
+    result joins the supplier name via one pruned broadcast read."""
+    li = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_suppkey": b["l_suppkey"].to_numpy(zero_copy_only=False),
+            "qty": b["l_quantity"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+        agg = (df.groupby("l_suppkey", as_index=False)
+               .agg(sum_qty=("qty", "sum"), n_items=("qty", "size")))
+        agg["n_items"] = agg["n_items"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = li.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(li)
+    if n_rows is not None and n_rows <= LINEITEM_DRIVER_MAX_ROWS:
+        agg = (parts_ds.to_pandas().groupby("l_suppkey", as_index=False)
+               [["sum_qty", "n_items"]].sum())
+        top = (agg.sort_values(["sum_qty", "l_suppkey"],
+                               ascending=[False, True]).head(k))
+    else:
+        summed = (parts_ds.groupby("l_suppkey")
+                  .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                             Sum("n_items", alias_name="n_items")))
+
+        def local_topk(b: pa.Table) -> pa.Table:
+            sq = b["sum_qty"].to_numpy(zero_copy_only=False)
+            keys = b["l_suppkey"].to_numpy(zero_copy_only=False)
+            ni = b["n_items"].to_numpy(zero_copy_only=False)
+            idx = np.lexsort((keys, -sq))[:k]
+            return pa.table({"l_suppkey": pa.array(keys[idx]),
+                             "sum_qty": pa.array(sq[idx]),
+                             "n_items": pa.array(ni[idx])})
+
+        top = (summed.map_batches(local_topk, batch_format="pyarrow")
+               .to_pandas()
+               .sort_values(["sum_qty", "l_suppkey"],
+                            ascending=[False, True]).head(k))
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_name"]).to_pandas()
+    name_of = dict(zip(supp.s_suppkey.astype(np.int64), supp.s_name))
+    top = top.reset_index(drop=True)
+    top["s_name"] = top.l_suppkey.map(name_of)
+    top["sum_qty"] = top["sum_qty"].astype(np.int64)
+    return top[["l_suppkey", "s_name", "sum_qty", "n_items"]]

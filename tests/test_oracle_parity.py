@@ -89,6 +89,8 @@ SQL_CHECKED = [
     "partitioned_roundtrip_source_counts",
     "nation_monthly_revenue_delta", "nation_balance_union",
     "brand_distinct_sizes",
+    "revenue_pareto_nations", "source_lang_entropy",
+    "top_suppliers_by_quantity",
 ]
 
 

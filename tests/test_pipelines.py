@@ -1123,3 +1123,31 @@ def test_round4_wave9_tiers_agree(ray_session, monkeypatch):
     assert len(fast_u) > 0
     assert (fast_u[fast_u.side == "customer"].n.sum()
             + fast_u[fast_u.side == "supplier"].n.sum()) == fast_u.n.sum()
+
+
+def test_round4_wave10_tiers_agree(ray_session, monkeypatch):
+    """revenue_pareto_nations (rides orders_per_nation's tiers; window
+    pass driver-side), source_lang_entropy (driver count fold vs native
+    Sum groupby), top_suppliers_by_quantity (driver fold vs native Sum
+    + block top-k)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_p = A.revenue_pareto_nations(sf)
+    fast_e = A.source_lang_entropy(sf)
+    fast_s = A.top_suppliers_by_quantity(sf)
+
+    monkeypatch.setattr(A, "CUST_BROADCAST_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "RANK_DRIVER_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "LINEITEM_DRIVER_MAX_ROWS", 0)
+
+    slow_p = A.revenue_pareto_nations(sf)[list(fast_p.columns)]
+    slow_e = A.source_lang_entropy(sf)[list(fast_e.columns)]
+    slow_s = A.top_suppliers_by_quantity(sf)[list(fast_s.columns)]
+
+    assert len(fast_p) > 0 and fast_p.equals(slow_p)
+    assert len(fast_e) > 0 and fast_e.equals(slow_e)
+    assert len(fast_s) > 0 and fast_s.equals(slow_s)
+    # Pareto invariants: cum is monotone, last cum == total
+    assert fast_p.cum_cents.is_monotonic_increasing
+    assert fast_p.cum_cents.iloc[-1] == fast_p.total_cents.sum()
