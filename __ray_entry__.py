@@ -1069,6 +1069,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_pareto_nations": A.revenue_pareto_nations,
         "source_lang_entropy": A.source_lang_entropy,
         "top_suppliers_by_quantity": A.top_suppliers_by_quantity,
+        # round-4 wave 11: decile stats / DENSE_RANK ties / correlated
+        "value_decile_stats": A.value_decile_stats,
+        "top_size_modes_per_brand": A.top_size_modes_per_brand,
+        "parts_above_type_avg": A.parts_above_type_avg,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -2273,4 +2277,34 @@ def oracle_sql() -> dict[str, str]:
             " FROM lineitem JOIN supplier ON l_suppkey = s_suppkey"
             " GROUP BY l_suppkey, s_name"
             " ORDER BY sum_qty DESC, l_suppkey LIMIT 10",
+        # exact global NTILE(10) aggregates over integer cents
+        "value_decile_stats":
+            "WITH e AS (SELECT event_id,"
+            " CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events), "
+            "t AS (SELECT cents, CAST(NTILE(10) OVER (ORDER BY cents,"
+            " event_id) AS BIGINT) AS bucket FROM e) "
+            "SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,"
+            " CAST(SUM(cents) AS BIGINT) AS sum_cents,"
+            " CAST(MIN(cents) AS BIGINT) AS min_cents,"
+            " CAST(MAX(cents) AS BIGINT) AS max_cents"
+            " FROM t GROUP BY bucket ORDER BY bucket",
+        # DENSE_RANK with ties kept: top-2 size frequencies per brand
+        "top_size_modes_per_brand":
+            "WITH c AS (SELECT p_brand, p_size,"
+            " CAST(COUNT(*) AS BIGINT) AS n FROM part GROUP BY 1, 2), "
+            "r AS (SELECT p_brand, CAST(p_size AS BIGINT) AS p_size, n,"
+            " CAST(DENSE_RANK() OVER (PARTITION BY p_brand"
+            " ORDER BY n DESC) AS BIGINT) AS rnk FROM c) "
+            "SELECT p_brand, p_size, n, rnk FROM r WHERE rnk <= 2"
+            " ORDER BY p_brand, rnk, p_size",
+        # correlated subquery (size > its type's average) as exact
+        # integer cross-multiplication on BOTH sides — size·n > sum
+        "parts_above_type_avg":
+            "SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n_parts,"
+            " CAST(SUM(CASE WHEN CAST(p_size AS BIGINT) * t_n > t_sum"
+            " THEN 1 ELSE 0 END) AS BIGINT) AS n_above"
+            " FROM (SELECT p_type, p_size,"
+            " COUNT(*) OVER (PARTITION BY p_type) AS t_n,"
+            " SUM(CAST(p_size AS BIGINT)) OVER (PARTITION BY p_type)"
+            " AS t_sum FROM part) GROUP BY p_type ORDER BY p_type",
     }

@@ -121,6 +121,8 @@ def _force_cluster_tiers():
     A.RANK_BROADCAST_MAX_ROWS = 0
     A.SEGMENT_BROADCAST_MAX_ROWS = 0
     A.NB_BROADCAST_MAX_ROWS = 0
+    A.ANTI_BROADCAST_MAX_ROWS = 0
+    A.PART_DRIVER_MAX_ROWS = 0
     D.EXACT_DEDUP_DRIVER_MAX_ROWS = 0
     D.BAND_DRIVER_MAX_ROWS = 0
     PR.PAIR_BROADCAST_MAX_ROWS = 0
@@ -189,7 +191,9 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "nation_monthly_revenue_delta", "nation_balance_union",
                "brand_distinct_sizes",
                "revenue_pareto_nations", "source_lang_entropy",
-               "top_suppliers_by_quantity"]
+               "top_suppliers_by_quantity",
+               "value_decile_stats", "top_size_modes_per_brand",
+               "parts_above_type_avg"]
 
 
 def run_queries() -> dict[str, float]:

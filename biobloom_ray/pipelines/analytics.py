@@ -4985,3 +4985,147 @@ def top_suppliers_by_quantity(sf_dir: str, k: int = 10):
     top["s_name"] = top.l_suppkey.map(name_of)
     top["sum_qty"] = top["sum_qty"].astype(np.int64)
     return top[["l_suppkey", "s_name", "sum_qty", "n_items"]]
+
+
+# -- round-4 wave 11: decile stats / DENSE_RANK ties / correlated agg --------
+
+def value_decile_stats(sf_dir: str, n_buckets: int = 10):
+    """Exact global equi-depth decile statistics over event value:
+    per NTILE(10) bucket (total order: cents, then event_id), the row
+    count, sum, min and max in integer cents.  KEY INSIGHT: every
+    aggregate here is decided by the VALUE-CARDINALITY count table
+    alone — rows tying on cents are interchangeable w.r.t. count/sum/
+    min/max, so the tie-break inside a straddling run never changes
+    the answer and no per-row pass exists at all.  The corpus reduces
+    to (cents → n) partials (tiered: driver fold below the shared
+    events gate, native Sum groupby above); the decile walk runs on
+    the value-domain-bounded count table."""
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = _cents_away(b["value"].to_numpy(zero_copy_only=False))
+        u, c = np.unique(cents, return_counts=True)
+        return pa.table({"cents": pa.array(u),
+                         "n": pa.array(c.astype(np.int64))})
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        counts = (parts_ds.to_pandas()
+                  .groupby("cents", as_index=False)["n"].sum())
+    else:
+        counts = (parts_ds.groupby("cents")
+                  .aggregate(Sum("n", alias_name="n")).to_pandas())
+    counts = counts.sort_values("cents").reset_index(drop=True)
+    vals = counts["cents"].to_numpy(np.int64)
+    cnt = counts["n"].to_numpy(np.int64)
+    cum = np.cumsum(cnt)
+    n = int(cum[-1]) if len(cum) else 0
+    q, r = divmod(n, n_buckets)
+    rows = []
+    lo_rank = 0  # exclusive prefix rank of the current bucket
+    for b in range(n_buckets):
+        size = q + 1 if b < r else q
+        if size == 0:
+            continue
+        hi_rank = lo_rank + size
+        i0 = int(np.searchsorted(cum, lo_rank + 1))
+        i1 = int(np.searchsorted(cum, hi_rank))
+        # rows of value vals[i] fully inside: full count; edge runs
+        # contribute only their in-bucket share
+        full_sum = 0
+        if i0 == i1:
+            in_b = size
+            s = int(vals[i0]) * in_b
+        else:
+            head = int(cum[i0] - lo_rank)           # part of run i0
+            tail = int(hi_rank - cum[i1 - 1])       # part of run i1
+            mid = cnt[i0 + 1:i1]
+            s = (int(vals[i0]) * head + int(vals[i1]) * tail
+                 + int(np.dot(vals[i0 + 1:i1], mid)))
+        rows.append((np.int64(b + 1), np.int64(size), np.int64(s),
+                     np.int64(vals[i0]), np.int64(vals[i1])))
+        lo_rank = hi_rank
+    out = pd.DataFrame(rows, columns=["bucket", "n", "sum_cents",
+                                      "min_cents", "max_cents"])
+    return out
+
+
+def top_size_modes_per_brand(sf_dir: str, depth: int = 2):
+    """Grouped DENSE_RANK with ties kept: per brand, every part size
+    whose frequency ranks in the top ``depth`` DISTINCT frequencies
+    (mode and runner-up — ALL ties survive, unlike row-limit top-k).
+    Corpus work is one tiered (brand, size) count rollup; the
+    dense-rank pass runs on the output-scale count table."""
+    ds = _read(sf_dir, "part", columns=["p_brand", "p_size"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"p_brand": b["p_brand"].to_pandas(),
+                           "p_size": b["p_size"].to_numpy(
+                               zero_copy_only=False).astype(np.int64)})
+        agg = (df.groupby(["p_brand", "p_size"], as_index=False).size()
+               .rename(columns={"size": "n"}))
+        agg["n"] = agg["n"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= PART_DRIVER_MAX_ROWS:
+        counts = (parts_ds.to_pandas()
+                  .groupby(["p_brand", "p_size"], as_index=False)["n"]
+                  .sum())
+    else:
+        counts = (parts_ds.groupby(["p_brand", "p_size"])
+                  .aggregate(Sum("n", alias_name="n")).to_pandas())
+    # dense rank of n (desc) within brand; ties share a rank
+    counts["rnk"] = (counts.groupby("p_brand")["n"]
+                     .rank(method="dense", ascending=False)
+                     .astype(np.int64))
+    out = counts[counts.rnk <= depth].copy()
+    return (out.sort_values(["p_brand", "rnk", "p_size"])
+            .reset_index(drop=True)
+            [["p_brand", "p_size", "n", "rnk"]])
+
+
+def parts_above_type_avg(sf_dir: str):
+    """Correlated-subquery rewrite: per part type, how many parts are
+    STRICTLY larger than their own type's average size.  The average
+    never materializes as a float — the predicate ``size > sum/n``
+    becomes the exact integer cross-multiplication ``size·n > sum``.
+    One tiered (type, size) count rollup feeds both the per-type
+    totals and the comparison — no second scan, no join back to the
+    part table."""
+    ds = _read(sf_dir, "part", columns=["p_type", "p_size"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"p_type": b["p_type"].to_pandas(),
+                           "p_size": b["p_size"].to_numpy(
+                               zero_copy_only=False).astype(np.int64)})
+        agg = (df.groupby(["p_type", "p_size"], as_index=False).size()
+               .rename(columns={"size": "c"}))
+        agg["c"] = agg["c"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= PART_DRIVER_MAX_ROWS:
+        counts = (parts_ds.to_pandas()
+                  .groupby(["p_type", "p_size"], as_index=False)["c"]
+                  .sum())
+    else:
+        counts = (parts_ds.groupby(["p_type", "p_size"])
+                  .aggregate(Sum("c", alias_name="c")).to_pandas())
+    g = counts.groupby("p_type")
+    n_t = g["c"].transform("sum").to_numpy(np.int64)
+    sum_t = (counts["p_size"].to_numpy(np.int64)
+             * counts["c"].to_numpy(np.int64))
+    counts["w"] = sum_t
+    sum_type = g["w"].transform("sum").to_numpy(np.int64)
+    above = (counts["p_size"].to_numpy(np.int64) * n_t
+             > sum_type)
+    counts["above_c"] = np.where(above, counts["c"].to_numpy(np.int64), 0)
+    agg = (counts.groupby("p_type", as_index=False)
+           .agg(n_parts=("c", "sum"), n_above=("above_c", "sum")))
+    agg["n_parts"] = agg["n_parts"].astype(np.int64)
+    agg["n_above"] = agg["n_above"].astype(np.int64)
+    return agg.sort_values("p_type").reset_index(drop=True)

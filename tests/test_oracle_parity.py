@@ -91,6 +91,8 @@ SQL_CHECKED = [
     "brand_distinct_sizes",
     "revenue_pareto_nations", "source_lang_entropy",
     "top_suppliers_by_quantity",
+    "value_decile_stats", "top_size_modes_per_brand",
+    "parts_above_type_avg",
 ]
 
 

@@ -1151,3 +1151,30 @@ def test_round4_wave10_tiers_agree(ray_session, monkeypatch):
     # Pareto invariants: cum is monotone, last cum == total
     assert fast_p.cum_cents.is_monotonic_increasing
     assert fast_p.cum_cents.iloc[-1] == fast_p.total_cents.sum()
+
+
+def test_round4_wave11_tiers_agree(ray_session, monkeypatch):
+    """value_decile_stats (driver count fold vs native Sum groupby;
+    aggregates derived from the count table alone), top_size_modes
+    (DENSE_RANK ties kept), parts_above_type_avg (integer
+    cross-multiplication, no float average)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_d = A.value_decile_stats(sf)
+    fast_m = A.top_size_modes_per_brand(sf)
+    fast_a = A.parts_above_type_avg(sf)
+
+    monkeypatch.setattr(A, "EVENTS_DRIVER_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "PART_DRIVER_MAX_ROWS", 0)
+
+    slow_d = A.value_decile_stats(sf)[list(fast_d.columns)]
+    slow_m = A.top_size_modes_per_brand(sf)[list(fast_m.columns)]
+    slow_a = A.parts_above_type_avg(sf)[list(fast_a.columns)]
+
+    assert len(fast_d) > 0 and fast_d.equals(slow_d)
+    assert len(fast_m) > 0 and fast_m.equals(slow_m)
+    assert len(fast_a) > 0 and fast_a.equals(slow_a)
+    # decile invariants: bucket sizes differ by at most 1, n sums to total
+    sizes = fast_d.n.to_numpy()
+    assert sizes.max() - sizes.min() <= 1
