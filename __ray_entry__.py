@@ -1080,6 +1080,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_decile_stats": A.value_decile_stats,
         "top_size_modes_per_brand": A.top_size_modes_per_brand,
         "parts_above_type_avg": A.parts_above_type_avg,
+        # round-4 wave 12: set-ops / dense grid / grouped correlation
+        "event_user_setops": A.event_user_setops,
+        "type_day_dense_counts": A.type_day_dense_counts,
+        "lineitem_corr_stats": A.lineitem_corr_stats,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -2314,4 +2318,54 @@ def oracle_sql() -> dict[str, str]:
             " COUNT(*) OVER (PARTITION BY p_type) AS t_n,"
             " SUM(CAST(p_size AS BIGINT)) OVER (PARTITION BY p_type)"
             " AS t_sum FROM part) GROUP BY p_type ORDER BY p_type",
+        # set ops as one conditional rollup: |A∩B| / |A\B| / |B\A|
+        # fall out of the per-user (a,b) flag combination counts
+        "event_user_setops":
+            "WITH u AS (SELECT user_id,"
+            " MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"
+            " AS a,"
+            " MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+            " AS b FROM events GROUP BY user_id) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_users,"
+            " CAST(SUM(a) AS BIGINT) AS n_a,"
+            " CAST(SUM(b) AS BIGINT) AS n_b,"
+            " CAST(SUM(a * b) AS BIGINT) AS n_both,"
+            " CAST(SUM(a * (1 - b)) AS BIGINT) AS n_only_a,"
+            " CAST(SUM((1 - a) * b) AS BIGINT) AS n_only_b,"
+            " CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n_neither"
+            " FROM u",
+        # gap-filled dense grid: observed types × observed days,
+        # zero-filled where no events landed
+        "type_day_dense_counts":
+            "WITH c AS (SELECT event_type,"
+            " CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS"
+            " day_epoch, CAST(COUNT(*) AS BIGINT) AS n"
+            " FROM events GROUP BY 1, 2), "
+            "g AS (SELECT t.event_type, d.day_epoch"
+            " FROM (SELECT DISTINCT event_type FROM c) t"
+            " CROSS JOIN (SELECT DISTINCT day_epoch FROM c) d) "
+            "SELECT g.event_type, g.day_epoch,"
+            " CAST(COALESCE(c.n, 0) AS BIGINT) AS n"
+            " FROM g LEFT JOIN c ON g.event_type = c.event_type"
+            " AND g.day_epoch = c.day_epoch"
+            " ORDER BY g.event_type, g.day_epoch",
+        # grouped Pearson r + slope via the SAME explicit moment
+        # algebra the pipeline uses (not the builtin CORR): exact-int
+        # sums, doubles only where the pipeline goes double
+        "lineitem_corr_stats":
+            "WITH b AS (SELECT l_returnflag,"
+            " CAST(l_quantity AS BIGINT) AS x,"
+            " CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y"
+            " FROM lineitem), "
+            "m AS (SELECT l_returnflag,"
+            " CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx,"
+            " SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sx2,"
+            " SUM(CAST(y AS DOUBLE) * y) AS sy2 FROM b GROUP BY 1) "
+            "SELECT l_returnflag, n,"
+            " ROUND(CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / SQRT(CAST(n * sx2 - sx * sx AS DOUBLE)"
+            " * (n * sy2 - CAST(sy * sy AS DOUBLE))), 6) AS corr_r6,"
+            " ROUND(CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / CAST(n * sx2 - sx * sx AS DOUBLE), 6) AS slope_r6"
+            " FROM m ORDER BY l_returnflag",
     }

@@ -5129,3 +5129,145 @@ def parts_above_type_avg(sf_dir: str):
     agg["n_parts"] = agg["n_parts"].astype(np.int64)
     agg["n_above"] = agg["n_above"].astype(np.int64)
     return agg.sort_values("p_type").reset_index(drop=True)
+
+def event_user_setops(sf_dir: str, type_a: str = "click",
+                      type_b: str = "purchase"):
+    """Set operations (INTERSECT / EXCEPT) over per-type user sets as a
+    single conditional rollup: users who did BOTH ``type_a`` and
+    ``type_b``, either side only, or neither — one exact-integer report
+    row.  The two user sets never materialize and never join: ONE
+    tiered groupby(user_id) with Max-indicator partials decides every
+    set-op count (|A∩B|, |A\\B|, |B\\A| fall out of the (a,b) flag
+    combination counts), so the plan is a single shuffle of ≤ #users
+    pre-deduped rows regardless of corpus size."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"]
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+            "a": pc.equal(et, type_a).to_numpy(zero_copy_only=False)
+                 .astype(np.int64),
+            "b": pc.equal(et, type_b).to_numpy(zero_copy_only=False)
+                 .astype(np.int64)})
+        agg = df.groupby("user_id", as_index=False).max()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        flags = (parts_ds.to_pandas()
+                 .groupby("user_id", as_index=False).max())
+    else:
+        flags = (parts_ds.groupby("user_id")
+                 .aggregate(Max("a", alias_name="a"),
+                            Max("b", alias_name="b")).to_pandas())
+    a = flags["a"].to_numpy(np.int64)
+    b = flags["b"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "n_users": [np.int64(len(flags))],
+        "n_a": [np.int64(a.sum())],
+        "n_b": [np.int64(b.sum())],
+        "n_both": [np.int64(int((a & b).sum()))],
+        "n_only_a": [np.int64(int((a & (1 - b)).sum()))],
+        "n_only_b": [np.int64(int(((1 - a) & b).sum()))],
+        "n_neither": [np.int64(int(((1 - a) & (1 - b)).sum()))]})
+
+
+def type_day_dense_counts(sf_dir: str):
+    """Gap-filled dense time series (the warehouse "calendar cross
+    join"): every (event_type × day) cell of the observed grid gets a
+    row, zero-filled where no events landed.  Corpus work is the SAME
+    tiered (type, day) count rollup every daily operator uses; the
+    dense grid is the cartesian product of the two OUTPUT-scale
+    distinct lists (#types × #days rows), built driver-side with a
+    left merge + fillna(0) — no corpus-scale cross join ever runs."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = (pc.floor_temporal(b["ts"], unit="day")
+               .cast(pa.timestamp("s")).cast(pa.int64()))
+        df = pd.DataFrame({
+            "event_type": b["event_type"].to_pandas(),
+            "day_epoch": day.to_numpy(zero_copy_only=False)})
+        agg = (df.groupby(["event_type", "day_epoch"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        agg["n"] = agg["n"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        counts = (parts_ds.to_pandas()
+                  .groupby(["event_type", "day_epoch"], as_index=False)
+                  ["n"].sum())
+    else:
+        counts = (parts_ds.groupby(["event_type", "day_epoch"])
+                  .aggregate(Sum("n", alias_name="n")).to_pandas())
+    types = np.sort(counts["event_type"].unique())
+    days = np.sort(counts["day_epoch"].unique())
+    grid = pd.MultiIndex.from_product(
+        [types, days], names=["event_type", "day_epoch"]).to_frame(
+        index=False)
+    out = grid.merge(counts, on=["event_type", "day_epoch"], how="left")
+    out["n"] = out["n"].fillna(0).astype(np.int64)
+    out["day_epoch"] = out["day_epoch"].astype(np.int64)
+    return out.sort_values(["event_type", "day_epoch"]).reset_index(
+        drop=True)
+
+
+def lineitem_corr_stats(sf_dir: str):
+    """Grouped Pearson correlation + least-squares slope
+    (CORR / REGR_SLOPE shape) of extendedprice-cents against quantity
+    per returnflag, from ONE pass of moment partials: n, Σx, Σy, Σxy,
+    Σx² are exact int64 per block (quantity ≤ 50 keeps Σxy far from
+    overflow), Σy² is float64 (y² up to 10¹⁴ would overflow int64 at
+    corpus scale; the 6-dp ratio contract absorbs the ~1e-16 relative
+    summation error).  Final r and slope are computed from the merged
+    moments with exact-int numerators (Python int, no int64 overflow
+    on n·Σxy or (Σy)²) and rounded to 6 dp — the oracle spells out the
+    identical moment formula instead of the builtin CORR so both sides
+    share one algebra."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b["l_quantity"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        y = _cents_away(b["l_extendedprice"].to_numpy(
+            zero_copy_only=False))
+        df = pd.DataFrame({
+            "l_returnflag": b["l_returnflag"].to_pandas(),
+            "n": np.ones(len(x), dtype=np.int64),
+            "sx": x, "sy": y, "sxy": x * y, "sx2": x * x,
+            "sy2": y.astype(np.float64) ** 2})
+        agg = df.groupby("l_returnflag", as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= LINEITEM_DRIVER_MAX_ROWS:
+        m = (parts_ds.to_pandas()
+             .groupby("l_returnflag", as_index=False).sum())
+    else:
+        m = (parts_ds.groupby("l_returnflag")
+             .aggregate(Sum("n", alias_name="n"),
+                        Sum("sx", alias_name="sx"),
+                        Sum("sy", alias_name="sy"),
+                        Sum("sxy", alias_name="sxy"),
+                        Sum("sx2", alias_name="sx2"),
+                        Sum("sy2", alias_name="sy2")).to_pandas())
+    m = m.sort_values("l_returnflag").reset_index(drop=True)
+    corr, slope = [], []
+    for _, r in m.iterrows():
+        n, sx, sy = int(r.n), int(r.sx), int(r.sy)
+        sxy, sx2, sy2 = int(r.sxy), int(r.sx2), float(r.sy2)
+        num = float(n * sxy - sx * sy)          # exact int → double
+        dx = float(n * sx2 - sx * sx)           # exact int → double
+        dy = n * sy2 - float(sy * sy)           # double (matches SQL)
+        corr.append(num / np.sqrt(dx * dy))
+        slope.append(num / dx)
+    m["corr_r6"] = np.round(np.array(corr), 6)
+    m["slope_r6"] = np.round(np.array(slope), 6)
+    m["n"] = m["n"].astype(np.int64)
+    return m[["l_returnflag", "n", "corr_r6", "slope_r6"]]

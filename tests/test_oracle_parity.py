@@ -93,6 +93,7 @@ SQL_CHECKED = [
     "top_suppliers_by_quantity",
     "value_decile_stats", "top_size_modes_per_brand",
     "parts_above_type_avg",
+    "event_user_setops", "type_day_dense_counts", "lineitem_corr_stats",
 ]
 
 

@@ -1178,3 +1178,45 @@ def test_round4_wave11_tiers_agree(ray_session, monkeypatch):
     # decile invariants: bucket sizes differ by at most 1, n sums to total
     sizes = fast_d.n.to_numpy()
     assert sizes.max() - sizes.min() <= 1
+
+def test_round4_wave12_tiers_agree(ray_session, monkeypatch):
+    """event_user_setops (driver Max fold vs native Max groupby;
+    set-op counts from flag combinations), type_day_dense_counts
+    (zero-filled grid over the tiered daily rollup),
+    lineitem_corr_stats (moment partials: driver fold vs native
+    6-column Sum groupby)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_s = A.event_user_setops(sf)
+    fast_g = A.type_day_dense_counts(sf)
+    fast_c = A.lineitem_corr_stats(sf)
+
+    monkeypatch.setattr(A, "EVENTS_DRIVER_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "LINEITEM_DRIVER_MAX_ROWS", 0)
+
+    slow_s = A.event_user_setops(sf)[list(fast_s.columns)]
+    slow_g = A.type_day_dense_counts(sf)[list(fast_g.columns)]
+    slow_c = A.lineitem_corr_stats(sf)[list(fast_c.columns)]
+
+    assert len(fast_s) > 0 and fast_s.equals(slow_s)
+    assert len(fast_g) > 0 and fast_g.equals(slow_g)
+    assert len(fast_c) > 0 and fast_c.equals(slow_c)
+    # set-op identities: n_a = n_both + n_only_a; partitions sum to n
+    r = fast_s.iloc[0]
+    assert r.n_a == r.n_both + r.n_only_a
+    assert r.n_b == r.n_both + r.n_only_b
+    assert r.n_users == r.n_both + r.n_only_a + r.n_only_b + r.n_neither
+    # dense grid: exactly #types × #days rows, total preserved
+    assert len(fast_g) == (fast_g.event_type.nunique()
+                           * fast_g.day_epoch.nunique())
+    # correlation is within [-1, 1] and matches np.corrcoef per group
+    assert (fast_c.corr_r6.abs() <= 1).all()
+    li = pd.read_parquet(f"{sf}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity",
+                                  "l_extendedprice"])
+    li["cents"] = np.floor(li.l_extendedprice * 100 + 0.5)
+    for _, row in fast_c.iterrows():
+        g = li[li.l_returnflag == row.l_returnflag]
+        ref = np.corrcoef(g.l_quantity, g.cents)[0, 1]
+        assert abs(row.corr_r6 - ref) < 1e-6
