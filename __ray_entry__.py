@@ -1084,6 +1084,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_user_setops": A.event_user_setops,
         "type_day_dense_counts": A.type_day_dense_counts,
         "lineitem_corr_stats": A.lineitem_corr_stats,
+        # round-4 wave 13: CDC diff / sweep-line / PMI collocations
+        "snapshot_user_diff": A.snapshot_user_diff,
+        "max_concurrent_sessions": A.max_concurrent_sessions,
+        "pmi_top_bigrams": A.pmi_top_bigrams,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -2368,4 +2372,66 @@ def oracle_sql() -> dict[str, str]:
             " ROUND(CAST(n * sxy - sx * sy AS DOUBLE)"
             " / CAST(n * sx2 - sx * sx AS DOUBLE), 6) AS slope_r6"
             " FROM m ORDER BY l_returnflag",
+        # CDC snapshot diff: the oracle is the literal FULL OUTER JOIN
+        # the pipeline's single conditional rollup is equivalent to
+        "snapshot_user_diff":
+            "WITH e AS (SELECT event_id, user_id * 100 +"
+            " CAST(json_extract(props, '$.k') AS BIGINT) // 10"
+            " AS entity FROM events), "
+            "o AS (SELECT entity, CAST(COUNT(*) AS BIGINT) AS n"
+            " FROM e WHERE event_id % 2 = 0 GROUP BY entity), "
+            "nw AS (SELECT entity, CAST(COUNT(*) AS BIGINT) AS n"
+            " FROM e WHERE event_id % 2 = 1 GROUP BY entity) "
+            "SELECT COALESCE(o.entity, nw.entity) AS entity,"
+            " CAST(COALESCE(o.n, 0) AS BIGINT) AS old_n,"
+            " CAST(COALESCE(nw.n, 0) AS BIGINT) AS new_n,"
+            " CASE WHEN o.entity IS NULL THEN 'added'"
+            " WHEN nw.entity IS NULL THEN 'removed'"
+            " WHEN o.n <> nw.n THEN 'changed' ELSE 'unchanged' END"
+            " AS status"
+            " FROM o FULL OUTER JOIN nw ON o.entity = nw.entity"
+            " ORDER BY entity",
+        # sweep-line max concurrency: +1/-1 boundary stream, starts
+        # before ends at the same instant (closed intervals)
+        "max_concurrent_sessions":
+            "WITH x AS (SELECT user_id, ts, CASE WHEN prev_ts IS NULL"
+            " OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END"
+            " AS new_s FROM (SELECT user_id, ts,"
+            " LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)"
+            " AS prev_ts FROM events)), "
+            "s AS (SELECT user_id, ts, SUM(new_s) OVER ("
+            "PARTITION BY user_id ORDER BY ts"
+            " ROWS UNBOUNDED PRECEDING) AS sid FROM x), "
+            "iv AS (SELECT user_id, sid, MIN(ts) AS st, MAX(ts) AS en"
+            " FROM s GROUP BY user_id, sid), "
+            "b AS (SELECT st AS t, 1 AS d FROM iv"
+            " UNION ALL SELECT en AS t, -1 AS d FROM iv), "
+            "r AS (SELECT SUM(d) OVER (ORDER BY t, d DESC"
+            " ROWS UNBOUNDED PRECEDING) AS c FROM b) "
+            "SELECT CAST((SELECT MAX(c) FROM r) AS BIGINT)"
+            " AS max_concurrent,"
+            " CAST((SELECT COUNT(*) FROM iv) AS BIGINT) AS n_sessions",
+        # global PMI collocations; the 6-dp value uses the SAME
+        # left-associative double algebra as the pipeline
+        "pmi_top_bigrams":
+            "WITH tok AS (SELECT doc_id,"
+            " regexp_extract_all(text, '\\S+') AS toks FROM documents), "
+            "uni AS (SELECT doc_id, unnest(toks) AS w,"
+            " generate_subscripts(toks, 1) AS i FROM tok), "
+            "un AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni"
+            " GROUP BY w), "
+            "nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM un), "
+            "bc AS (SELECT a.w AS w1, b.w AS w2,"
+            " CAST(COUNT(*) AS BIGINT) AS c FROM uni a JOIN uni b"
+            " ON a.doc_id = b.doc_id AND b.i = a.i + 1 GROUP BY 1, 2), "
+            "nb AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM bc), "
+            "p AS (SELECT bc.w1 || ' ' || bc.w2 AS bigram,"
+            " bc.c AS c_xy,"
+            " ROUND(LN(CAST(bc.c AS DOUBLE) * nu.n * nu.n /"
+            " (CAST(nb.n AS DOUBLE) * u1.c * u2.c)), 6) AS pmi_r6"
+            " FROM bc CROSS JOIN nu CROSS JOIN nb"
+            " JOIN un u1 ON bc.w1 = u1.w JOIN un u2 ON bc.w2 = u2.w"
+            " WHERE bc.c >= 5) "
+            "SELECT bigram, c_xy, pmi_r6 FROM p"
+            " ORDER BY pmi_r6 DESC, bigram LIMIT 20",
     }

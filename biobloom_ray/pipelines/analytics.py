@@ -5271,3 +5271,255 @@ def lineitem_corr_stats(sf_dir: str):
     m["slope_r6"] = np.round(np.array(slope), 6)
     m["n"] = m["n"].astype(np.int64)
     return m[["l_returnflag", "n", "corr_r6", "slope_r6"]]
+
+def snapshot_user_diff(sf_dir: str):
+    """CDC / snapshot-diff (the FULL OUTER JOIN shape): compare two
+    deterministic snapshots of the events table — "old" = even
+    event_id, "new" = odd — at entity grain (user_id, k-decade from
+    the JSON props), emitting old_n / new_n / status ∈ {added,
+    removed, changed, unchanged} per entity.  The two snapshots never
+    join: ONE tiered groupby(entity) over conditional count partials
+    decides every cell (an outer join of two rollups of the same scan
+    is just a wider rollup), so the plan is one shuffle of pre-reduced
+    rows.  The oracle spells out the literal FULL OUTER JOIN to pin
+    semantic equivalence."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "props"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(b["props"], pattern=r'"k":\s*(?P<k>-?\d+)')
+        k = (pc.cast(pc.struct_field(ex, "k"), pa.int64())
+             .to_numpy(zero_copy_only=False))
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        ent = uid * 100 + k // 10
+        old = (eid % 2 == 0).astype(np.int64)
+        df = pd.DataFrame({"entity": ent, "old_n": old,
+                           "new_n": 1 - old})
+        agg = df.groupby("entity", as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        c = (parts_ds.to_pandas()
+             .groupby("entity", as_index=False).sum())
+    else:
+        c = (parts_ds.groupby("entity")
+             .aggregate(Sum("old_n", alias_name="old_n"),
+                        Sum("new_n", alias_name="new_n")).to_pandas())
+    o = c["old_n"].to_numpy(np.int64)
+    n = c["new_n"].to_numpy(np.int64)
+    c["status"] = np.select(
+        [o == 0, n == 0, o != n], ["added", "removed", "changed"],
+        default="unchanged")
+    c["old_n"] = o
+    c["new_n"] = n
+    return (c.sort_values("entity").reset_index(drop=True)
+            [["entity", "old_n", "new_n", "status"]])
+
+
+def max_concurrent_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Sweep-line interval aggregation: the global maximum number of
+    concurrently open sessions (closed intervals [first_ts, last_ts]
+    from the same 30-min-gap sessionization the sessionize operator
+    uses).  Plan: per-user map_groups emits (start, end, unique
+    boundary ids) — session-scale rows, not event-scale — then the
+    boundary stream (+1 at start, −1 at end; starts sort before ends
+    at the same instant) reduces by a DISTRIBUTED MAX-PREFIX-SUM: sort
+    by the unique (t, dneg, bid) key, one pass reads per block only
+    (first-key, Σdelta, local prefix max), and the driver folds
+    #blocks rows — max = max_i(offset_i + local_max_i).  No second
+    pass and nothing event-scale ever reaches the driver; below the
+    shared events gate the fold runs directly on the session-scale
+    boundary table."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    gap_ns = gap_minutes * 60 * 1_000_000_000
+
+    def bounds(g: pa.Table) -> pa.Table:
+        ts = np.sort(g["ts"].cast(pa.timestamp("ns")).cast(pa.int64())
+                     .to_numpy(zero_copy_only=False))
+        if len(ts) == 0:
+            return pa.table({"t": pa.array([], pa.int64()),
+                             "dneg": pa.array([], pa.int64()),
+                             "bid": pa.array([], pa.int64())})
+        new_s = np.empty(len(ts), dtype=bool)
+        new_s[0] = True
+        new_s[1:] = np.diff(ts) > gap_ns
+        starts = ts[new_s]
+        # session end = element before the next session start
+        end_idx = np.r_[np.flatnonzero(new_s)[1:] - 1, len(ts) - 1]
+        ends = ts[end_idx]
+        uid = int(g["user_id"][0].as_py())
+        sid = uid * (1 << 20) + np.arange(len(starts), dtype=np.int64)
+        t = np.concatenate([starts, ends])
+        d = np.concatenate([np.ones(len(starts), dtype=np.int64),
+                            -np.ones(len(ends), dtype=np.int64)])
+        bid = np.concatenate([sid * 2, sid * 2 + 1])
+        return pa.table({"t": pa.array(t), "dneg": pa.array(-d),
+                         "bid": pa.array(bid)})
+
+    bounds_ds = ds.groupby("user_id").map_groups(
+        bounds, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        bdf = bounds_ds.to_pandas()
+        order = np.lexsort((bdf["bid"].to_numpy(),
+                            bdf["dneg"].to_numpy(),
+                            bdf["t"].to_numpy()))
+        d = -bdf["dneg"].to_numpy(np.int64)[order]
+        mx = int(np.cumsum(d).max()) if len(d) else 0
+        n_sessions = len(bdf) // 2
+    else:
+        sorted_ds = bounds_ds.sort(["t", "dneg", "bid"]).materialize()
+
+        def block_partial(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({"k_t": pa.array([], pa.int64()),
+                                 "k_dneg": pa.array([], pa.int64()),
+                                 "k_bid": pa.array([], pa.int64()),
+                                 "bsum": pa.array([], pa.int64()),
+                                 "bmax": pa.array([], pa.int64()),
+                                 "bn": pa.array([], pa.int64())})
+            d = -b["dneg"].to_numpy(zero_copy_only=False)
+            cs = np.cumsum(d)
+            return pa.table({
+                "k_t": pa.array([int(b["t"][0].as_py())]),
+                "k_dneg": pa.array([int(b["dneg"][0].as_py())]),
+                "k_bid": pa.array([int(b["bid"][0].as_py())]),
+                "bsum": pa.array([int(cs[-1])]),
+                "bmax": pa.array([int(cs.max())]),
+                "bn": pa.array([b.num_rows])})
+
+        blocks = (sorted_ds.map_batches(block_partial,
+                                        batch_format="pyarrow",
+                                        batch_size=None).to_pandas())
+        blocks = blocks.sort_values(["k_t", "k_dneg", "k_bid"])
+        offs = blocks.bsum.cumsum().shift(fill_value=0).to_numpy()
+        mx = int((offs + blocks.bmax.to_numpy()).max()) if len(blocks) \
+            else 0
+        n_sessions = int(blocks.bn.sum()) // 2
+    return pd.DataFrame({"max_concurrent": [np.int64(mx)],
+                         "n_sessions": [np.int64(n_sessions)]})
+
+
+def pmi_top_bigrams(sf_dir: str, min_count: int = 5, k: int = 20):
+    """Global PMI collocations: the k strongest word bigrams by
+    pointwise mutual information, PMI = ln(p(x,y) / (p(x)·p(y))) with
+    p from exact corpus counts (bigram mass over N_bg, unigram mass
+    over N_uni), restricted to bigrams seen ≥ ``min_count`` times.
+    ONE tokenize scan feeds factorized bigram AND unigram count
+    partials; both reduce through the shared rarity tier (driver fold
+    below ``RARITY_BROADCAST_MAX_ROWS``, native Sum groupby + hash
+    joins of the ≥min_count candidates against the unigram table
+    above).  The 6-dp PMI is computed with the same left-associative
+    double algebra the oracle spells out."""
+    from biobloom_ray.stages.textstats import _token_arrays
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, _lens, row_of = _token_arrays(b)
+        if len(flat) == 0:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        uni = pd.DataFrame({"w1": flat, "w2": ""})
+        if len(flat) >= 2:
+            same = row_of[1:] == row_of[:-1]
+            bg = pd.DataFrame({"w1": flat[:-1][same],
+                               "w2": flat[1:][same]})
+        else:
+            bg = pd.DataFrame({"w1": [], "w2": []})
+        df = pd.concat([uni, bg], ignore_index=True)
+        agg = df.groupby(["w1", "w2"], as_index=False).size().rename(
+            columns={"size": "c"})
+        agg["c"] = agg["c"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def _pmi_frame(bg: pd.DataFrame, n_uni: int, n_bg: int
+                   ) -> pd.DataFrame:
+        c_xy = bg["c_xy"].to_numpy(np.int64)
+        c_x = bg["c_x"].to_numpy(np.int64)
+        c_y = bg["c_y"].to_numpy(np.int64)
+        pmi = np.log(c_xy.astype(np.float64) * n_uni * n_uni
+                     / (float(n_bg) * c_x * c_y))
+        out = pd.DataFrame({
+            "bigram": bg["w1"].str.cat(bg["w2"], sep=" "),
+            "c_xy": c_xy, "pmi_r6": np.round(pmi, 6)})
+        return (out.sort_values(["pmi_r6", "bigram"],
+                                ascending=[False, True]).head(k)
+                .reset_index(drop=True))
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= RARITY_BROADCAST_MAX_ROWS:
+        c = (parts_ds.to_pandas()
+             .groupby(["w1", "w2"], as_index=False)["c"].sum())
+        uni = c[c.w2 == ""]
+        bg = c[(c.w2 != "") & (c.c >= min_count)].copy()
+        n_uni = int(uni.c.sum())
+        n_bg = int(c[c.w2 != ""].c.sum())
+        cx = uni.set_index("w1").c
+        bg = bg.rename(columns={"c": "c_xy"})
+        bg["c_x"] = bg.w1.map(cx).to_numpy(np.int64)
+        bg["c_y"] = bg.w2.map(cx).to_numpy(np.int64)
+        return _pmi_frame(bg, n_uni, n_bg)
+
+    # cluster tier: the vocab/bigram count table never visits the
+    # driver — ≥min_count candidates hash-join the unigram side twice,
+    # PMI + local top-k per block, and only #blocks·k rows reduce
+    from biobloom_ray.io import hash_join
+
+    counts_ds = (parts_ds.groupby(["w1", "w2"])
+                 .aggregate(Sum("c", alias_name="c")).materialize())
+
+    def tot_partial(b: pa.Table) -> pa.Table:
+        w2 = b["w2"].to_numpy(zero_copy_only=False).astype(object)
+        cc = b["c"].to_numpy(zero_copy_only=False)
+        is_bg = w2 != ""
+        return pa.table({"n_uni": pa.array([int(cc[~is_bg].sum())]),
+                         "n_bg": pa.array([int(cc[is_bg].sum())])})
+
+    tots = (counts_ds.map_batches(tot_partial, batch_format="pyarrow")
+            .to_pandas())
+    n_uni = int(tots.n_uni.sum())
+    n_bg = int(tots.n_bg.sum())
+
+    def uni_proj(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["w2"], ""))
+        return pa.table({"w": t["w1"], "cu": t["c"]})
+
+    def cand_proj(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(pc.not_equal(b["w2"], ""),
+                             pc.greater_equal(b["c"], min_count)))
+        return pa.table({"w1": t["w1"], "w2": t["w2"], "c_xy": t["c"]})
+
+    uni_ds = counts_ds.map_batches(uni_proj, batch_format="pyarrow")
+    cand_ds = counts_ds.map_batches(cand_proj, batch_format="pyarrow")
+
+    def ren(col_from: str, col_to: str):
+        def f(b: pa.Table) -> pa.Table:
+            names = [col_to if nm == col_from else nm
+                     for nm in b.column_names]
+            return b.rename_columns(names).drop_columns(
+                [c for c in ("w",) if c in names])
+        return f
+
+    j1 = hash_join(cand_ds, uni_ds, on=("w1",), right_on=("w",)
+                   ).map_batches(ren("cu", "c_x"),
+                                 batch_format="pyarrow")
+    j2 = hash_join(j1, uni_ds, on=("w2",), right_on=("w",)
+                   ).map_batches(ren("cu", "c_y"),
+                                 batch_format="pyarrow")
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        top = _pmi_frame(df, n_uni, n_bg)
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    pooled = (j2.map_batches(local_topk, batch_format="pyarrow")
+              .to_pandas())
+    return (pooled.sort_values(["pmi_r6", "bigram"],
+                               ascending=[False, True]).head(k)
+            .reset_index(drop=True)[["bigram", "c_xy", "pmi_r6"]])

@@ -94,6 +94,7 @@ SQL_CHECKED = [
     "value_decile_stats", "top_size_modes_per_brand",
     "parts_above_type_avg",
     "event_user_setops", "type_day_dense_counts", "lineitem_corr_stats",
+    "snapshot_user_diff", "max_concurrent_sessions", "pmi_top_bigrams",
 ]
 
 

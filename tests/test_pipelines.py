@@ -1220,3 +1220,69 @@ def test_round4_wave12_tiers_agree(ray_session, monkeypatch):
         g = li[li.l_returnflag == row.l_returnflag]
         ref = np.corrcoef(g.l_quantity, g.cents)[0, 1]
         assert abs(row.corr_r6 - ref) < 1e-6
+
+def test_round4_wave13_tiers_agree(ray_session, monkeypatch):
+    """snapshot_user_diff (driver fold vs native 2-column Sum groupby;
+    FULL-OUTER-equivalent conditional rollup), max_concurrent_sessions
+    (driver sweep vs distributed sort + block max-prefix-sum fold),
+    pmi_top_bigrams (driver vocab fold vs native Sum groupby + double
+    hash join + block top-k)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_d = A.snapshot_user_diff(sf)
+    fast_m = A.max_concurrent_sessions(sf)
+    fast_p = A.pmi_top_bigrams(sf)
+
+    monkeypatch.setattr(A, "EVENTS_DRIVER_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "RARITY_BROADCAST_MAX_ROWS", 0)
+
+    slow_d = A.snapshot_user_diff(sf)[list(fast_d.columns)]
+    slow_m = A.max_concurrent_sessions(sf)[list(fast_m.columns)]
+    slow_p = A.pmi_top_bigrams(sf)[list(fast_p.columns)]
+
+    assert len(fast_d) > 0 and fast_d.equals(slow_d)
+    assert len(fast_m) > 0 and fast_m.equals(slow_m)
+    assert len(fast_p) > 0 and fast_p.equals(slow_p)
+    # the fixture exercises ALL FOUR CDC statuses
+    assert set(fast_d.status.unique()) == {
+        "added", "removed", "changed", "unchanged"}
+    # diff identity: old/new totals partition the corpus row count
+    assert (fast_d.old_n.sum() + fast_d.new_n.sum()
+            == pd.read_parquet(f"{sf}/events.parquet",
+                               columns=["event_id"]).shape[0])
+    # sweep invariants: at least 1 when any session exists; never
+    # exceeds the session count
+    r = fast_m.iloc[0]
+    assert 1 <= r.max_concurrent <= r.n_sessions
+    # PMI rows respect the min-count floor
+    assert (fast_p.c_xy >= 5).all()
+
+
+def test_max_concurrent_sessions_single_entity(ray_session, monkeypatch):
+    """A one-user stream with engineered overlaps...  trivially all
+    sessions belong to one user — the distributed sweep must still
+    count cross-session overlap correctly (the boundary stream, not the
+    per-user grouping, carries the concurrency)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    # fixture: user 1 has 3 sessions; user 2's single long session
+    # overlaps two of them -> max concurrency 2
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    h = pd.Timedelta(hours=1)
+    rows = []
+    for i, (u, start_h, n_ev) in enumerate(
+            [(1, 0, 3), (1, 5, 2), (1, 10, 2), (2, 4.9, 8)]):
+        for j in range(n_ev):
+            rows.append((len(rows), base + start_h * h
+                         + pd.Timedelta(minutes=10 * j), u))
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        df.to_parquet(os.path.join(td, "events.parquet"))
+        out = A.max_concurrent_sessions(td)
+        monkeypatch.setattr(A, "EVENTS_DRIVER_MAX_ROWS", 0)
+        out2 = A.max_concurrent_sessions(td)
+    assert out.iloc[0].n_sessions == 4
+    assert out.iloc[0].max_concurrent == 2
+    assert out.equals(out2[list(out.columns)])
