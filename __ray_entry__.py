@@ -1088,6 +1088,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_user_diff": A.snapshot_user_diff,
         "max_concurrent_sessions": A.max_concurrent_sessions,
         "pmi_top_bigrams": A.pmi_top_bigrams,
+        # round-4 wave 14: Gini / cross-lang dup matrix / CUME_DIST
+        "doc_length_gini": A.doc_length_gini,
+        "cross_lang_dup_matrix": A.cross_lang_dup_matrix,
+        "nchars_cume_dist": A.nchars_cume_dist,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -2434,4 +2438,43 @@ def oracle_sql() -> dict[str, str]:
             " WHERE bc.c >= 5) "
             "SELECT bigram, c_xy, pmi_r6 FROM p"
             " ORDER BY pmi_r6 DESC, bigram LIMIT 20",
+        # per-lang Gini from 1-based ranks; tie order commutes so the
+        # window twin is exact
+        "doc_length_gini":
+            "WITH r AS (SELECT lang, CAST(n_chars AS BIGINT) AS x,"
+            " CAST(ROW_NUMBER() OVER (PARTITION BY lang"
+            " ORDER BY n_chars) AS BIGINT) AS i FROM documents) "
+            "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,"
+            " ROUND(CAST(2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x)"
+            " AS DOUBLE) / CAST(COUNT(*) * SUM(x) AS DOUBLE), 6)"
+            " AS gini_r6"
+            " FROM r GROUP BY lang ORDER BY lang",
+        # cross-lingual near-dup matrix over the SAME exact-Jaccard
+        # pair contract as ngram_jaccard_pairs
+        "cross_lang_dup_matrix":
+            "WITH sh AS (SELECT DISTINCT doc_id, substr(text, i.i, 5)"
+            " AS g FROM documents, LATERAL (SELECT"
+            " unnest(range(1, len(text)-3)) AS i) i"
+            " WHERE len(text) >= 5), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh"
+            " GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+            " count(*) AS c FROM sh a JOIN sh b ON a.g = b.g AND"
+            " a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), "
+            "pairs AS (SELECT id_a, id_b FROM inter"
+            " JOIN sizes sa ON sa.doc_id = id_a"
+            " JOIN sizes sb ON sb.doc_id = id_b"
+            " WHERE c*1.0/(sa.n + sb.n - c) >= 0.5) "
+            "SELECT LEAST(da.lang, db.lang) AS lang_lo,"
+            " GREATEST(da.lang, db.lang) AS lang_hi,"
+            " CAST(COUNT(*) AS BIGINT) AS n_pairs"
+            " FROM pairs JOIN documents da ON id_a = da.doc_id"
+            " JOIN documents db ON id_b = db.doc_id"
+            " GROUP BY 1, 2 ORDER BY 1, 2",
+        # per-source empirical CDF (quantile normalization)
+        "nchars_cume_dist":
+            "SELECT doc_id, source, n_chars,"
+            " ROUND(CUME_DIST() OVER (PARTITION BY source"
+            " ORDER BY n_chars), 6) AS cume_r6"
+            " FROM documents ORDER BY doc_id",
     }

@@ -5523,3 +5523,168 @@ def pmi_top_bigrams(sf_dir: str, min_count: int = 5, k: int = 20):
     return (pooled.sort_values(["pmi_r6", "bigram"],
                                ascending=[False, True]).head(k)
             .reset_index(drop=True)[["bigram", "c_xy", "pmi_r6"]])
+
+def doc_length_gini(sf_dir: str):
+    """Per-language Gini coefficient of document length — the
+    inequality measure curation dashboards put next to mean/median.
+    Exact-integer core: with x sorted ascending and 1-based ranks i,
+    Gini = (2·Σi·x_i − (n+1)·Σx) / (n·Σx); runs of equal values
+    commute (a run of value v over ranks a..b contributes v·Σ(a..b)
+    regardless of internal order), so the whole numerator is decided
+    by the VALUE-CARDINALITY count table — the same tiered
+    (lang, n_chars, cnt) rollup the rank operators use, never a
+    per-row sort.  Only the final ratio goes double (6-dp contract,
+    identical CAST composition in the oracle)."""
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": b["lang"].to_pandas(),
+            "n_chars": b["n_chars"].to_numpy(zero_copy_only=False)})
+        agg = (df.groupby(["lang", "n_chars"], as_index=False).size()
+               .rename(columns={"size": "cnt"}))
+        agg["cnt"] = agg["cnt"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= RANK_DRIVER_MAX_ROWS:
+        counts = (parts_ds.to_pandas()
+                  .groupby(["lang", "n_chars"], as_index=False)["cnt"]
+                  .sum())
+    else:
+        counts = (parts_ds.groupby(["lang", "n_chars"])
+                  .aggregate(Sum("cnt", alias_name="cnt")).to_pandas())
+    counts = counts.sort_values(["lang", "n_chars"]).reset_index(
+        drop=True)
+    rows = []
+    for lang, g in counts.groupby("lang", sort=True):
+        v = g["n_chars"].to_numpy(np.int64)
+        c = g["cnt"].to_numpy(np.int64)
+        n = int(c.sum())
+        sx = int(np.dot(v, c))
+        # Σ i·x over each tie run: value · (arithmetic series of its
+        # rank range) — exact Python ints, no overflow
+        six = 0
+        start = 1
+        for vi, ci in zip(v.tolist(), c.tolist()):
+            six += vi * (ci * (2 * start + ci - 1)) // 2
+            start += ci
+        gnum = 2 * six - (n + 1) * sx
+        rows.append((lang, np.int64(n),
+                     np.round(float(gnum) / float(n * sx), 6)))
+    return pd.DataFrame(rows, columns=["lang", "n", "gini_r6"])
+
+
+def cross_lang_dup_matrix(sf_dir: str, threshold: float = 0.5):
+    """Cross-lingual contamination matrix: the exact-Jaccard near-dup
+    pairs (same shingle/threshold contract as ``ngram_jaccard_pairs``)
+    counted per unordered language pair — the curation report that
+    tells you whether near-dups leak ACROSS languages (translation
+    boilerplate, mirrored sites) or stay within one.  Composition op:
+    the distributed dedup operator produces the output-scale pair
+    list; each side then picks up its language (broadcast doc→lang
+    map below the rank gate, two hash joins above) and a tiny rollup
+    finishes."""
+    import ray
+
+    from biobloom_ray.stages.dedup import ngram_jaccard_pairs
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, threshold=threshold)
+    if not isinstance(pairs, pd.DataFrame):
+        pairs = pairs.to_pandas()
+    meta = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    n_rows = _cheap_count(meta)
+    if n_rows is not None and n_rows <= RANK_DRIVER_MAX_ROWS:
+        lut = meta.to_pandas().set_index("doc_id")["lang"]
+        la = pairs.id_a.map(lut)
+        lb = pairs.id_b.map(lut)
+    else:
+        from biobloom_ray.io import hash_join
+
+        pair_ds = ray.data.from_pandas(
+            pairs[["id_a", "id_b"]].astype(np.int64))
+        j = hash_join(pair_ds, meta.map_batches(
+            lambda b: pa.table({"id_a": b["doc_id"],
+                                "lang_a_j": b["lang"]}),
+            batch_format="pyarrow"), on=("id_a",))
+        j = hash_join(j, meta.map_batches(
+            lambda b: pa.table({"id_b": b["doc_id"],
+                                "lang_b_j": b["lang"]}),
+            batch_format="pyarrow"), on=("id_b",))
+        jd = j.to_pandas()
+        la, lb = jd["lang_a_j"], jd["lang_b_j"]
+    out = pd.DataFrame({
+        "lang_lo": np.minimum(la.to_numpy(dtype=object),
+                              lb.to_numpy(dtype=object)),
+        "lang_hi": np.maximum(la.to_numpy(dtype=object),
+                              lb.to_numpy(dtype=object))})
+    agg = (out.groupby(["lang_lo", "lang_hi"], as_index=False).size()
+           .rename(columns={"size": "n_pairs"}))
+    agg["n_pairs"] = agg["n_pairs"].astype(np.int64)
+    return agg.sort_values(["lang_lo", "lang_hi"]).reset_index(drop=True)
+
+
+def nchars_cume_dist(sf_dir: str):
+    """Quantile normalization (the CUME_DIST window): each document's
+    length mapped to its within-source empirical CDF value — the
+    standard way to make quality scores comparable ACROSS sources
+    before a global gate.  Same no-global-sort machinery as
+    ``nchars_rank_in_source``: the (source, n_chars) count table
+    reduces small, turns into ties-INCLUSIVE cumulative counts on the
+    driver, and broadcasts back for a map-only attach (hash join above
+    the broadcast gate).  cume_r6 = round(cum_incl / n, 6) with the
+    same double division the builtin CUME_DIST performs."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source",
+                                             "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": b["source"].to_pandas(),
+            "n_chars": b["n_chars"].to_numpy(zero_copy_only=False)})
+        agg = (df.groupby(["source", "n_chars"], as_index=False).size()
+               .rename(columns={"size": "cnt"}))
+        agg["cnt"] = agg["cnt"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= RANK_DRIVER_MAX_ROWS:
+        counts = (parts_ds.to_pandas()
+                  .groupby(["source", "n_chars"], as_index=False)["cnt"]
+                  .sum())
+    else:
+        counts = (parts_ds.groupby(["source", "n_chars"])
+                  .aggregate(Sum("cnt", alias_name="cnt")).to_pandas())
+    counts = counts.sort_values(["source", "n_chars"]).reset_index(
+        drop=True)
+    cum = counts.groupby("source")["cnt"].cumsum().to_numpy(np.int64)
+    n_src = counts.groupby("source")["cnt"].transform("sum").to_numpy(
+        np.int64)
+    counts["cume_r6"] = np.round(cum.astype(np.float64)
+                                 / n_src.astype(np.float64), 6)
+    import ray
+
+    lookup = counts[["source", "n_chars", "cume_r6"]]
+    if len(counts) > RANK_BROADCAST_MAX_ROWS:
+        from biobloom_ray.io import hash_join
+
+        out = hash_join(ds, ray.data.from_pandas(lookup),
+                        on=("source", "n_chars")).to_pandas()
+        return (out.sort_values("doc_id").reset_index(drop=True)
+                [["doc_id", "source", "n_chars", "cume_r6"]])
+    lookup_ref = ray.put(lookup)
+
+    def attach(b: pa.Table) -> pa.Table:
+        cdf = ray.get(lookup_ref)
+        df = pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(zero_copy_only=False),
+            "source": b["source"].to_pandas(),
+            "n_chars": b["n_chars"].to_numpy(zero_copy_only=False)})
+        df = df.merge(cdf, on=["source", "n_chars"], how="left")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = ds.map_batches(attach, batch_format="pyarrow").to_pandas()
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            [["doc_id", "source", "n_chars", "cume_r6"]])

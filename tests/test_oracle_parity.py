@@ -95,6 +95,7 @@ SQL_CHECKED = [
     "parts_above_type_avg",
     "event_user_setops", "type_day_dense_counts", "lineitem_corr_stats",
     "snapshot_user_diff", "max_concurrent_sessions", "pmi_top_bigrams",
+    "doc_length_gini", "cross_lang_dup_matrix", "nchars_cume_dist",
 ]
 
 

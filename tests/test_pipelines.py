@@ -1286,3 +1286,32 @@ def test_max_concurrent_sessions_single_entity(ray_session, monkeypatch):
     assert out.iloc[0].n_sessions == 4
     assert out.iloc[0].max_concurrent == 2
     assert out.equals(out2[list(out.columns)])
+
+def test_round4_wave14_tiers_agree(ray_session, monkeypatch):
+    """doc_length_gini (value-cardinality count table, exact-int
+    numerator), cross_lang_dup_matrix (broadcast lang map vs double
+    hash join), nchars_cume_dist (broadcast CDF attach vs hash join)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_g = A.doc_length_gini(sf)
+    fast_x = A.cross_lang_dup_matrix(sf)
+    fast_c = A.nchars_cume_dist(sf)
+
+    monkeypatch.setattr(A, "RANK_DRIVER_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "RANK_BROADCAST_MAX_ROWS", 0)
+
+    slow_g = A.doc_length_gini(sf)[list(fast_g.columns)]
+    slow_x = A.cross_lang_dup_matrix(sf)[list(fast_x.columns)]
+    slow_c = A.nchars_cume_dist(sf)[list(fast_c.columns)]
+
+    assert len(fast_g) > 0 and fast_g.equals(slow_g)
+    assert len(fast_x) > 0 and fast_x.equals(slow_x)
+    assert len(fast_c) > 0 and fast_c.equals(slow_c)
+    # Gini bounds for non-degenerate positive data
+    assert ((fast_g.gini_r6 >= 0) & (fast_g.gini_r6 < 1)).all()
+    # matrix is unordered (lo <= hi) and totals the pair count
+    assert (fast_x.lang_lo <= fast_x.lang_hi).all()
+    # CDF ranges: max per source is exactly 1.0, all values in (0, 1]
+    assert ((fast_c.cume_r6 > 0) & (fast_c.cume_r6 <= 1)).all()
+    assert (fast_c.groupby("source").cume_r6.max() == 1.0).all()
