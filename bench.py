@@ -193,7 +193,13 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "revenue_pareto_nations", "source_lang_entropy",
                "top_suppliers_by_quantity",
                "value_decile_stats", "top_size_modes_per_brand",
-               "parts_above_type_avg"]
+               "parts_above_type_avg",
+               # round-4 waves 12-14
+               "event_user_setops", "type_day_dense_counts",
+               "lineitem_corr_stats", "snapshot_user_diff",
+               "max_concurrent_sessions", "pmi_top_bigrams",
+               "doc_length_gini", "cross_lang_dup_matrix",
+               "nchars_cume_dist"]
 
 
 def run_queries() -> dict[str, float]:
