@@ -1092,6 +1092,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_gini": A.doc_length_gini,
         "cross_lang_dup_matrix": A.cross_lang_dup_matrix,
         "nchars_cume_dist": A.nchars_cume_dist,
+        # round-4 wave 15: cohort retention / χ² / fuzzy join
+        "cohort_retention": A.cohort_retention,
+        "source_lang_chi2": A.source_lang_chi2,
+        "name_typo_pairs": A.name_typo_pairs,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -2477,4 +2481,45 @@ def oracle_sql() -> dict[str, str]:
             " ROUND(CUME_DIST() OVER (PARTITION BY source"
             " ORDER BY n_chars), 6) AS cume_r6"
             " FROM documents ORDER BY doc_id",
+        # cohort retention: first-activity week × return-week offset
+        "cohort_retention":
+            "WITH u AS (SELECT user_id,"
+            " MIN(CAST(epoch(date_trunc('day', ts)) AS BIGINT)"
+            " // 604800) AS cw FROM events GROUP BY user_id), "
+            "a AS (SELECT DISTINCT user_id,"
+            " CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 604800"
+            " AS w FROM events) "
+            "SELECT CAST(u.cw AS BIGINT) AS cohort_week,"
+            " CAST(a.w - u.cw AS BIGINT) AS offset_week,"
+            " CAST(COUNT(*) AS BIGINT) AS n_active"
+            " FROM a JOIN u ON a.user_id = u.user_id"
+            " GROUP BY 1, 2 ORDER BY 1, 2",
+        # Pearson χ² over the DENSE source×lang grid (zero cells
+        # included), same double algebra as the pipeline
+        "source_lang_chi2":
+            "WITH o AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT)"
+            " AS o FROM documents GROUP BY 1, 2), "
+            "rm AS (SELECT source, CAST(SUM(o) AS BIGINT) AS r FROM o"
+            " GROUP BY source), "
+            "cm AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS c FROM o"
+            " GROUP BY lang), "
+            "nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM o), "
+            "cell AS (SELECT CAST(COALESCE(o.o, 0) AS DOUBLE) AS od,"
+            " CAST(rm.r * cm.c AS DOUBLE) / nn.n AS e"
+            " FROM rm CROSS JOIN cm CROSS JOIN nn"
+            " LEFT JOIN o ON rm.source = o.source AND cm.lang = o.lang) "
+            "SELECT (SELECT n FROM nn) AS n,"
+            " CAST(((SELECT COUNT(*) FROM rm) - 1)"
+            " * ((SELECT COUNT(*) FROM cm) - 1) AS BIGINT) AS dof,"
+            " ROUND(SUM((od - e) * (od - e) / e), 6) AS chi2_r6"
+            " FROM cell",
+        # fuzzy similarity join: the oracle is the literal all-pairs
+        # levenshtein join the deletion-blocking plan avoids
+        "name_typo_pairs":
+            "WITH un AS (SELECT DISTINCT"
+            " unnest(regexp_extract_all(c_name, '\\S+')) AS w"
+            " FROM customer) "
+            "SELECT a.w AS w1, b.w AS w2 FROM un a JOIN un b"
+            " ON a.w < b.w AND levenshtein(a.w, b.w) = 1"
+            " ORDER BY w1, w2",
     }

@@ -199,7 +199,8 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "lineitem_corr_stats", "snapshot_user_diff",
                "max_concurrent_sessions", "pmi_top_bigrams",
                "doc_length_gini", "cross_lang_dup_matrix",
-               "nchars_cume_dist"]
+               "nchars_cume_dist", "cohort_retention",
+               "source_lang_chi2", "name_typo_pairs"]
 
 
 def run_queries() -> dict[str, float]:

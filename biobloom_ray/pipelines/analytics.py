@@ -5688,3 +5688,158 @@ def nchars_cume_dist(sf_dir: str):
     out = ds.map_batches(attach, batch_format="pyarrow").to_pandas()
     return (out.sort_values("doc_id").reset_index(drop=True)
             [["doc_id", "source", "n_chars", "cume_r6"]])
+
+WEEK_SECONDS = 7 * 86400
+
+
+def cohort_retention(sf_dir: str):
+    """Cohort retention matrix (the product-analytics staple): users
+    grouped by first-activity week, counted per week-offset of return
+    activity.  Two pre-reduced user-grain tables from ONE event scan
+    shape — per-user cohort week (native Min groupby above the gate)
+    and the deduped (user, week) activity pairs (chained same-prefix
+    groupbys) — then a user-grain join (driver merge below the shared
+    events gate, hash join above: BOTH sides are user-scale, never
+    event-scale) and a tiny (cohort, offset) rollup."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = (pc.floor_temporal(b["ts"], unit="day")
+               .cast(pa.timestamp("s")).cast(pa.int64()))
+        w = day.to_numpy(zero_copy_only=False) // WEEK_SECONDS
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+            "w": w})
+        agg = df.drop_duplicates()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        uw = parts_ds.to_pandas().drop_duplicates()
+        cohort = (uw.groupby("user_id", as_index=False)["w"].min()
+                  .rename(columns={"w": "cw"}))
+        j = uw.merge(cohort, on="user_id")
+    else:
+        from biobloom_ray.io import hash_join
+
+        uw_ds = (parts_ds.groupby(["user_id", "w"])
+                 .aggregate(Count(alias_name="_c"))
+                 .map_batches(lambda b: b.drop_columns(["_c"]),
+                              batch_format="pyarrow"))
+        cohort_ds = (parts_ds.groupby("user_id")
+                     .aggregate(Min("w", alias_name="cw")))
+        j = hash_join(uw_ds, cohort_ds, on=("user_id",)).to_pandas()
+    j["cohort_week"] = j["cw"].astype(np.int64)
+    j["offset_week"] = (j["w"] - j["cw"]).astype(np.int64)
+    out = (j.groupby(["cohort_week", "offset_week"], as_index=False)
+           .size().rename(columns={"size": "n_active"}))
+    out["n_active"] = out["n_active"].astype(np.int64)
+    return (out.sort_values(["cohort_week", "offset_week"])
+            .reset_index(drop=True))
+
+
+def source_lang_chi2(sf_dir: str):
+    """Pearson χ² test of independence between source and lang — the
+    drift/balance check a curation pipeline runs before trusting a
+    per-source language mix.  The corpus reduces to the tiered
+    (source, lang) contingency rollup; expected counts come from the
+    margins over the DENSE grid (zero-observed cells included, like
+    every textbook χ²), and the statistic is assembled with the same
+    left-associative double algebra the oracle spells out.  Output:
+    one exact-n row with dof (exact int) and chi2_r6."""
+    ds = _read(sf_dir, "documents", columns=["source", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"source": b["source"].to_pandas(),
+                           "lang": b["lang"].to_pandas()})
+        agg = (df.groupby(["source", "lang"], as_index=False).size()
+               .rename(columns={"size": "o"}))
+        agg["o"] = agg["o"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= RANK_DRIVER_MAX_ROWS:
+        obs = (parts_ds.to_pandas()
+               .groupby(["source", "lang"], as_index=False)["o"].sum())
+    else:
+        obs = (parts_ds.groupby(["source", "lang"])
+               .aggregate(Sum("o", alias_name="o")).to_pandas())
+    piv = (obs.pivot_table(index="source", columns="lang", values="o",
+                           fill_value=0, aggfunc="sum")
+           .astype(np.int64))
+    o = piv.to_numpy(np.int64)
+    r = o.sum(axis=1, keepdims=True)
+    c = o.sum(axis=0, keepdims=True)
+    n = int(o.sum())
+    e = (r * c).astype(np.float64) / float(n)
+    d = o.astype(np.float64) - e
+    chi2 = float((d * d / e).sum())
+    dof = (o.shape[0] - 1) * (o.shape[1] - 1)
+    return pd.DataFrame({"n": [np.int64(n)], "dof": [np.int64(dof)],
+                         "chi2_r6": [np.round(chi2, 6)]})
+
+
+def name_typo_pairs(sf_dir: str):
+    """Edit-distance-1 similarity join — the fuzzy-matching primitive
+    (typo variants, OCR noise) — via FastSS deletion-neighborhood
+    blocking, the edit-distance analogue of LSH banding: each distinct
+    token emits its ≤len position-annotated single-deletion variants
+    as blocking keys; ED=1 pairs are exactly (same variant, same
+    position) = substitution and (variant of one == the other token)
+    = insertion/deletion, so candidates are verified by construction
+    and NO quadratic all-pairs comparison ever runs (the oracle is the
+    literal all-pairs levenshtein join).  Tokens come from a tiered
+    distinct-vocab rollup over customer names; blocking/bucketing
+    happens on vocab scale, not row scale."""
+    ds = _read(sf_dir, "customer", columns=["c_name"])
+
+    def vocab_partial(b: pa.Table) -> pa.Table:
+        s = b["c_name"].to_pandas()
+        toks = s.str.findall(r"\S+").explode().dropna().unique()
+        return pa.table({"w": pa.array(toks.astype(str),
+                                       type=pa.string())})
+
+    parts_ds = ds.map_batches(vocab_partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= RANK_DRIVER_MAX_ROWS:
+        vocab = parts_ds.to_pandas().w.unique()
+    else:
+        vocab = (parts_ds.groupby("w")
+                 .aggregate(Count(alias_name="_c"))
+                 .to_pandas().w.to_numpy(dtype=object))
+    vocab = np.sort(vocab.astype(object))
+    # deletion-neighborhood keys, vectorized over the vocab table:
+    # one frame of (variant, pos, w); pos=-1 marks the token itself
+    lens = np.char.str_len(vocab.astype(str))
+    max_len = int(lens.max()) if len(lens) else 0
+    frames = [pd.DataFrame({"v": vocab, "pos": -1, "w": vocab})]
+    wser = pd.Series(vocab, dtype=object)
+    for i in range(max_len):
+        has = lens > i
+        sub = wser[has]
+        frames.append(pd.DataFrame({
+            "v": (sub.str.slice(0, i) + sub.str.slice(i + 1))
+                 .to_numpy(dtype=object),
+            "pos": i, "w": sub.to_numpy(dtype=object)}))
+    keys = pd.concat(frames, ignore_index=True)
+    out_pairs = set()
+    # substitution: same deleted variant at the SAME position
+    dele = keys[keys.pos >= 0]
+    for (_v, _p), g in dele.groupby(["v", "pos"]):
+        ws = g.w.to_numpy(dtype=object)
+        if len(ws) > 1:
+            for a in range(len(ws)):
+                for b2 in range(a + 1, len(ws)):
+                    lo, hi = sorted((ws[a], ws[b2]))
+                    out_pairs.add((lo, hi))
+    # insertion/deletion: someone's deletion equals another full token
+    vset = frozenset(vocab.tolist())
+    hit = dele[dele.v.isin(vset) & (dele.v != dele.w)]
+    for v, w in zip(hit.v.to_numpy(dtype=object),
+                    hit.w.to_numpy(dtype=object)):
+        lo, hi = sorted((v, w))
+        out_pairs.add((lo, hi))
+    out = pd.DataFrame(sorted(out_pairs), columns=["w1", "w2"])
+    return out.reset_index(drop=True)

@@ -96,6 +96,7 @@ SQL_CHECKED = [
     "event_user_setops", "type_day_dense_counts", "lineitem_corr_stats",
     "snapshot_user_diff", "max_concurrent_sessions", "pmi_top_bigrams",
     "doc_length_gini", "cross_lang_dup_matrix", "nchars_cume_dist",
+    "cohort_retention", "source_lang_chi2", "name_typo_pairs",
 ]
 
 

@@ -1315,3 +1315,38 @@ def test_round4_wave14_tiers_agree(ray_session, monkeypatch):
     # CDF ranges: max per source is exactly 1.0, all values in (0, 1]
     assert ((fast_c.cume_r6 > 0) & (fast_c.cume_r6 <= 1)).all()
     assert (fast_c.groupby("source").cume_r6.max() == 1.0).all()
+
+def test_round4_wave15_tiers_agree(ray_session, monkeypatch):
+    """cohort_retention (driver merge vs chained dedup groupbys + Min
+    groupby + hash join — both join sides user-scale),
+    source_lang_chi2 (tiered contingency rollup), name_typo_pairs
+    (tiered distinct vocab; deletion blocking finds EXACTLY the
+    all-pairs levenshtein=1 set by construction)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_r = A.cohort_retention(sf)
+    fast_c = A.source_lang_chi2(sf)
+    fast_t = A.name_typo_pairs(sf)
+
+    monkeypatch.setattr(A, "EVENTS_DRIVER_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "RANK_DRIVER_MAX_ROWS", 0)
+
+    slow_r = A.cohort_retention(sf)[list(fast_r.columns)]
+    slow_c = A.source_lang_chi2(sf)[list(fast_c.columns)]
+    slow_t = A.name_typo_pairs(sf)[list(fast_t.columns)]
+
+    assert len(fast_r) > 0 and fast_r.equals(slow_r)
+    assert len(fast_c) > 0 and fast_c.equals(slow_c)
+    assert len(fast_t) > 0 and fast_t.equals(slow_t)
+    # retention invariants: offset 0 row exists per cohort and is the
+    # max of its cohort (every user is active in their first week)
+    base = fast_r[fast_r.offset_week == 0].set_index("cohort_week")
+    assert set(fast_r.cohort_week) == set(base.index)
+    for cw, g in fast_r.groupby("cohort_week"):
+        assert g.n_active.max() == base.loc[cw].n_active
+    # chi2 >= 0, dof = (rows-1)(cols-1) > 0 on the fixture
+    assert fast_c.iloc[0].chi2_r6 >= 0 and fast_c.iloc[0].dof > 0
+    # typo pairs are ordered and distinct
+    assert (fast_t.w1 < fast_t.w2).all()
+    assert not fast_t.duplicated().any()
