@@ -5824,24 +5824,43 @@ def name_typo_pairs(sf_dir: str):
                  .to_numpy(dtype=object),
             "pos": i, "w": sub.to_numpy(dtype=object)}))
     keys = pd.concat(frames, ignore_index=True)
-    out_pairs = set()
-    # substitution: same deleted variant at the SAME position
+    pair_frames = []
+    # substitution: same deleted variant at the SAME position — pair
+    # enumeration is vectorized per GROUP-SIZE CLASS (bucket sizes are
+    # bounded by the alphabet, so each class is a dense (groups, s)
+    # matrix hit with one triu_indices gather; no Python pair loop)
     dele = keys[keys.pos >= 0]
-    for (_v, _p), g in dele.groupby(["v", "pos"]):
-        ws = g.w.to_numpy(dtype=object)
-        if len(ws) > 1:
-            for a in range(len(ws)):
-                for b2 in range(a + 1, len(ws)):
-                    lo, hi = sorted((ws[a], ws[b2]))
-                    out_pairs.add((lo, hi))
+    comp = dele.v.str.cat(dele.pos.astype(str), sep="\x00")
+    codes, _ = pd.factorize(comp, sort=False)
+    order = np.argsort(codes, kind="stable")
+    codes_s = codes[order]
+    ws_s = dele.w.to_numpy(dtype=object)[order]
+    bnd = np.flatnonzero(np.r_[True, codes_s[1:] != codes_s[:-1], True])
+    sizes = np.diff(bnd)
+    for s in np.unique(sizes):
+        if s < 2:
+            continue
+        starts = bnd[:-1][sizes == s]
+        mat = ws_s[starts[:, None] + np.arange(s)[None, :]]
+        iu, ju = np.triu_indices(s, 1)
+        a = mat[:, iu].ravel()
+        b2 = mat[:, ju].ravel()
+        pair_frames.append(pd.DataFrame({"w1": np.minimum(a, b2),
+                                         "w2": np.maximum(a, b2)}))
     # insertion/deletion: someone's deletion equals another full token
     vset = frozenset(vocab.tolist())
     hit = dele[dele.v.isin(vset) & (dele.v != dele.w)]
-    for v, w in zip(hit.v.to_numpy(dtype=object),
-                    hit.w.to_numpy(dtype=object)):
-        lo, hi = sorted((v, w))
-        out_pairs.add((lo, hi))
-    out = pd.DataFrame(sorted(out_pairs), columns=["w1", "w2"])
+    if len(hit):
+        hv = hit.v.to_numpy(dtype=object)
+        hw = hit.w.to_numpy(dtype=object)
+        pair_frames.append(pd.DataFrame({"w1": np.minimum(hv, hw),
+                                         "w2": np.maximum(hv, hw)}))
+    if not pair_frames:
+        return pd.DataFrame({"w1": pd.Series([], dtype=object),
+                             "w2": pd.Series([], dtype=object)})
+    out = (pd.concat(pair_frames, ignore_index=True)
+           .drop_duplicates()
+           .sort_values(["w1", "w2"]))
     return out.reset_index(drop=True)
 
 def orders_profile(sf_dir: str):
