@@ -1100,6 +1100,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_profile": A.orders_profile,
         "orders_quality_checks": A.orders_quality_checks,
         "acctbal_robust_stats": A.acctbal_robust_stats,
+        # round-4 wave 17: sixth mergeable sketch family (Misra–Gries)
+        # — exact regime (capacity ≥ vocab) pinned by the SQL oracle,
+        # under-count bound pinned in test_sketches.py
+        "mg_heavy_tokens": A.mg_heavy_tokens,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -2569,4 +2573,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md.nationkey, md.n, mo.mode_cents, md.med_cents,"
             " mad.mad_cents FROM md JOIN mo USING (nationkey)"
             " JOIN mad USING (nationkey) ORDER BY nationkey",
+        # Misra–Gries in the exact regime (capacity 4096 ≥ fixture
+        # vocab): estimates ARE the true counts, so the oracle is the
+        # exact top-k with the same (count desc, token) tie-break
+        "mg_heavy_tokens":
+            "WITH t AS (SELECT unnest(regexp_extract_all(text,"
+            " '\\S+')) AS token FROM documents) "
+            "SELECT token, CAST(COUNT(*) AS BIGINT) AS est_cnt FROM t"
+            " GROUP BY token ORDER BY est_cnt DESC, token LIMIT 20",
     }

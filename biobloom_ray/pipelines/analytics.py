@@ -6053,3 +6053,55 @@ def acctbal_robust_stats(sf_dir: str):
                      np.int64(med), np.int64(mad)))
     return pd.DataFrame(rows, columns=["nationkey", "n", "mode_cents",
                                        "med_cents", "mad_cents"])
+
+def mg_heavy_tokens(sf_dir: str, k: int = 20, capacity: int = 4096):
+    """Misra–Gries heavy hitters — the deterministic counter-based
+    twin of ``cms_heavy_hitters`` (sixth mergeable sketch family):
+    per-block partial MG summaries merge associatively on the driver
+    (#blocks blob rows, like every sketch pipeline here), candidates
+    ride along as per-block local top lists.  With ``capacity`` ≥ the
+    corpus vocabulary the sketch NEVER truncates and every estimate is
+    the exact count under any merge order — the regime the SQL oracle
+    pins; the under-count bound N/(capacity+1) in the sketchy regime
+    is pytest-pinned in test_sketches.py.  Same candidate caveat as
+    the CMS query: per-block top lists can miss a globally-heavy but
+    everywhere-locally-light token (documented, inherent to all
+    candidate+sketch designs)."""
+    from biobloom_ray.hashing import hash_strings
+    from biobloom_ray.sketches.misra_gries import MisraGries
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = b["text"].to_pandas()
+        toks = s.str.findall(r"\S+").explode().dropna()
+        vc = toks.value_counts()
+        mg = MisraGries(capacity=capacity)
+        mg.update(hash_strings(vc.index.tolist()),
+                  vc.to_numpy().astype(np.int64))
+        cands = vc.head(4 * k)
+        return pa.table({
+            "kind": pa.array(["mg"] + ["cand"] * len(cands)),
+            "token": pa.array([""] + cands.index.astype(str).tolist()),
+            "blob": pa.array([mg.serialize()] + [b""] * len(cands),
+                             type=pa.large_binary()),
+        })
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    acc = None
+    cand_tokens = set()
+    for r in rows:
+        if r["kind"] == "mg":
+            m = MisraGries.deserialize(r["blob"])
+            acc = m if acc is None else acc.merge(m)
+        else:
+            cand_tokens.add(r["token"])
+    cand = sorted(cand_tokens)
+    from biobloom_ray.hashing import hash_strings as _hs
+
+    est = acc.query(_hs(cand)) if cand else np.empty(0, np.int64)
+    df = pd.DataFrame({"token": cand, "est_cnt": est})
+    df = df.sort_values(["est_cnt", "token"],
+                        ascending=[False, True]).head(k)
+    df["est_cnt"] = df["est_cnt"].astype(np.int64)
+    return df.reset_index(drop=True)

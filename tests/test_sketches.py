@@ -243,3 +243,71 @@ class TestKLL:
         a.update(data)
         b.update(data)
         assert a.quantile(0.37) == b.quantile(0.37)
+
+
+class TestMisraGries:
+    def test_exact_regime_any_merge_order(self):
+        import numpy as np
+
+        from biobloom_ray.sketches.misra_gries import MisraGries
+
+        rng = np.random.default_rng(7)
+        keys = rng.integers(0, 50, size=5000).astype(np.uint64)
+        true = {int(u): int(c) for u, c in
+                zip(*np.unique(keys, return_counts=True))}
+        parts = np.array_split(keys, 7)
+        # capacity >= distinct -> exact under ANY merge order
+        def build(order):
+            accs = []
+            for p in parts:
+                m = MisraGries(capacity=64)
+                m.update(p)
+                accs.append(m)
+            acc = accs[order[0]]
+            for i in order[1:]:
+                acc.merge(accs[i])
+            return acc
+
+        a = build(list(range(7)))
+        b = build([3, 6, 0, 5, 1, 4, 2])
+        qa = a.query(np.arange(50, dtype=np.uint64))
+        qb = b.query(np.arange(50, dtype=np.uint64))
+        assert (qa == qb).all()
+        for u, c in true.items():
+            assert qa[u] == c
+        assert a.error_bound() == 5000 // 65
+
+    def test_undercount_bound_sketchy_regime(self):
+        import numpy as np
+
+        from biobloom_ray.sketches.misra_gries import MisraGries
+
+        rng = np.random.default_rng(11)
+        # zipf-ish skew: heavy keys must survive a tiny summary
+        keys = (rng.zipf(1.5, size=20000) % 1000).astype(np.uint64)
+        uniq, cnt = np.unique(keys, return_counts=True)
+        m = MisraGries(capacity=8)
+        for chunk in np.array_split(keys, 13):
+            m.update(chunk)
+        est = m.query(uniq)
+        assert (est <= cnt).all()  # MG never over-counts
+        assert (cnt - est <= m.error_bound()).all()
+        # the single heaviest key is always tracked when its true count
+        # exceeds the bound
+        top = np.argmax(cnt)
+        if cnt[top] > m.error_bound():
+            assert est[top] > 0
+
+    def test_serialize_roundtrip(self):
+        import numpy as np
+
+        from biobloom_ray.sketches.misra_gries import MisraGries
+
+        m = MisraGries(capacity=16)
+        m.update(np.arange(40, dtype=np.uint64),
+                 np.arange(1, 41, dtype=np.int64))
+        m2 = MisraGries.deserialize(m.serialize())
+        assert m2.capacity == m.capacity and m2.n == m.n
+        assert (np.sort(m2.keys) == np.sort(m.keys)).all()
+        q = np.arange(40, dtype=np.uint64)
+        assert (m.query(q) == m2.query(q)).all()
