@@ -1104,6 +1104,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # — exact regime (capacity ≥ vocab) pinned by the SQL oracle,
         # under-count bound pinned in test_sketches.py
         "mg_heavy_tokens": A.mg_heavy_tokens,
+        # round-4 wave 18: diversified top-k / exact-int decay
+        "diversified_top_docs": A.diversified_top_docs,
+        "event_decayed_counts": A.event_decayed_counts,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -2581,4 +2584,33 @@ def oracle_sql() -> dict[str, str]:
             " '\\S+')) AS token FROM documents) "
             "SELECT token, CAST(COUNT(*) AS BIGINT) AS est_cnt FROM t"
             " GROUP BY token ORDER BY est_cnt DESC, token LIMIT 20",
+        # diversified top-k: at most 2 docs per source
+        "diversified_top_docs":
+            "WITH r AS (SELECT doc_id, source,"
+            " CAST(n_chars AS BIGINT) AS n_chars,"
+            " ROW_NUMBER() OVER (PARTITION BY source"
+            " ORDER BY n_chars DESC, doc_id ASC) AS rn"
+            " FROM documents) "
+            "SELECT doc_id, source, n_chars FROM r WHERE rn <= 2"
+            " ORDER BY n_chars DESC, doc_id LIMIT 10",
+        # exact-integer exponential decay: numerator Σ n·2^(40−age),
+        # ages > 40 truncate to 0 (below int64 resolution)
+        "event_decayed_counts":
+            "WITH d AS (SELECT event_type,"
+            " CAST(epoch(date_trunc('day', ts)) AS BIGINT)"
+            " AS day_epoch, CAST(COUNT(*) AS BIGINT) AS n"
+            " FROM events GROUP BY 1, 2), "
+            "a AS (SELECT MAX(day_epoch) AS anchor FROM d), "
+            "w AS (SELECT event_type, n,"
+            " (a.anchor - day_epoch) // 86400 AS age"
+            " FROM d CROSS JOIN a) "
+            "SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_events,"
+            " CAST(SUM(CASE WHEN age <= 40 THEN n *"
+            " (CAST(1 AS BIGINT) << CAST(40 - age AS INTEGER))"
+            " ELSE 0 END) AS BIGINT) AS decay_num,"
+            " ROUND(CAST(SUM(CASE WHEN age <= 40 THEN n *"
+            " (CAST(1 AS BIGINT) << CAST(40 - age AS INTEGER))"
+            " ELSE 0 END) AS DOUBLE) / 1099511627776, 6)"
+            " AS decayed_r6"
+            " FROM w GROUP BY event_type ORDER BY event_type",
     }

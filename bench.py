@@ -202,7 +202,8 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "nchars_cume_dist", "cohort_retention",
                "source_lang_chi2", "name_typo_pairs",
                "orders_profile", "orders_quality_checks",
-               "acctbal_robust_stats", "mg_heavy_tokens"]
+               "acctbal_robust_stats", "mg_heavy_tokens",
+               "diversified_top_docs", "event_decayed_counts"]
 
 
 def run_queries() -> dict[str, float]:

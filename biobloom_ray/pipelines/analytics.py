@@ -6105,3 +6105,95 @@ def mg_heavy_tokens(sf_dir: str, k: int = 20, capacity: int = 4096):
                         ascending=[False, True]).head(k)
     df["est_cnt"] = df["est_cnt"].astype(np.int64)
     return df.reset_index(drop=True)
+
+def diversified_top_docs(sf_dir: str, k: int = 10, per_source: int = 2):
+    """Diversified top-k (the sampling-with-source-diversity shape):
+    the k longest documents subject to AT MOST ``per_source`` per
+    source — the constraint that keeps one giant crawl from filling a
+    curated sample.  Per-block partials keep each block's per-source
+    top ``per_source`` (a valid pruning: any global winner is a
+    per-source winner of its block), the reduce re-applies the window
+    rule on the ≤ #blocks·#sources·per_source survivors, then the
+    global k picks with the deterministic (n_chars desc, doc_id asc)
+    tie-break."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source",
+                                             "n_chars"])
+
+    def local_prune(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(zero_copy_only=False),
+            "source": b["source"].to_pandas(),
+            "n_chars": b["n_chars"].to_numpy(zero_copy_only=False)})
+        df = df.sort_values(["source", "n_chars", "doc_id"],
+                            ascending=[True, False, True])
+        return pa.Table.from_pandas(df.groupby("source")
+                                    .head(per_source),
+                                    preserve_index=False)
+
+    pooled = (ds.map_batches(local_prune, batch_format="pyarrow")
+              .to_pandas())
+    pooled = pooled.sort_values(["source", "n_chars", "doc_id"],
+                                ascending=[True, False, True])
+    capped = pooled.groupby("source").head(per_source)
+    out = capped.sort_values(["n_chars", "doc_id"],
+                             ascending=[False, True]).head(k)
+    out = out.reset_index(drop=True)[["doc_id", "source", "n_chars"]]
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_chars"] = out["n_chars"].astype(np.int64)
+    return out
+
+
+DECAY_SCALE_BITS = 40  # ages beyond this contribute < 1 integer unit
+
+
+def event_decayed_counts(sf_dir: str, half_life_days: int = 1):
+    """Exponentially time-decayed counters (the streaming-analytics
+    freshness score) with an EXACT-INTEGER core: weight = 2^(−age/h)
+    becomes the integer numerator Σ n_d · 2^(S − age_d/h·…) — here
+    h = 1 day so each day's bucket contributes cnt · 2^(S − age) with
+    S = 40 and ages > S contributing 0 (below int64 resolution, the
+    documented truncation) — so the decayed score is a RATIO OF EXACT
+    INTEGERS and the oracle hash cannot drift.  The anchor (newest
+    day) is itself an output-scale reduce; corpus work is the shared
+    tiered (type, day) rollup."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = (pc.floor_temporal(b["ts"], unit="day")
+               .cast(pa.timestamp("s")).cast(pa.int64()))
+        df = pd.DataFrame({
+            "event_type": b["event_type"].to_pandas(),
+            "day_epoch": day.to_numpy(zero_copy_only=False)})
+        agg = (df.groupby(["event_type", "day_epoch"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        agg["n"] = agg["n"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        counts = (parts_ds.to_pandas()
+                  .groupby(["event_type", "day_epoch"], as_index=False)
+                  ["n"].sum())
+    else:
+        counts = (parts_ds.groupby(["event_type", "day_epoch"])
+                  .aggregate(Sum("n", alias_name="n")).to_pandas())
+    anchor = int(counts["day_epoch"].max())
+    age = ((anchor - counts["day_epoch"].to_numpy(np.int64)) // 86400
+           // max(half_life_days, 1))
+    w = np.where(age <= DECAY_SCALE_BITS,
+                 np.left_shift(np.int64(1),
+                               (DECAY_SCALE_BITS - np.minimum(
+                                   age, DECAY_SCALE_BITS)).astype(
+                                   np.int64)),
+                 0)
+    counts["num"] = counts["n"].to_numpy(np.int64) * w
+    out = (counts.groupby("event_type", as_index=False)
+           .agg(n_events=("n", "sum"), decay_num=("num", "sum")))
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["decay_num"] = out["decay_num"].astype(np.int64)
+    out["decayed_r6"] = np.round(
+        out["decay_num"].to_numpy(np.float64)
+        / float(1 << DECAY_SCALE_BITS), 6)
+    return (out.sort_values("event_type").reset_index(drop=True)
+            [["event_type", "n_events", "decay_num", "decayed_r6"]])

@@ -98,7 +98,7 @@ SQL_CHECKED = [
     "doc_length_gini", "cross_lang_dup_matrix", "nchars_cume_dist",
     "cohort_retention", "source_lang_chi2", "name_typo_pairs",
     "orders_profile", "orders_quality_checks", "acctbal_robust_stats",
-    "mg_heavy_tokens",
+    "mg_heavy_tokens", "diversified_top_docs", "event_decayed_counts",
 ]
 
 

@@ -1381,3 +1381,34 @@ def test_round4_wave16_tiers_agree(ray_session, monkeypatch):
     assert (fast_q.n_fail > 0).any() and (fast_q.n_pass > 0).all()
     # robust stats: MAD <= max deviation and mode within value range
     assert (fast_r.mad_cents >= 0).all()
+
+def test_round4_wave18_tiers_agree(ray_session, monkeypatch):
+    """diversified_top_docs (block per-source prune is a VALID pruning
+    — checked against the unpruned driver window rule),
+    event_decayed_counts (driver fold vs native Sum groupby; decayed
+    score is a ratio of exact integers)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_d = A.diversified_top_docs(sf)
+    fast_e = A.event_decayed_counts(sf)
+
+    # unpruned reference for the diversified top-k
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "source", "n_chars"])
+    ref = (docs.sort_values(["source", "n_chars", "doc_id"],
+                            ascending=[True, False, True])
+           .groupby("source").head(2)
+           .sort_values(["n_chars", "doc_id"],
+                        ascending=[False, True]).head(10)
+           .reset_index(drop=True)[["doc_id", "source", "n_chars"]])
+    assert fast_d.equals(ref)
+    assert fast_d.groupby("source").size().max() <= 2
+
+    monkeypatch.setattr(A, "EVENTS_DRIVER_MAX_ROWS", 0)
+    slow_e = A.event_decayed_counts(sf)[list(fast_e.columns)]
+    assert len(fast_e) > 0 and fast_e.equals(slow_e)
+    # decay invariants: newest-day mass dominates; num <= n * 2^40
+    assert (fast_e.decay_num
+            <= fast_e.n_events * (1 << 40)).all()
+    assert (fast_e.decay_num > 0).all()
