@@ -30,6 +30,18 @@ def _read(sf_dir: str, table: str, columns=None):
     return _rp(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _parts_pandas(parts_ds, schema: dict) -> pd.DataFrame:
+    """`Dataset.to_pandas()` for partial tables, safe on EMPTY inputs:
+    a zero-row source yields a schema-less empty frame whose missing
+    columns would KeyError downstream (the ADVICE-r3 empty-input
+    class) — substitute a typed empty frame instead."""
+    df = parts_ds.to_pandas()
+    if len(df) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=t)
+                             for c, t in schema.items()})
+    return df
+
+
 def _cents_away(x: np.ndarray) -> np.ndarray:
     """Integer cents with SQL ROUND semantics (half AWAY from zero).
     ``np.round``/``pc.round`` default to banker's half-to-even, which
@@ -5197,13 +5209,15 @@ def type_day_dense_counts(sf_dir: str):
 
     parts_ds = ds.map_batches(partial, batch_format="pyarrow")
     n_rows = _cheap_count(ds)
+    schema = {"event_type": object, "day_epoch": np.int64, "n": np.int64}
     if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
-        counts = (parts_ds.to_pandas()
+        counts = (_parts_pandas(parts_ds, schema)
                   .groupby(["event_type", "day_epoch"], as_index=False)
                   ["n"].sum())
     else:
-        counts = (parts_ds.groupby(["event_type", "day_epoch"])
-                  .aggregate(Sum("n", alias_name="n")).to_pandas())
+        counts = _parts_pandas(
+            parts_ds.groupby(["event_type", "day_epoch"])
+            .aggregate(Sum("n", alias_name="n")), schema)
     types = np.sort(counts["event_type"].unique())
     days = np.sort(counts["day_epoch"].unique())
     grid = pd.MultiIndex.from_product(
@@ -5301,13 +5315,15 @@ def snapshot_user_diff(sf_dir: str):
 
     parts_ds = ds.map_batches(partial, batch_format="pyarrow")
     n_rows = _cheap_count(ds)
+    schema = {"entity": np.int64, "old_n": np.int64, "new_n": np.int64}
     if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
-        c = (parts_ds.to_pandas()
+        c = (_parts_pandas(parts_ds, schema)
              .groupby("entity", as_index=False).sum())
     else:
-        c = (parts_ds.groupby("entity")
-             .aggregate(Sum("old_n", alias_name="old_n"),
-                        Sum("new_n", alias_name="new_n")).to_pandas())
+        c = _parts_pandas(
+            parts_ds.groupby("entity")
+            .aggregate(Sum("old_n", alias_name="old_n"),
+                       Sum("new_n", alias_name="new_n")), schema)
     o = c["old_n"].to_numpy(np.int64)
     n = c["new_n"].to_numpy(np.int64)
     c["status"] = np.select(
@@ -5364,6 +5380,9 @@ def max_concurrent_sessions(sf_dir: str, gap_minutes: int = 30):
     n_rows = _cheap_count(ds)
     if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
         bdf = bounds_ds.to_pandas()
+        if len(bdf) == 0:  # empty input: map_groups emits no schema
+            return pd.DataFrame({"max_concurrent": [np.int64(0)],
+                                 "n_sessions": [np.int64(0)]})
         order = np.lexsort((bdf["bid"].to_numpy(),
                             bdf["dneg"].to_numpy(),
                             bdf["t"].to_numpy()))
@@ -5394,6 +5413,9 @@ def max_concurrent_sessions(sf_dir: str, gap_minutes: int = 30):
         blocks = (sorted_ds.map_batches(block_partial,
                                         batch_format="pyarrow",
                                         batch_size=None).to_pandas())
+        if len(blocks) == 0:
+            return pd.DataFrame({"max_concurrent": [np.int64(0)],
+                                 "n_sessions": [np.int64(0)]})
         blocks = blocks.sort_values(["k_t", "k_dneg", "k_bid"])
         offs = blocks.bsum.cumsum().shift(fill_value=0).to_numpy()
         mx = int((offs + blocks.bmax.to_numpy()).max()) if len(blocks) \
@@ -5548,13 +5570,15 @@ def doc_length_gini(sf_dir: str):
 
     parts_ds = ds.map_batches(partial, batch_format="pyarrow")
     n_rows = _cheap_count(ds)
+    schema = {"lang": object, "n_chars": np.int64, "cnt": np.int64}
     if n_rows is not None and n_rows <= RANK_DRIVER_MAX_ROWS:
-        counts = (parts_ds.to_pandas()
+        counts = (_parts_pandas(parts_ds, schema)
                   .groupby(["lang", "n_chars"], as_index=False)["cnt"]
                   .sum())
     else:
-        counts = (parts_ds.groupby(["lang", "n_chars"])
-                  .aggregate(Sum("cnt", alias_name="cnt")).to_pandas())
+        counts = _parts_pandas(
+            parts_ds.groupby(["lang", "n_chars"])
+            .aggregate(Sum("cnt", alias_name="cnt")), schema)
     counts = counts.sort_values(["lang", "n_chars"]).reset_index(
         drop=True)
     rows = []
@@ -5716,7 +5740,8 @@ def cohort_retention(sf_dir: str):
     parts_ds = ds.map_batches(partial, batch_format="pyarrow")
     n_rows = _cheap_count(ds)
     if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
-        uw = parts_ds.to_pandas().drop_duplicates()
+        uw = _parts_pandas(parts_ds, {"user_id": np.int64,
+                                      "w": np.int64}).drop_duplicates()
         cohort = (uw.groupby("user_id", as_index=False)["w"].min()
                   .rename(columns={"w": "cw"}))
         j = uw.merge(cohort, on="user_id")
@@ -5804,7 +5829,7 @@ def name_typo_pairs(sf_dir: str):
     parts_ds = ds.map_batches(vocab_partial, batch_format="pyarrow")
     n_rows = _cheap_count(ds)
     if n_rows is not None and n_rows <= RANK_DRIVER_MAX_ROWS:
-        vocab = parts_ds.to_pandas().w.unique()
+        vocab = _parts_pandas(parts_ds, {"w": object}).w.unique()
     else:
         vocab = (parts_ds.groupby("w")
                  .aggregate(Count(alias_name="_c"))

@@ -1,0 +1,155 @@
+"""Property tests (hypothesis) for the round-4 wave kernels: each
+pipeline runs at its driver tier over a generated tmp-parquet fixture
+and is checked against an independent brute-force implementation."""
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.integers(1, 4),          # user
+                          st.integers(0, 5000)),      # minute offset
+                min_size=1, max_size=60))
+def test_sweepline_matches_bruteforce(ray_session, events):
+    """max_concurrent_sessions == brute-force sweep over the session
+    intervals derived independently here."""
+    import biobloom_ray.pipelines.analytics as A
+
+    base = pd.Timestamp("2026-01-01")
+    df = pd.DataFrame({
+        "event_id": range(len(events)),
+        "user_id": [u for u, _ in events],
+        "ts": [base + pd.Timedelta(minutes=m) for _, m in events]})
+    with tempfile.TemporaryDirectory() as td:
+        df.to_parquet(os.path.join(td, "events.parquet"))
+        got = A.max_concurrent_sessions(td).iloc[0]
+    # brute force: per-user sessions at 30-min gap, then scan minutes
+    ivs = []
+    for u, g in df.groupby("user_id"):
+        ts = np.sort(g.ts.values.astype("datetime64[m]").astype(int))
+        start = ts[0]
+        prev = ts[0]
+        for t in ts[1:]:
+            if t - prev > 30:
+                ivs.append((start, prev))
+                start = t
+            prev = t
+        ivs.append((start, prev))
+    assert got.n_sessions == len(ivs)
+    # closed intervals; concurrency at every boundary point
+    points = sorted({p for iv in ivs for p in iv})
+    best = max(sum(1 for s, e in ivs if s <= p <= e) for p in points)
+    assert got.max_concurrent == best
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(st.text(alphabet="abc", min_size=1, max_size=5),
+                min_size=1, max_size=25))
+def test_typo_blocking_matches_bruteforce(ray_session, words):
+    """FastSS deletion blocking returns EXACTLY the all-pairs
+    levenshtein==1 set on arbitrary short words."""
+    import biobloom_ray.pipelines.analytics as A
+
+    df = pd.DataFrame({"c_name": [" ".join(words)]})
+    with tempfile.TemporaryDirectory() as td:
+        df.to_parquet(os.path.join(td, "customer.parquet"))
+        got = A.name_typo_pairs(td)
+    vocab = sorted(set(words))
+    want = sorted((a, b) for i, a in enumerate(vocab)
+                  for b in vocab[i + 1:] if _levenshtein(a, b) == 1)
+    assert list(map(tuple, got.to_numpy())) == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(1, 500), min_size=2, max_size=80))
+def test_gini_matches_direct(ray_session, lens):
+    """Count-table Gini == the direct sorted-array formula."""
+    import biobloom_ray.pipelines.analytics as A
+
+    df = pd.DataFrame({"lang": "xx", "n_chars": lens,
+                       "doc_id": range(len(lens)),
+                       "text": "", "source": "s"})
+    with tempfile.TemporaryDirectory() as td:
+        df.to_parquet(os.path.join(td, "documents.parquet"))
+        got = A.doc_length_gini(td)
+    x = np.sort(np.asarray(lens, dtype=np.int64))
+    n = len(x)
+    i = np.arange(1, n + 1, dtype=np.int64)
+    direct = (2 * int(np.dot(i, x)) - (n + 1) * int(x.sum())) \
+        / float(n * int(x.sum()))
+    assert got.iloc[0].n == n
+    assert got.iloc[0].gini_r6 == np.round(direct, 6)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(0, 30), min_size=1, max_size=400),
+       st.integers(4, 64))
+def test_misra_gries_properties(keys, capacity):
+    """MG never over-counts; under-count is within N/(capacity+1);
+    exact when capacity >= distinct."""
+    from biobloom_ray.sketches.misra_gries import MisraGries
+
+    arr = np.asarray(keys, dtype=np.uint64)
+    m = MisraGries(capacity=capacity)
+    for chunk in np.array_split(arr, 3):
+        if len(chunk):
+            m.update(chunk)
+    uniq, cnt = np.unique(arr, return_counts=True)
+    est = m.query(uniq)
+    assert (est <= cnt).all()
+    assert (cnt - est <= m.error_bound()).all()
+    if capacity >= len(uniq):
+        assert (est == cnt).all()
+
+
+def test_wave_ops_empty_inputs(ray_session):
+    """Empty tables produce empty/zero results, not crashes (the
+    ADVICE-r3 empty-input class, applied to the round-4 waves)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    with tempfile.TemporaryDirectory() as td:
+        pd.DataFrame({"event_id": pd.Series([], dtype=np.int64),
+                      "user_id": pd.Series([], dtype=np.int64),
+                      "event_type": pd.Series([], dtype=str),
+                      "props": pd.Series([], dtype=str),
+                      "ts": pd.Series([], dtype="datetime64[us]"),
+                      "value": pd.Series([], dtype=np.float64)}
+                     ).to_parquet(os.path.join(td, "events.parquet"))
+        pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                      "lang": pd.Series([], dtype=str),
+                      "source": pd.Series([], dtype=str),
+                      "text": pd.Series([], dtype=str),
+                      "n_chars": pd.Series([], dtype=np.int64)}
+                     ).to_parquet(os.path.join(td, "documents.parquet"))
+        pd.DataFrame({"c_name": pd.Series([], dtype=str)}
+                     ).to_parquet(os.path.join(td, "customer.parquet"))
+
+        m = A.max_concurrent_sessions(td)
+        assert m.iloc[0].max_concurrent == 0 and m.iloc[0].n_sessions == 0
+        assert len(A.snapshot_user_diff(td)) == 0
+        assert len(A.doc_length_gini(td)) == 0
+        assert len(A.name_typo_pairs(td)) == 0
+        assert len(A.cohort_retention(td)) == 0
+        assert len(A.type_day_dense_counts(td)) == 0
