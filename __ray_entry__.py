@@ -1107,6 +1107,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 wave 18: diversified top-k / exact-int decay
         "diversified_top_docs": A.diversified_top_docs,
         "event_decayed_counts": A.event_decayed_counts,
+        # round-4 wave 19: latest-N compaction / gap quantiles
+        "latest_events_per_user": A.latest_events_per_user,
+        "event_gap_quantiles": A.event_gap_quantiles,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -2613,4 +2616,28 @@ def oracle_sql() -> dict[str, str]:
             " ELSE 0 END) AS DOUBLE) / 1099511627776, 6)"
             " AS decayed_r6"
             " FROM w GROUP BY event_type ORDER BY event_type",
+        # latest-N-per-key compaction (ROW_NUMBER <= 3 twin)
+        "latest_events_per_user":
+            "WITH r AS (SELECT user_id, event_id,"
+            " epoch_ns(ts) AS ts_ns, event_type,"
+            " CAST(ROW_NUMBER() OVER (PARTITION BY user_id"
+            " ORDER BY ts DESC, event_id DESC) AS BIGINT) AS rn"
+            " FROM events) "
+            "SELECT user_id, rn, event_id, ts_ns, event_type FROM r"
+            " WHERE rn <= 3 ORDER BY user_id, rn",
+        # inter-arrival gap quantiles per type: whole-second gaps by
+        # flooring the SAME μs difference; PERCENTILE_DISC p50/p90
+        "event_gap_quantiles":
+            "WITH g AS (SELECT event_type,"
+            " (epoch_us(ts) - LAG(epoch_us(ts)) OVER ("
+            "PARTITION BY user_id, event_type"
+            " ORDER BY ts, event_id)) // 1000000 AS gap_s"
+            " FROM events) "
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,"
+            " CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY gap_s)"
+            " AS BIGINT) AS p50_s,"
+            " CAST(PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY gap_s)"
+            " AS BIGINT) AS p90_s"
+            " FROM g WHERE gap_s IS NOT NULL"
+            " GROUP BY event_type ORDER BY event_type",
     }

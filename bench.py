@@ -203,7 +203,8 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "source_lang_chi2", "name_typo_pairs",
                "orders_profile", "orders_quality_checks",
                "acctbal_robust_stats", "mg_heavy_tokens",
-               "diversified_top_docs", "event_decayed_counts"]
+               "diversified_top_docs", "event_decayed_counts",
+               "latest_events_per_user", "event_gap_quantiles"]
 
 
 def run_queries() -> dict[str, float]:

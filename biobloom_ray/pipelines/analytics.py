@@ -6222,3 +6222,98 @@ def event_decayed_counts(sf_dir: str, half_life_days: int = 1):
         / float(1 << DECAY_SCALE_BITS), 6)
     return (out.sort_values("event_type").reset_index(drop=True)
             [["event_type", "n_events", "decay_num", "decayed_r6"]])
+
+def latest_events_per_user(sf_dir: str, n: int = 3):
+    """Latest-N-per-key compaction — the general form of the
+    latest-wins CDC rule (N = 1): each user's ``n`` most recent events
+    under the deterministic (ts desc, event_id desc) order.  Per-block
+    per-user top-n partials are a VALID pruning (any global survivor
+    survives its own block); the pooled reduce — ≤ #blocks·n rows per
+    user — re-applies the same window rule.  Timestamps leave as epoch
+    nanoseconds so the value hash is integer-exact."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts",
+                                          "event_type"])
+
+    def local_prune(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+            "event_id": b["event_id"].to_numpy(zero_copy_only=False),
+            "ts_ns": b["ts"].cast(pa.timestamp("ns")).cast(pa.int64())
+                     .to_numpy(zero_copy_only=False),
+            "event_type": b["event_type"].to_pandas()})
+        df = df.sort_values(["user_id", "ts_ns", "event_id"],
+                            ascending=[True, False, False])
+        return pa.Table.from_pandas(df.groupby("user_id").head(n),
+                                    preserve_index=False)
+
+    pooled = (ds.map_batches(local_prune, batch_format="pyarrow")
+              .to_pandas())
+    pooled = pooled.sort_values(["user_id", "ts_ns", "event_id"],
+                                ascending=[True, False, False])
+    out = pooled.groupby("user_id").head(n).copy()
+    out["rn"] = (out.groupby("user_id").cumcount() + 1).astype(np.int64)
+    out["user_id"] = out["user_id"].astype(np.int64)
+    out["event_id"] = out["event_id"].astype(np.int64)
+    out["ts_ns"] = out["ts_ns"].astype(np.int64)
+    return (out.sort_values(["user_id", "rn"]).reset_index(drop=True)
+            [["user_id", "rn", "event_id", "ts_ns", "event_type"]])
+
+
+def event_gap_quantiles(sf_dir: str):
+    """Inter-arrival gap quantiles per event type — the crawl
+    politeness / burstiness profile: gaps in whole seconds between
+    consecutive same-type events of the same user (deterministic
+    (ts, event_id) order), reduced to exact PERCENTILE_DISC p50/p90
+    per type via the value-cardinality count table (the same
+    ceil-rank walk the percentile operators pin).  Per-(user, type)
+    histories sort inside one map_groups block — the documented
+    per-entity-fits-a-block assumption shared with
+    ``events_sessionize``; gap COUNT tables, not gaps, leave the
+    shuffle."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type",
+                                          "event_id", "ts"])
+
+    def gaps(g: pa.Table) -> pa.Table:
+        # lossless μs ints; whole-second gaps by floor division (the
+        # oracle floors the SAME μs difference — no truncating cast)
+        ts = (g["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts = ts[order]
+        if len(ts) < 2:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "gap_s": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        d = np.diff(ts) // 1_000_000
+        u, c = np.unique(d, return_counts=True)
+        et = g["event_type"][0].as_py()
+        return pa.table({"event_type": pa.array([et] * len(u)),
+                         "gap_s": pa.array(u),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    parts_ds = ds.groupby(["user_id", "event_type"]).map_groups(
+        gaps, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    schema = {"event_type": object, "gap_s": np.int64, "cnt": np.int64}
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        counts = (_parts_pandas(parts_ds, schema)
+                  .groupby(["event_type", "gap_s"], as_index=False)
+                  ["cnt"].sum())
+    else:
+        counts = _parts_pandas(
+            parts_ds.groupby(["event_type", "gap_s"])
+            .aggregate(Sum("cnt", alias_name="cnt")), schema)
+    rows = []
+    for et, g in counts.groupby("event_type", sort=True):
+        v = g["gap_s"].to_numpy(np.int64)
+        c = g["cnt"].to_numpy(np.int64)
+        order = np.argsort(v, kind="stable")
+        v, c = v[order], c[order]
+        cum = np.cumsum(c)
+        nn = int(cum[-1])
+        p50 = int(v[np.searchsorted(cum, -(-nn // 2))])
+        p90 = int(v[np.searchsorted(cum, -(-9 * nn // 10))])
+        rows.append((et, np.int64(nn), np.int64(p50), np.int64(p90)))
+    return pd.DataFrame(rows, columns=["event_type", "n_gaps",
+                                       "p50_s", "p90_s"])

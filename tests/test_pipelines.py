@@ -1412,3 +1412,33 @@ def test_round4_wave18_tiers_agree(ray_session, monkeypatch):
     assert (fast_e.decay_num
             <= fast_e.n_events * (1 << 40)).all()
     assert (fast_e.decay_num > 0).all()
+
+def test_round4_wave19_tiers_agree(ray_session, monkeypatch):
+    """latest_events_per_user (block per-user prune proven against the
+    unpruned window rule), event_gap_quantiles (driver fold vs native
+    Sum groupby over gap count tables)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_l = A.latest_events_per_user(sf)
+    fast_g = A.event_gap_quantiles(sf)
+
+    # unpruned reference for latest-N
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["user_id", "event_id", "ts",
+                                  "event_type"])
+    ev["ts_ns"] = ev.ts.astype("datetime64[ns]").astype(np.int64)
+    ref = (ev.sort_values(["user_id", "ts_ns", "event_id"],
+                          ascending=[True, False, False])
+           .groupby("user_id").head(3).copy())
+    ref["rn"] = (ref.groupby("user_id").cumcount() + 1).astype(np.int64)
+    ref = (ref.sort_values(["user_id", "rn"]).reset_index(drop=True)
+           [["user_id", "rn", "event_id", "ts_ns", "event_type"]])
+    assert fast_l.equals(ref)
+    assert fast_l.groupby("user_id").size().max() <= 3
+
+    monkeypatch.setattr(A, "EVENTS_DRIVER_MAX_ROWS", 0)
+    slow_g = A.event_gap_quantiles(sf)[list(fast_g.columns)]
+    assert len(fast_g) > 0 and fast_g.equals(slow_g)
+    # quantile ordering invariant
+    assert (fast_g.p50_s <= fast_g.p90_s).all()
