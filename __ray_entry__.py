@@ -1110,6 +1110,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 wave 19: latest-N compaction / gap quantiles
         "latest_events_per_user": A.latest_events_per_user,
         "event_gap_quantiles": A.event_gap_quantiles,
+        # round-4 wave 20: hybrid retrieval / no-leakage split
+        "rrf_hybrid_topk": A.rrf_hybrid_topk,
+        "grouped_split_counts": A.grouped_split_counts,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -1146,7 +1149,7 @@ def oracle_sql() -> dict[str, str]:
     from biobloom_ray.pipelines import analytics as A
 
     K = 25  # frame_counts shingle size (matches analytics.K_DEFAULT)
-    return {
+    d = {
         "lang_counts":
             "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang",
         "frame_counts":
@@ -2640,4 +2643,39 @@ def oracle_sql() -> dict[str, str]:
             " AS BIGINT) AS p90_s"
             " FROM g WHERE gap_s IS NOT NULL"
             " GROUP BY event_type ORDER BY event_type",
+        # no-leakage grouped split: md5(source) hex routes each SOURCE
+        # (never a document) to exactly one split
+        "grouped_split_counts":
+            "WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,"
+            " substr(md5(source), 1, 1) AS h FROM documents"
+            " GROUP BY source) "
+            "SELECT CASE WHEN h IN ('0','1','2','3','4','5','6','7',"
+            "'8','9','a','b') THEN 'train' WHEN h IN ('c','d')"
+            " THEN 'val' ELSE 'test' END AS split,"
+            " CAST(COUNT(*) AS BIGINT) AS n_sources,"
+            " CAST(SUM(n) AS BIGINT) AS n_docs"
+            " FROM s GROUP BY 1 ORDER BY split",
     }
+    # hybrid RRF fusion composes the two retrieval oracles verbatim:
+    # lexical list = the bm25_topk SQL (already pool=20); dense list =
+    # raw-sim top-20 membership (same criterion as the pipeline's
+    # brute_force_topk) with ranks over the 6-dp ROUNDED score so a
+    # last-ulp engine difference cannot flip a rank
+    d["rrf_hybrid_topk"] = (
+        "WITH lex AS (" + d["bm25_topk"] + "), "
+        "lexr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER ("
+        "ORDER BY bm25_r6 DESC, doc_id) AS BIGINT) AS r_lex FROM lex), "
+        "den AS (SELECT e.vec_id, "
+        "list_cosine_similarity(e.embedding, q.qe) AS sim "
+        "FROM embeddings e, (SELECT embedding AS qe FROM embeddings"
+        " WHERE vec_id = 0) q ORDER BY sim DESC, vec_id LIMIT 20), "
+        "denr AS (SELECT vec_id AS doc_id, CAST(ROW_NUMBER() OVER ("
+        "ORDER BY ROUND(sim, 6) DESC, vec_id) AS BIGINT) AS r_den"
+        " FROM den), "
+        "f AS (SELECT COALESCE(lexr.doc_id, denr.doc_id) AS doc_id,"
+        " COALESCE(1.0 / (60 + r_lex), 0)"
+        " + COALESCE(1.0 / (60 + r_den), 0) AS s"
+        " FROM lexr FULL OUTER JOIN denr ON lexr.doc_id = denr.doc_id) "
+        "SELECT doc_id, ROUND(s, 6) AS rrf_r6 FROM f"
+        " ORDER BY ROUND(s, 6) DESC, doc_id LIMIT 10")
+    return d

@@ -6317,3 +6317,98 @@ def event_gap_quantiles(sf_dir: str):
         rows.append((et, np.int64(nn), np.int64(p50), np.int64(p90)))
     return pd.DataFrame(rows, columns=["event_type", "n_gaps",
                                        "p50_s", "p90_s"])
+
+def rrf_hybrid_topk(sf_dir: str, k: int = 10, pool: int = 20,
+                    rrf_const: int = 60):
+    """Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al.):
+    the lexical ranking (BM25 top-``pool``) and the dense ranking
+    (brute-force cosine top-``pool`` for the fixed query vector) fuse
+    as score = Σ 1/(rrf_const + rank) over the lists a doc appears in.
+    Both retrieval stacks are the engine's existing distributed
+    operators; the fusion runs on the two pool-sized lists.  Ranks
+    come from the 6-dp-ROUNDED retrieval scores (plus id tie-break) so
+    rank assignment cannot flip on a last-ulp float difference between
+    engines — the oracle ranks the same rounded values."""
+    import pyarrow.parquet as pq
+
+    from biobloom_ray.stages.ann import brute_force_topk
+
+    bm = bm25_topk(sf_dir, k=pool)
+    bm = bm.sort_values(["bm25_r6", "doc_id"],
+                        ascending=[False, True]).reset_index(drop=True)
+    bm["r_lex"] = np.arange(1, len(bm) + 1, dtype=np.int64)
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    qi = int(np.nonzero(ids == 0)[0][0])
+    qv = np.asarray(t["embedding"][qi].as_py(), dtype=np.float64)
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    dense = brute_force_topk(emb, qv, k=pool).to_pandas()
+    dense["sim_r6"] = np.round(dense["cos_sim"].to_numpy(np.float64), 6)
+    dense = dense.sort_values(["sim_r6", "vec_id"],
+                              ascending=[False, True]).reset_index(
+        drop=True)
+    dense["r_den"] = np.arange(1, len(dense) + 1, dtype=np.int64)
+    dense = dense.rename(columns={"vec_id": "doc_id"})
+
+    fused = bm[["doc_id", "r_lex"]].merge(
+        dense[["doc_id", "r_den"]], on="doc_id", how="outer")
+    a = np.where(fused.r_lex.notna(),
+                 1.0 / (rrf_const + fused.r_lex.fillna(0).to_numpy(
+                     np.float64)), 0.0)
+    b = np.where(fused.r_den.notna(),
+                 1.0 / (rrf_const + fused.r_den.fillna(0).to_numpy(
+                     np.float64)), 0.0)
+    fused["rrf_r6"] = np.round(a + b, 6)
+    fused["doc_id"] = fused["doc_id"].astype(np.int64)
+    out = fused.sort_values(["rrf_r6", "doc_id"],
+                            ascending=[False, True]).head(k)
+    return out.reset_index(drop=True)[["doc_id", "rrf_r6"]]
+
+
+def grouped_split_counts(sf_dir: str):
+    """No-leakage train/val/test split: every SOURCE (not document)
+    lands in exactly one split — the grouping that keeps near-dups
+    within a crawl from straddling splits — assigned by the md5 hex of
+    the source name (0-b → train, c-d → val, e-f → test; md5 is the
+    repo's SQL-replayable verification hash, and it runs on the
+    OUTPUT-scale distinct-source list, never per document).  Output:
+    per split, the source count and document count.  Corpus work is
+    one tiered (source) count rollup."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"source": b["source"].to_pandas()})
+        agg = (df.groupby("source", as_index=False).size()
+               .rename(columns={"size": "n"}))
+        agg["n"] = agg["n"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    schema = {"source": object, "n": np.int64}
+    if n_rows is not None and n_rows <= RANK_DRIVER_MAX_ROWS:
+        counts = (_parts_pandas(parts_ds, schema)
+                  .groupby("source", as_index=False)["n"].sum())
+    else:
+        counts = _parts_pandas(
+            parts_ds.groupby("source")
+            .aggregate(Sum("n", alias_name="n")), schema)
+
+    def split_of(s: str) -> str:
+        h = hashlib.md5(s.encode()).hexdigest()[0]
+        if h in "0123456789ab":
+            return "train"
+        if h in "cd":
+            return "val"
+        return "test"
+
+    counts["split"] = counts["source"].map(split_of)
+    out = (counts.groupby("split", as_index=False)
+           .agg(n_sources=("source", "size"), n_docs=("n", "sum")))
+    out["n_sources"] = out["n_sources"].astype(np.int64)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out.sort_values("split").reset_index(drop=True)

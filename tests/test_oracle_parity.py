@@ -100,6 +100,7 @@ SQL_CHECKED = [
     "orders_profile", "orders_quality_checks", "acctbal_robust_stats",
     "mg_heavy_tokens", "diversified_top_docs", "event_decayed_counts",
     "latest_events_per_user", "event_gap_quantiles",
+    "rrf_hybrid_topk", "grouped_split_counts",
 ]
 
 

@@ -1442,3 +1442,28 @@ def test_round4_wave19_tiers_agree(ray_session, monkeypatch):
     assert len(fast_g) > 0 and fast_g.equals(slow_g)
     # quantile ordering invariant
     assert (fast_g.p50_s <= fast_g.p90_s).all()
+
+def test_round4_wave20_tiers_agree(ray_session, monkeypatch):
+    """rrf_hybrid_topk (fusion of two existing distributed retrieval
+    stacks; membership/rank invariants), grouped_split_counts
+    (driver fold vs native Sum groupby; no-leakage guarantee holds by
+    construction — each source maps to exactly one split)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_r = A.rrf_hybrid_topk(sf)
+    fast_s = A.grouped_split_counts(sf)
+
+    monkeypatch.setattr(A, "RANK_DRIVER_MAX_ROWS", 0)
+    slow_s = A.grouped_split_counts(sf)[list(fast_s.columns)]
+    assert len(fast_s) > 0 and fast_s.equals(slow_s)
+
+    # fusion invariants: scores within the achievable RRF range
+    assert len(fast_r) == 10
+    assert (fast_r.rrf_r6 <= np.round(2 / 61, 6)).all()
+    assert (fast_r.rrf_r6 >= np.round(1 / 140, 6)).all()
+    # split totals account for every source and document
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["source"])
+    assert fast_s.n_docs.sum() == len(docs)
+    assert fast_s.n_sources.sum() == docs.source.nunique()
