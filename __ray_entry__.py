@@ -1113,6 +1113,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 wave 20: hybrid retrieval / no-leakage split
         "rrf_hybrid_topk": A.rrf_hybrid_topk,
         "grouped_split_counts": A.grouped_split_counts,
+        # round-4 wave 21: BSP graph traversal / journey mining
+        "user_bfs_hops": A.user_bfs_hops,
+        "top_session_journeys": A.top_session_journeys,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -2655,6 +2658,36 @@ def oracle_sql() -> dict[str, str]:
             " CAST(COUNT(*) AS BIGINT) AS n_sources,"
             " CAST(SUM(n) AS BIGINT) AS n_docs"
             " FROM s GROUP BY 1 ORDER BY split",
+        # BFS hops over the co-presence graph: bounded recursive CTE
+        # taking MIN(hop) — the BSP pipeline's shortest-path semantics
+        "user_bfs_hops":
+            "WITH RECURSIVE c AS (SELECT DISTINCT"
+            " date_trunc('minute', ts) AS h, user_id FROM events), "
+            "e AS (SELECT DISTINCT a.user_id AS ua, b.user_id AS ub"
+            " FROM c a JOIN c b ON a.h = b.h AND"
+            " a.user_id <> b.user_id), "
+            "seed AS (SELECT MIN(user_id) AS u FROM events), "
+            "bfs(user_id, hop) AS (SELECT u, 0 FROM seed"
+            " UNION ALL SELECT e.ub, bfs.hop + 1 FROM bfs"
+            " JOIN e ON e.ua = bfs.user_id WHERE bfs.hop < 3) "
+            "SELECT user_id, CAST(MIN(hop) AS BIGINT) AS hop"
+            " FROM bfs GROUP BY user_id ORDER BY user_id",
+        # session journey mining: string_agg over the sessionize CTE
+        "top_session_journeys":
+            "WITH x AS (SELECT user_id, event_id, ts, event_type,"
+            " CASE WHEN prev_ts IS NULL OR ts - prev_ts >"
+            " INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s"
+            " FROM (SELECT user_id, event_id, ts, event_type,"
+            " LAG(ts) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id) AS prev_ts FROM events)), "
+            "s AS (SELECT user_id, event_id, ts, event_type,"
+            " SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts,"
+            " event_id ROWS UNBOUNDED PRECEDING) AS sid FROM x), "
+            "j AS (SELECT user_id, sid, string_agg(event_type, '>'"
+            " ORDER BY ts, event_id) AS journey FROM s"
+            " GROUP BY user_id, sid) "
+            "SELECT journey, CAST(COUNT(*) AS BIGINT) AS cnt FROM j"
+            " GROUP BY journey ORDER BY cnt DESC, journey LIMIT 10",
     }
     # hybrid RRF fusion composes the two retrieval oracles verbatim:
     # lexical list = the bm25_topk SQL (already pool=20); dense list =

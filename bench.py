@@ -205,7 +205,8 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "acctbal_robust_stats", "mg_heavy_tokens",
                "diversified_top_docs", "event_decayed_counts",
                "latest_events_per_user", "event_gap_quantiles",
-               "rrf_hybrid_topk", "grouped_split_counts"]
+               "rrf_hybrid_topk", "grouped_split_counts",
+               "user_bfs_hops", "top_session_journeys"]
 
 
 def run_queries() -> dict[str, float]:

@@ -6412,3 +6412,165 @@ def grouped_split_counts(sf_dir: str):
     out["n_sources"] = out["n_sources"].astype(np.int64)
     out["n_docs"] = out["n_docs"].astype(np.int64)
     return out.sort_values("split").reset_index(drop=True)
+
+def user_bfs_hops(sf_dir: str, max_hops: int = 3):
+    """Multi-round BSP graph traversal — BFS hop counts from the
+    lowest-id user over the co-presence graph (users sharing a
+    (minute, user) activity cell), the iterative-frontier shape
+    connected components (dup_clusters) doesn't exercise.  Edges come
+    from ONE deduped (minute, user) rollup + per-cell pair expansion
+    (cells are bounded by per-minute activity — documented, same
+    class as the LSH bucket assumption); each BSP round is a
+    frontier⋈edges hash join + anti-join against the visited set on
+    the cluster path, or one numpy adjacency pass on the driver below
+    the shared events gate.  Oracle: a bounded recursive CTE taking
+    MIN(hop)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def cell_partial(b: pa.Table) -> pa.Table:
+        minute = (pc.floor_temporal(b["ts"], unit="minute")
+                  .cast(pa.timestamp("s")).cast(pa.int64()))
+        df = pd.DataFrame({
+            "cell": minute.to_numpy(zero_copy_only=False),
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False)})
+        return pa.Table.from_pandas(df.drop_duplicates(),
+                                    preserve_index=False)
+
+    cells = (ds.map_batches(cell_partial, batch_format="pyarrow")
+             .groupby(["cell", "user_id"])
+             .aggregate(Count(alias_name="_c")))
+
+    def pair_expand(g: pa.Table) -> pa.Table:
+        u = np.unique(g["user_id"].to_numpy(zero_copy_only=False))
+        if len(u) < 2:
+            return pa.table({"ua": pa.array([], pa.int64()),
+                             "ub": pa.array([], pa.int64())})
+        iu, ju = np.triu_indices(len(u), 1)
+        a, b2 = u[iu], u[ju]
+        return pa.table({"ua": pa.array(np.r_[a, b2]),
+                         "ub": pa.array(np.r_[b2, a])})
+
+    edges = (cells.groupby("cell")
+             .map_groups(pair_expand, batch_format="pyarrow")
+             .groupby(["ua", "ub"]).aggregate(Count(alias_name="_c")))
+
+    n_rows = _cheap_count(ds)
+    seed_df = _parts_pandas(
+        ds.map_batches(
+            lambda b: pa.table({"m": pa.array(
+                [int(b["user_id"].to_numpy(
+                    zero_copy_only=False).min())]
+                if b.num_rows else [], type=pa.int64())}),
+            batch_format="pyarrow"), {"m": np.int64})
+    if len(seed_df) == 0:
+        return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                             "hop": pd.Series([], dtype=np.int64)})
+    seed = int(seed_df.m.min())
+
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        e = _parts_pandas(edges, {"ua": np.int64, "ub": np.int64,
+                                  "_c": np.int64})
+        hop_of = {seed: 0}
+        frontier = {seed}
+        adj = e.groupby("ua")["ub"].apply(set).to_dict()
+        for h in range(1, max_hops + 1):
+            nxt = set()
+            for u in frontier:
+                nxt |= adj.get(u, set())
+            nxt -= hop_of.keys()
+            for u in nxt:
+                hop_of[u] = h
+            frontier = nxt
+            if not frontier:
+                break
+        out = pd.DataFrame(sorted(hop_of.items()),
+                           columns=["user_id", "hop"])
+        out["user_id"] = out["user_id"].astype(np.int64)
+        out["hop"] = out["hop"].astype(np.int64)
+        return out
+
+    # cluster tier: BSP rounds as Dataset joins — frontier⋈edges for
+    # the next frontier, left_anti against visited to dedup
+    import ray
+
+    from biobloom_ray.io import hash_join
+
+    edges_m = edges.map_batches(
+        lambda b: b.drop_columns(["_c"]), batch_format="pyarrow"
+    ).materialize()
+    visited = pd.DataFrame({"user_id": [seed],
+                            "hop": np.int64(0)})
+    frontier_ds = ray.data.from_pandas(
+        pd.DataFrame({"ua": pd.Series([seed], dtype=np.int64)}))
+    for h in range(1, max_hops + 1):
+        nxt = hash_join(edges_m, frontier_ds, on=("ua",))
+        nxt = nxt.map_batches(
+            lambda b: pa.table({"user_id": b["ub"]}),
+            batch_format="pyarrow")
+        nxt = (nxt.groupby("user_id").aggregate(Count(alias_name="_c"))
+               .map_batches(lambda b: b.drop_columns(["_c"]),
+                            batch_format="pyarrow"))
+        vis_ds = ray.data.from_pandas(visited[["user_id"]])
+        nxt = hash_join(nxt, vis_ds, on=("user_id",),
+                        join_type="left_anti")
+        ndf = _parts_pandas(nxt, {"user_id": np.int64})
+        if len(ndf) == 0:
+            break
+        ndf = ndf.drop_duplicates()
+        ndf["hop"] = np.int64(h)
+        visited = pd.concat([visited, ndf], ignore_index=True)
+        frontier_ds = ray.data.from_pandas(
+            ndf[["user_id"]].rename(columns={"user_id": "ua"}))
+    out = visited.sort_values("user_id").reset_index(drop=True)
+    out["user_id"] = out["user_id"].astype(np.int64)
+    out["hop"] = out["hop"].astype(np.int64)
+    return out
+
+
+def top_session_journeys(sf_dir: str, k: int = 10):
+    """Session journey mining: the k most common event-type paths
+    (">"-joined, deterministic (ts, event_id) order) across the same
+    30-min-gap sessions the sessionize operator defines — the "what do
+    users actually do" report.  Per-user map_groups emits one row per
+    SESSION (output-scale); journey-count partials reduce through the
+    shared events tier and a top-k finishes."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts",
+                                          "event_type"])
+    gap_ns = 30 * 60 * 1_000_000_000
+
+    def journeys(g: pa.Table) -> pa.Table:
+        ts = (g["ts"].cast(pa.timestamp("ns")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts, et = ts[order], et[order]
+        if len(ts) == 0:
+            return pa.table({"journey": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        new_s = np.empty(len(ts), dtype=bool)
+        new_s[0] = True
+        new_s[1:] = np.diff(ts) > gap_ns
+        sid = np.cumsum(new_s) - 1
+        df = pd.DataFrame({"sid": sid, "et": et})
+        j = df.groupby("sid")["et"].agg(">".join)
+        vc = j.value_counts()
+        return pa.table({"journey": pa.array(vc.index.astype(str)),
+                         "cnt": pa.array(vc.to_numpy().astype(
+                             np.int64))})
+
+    parts_ds = ds.groupby("user_id").map_groups(
+        journeys, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    schema = {"journey": object, "cnt": np.int64}
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        counts = (_parts_pandas(parts_ds, schema)
+                  .groupby("journey", as_index=False)["cnt"].sum())
+    else:
+        counts = _parts_pandas(
+            parts_ds.groupby("journey")
+            .aggregate(Sum("cnt", alias_name="cnt")), schema)
+    out = counts.sort_values(["cnt", "journey"],
+                             ascending=[False, True]).head(k)
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return out.reset_index(drop=True)[["journey", "cnt"]]

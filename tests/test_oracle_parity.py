@@ -101,6 +101,7 @@ SQL_CHECKED = [
     "mg_heavy_tokens", "diversified_top_docs", "event_decayed_counts",
     "latest_events_per_user", "event_gap_quantiles",
     "rrf_hybrid_topk", "grouped_split_counts",
+    "user_bfs_hops", "top_session_journeys",
 ]
 
 

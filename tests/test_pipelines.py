@@ -1467,3 +1467,28 @@ def test_round4_wave20_tiers_agree(ray_session, monkeypatch):
                            columns=["source"])
     assert fast_s.n_docs.sum() == len(docs)
     assert fast_s.n_sources.sum() == docs.source.nunique()
+
+def test_round4_wave21_tiers_agree(ray_session, monkeypatch):
+    """user_bfs_hops (driver numpy BSP vs cluster Dataset-join BSP —
+    frontier joins + left_anti visited dedup), top_session_journeys
+    (driver fold vs native Sum groupby over journey partials)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_b = A.user_bfs_hops(sf)
+    fast_j = A.top_session_journeys(sf)
+
+    monkeypatch.setattr(A, "EVENTS_DRIVER_MAX_ROWS", 0)
+    slow_b = A.user_bfs_hops(sf)[list(fast_b.columns)]
+    slow_j = A.top_session_journeys(sf)[list(fast_j.columns)]
+
+    assert len(fast_b) > 0 and fast_b.equals(slow_b)
+    assert len(fast_j) > 0 and fast_j.equals(slow_j)
+    # BFS invariants: exactly one hop-0 row (the seed = min user),
+    # hops within bound, and the fixture reaches several levels
+    assert (fast_b.hop == 0).sum() == 1
+    assert fast_b.hop.max() <= 3
+    assert fast_b.hop.nunique() >= 3
+    # journeys are non-empty strings with counts >= 1
+    assert (fast_j.cnt >= 1).all()
+    assert (fast_j.journey.str.len() > 0).all()
