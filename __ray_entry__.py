@@ -1116,6 +1116,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 wave 21: BSP graph traversal / journey mining
         "user_bfs_hops": A.user_bfs_hops,
         "top_session_journeys": A.top_session_journeys,
+        # round-4 wave 22: A-ES weighted sample / ffill resample
+        "weighted_sample_topk": A.weighted_sample_topk,
+        "event_value_ffill_hourly": A.event_value_ffill_hourly,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -2688,6 +2691,63 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY user_id, sid) "
             "SELECT journey, CAST(COUNT(*) AS BIGINT) AS cnt FROM j"
             " GROUP BY journey ORDER BY cnt DESC, journey LIMIT 10",
+        # Efraimidis–Spirakis weighted sample: same bit-exact
+        # splitmix64 chain as the sampler family; key = LN(u)/w with
+        # the identical double composition
+        "weighted_sample_topk":
+            "WITH s0 AS (SELECT doc_id, n_chars,"
+            " CAST((CAST(doc_id AS HUGEINT)"
+            " + 11400714819323198485) % 18446744073709551616"
+            " AS UBIGINT) AS z FROM documents), "
+            "s1 AS (SELECT doc_id, n_chars, xor(z, z >> 30) AS z"
+            " FROM s0), "
+            "m1 AS (SELECT doc_id, n_chars,"
+            " CAST(((CAST(z & 4294967295 AS HUGEINT) * 484763065) +"
+            " ((CAST(z & 4294967295 AS HUGEINT) * 3210233709 +"
+            " CAST(z >> 32 AS HUGEINT) * 484763065) % 4294967296) *"
+            " 4294967296) % 18446744073709551616 AS UBIGINT) AS z"
+            " FROM s1), "
+            "s2 AS (SELECT doc_id, n_chars, xor(z, z >> 27) AS z"
+            " FROM m1), "
+            "m2 AS (SELECT doc_id, n_chars,"
+            " CAST(((CAST(z & 4294967295 AS HUGEINT) * 321982955) +"
+            " ((CAST(z & 4294967295 AS HUGEINT) * 2496678331 +"
+            " CAST(z >> 32 AS HUGEINT) * 321982955) % 4294967296) *"
+            " 4294967296) % 18446744073709551616 AS UBIGINT) AS z"
+            " FROM s2), "
+            "kk AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,"
+            " LN((CAST(xor(z, z >> 31) AS DOUBLE) + 1.0) /"
+            " 18446744073709551616.0) / CAST(n_chars AS DOUBLE)"
+            " AS key FROM m2) "
+            "SELECT doc_id, n_chars FROM kk"
+            " ORDER BY key DESC, doc_id LIMIT 20",
+        # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
+        # the dense (type, hour) grid
+        "event_value_ffill_hourly":
+            "WITH c AS (SELECT event_type,"
+            " CAST(epoch(date_trunc('hour', ts)) AS BIGINT)"
+            " AS hour_epoch,"
+            " CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)"
+            " AS sum_cents, CAST(COUNT(*) AS BIGINT) AS n"
+            " FROM events GROUP BY 1, 2), "
+            "b AS (SELECT MIN(hour_epoch) AS lo, MAX(hour_epoch) AS hi"
+            " FROM c), "
+            "d AS (SELECT unnest(range(b.lo, b.hi + 3600, 3600))"
+            " AS hour_epoch FROM b), "
+            "t AS (SELECT DISTINCT event_type FROM c), "
+            "g AS (SELECT t.event_type, d.hour_epoch FROM t"
+            " CROSS JOIN d), "
+            "m AS (SELECT g.event_type, g.hour_epoch, c.sum_cents,"
+            " c.n, CASE WHEN c.n IS NULL THEN 1 ELSE 0 END AS filled"
+            " FROM g LEFT JOIN c USING (event_type, hour_epoch)) "
+            "SELECT event_type, hour_epoch,"
+            " CAST(COALESCE(LAST_VALUE(sum_cents IGNORE NULLS)"
+            " OVER w, 0) AS BIGINT) AS sum_cents,"
+            " CAST(COALESCE(LAST_VALUE(n IGNORE NULLS) OVER w, 0)"
+            " AS BIGINT) AS n, CAST(filled AS BIGINT) AS filled"
+            " FROM m WINDOW w AS (PARTITION BY event_type"
+            " ORDER BY hour_epoch ROWS UNBOUNDED PRECEDING)"
+            " ORDER BY event_type, hour_epoch",
     }
     # hybrid RRF fusion composes the two retrieval oracles verbatim:
     # lexical list = the bm25_topk SQL (already pool=20); dense list =

@@ -206,7 +206,8 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "diversified_top_docs", "event_decayed_counts",
                "latest_events_per_user", "event_gap_quantiles",
                "rrf_hybrid_topk", "grouped_split_counts",
-               "user_bfs_hops", "top_session_journeys"]
+               "user_bfs_hops", "top_session_journeys",
+               "weighted_sample_topk", "event_value_ffill_hourly"]
 
 
 def run_queries() -> dict[str, float]:

@@ -6574,3 +6574,102 @@ def top_session_journeys(sf_dir: str, k: int = 10):
                              ascending=[False, True]).head(k)
     out["cnt"] = out["cnt"].astype(np.int64)
     return out.reset_index(drop=True)[["journey", "cnt"]]
+
+def weighted_sample_topk(sf_dir: str, k: int = 20):
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES): each doc draws u = (splitmix64(doc_id)+1)/2^64 and ranks by
+    key = ln(u)/w with weight w = n_chars — the top-k keys are a
+    weighted sample with inclusion ∝ weight, fixed size, no
+    replacement (the fixed-k twin of the Bernoulli
+    ``quality_weighted_sample``).  Deterministic and engine-replayable:
+    u is the bit-exact splitmix64 the sampler family already replays
+    in HUGEINT SQL, and the ln/divide composition is spelled
+    identically in the oracle; map-only block top-k partials + one
+    k-sized reduce."""
+    from biobloom_ray.hashing import splitmix64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        w = b["n_chars"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        z = splitmix64(ids.astype(np.uint64)).astype(np.float64)
+        u = (z + 1.0) / 18446744073709551616.0
+        key = np.log(u) / w  # in (-inf, 0); larger = more likely kept
+        order = np.lexsort((ids, -key))[:k]
+        return pa.table({
+            "doc_id": pa.array(ids[order].astype(np.int64)),
+            "n_chars": pa.array(b["n_chars"].to_numpy(
+                zero_copy_only=False)[order].astype(np.int64)),
+            "key": pa.array(key[order])})
+
+    pooled = (ds.map_batches(local_topk, batch_format="pyarrow")
+              .to_pandas())
+    pooled = pooled.sort_values(["key", "doc_id"],
+                                ascending=[False, True]).head(k)
+    return (pooled.reset_index(drop=True)[["doc_id", "n_chars"]]
+            .astype(np.int64))
+
+
+def event_value_ffill_hourly(sf_dir: str):
+    """Time-series resampling with forward fill (the LAST_VALUE IGNORE
+    NULLS window): per event type, the DENSE hourly grid of
+    cents aggregates (exact-integer sum/count carried separately),
+    where an hour with no events inherits the most recent previous
+    hour's aggregate — the
+    gap-repair step before any rolling model sees the series.  Corpus
+    work is the shared tiered (type, hour) rollup; the grid + fill run
+    on the output-scale table."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        hour = (pc.floor_temporal(b["ts"], unit="hour")
+                .cast(pa.timestamp("s")).cast(pa.int64()))
+        cents = _cents_away(b["value"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({
+            "event_type": b["event_type"].to_pandas(),
+            "hour_epoch": hour.to_numpy(zero_copy_only=False),
+            "sum_cents": cents,
+            "n": np.ones(len(cents), dtype=np.int64)})
+        agg = (df.groupby(["event_type", "hour_epoch"], as_index=False)
+               .sum())
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    schema = {"event_type": object, "hour_epoch": np.int64,
+              "sum_cents": np.int64, "n": np.int64}
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        counts = (_parts_pandas(parts_ds, schema)
+                  .groupby(["event_type", "hour_epoch"], as_index=False)
+                  .sum())
+    else:
+        counts = _parts_pandas(
+            parts_ds.groupby(["event_type", "hour_epoch"])
+            .aggregate(Sum("sum_cents", alias_name="sum_cents"),
+                       Sum("n", alias_name="n")), schema)
+    if len(counts) == 0:
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            "hour_epoch": pd.Series([], dtype=np.int64),
+            "sum_cents": pd.Series([], dtype=np.int64),
+            "n": pd.Series([], dtype=np.int64),
+            "filled": pd.Series([], dtype=np.int64)})
+    days = np.arange(counts.hour_epoch.min(),
+                     counts.hour_epoch.max() + 1, 3600, dtype=np.int64)
+    types = np.sort(counts.event_type.unique())
+    grid = pd.MultiIndex.from_product(
+        [types, days], names=["event_type", "hour_epoch"]).to_frame(
+        index=False)
+    out = grid.merge(counts, on=["event_type", "hour_epoch"],
+                     how="left")
+    out["filled"] = out["sum_cents"].isna().astype(np.int64)
+    out = out.sort_values(["event_type", "hour_epoch"])
+    g = out.groupby("event_type")
+    out["sum_cents"] = (g["sum_cents"].ffill().fillna(0)
+                        .astype(np.int64))
+    out["n"] = g["n"].ffill().fillna(0).astype(np.int64)
+    out["hour_epoch"] = out["hour_epoch"].astype(np.int64)
+    return (out.reset_index(drop=True)
+            [["event_type", "hour_epoch", "sum_cents", "n", "filled"]])

@@ -102,6 +102,7 @@ SQL_CHECKED = [
     "latest_events_per_user", "event_gap_quantiles",
     "rrf_hybrid_topk", "grouped_split_counts",
     "user_bfs_hops", "top_session_journeys",
+    "weighted_sample_topk", "event_value_ffill_hourly",
 ]
 
 

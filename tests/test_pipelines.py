@@ -1492,3 +1492,36 @@ def test_round4_wave21_tiers_agree(ray_session, monkeypatch):
     # journeys are non-empty strings with counts >= 1
     assert (fast_j.cnt >= 1).all()
     assert (fast_j.journey.str.len() > 0).all()
+
+def test_round4_wave22_tiers_agree(ray_session, monkeypatch):
+    """weighted_sample_topk (block top-k prune proven against the
+    unpruned global rule; inclusion is weight-biased),
+    event_value_ffill_hourly (driver fold vs native Sum groupby; the
+    fixture exercises real gaps)."""
+    import biobloom_ray.pipelines.analytics as A
+    from biobloom_ray.hashing import splitmix64
+
+    sf = "/root/testdata/sf0.01"
+    fast_w = A.weighted_sample_topk(sf)
+    fast_f = A.event_value_ffill_hourly(sf)
+
+    # unpruned reference for the A-ES sample
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    z = splitmix64(docs.doc_id.to_numpy(np.uint64)).astype(np.float64)
+    key = np.log((z + 1.0) / 2.0 ** 64) \
+        / docs.n_chars.to_numpy(np.float64)
+    docs = docs.assign(key=key).sort_values(
+        ["key", "doc_id"], ascending=[False, True]).head(20)
+    assert fast_w.doc_id.tolist() == docs.doc_id.tolist()
+
+    monkeypatch.setattr(A, "EVENTS_DRIVER_MAX_ROWS", 0)
+    slow_f = A.event_value_ffill_hourly(sf)[list(fast_f.columns)]
+    assert len(fast_f) > 0 and fast_f.equals(slow_f)
+    # the fixture has real gaps and the fill copies the previous row
+    assert fast_f.filled.sum() > 0
+    g = fast_f[fast_f.filled == 1]
+    prev = fast_f.shift(1)
+    same_type = prev.event_type[g.index] == g.event_type
+    assert (g.sum_cents[same_type].to_numpy()
+            == prev.sum_cents[g.index][same_type].to_numpy()).all()
