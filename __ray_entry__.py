@@ -1119,6 +1119,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 wave 22: A-ES weighted sample / ffill resample
         "weighted_sample_topk": A.weighted_sample_topk,
         "event_value_ffill_hourly": A.event_value_ffill_hourly,
+        # round-4 wave 23: sketch set algebra (rows-only — exact twin
+        # event_user_setops pins the bounds in test_sketches.py)
+        "sketch_setops_report": A.sketch_setops_report,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,

@@ -207,7 +207,8 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "latest_events_per_user", "event_gap_quantiles",
                "rrf_hybrid_topk", "grouped_split_counts",
                "user_bfs_hops", "top_session_journeys",
-               "weighted_sample_topk", "event_value_ffill_hourly"]
+               "weighted_sample_topk", "event_value_ffill_hourly",
+               "sketch_setops_report"]
 
 
 def run_queries() -> dict[str, float]:

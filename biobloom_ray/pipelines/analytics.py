@@ -6673,3 +6673,67 @@ def event_value_ffill_hourly(sf_dir: str):
     out["hour_epoch"] = out["hour_epoch"].astype(np.int64)
     return (out.reset_index(drop=True)
             [["event_type", "hour_epoch", "sum_cents", "n", "filled"]])
+
+def sketch_setops_report(sf_dir: str, type_a: str = "click",
+                         type_b: str = "purchase"):
+    """Approximate SET ALGEBRA on sketches — the sketch-library
+    counterpart of ``event_user_setops``: per-block HLL and Bloom
+    partials for the two per-type user sets merge associatively
+    (#blocks blob rows to the driver, like every sketch pipeline),
+    then |A|, |B| and |A∪B| come from HLL, |A∩B| from
+    inclusion–exclusion, and a second intersection estimate from the
+    bitwise-AND Bloom via Swamidass–Baldi occupancy inversion.  No SQL
+    oracle can exist for sketch outputs; the exact twin
+    (``event_user_setops``) pins every estimate inside its published
+    bound in ``test_sketches.py``."""
+    from biobloom_ray.hashing import splitmix64
+    from biobloom_ray.sketches.bloom import BloomFilter
+    from biobloom_ray.sketches.hll import HLL
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    M_BITS, H_NUM, P = 1 << 16, 4, 12
+    C2 = np.uint64(0x9E3779B97F4A7C15)
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.uint64)
+        et = b["event_type"].to_numpy(zero_copy_only=False).astype(
+            object)
+        kinds, blobs = [], []
+        for t, tag in ((type_a, "a"), (type_b, "b")):
+            u = np.unique(uid[et == t])
+            h1 = splitmix64(u)
+            with np.errstate(over="ignore"):
+                h2 = splitmix64(u ^ C2)
+            hll = HLL(p=P)
+            hll.update(h1)
+            bf = BloomFilter(m=M_BITS, hash_num=H_NUM, kmer_size=0,
+                             filter_id=tag)
+            bf.insert(h1, h2)
+            kinds += [f"{tag}_hll", f"{tag}_bf"]
+            blobs += [hll.serialize(), bf.serialize()]
+        return pa.table({"kind": pa.array(kinds),
+                         "blob": pa.array(blobs,
+                                          type=pa.large_binary())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    hlls, bfs = {}, {}
+    for r in rows:
+        tag = r["kind"][0]
+        if r["kind"].endswith("_hll"):
+            s = HLL.deserialize(r["blob"])
+            hlls[tag] = s if tag not in hlls else hlls[tag].merge(s)
+        else:
+            s = BloomFilter.deserialize(r["blob"])
+            bfs[tag] = s if tag not in bfs else bfs[tag].merge(s)
+    est_a = hlls["a"].estimate()
+    est_b = hlls["b"].estimate()
+    union = HLL.deserialize(hlls["a"].serialize()).merge(hlls["b"])
+    est_u = union.estimate()
+    est_inter_hll = est_a + est_b - est_u
+    inter_bf = bfs["a"].intersect(bfs["b"])
+    est_inter_bloom = inter_bf.estimate_cardinality()
+    return pd.DataFrame({
+        "est_a": [est_a], "est_b": [est_b], "est_union": [est_u],
+        "est_inter_hll": [est_inter_hll],
+        "est_inter_bloom": [est_inter_bloom]})

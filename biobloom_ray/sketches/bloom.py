@@ -234,6 +234,32 @@ class BloomFilter:
         self.n_redundant += other.n_redundant
         return self
 
+    def intersect(self, other: "BloomFilter") -> "BloomFilter":
+        """Bitwise AND into a NEW filter — the standard approximate
+        set intersection: contains every element of A∩B (no false
+        negatives) plus coincidental bit overlaps, so any cardinality
+        read off it OVER-estimates |A∩B|.  Same compatibility contract
+        as merge; counters are invalidated (set to 0) because AND has
+        no meaningful element count."""
+        if not self.compatible(other):
+            raise ValueError("incompatible Bloom filters for intersect")
+        out = BloomFilter(m=self.m, hash_num=self.hash_num,
+                          kmer_size=self.kmer_size, seed=self.seed,
+                          filter_id=f"{self.filter_id}&{other.filter_id}",
+                          words=np.bitwise_and(self.words, other.words))
+        return out
+
+    def estimate_cardinality(self) -> float:
+        """Swamidass–Baldi estimate of the number of distinct inserted
+        elements from the occupancy: n̂ = −(m/h)·ln(1 − t/m) with t the
+        popcount (J. Chem. Inf. Model. 2007, eq. 4)."""
+        t = self.popcount()
+        if t >= self.m:
+            return float("inf")
+        import math
+
+        return -(self.m / self.hash_num) * math.log(1.0 - t / self.m)
+
     # -- stats -------------------------------------------------------------------
     def popcount(self) -> int:
         # SWAR popcount per 64-bit word, vectorized

@@ -311,3 +311,52 @@ class TestMisraGries:
         assert (np.sort(m2.keys) == np.sort(m.keys)).all()
         q = np.arange(40, dtype=np.uint64)
         assert (m.query(q) == m2.query(q)).all()
+
+
+class TestSketchSetOps:
+    def test_setops_estimates_within_bounds(self, ray_session):
+        import biobloom_ray.pipelines.analytics as A
+
+        sf = "/root/testdata/sf0.01"
+        est = A.sketch_setops_report(sf).iloc[0]
+        exact = A.event_user_setops(sf).iloc[0]
+        # HLL p=12 -> ~1.6% relative error; allow 5 sigma
+        tol = 5 * 1.04 / (2 ** 6)
+        assert abs(est.est_a - exact.n_a) <= tol * exact.n_a + 2
+        assert abs(est.est_b - exact.n_b) <= tol * exact.n_b + 2
+        n_union = exact.n_a + exact.n_b - exact.n_both
+        assert abs(est.est_union - n_union) <= tol * n_union + 2
+        # inclusion-exclusion compounds three estimates
+        assert abs(est.est_inter_hll - exact.n_both) \
+            <= 3 * tol * n_union + 3
+        # Bloom AND has no false negatives: the occupancy estimate
+        # must not UNDER-shoot the true intersection beyond estimator
+        # noise, and stays near it on a sparse filter
+        assert est.est_inter_bloom >= exact.n_both * 0.9
+        assert est.est_inter_bloom <= exact.n_both * 1.2 + 5
+
+    def test_bloom_intersect_no_false_negatives(self):
+        import numpy as np
+
+        from biobloom_ray.hashing import splitmix64
+        from biobloom_ray.sketches.bloom import BloomFilter
+
+        rng = np.random.default_rng(3)
+        a = rng.choice(10000, 400, replace=False).astype(np.uint64)
+        b = np.concatenate([a[:150],
+                            (rng.choice(10000, 250, replace=False)
+                             + 20000).astype(np.uint64)])
+        C2 = np.uint64(0x9E3779B97F4A7C15)
+        with np.errstate(over="ignore"):
+            fa = BloomFilter(m=1 << 14, hash_num=4, kmer_size=0)
+            fa.insert(splitmix64(a), splitmix64(a ^ C2))
+            fb = BloomFilter(m=1 << 14, hash_num=4, kmer_size=0)
+            fb.insert(splitmix64(b), splitmix64(b ^ C2))
+            inter = fa.intersect(fb)
+            common = a[:150]
+            hits = inter.contains(splitmix64(common),
+                                  splitmix64(common ^ C2))
+        assert hits.all()  # A∩B always contained
+        # Swamidass–Baldi on a fresh filter of known cardinality
+        est = fa.estimate_cardinality()
+        assert abs(est - 400) <= 0.05 * 400
