@@ -1122,6 +1122,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 wave 23: sketch set algebra (rows-only — exact twin
         # event_user_setops pins the bounds in test_sketches.py)
         "sketch_setops_report": A.sketch_setops_report,
+        # round-4 wave 24: Z-order layout / funnel latency
+        "zorder_bucket_counts": A.zorder_bucket_counts,
+        "funnel_latency_quantiles": A.funnel_latency_quantiles,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -2724,6 +2727,21 @@ def oracle_sql() -> dict[str, str]:
             " AS key FROM m2) "
             "SELECT doc_id, n_chars FROM kk"
             " ORDER BY key DESC, doc_id LIMIT 20",
+        # funnel view->purchase latency quantiles over first-touch
+        # minima; whole-second delays by flooring the same us diff
+        "funnel_latency_quantiles":
+            "WITH m AS (SELECT user_id,"
+            " MIN(epoch_us(ts)) FILTER (WHERE event_type = 'view')"
+            " AS v,"
+            " MIN(epoch_us(ts)) FILTER (WHERE event_type = 'purchase')"
+            " AS p FROM events GROUP BY user_id), "
+            "l AS (SELECT (p - v) // 1000000 AS lat FROM m"
+            " WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,"
+            " CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY lat)"
+            " AS BIGINT) AS p50_s,"
+            " CAST(PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY lat)"
+            " AS BIGINT) AS p90_s FROM l",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":
@@ -2774,4 +2792,15 @@ def oracle_sql() -> dict[str, str]:
         " FROM lexr FULL OUTER JOIN denr ON lexr.doc_id = denr.doc_id) "
         "SELECT doc_id, ROUND(s, 6) AS rrf_r6 FROM f"
         " ORDER BY ROUND(s, 6) DESC, doc_id LIMIT 10")
+    zterms = " | ".join(
+        [f"(((x >> {i}) & 1) << {2 * i})" for i in range(8)]
+        + [f"(((y >> {i}) & 1) << {2 * i + 1})" for i in range(8)])
+    d["zorder_bucket_counts"] = (
+        "WITH b AS (SELECT user_id & 255 AS x,"
+        " (CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600)"
+        " & 255 AS y FROM events), "
+        f"z AS (SELECT ({zterms}) >> 8 AS bucket FROM b) "
+        "SELECT CAST(bucket AS BIGINT) AS bucket,"
+        " CAST(COUNT(*) AS BIGINT) AS n FROM z"
+        " GROUP BY bucket ORDER BY bucket")
     return d

