@@ -1125,6 +1125,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 wave 24: Z-order layout / funnel latency
         "zorder_bucket_counts": A.zorder_bucket_counts,
         "funnel_latency_quantiles": A.funnel_latency_quantiles,
+        # round-4 wave 25: grouped t-digest (rows-only, bound-pinned)
+        # + robust outliers (exact-integer modified z)
+        "lang_nchars_tdigest": A.lang_nchars_tdigest,
+        "nchars_robust_outliers": A.nchars_robust_outliers,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -2742,6 +2746,23 @@ def oracle_sql() -> dict[str, str]:
             " AS BIGINT) AS p50_s,"
             " CAST(PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY lat)"
             " AS BIGINT) AS p90_s FROM l",
+        # robust modified-z outliers: the SAME exact-integer rule
+        # 1349*|x-med| > 7000*MAD with PERCENTILE_DISC med/MAD
+        "nchars_robust_outliers":
+            "WITH md AS (SELECT lang,"
+            " CAST(PERCENTILE_DISC(0.5) WITHIN GROUP"
+            " (ORDER BY n_chars) AS BIGINT) AS med,"
+            " CAST(COUNT(*) AS BIGINT) AS n FROM documents"
+            " GROUP BY lang), "
+            "mad AS (SELECT d.lang, CAST(PERCENTILE_DISC(0.5)"
+            " WITHIN GROUP (ORDER BY ABS(d.n_chars - md.med))"
+            " AS BIGINT) AS mad FROM documents d JOIN md"
+            " ON d.lang = md.lang GROUP BY d.lang) "
+            "SELECT md.lang, md.n, md.med, mad.mad,"
+            " (SELECT CAST(SUM(CASE WHEN 1349 * ABS(d.n_chars -"
+            " md.med) > 7000 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)"
+            " FROM documents d WHERE d.lang = md.lang) AS n_outliers"
+            " FROM md JOIN mad ON md.lang = mad.lang ORDER BY md.lang",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

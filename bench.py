@@ -209,7 +209,8 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "user_bfs_hops", "top_session_journeys",
                "weighted_sample_topk", "event_value_ffill_hourly",
                "sketch_setops_report", "zorder_bucket_counts",
-               "funnel_latency_quantiles"]
+               "funnel_latency_quantiles", "lang_nchars_tdigest",
+               "nchars_robust_outliers"]
 
 
 def run_queries() -> dict[str, float]:

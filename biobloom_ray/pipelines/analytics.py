@@ -6842,3 +6842,102 @@ def funnel_latency_quantiles(sf_dir: str):
     return pd.DataFrame({"n_converted": [np.int64(n)],
                          "p50_s": [np.int64(p50)],
                          "p90_s": [np.int64(p90)]})
+
+def lang_nchars_tdigest(sf_dir: str, qs=(0.5, 0.9)):
+    """GROUPED sketch quantiles: one mergeable t-digest per language
+    over document length — per-block (lang, digest-blob) partials, a
+    per-lang blob merge (groupby(lang).map_groups over #blocks·#langs
+    sketch rows), estimates per requested quantile.  Rows-only (sketch
+    output); pytest pins each estimate inside the published t-digest
+    band against the exact per-lang PERCENTILE_DISC."""
+    from biobloom_ray.sketches.tdigest import TDigest
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": b["lang"].to_pandas(),
+            "n": b["n_chars"].to_numpy(zero_copy_only=False)})
+        langs, blobs = [], []
+        for lang, g in df.groupby("lang"):
+            td = TDigest()
+            td.update(g["n"].to_numpy(np.float64))
+            langs.append(lang)
+            blobs.append(td.serialize())
+        return pa.table({"lang": pa.array(langs),
+                         "blob": pa.array(blobs,
+                                          type=pa.large_binary())})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        from biobloom_ray.sketches.tdigest import TDigest as TD
+
+        acc = TD.deserialize(g["blob"].iloc[0])
+        for blob in g["blob"].iloc[1:]:
+            acc.merge(TD.deserialize(blob))
+        row = {"lang": [g["lang"].iloc[0]]}
+        for q in qs:
+            row[f"p{int(q * 100)}_est"] = [acc.quantile(q)]
+        return pd.DataFrame(row)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("lang").map_groups(merge, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def nchars_robust_outliers(sf_dir: str):
+    """Robust outlier detection (modified z-score, Iglewicz–Hoaglin):
+    per language, count documents whose length deviates from the
+    PERCENTILE_DISC median by more than 3.5 robust sigmas — evaluated
+    as the EXACT INTEGER cross-multiplication
+    ``1349·|x − med| > 7000·MAD`` (0.6745→1349/2000, 3.5→7000/2000),
+    so no float boundary can flip a flag.  med and MAD come from the
+    same value-cardinality count table the robust-stats operator uses;
+    the flag pass is decided on that table too (counts of equal
+    lengths flag together) — no second corpus scan."""
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": b["lang"].to_pandas(),
+            "n_chars": b["n_chars"].to_numpy(zero_copy_only=False)})
+        agg = (df.groupby(["lang", "n_chars"], as_index=False).size()
+               .rename(columns={"size": "cnt"}))
+        agg["cnt"] = agg["cnt"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    schema = {"lang": object, "n_chars": np.int64, "cnt": np.int64}
+    if n_rows is not None and n_rows <= RANK_DRIVER_MAX_ROWS:
+        counts = (_parts_pandas(parts_ds, schema)
+                  .groupby(["lang", "n_chars"], as_index=False)["cnt"]
+                  .sum())
+    else:
+        counts = _parts_pandas(
+            parts_ds.groupby(["lang", "n_chars"])
+            .aggregate(Sum("cnt", alias_name="cnt")), schema)
+
+    def disc(v: np.ndarray, c: np.ndarray, num: int, den: int) -> int:
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        return int(v[np.searchsorted(cum, -(-num * n // den))])
+
+    rows = []
+    for lang, g in counts.groupby("lang", sort=True):
+        g = g.sort_values("n_chars")
+        v = g["n_chars"].to_numpy(np.int64)
+        c = g["cnt"].to_numpy(np.int64)
+        med = disc(v, c, 1, 2)
+        dev = np.abs(v - med)
+        dd = (pd.DataFrame({"d": dev, "c": c})
+              .groupby("d", as_index=False)["c"].sum()
+              .sort_values("d"))
+        mad = disc(dd["d"].to_numpy(np.int64),
+                   dd["c"].to_numpy(np.int64), 1, 2)
+        flag = 1349 * dev > 7000 * mad
+        rows.append((lang, np.int64(int(c.sum())),
+                     np.int64(med), np.int64(mad),
+                     np.int64(int(c[flag].sum()))))
+    return pd.DataFrame(rows, columns=["lang", "n", "med", "mad",
+                                       "n_outliers"])

@@ -104,6 +104,7 @@ SQL_CHECKED = [
     "user_bfs_hops", "top_session_journeys",
     "weighted_sample_topk", "event_value_ffill_hourly",
     "zorder_bucket_counts", "funnel_latency_quantiles",
+    "nchars_robust_outliers",
 ]
 
 

@@ -1556,3 +1556,16 @@ def test_round4_wave24_tiers_agree(ray_session, monkeypatch):
     # latency sanity: quantiles ordered, conversions <= users
     r = fast_f.iloc[0]
     assert r.p50_s <= r.p90_s and r.n_converted > 0
+
+def test_round4_wave25_tiers_agree(ray_session, monkeypatch):
+    """nchars_robust_outliers (driver fold vs native Sum groupby; the
+    exact-integer modified-z rule decided on the count table)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_o = A.nchars_robust_outliers(sf)
+    monkeypatch.setattr(A, "RANK_DRIVER_MAX_ROWS", 0)
+    slow_o = A.nchars_robust_outliers(sf)[list(fast_o.columns)]
+    assert len(fast_o) > 0 and fast_o.equals(slow_o)
+    assert (fast_o.n_outliers <= fast_o.n).all()
+    assert (fast_o.mad >= 0).all()

@@ -360,3 +360,24 @@ class TestSketchSetOps:
         # Swamidass–Baldi on a fresh filter of known cardinality
         est = fa.estimate_cardinality()
         assert abs(est - 400) <= 0.05 * 400
+
+
+class TestGroupedTDigest:
+    def test_lang_quantiles_within_band(self, ray_session):
+        import duckdb
+
+        import biobloom_ray.pipelines.analytics as A
+
+        sf = "/root/testdata/sf0.01"
+        est = A.lang_nchars_tdigest(sf).set_index("lang")
+        exact = duckdb.sql(
+            f"""SELECT lang,
+             PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY n_chars) p50,
+             PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY n_chars) p90
+             FROM '{sf}/documents.parquet' GROUP BY lang""").df()
+        for _, r in exact.iterrows():
+            e = est.loc[r.lang]
+            # t-digest mid-quantile relative error band (delta=200):
+            # generous 5% of the value plus a small absolute floor
+            assert abs(e.p50_est - r.p50) <= 0.05 * r.p50 + 5
+            assert abs(e.p90_est - r.p90) <= 0.05 * r.p90 + 5
