@@ -1129,6 +1129,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # + robust outliers (exact-integer modified z)
         "lang_nchars_tdigest": A.lang_nchars_tdigest,
         "nchars_robust_outliers": A.nchars_robust_outliers,
+        # round-4 wave 26: per-source dup report / DoD retention
+        "source_dup_report": A.source_dup_report,
+        "returning_users_daily": A.returning_users_daily,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -2763,6 +2766,41 @@ def oracle_sql() -> dict[str, str]:
             " md.med) > 7000 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)"
             " FROM documents d WHERE d.lang = md.lang) AS n_outliers"
             " FROM md JOIN mad ON md.lang = mad.lang ORDER BY md.lang",
+        # per-source dup rate over the SAME exact-Jaccard drop set the
+        # kept-set oracle derives (provably equal to the LSH drop set
+        # at fixture scale)
+        "source_dup_report":
+            "WITH sh AS (SELECT DISTINCT doc_id, substr(text, i.i, 5)"
+            " AS g FROM documents, LATERAL (SELECT"
+            " unnest(range(1, len(text)-3)) AS i) i"
+            " WHERE len(text) >= 5), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh"
+            " GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+            " count(*) AS c FROM sh a JOIN sh b ON a.g = b.g AND"
+            " a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), "
+            "drops AS (SELECT DISTINCT id_b FROM inter"
+            " JOIN sizes sa ON sa.doc_id = id_a"
+            " JOIN sizes sb ON sb.doc_id = id_b"
+            " WHERE c*1.0/(sa.n + sb.n - c) >= 0.6) "
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,"
+            " CAST(SUM(CASE WHEN doc_id IN (SELECT id_b FROM drops)"
+            " THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,"
+            " ROUND(CAST(SUM(CASE WHEN doc_id IN (SELECT id_b FROM"
+            " drops) THEN 1 ELSE 0 END) AS DOUBLE)"
+            " / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate_r6"
+            " FROM documents GROUP BY source ORDER BY source",
+        # day-over-day returning users: self-join of the deduped
+        # (user, day) activity on the day+1 key
+        "returning_users_daily":
+            "WITH a AS (SELECT DISTINCT user_id,"
+            " CAST(epoch(date_trunc('day', ts)) AS BIGINT)"
+            " AS day_epoch FROM events) "
+            "SELECT b.day_epoch, CAST(COUNT(*) AS BIGINT)"
+            " AS n_returning FROM a JOIN a b"
+            " ON a.user_id = b.user_id AND"
+            " b.day_epoch = a.day_epoch + 86400"
+            " GROUP BY b.day_epoch ORDER BY b.day_epoch",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

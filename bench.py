@@ -210,7 +210,8 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "weighted_sample_topk", "event_value_ffill_hourly",
                "sketch_setops_report", "zorder_bucket_counts",
                "funnel_latency_quantiles", "lang_nchars_tdigest",
-               "nchars_robust_outliers"]
+               "nchars_robust_outliers", "source_dup_report",
+               "returning_users_daily"]
 
 
 def run_queries() -> dict[str, float]:

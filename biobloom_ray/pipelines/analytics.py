@@ -6941,3 +6941,100 @@ def nchars_robust_outliers(sf_dir: str):
                      np.int64(int(c[flag].sum()))))
     return pd.DataFrame(rows, columns=["lang", "n", "med", "mad",
                                        "n_outliers"])
+
+def source_dup_report(sf_dir: str, threshold: float = 0.6):
+    """Per-source near-dup rate — the curation report that tells you
+    WHICH crawl is polluting the corpus: the production MinHash-LSH
+    dedup (same keep-lowest-id contract as ``minhash_dedup_kept``)
+    decides the drop set, each doc picks up its source, and a tiny
+    rollup emits docs / dropped / 6-dp dup-rate per source.  At
+    fixture scale every near-dup pair's Jaccard is far from the
+    threshold, so the exact-shingle SQL drop set provably equals the
+    LSH drop set (the argument the kept-set oracle documents) and the
+    report is DuckDB-oracled end-to-end."""
+    from biobloom_ray.stages.dedup import minhash_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    kept = set(minhash_dedup(docs, threshold=threshold)
+               .select_columns(["doc_id"]).to_pandas().doc_id)
+    meta = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(zero_copy_only=False),
+            "source": b["source"].to_pandas()})
+        df["dropped"] = (~df.doc_id.isin(kept)).astype(np.int64)
+        agg = (df.groupby("source", as_index=False)
+               .agg(n_docs=("doc_id", "size"),
+                    n_dropped=("dropped", "sum")))
+        agg["n_docs"] = agg["n_docs"].astype(np.int64)
+        agg["n_dropped"] = agg["n_dropped"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = meta.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(meta)
+    schema = {"source": object, "n_docs": np.int64,
+              "n_dropped": np.int64}
+    if n_rows is not None and n_rows <= RANK_DRIVER_MAX_ROWS:
+        out = (_parts_pandas(parts_ds, schema)
+               .groupby("source", as_index=False).sum())
+    else:
+        out = _parts_pandas(
+            parts_ds.groupby("source")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_dropped", alias_name="n_dropped")),
+            schema)
+    out["dup_rate_r6"] = np.round(
+        out["n_dropped"].to_numpy(np.float64)
+        / out["n_docs"].to_numpy(np.float64), 6)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["n_dropped"] = out["n_dropped"].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def returning_users_daily(sf_dir: str):
+    """Consecutive-period overlap (the day-over-day RETENTION line):
+    for every day d (except the first), how many users were active on
+    BOTH d−1 and d.  The deduped (user, day) activity table self-joins
+    on the derived day+1 key — both sides are the SAME pre-reduced
+    user-day rollup, so the shuffle moves activity rows, never events;
+    below the shared gate the overlap is one driver merge."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = (pc.floor_temporal(b["ts"], unit="day")
+               .cast(pa.timestamp("s")).cast(pa.int64()))
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+            "day_epoch": day.to_numpy(zero_copy_only=False)})
+        return pa.Table.from_pandas(df.drop_duplicates(),
+                                    preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    schema = {"user_id": np.int64, "day_epoch": np.int64}
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        uw = _parts_pandas(parts_ds, schema).drop_duplicates()
+        nxt = uw.copy()
+        nxt["day_epoch"] = nxt["day_epoch"] + 86400
+        j = uw.merge(nxt, on=["user_id", "day_epoch"])
+    else:
+        from biobloom_ray.io import hash_join
+
+        uw_ds = (parts_ds.groupby(["user_id", "day_epoch"])
+                 .aggregate(Count(alias_name="_c"))
+                 .map_batches(lambda b: b.drop_columns(["_c"]),
+                              batch_format="pyarrow")).materialize()
+        nxt_ds = uw_ds.map_batches(
+            lambda b: pa.table({
+                "user_id": b["user_id"],
+                "day_epoch": pc.add(b["day_epoch"], 86400)}),
+            batch_format="pyarrow")
+        j = _parts_pandas(hash_join(uw_ds, nxt_ds,
+                                    on=("user_id", "day_epoch")),
+                          schema)
+    out = (j.groupby("day_epoch", as_index=False).size()
+           .rename(columns={"size": "n_returning"}))
+    out["day_epoch"] = out["day_epoch"].astype(np.int64)
+    out["n_returning"] = out["n_returning"].astype(np.int64)
+    return out.sort_values("day_epoch").reset_index(drop=True)

@@ -104,7 +104,8 @@ SQL_CHECKED = [
     "user_bfs_hops", "top_session_journeys",
     "weighted_sample_topk", "event_value_ffill_hourly",
     "zorder_bucket_counts", "funnel_latency_quantiles",
-    "nchars_robust_outliers",
+    "nchars_robust_outliers", "source_dup_report",
+    "returning_users_daily",
 ]
 
 

@@ -1569,3 +1569,30 @@ def test_round4_wave25_tiers_agree(ray_session, monkeypatch):
     assert len(fast_o) > 0 and fast_o.equals(slow_o)
     assert (fast_o.n_outliers <= fast_o.n).all()
     assert (fast_o.mad >= 0).all()
+
+def test_round4_wave26_tiers_agree(ray_session, monkeypatch):
+    """source_dup_report (driver fold vs native Sum groupby over the
+    LSH drop flags), returning_users_daily (driver merge vs self
+    hash-join of the deduped user-day rollup on the day+1 key)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_d = A.source_dup_report(sf)
+    fast_r = A.returning_users_daily(sf)
+
+    monkeypatch.setattr(A, "RANK_DRIVER_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "EVENTS_DRIVER_MAX_ROWS", 0)
+    slow_d = A.source_dup_report(sf)[list(fast_d.columns)]
+    slow_r = A.returning_users_daily(sf)[list(fast_r.columns)]
+    assert len(fast_d) > 0 and fast_d.equals(slow_d)
+    assert len(fast_r) > 0 and fast_r.equals(slow_r)
+    # rates bounded; drop totals match the kept-set complement
+    assert ((fast_d.dup_rate_r6 >= 0) & (fast_d.dup_rate_r6 <= 1)).all()
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id"])
+    import __ray_entry__ as E
+
+    kept = E.queries()["minhash_dedup_kept"](sf)
+    assert fast_d.n_dropped.sum() == len(docs) - len(kept)
+    # returning counts never exceed the distinct-user count
+    assert (fast_r.n_returning <= 150).all()
