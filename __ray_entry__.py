@@ -365,6 +365,54 @@ def _multimodal_features(sf_dir: str):
     return out.to_pandas()
 
 
+def _multimodal_resize(sf_dir: str):
+    """REAL image decode + RESIZE through the actor pool: the same
+    deterministic 8x8 BMP payloads as multimodal_features, resized to
+    4x4 grayscale by the vectorized nearest-neighbor gather
+    (stages/multimodal.ResizeActor).  Returns per-doc mean resized
+    intensity (6 dp) — pixel-exact contract pinned in
+    tests/test_multimodal_real.py against a direct numpy reference."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from biobloom_ray.stages.multimodal import ResizeActor, encode_bmp
+
+    docs = _rp(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def to_payload(b: pa.Table) -> pa.Table:
+        payloads = []
+        for t in b["text"].to_pylist():
+            raw = np.frombuffer(t.encode(), dtype=np.uint8)
+            if raw.size == 0:
+                raw = np.zeros(1, dtype=np.uint8)
+            payloads.append(encode_bmp(np.resize(raw, 8 * 8 * 3)
+                                       .reshape(8, 8, 3)))
+        payload = pa.array(payloads, type=pa.large_binary())
+        return pa.table({"doc_id": b["doc_id"], "payload": payload})
+
+    ds = docs.map_batches(to_payload, batch_format="pyarrow")
+    out = ds.map_batches(ResizeActor,
+                         fn_constructor_kwargs={"out_h": 4, "out_w": 4},
+                         batch_size=256, concurrency=2,
+                         batch_format="pyarrow")
+
+    def stats(b: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        px = _np.stack([_np.asarray(v) for v in
+                        b["pixels"].to_pylist()]) if b.num_rows else             _np.zeros((0, 16), dtype=_np.float32)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "mean_px_r6": pa.array(_np.round(
+                px.mean(axis=1).astype(_np.float64), 6))})
+
+    return (out.map_batches(stats, batch_format="pyarrow").to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def _frame_sample_features(sf_dir: str):
     """Multimodal frame-sampling plumbing: documents' text bytes pose as
     fixed-frame "video" payloads; every 2nd frame explodes into a
@@ -1160,6 +1208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "categorize_labels": _categorize_labels,
         "categorize_besthit": _categorize_besthit,
         "multimodal_features": _multimodal_features,
+        "multimodal_resize": _multimodal_resize,
         "frame_sample_features": _frame_sample_features,
     }
 

@@ -338,3 +338,54 @@ class FrameSampleActor:
             "features": pa.FixedSizeListArray.from_arrays(
                 flat, self.feature_dim),
         })
+
+
+def resize_nearest(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (H, W) or (H, W, C) pixel array —
+    the standard index-mapping definition (src = floor(dst · in/out)),
+    one vectorized fancy-index gather, no loops and no stub."""
+    h, w = pixels.shape[0], pixels.shape[1]
+    rows = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    cols = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return pixels[rows][:, cols]
+
+
+class ResizeActor:
+    """Actor-pool stage: binary image payload → RESIZED pixel column
+    (fixed out_h×out_w grayscale, float32 in [0, 1]) — the third
+    multimodal op next to decode/feature and frame-sample.  REAL path:
+    the stdlib BMP/PNG codec decodes actual container bytes in
+    ``decode_pixels`` (per-actor init, per-batch work); resize is the
+    vectorized nearest-neighbor gather above.  Payload columns never
+    outlive the stage."""
+
+    def __init__(self, payload_col: str = "payload",
+                 out_col: str = "pixels", out_h: int = 4, out_w: int = 4,
+                 drop_payload: bool = True):
+        self.codec = StdlibImageCodec()
+        self.payload_col = payload_col
+        self.out_col = out_col
+        self.out_h = out_h
+        self.out_w = out_w
+        self.drop_payload = drop_payload
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.payload_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        out = []
+        for v in col.to_pylist():  # real codecs decode per item
+            px = self.codec.decode_pixels(v)
+            if px.ndim == 3:  # luminance of RGB
+                px = px.mean(axis=2)
+            rs = resize_nearest(px, self.out_h, self.out_w)
+            out.append(rs.astype(np.float32) / 255.0)
+        arr = np.stack(out) if out else np.zeros(
+            (0, self.out_h, self.out_w), dtype=np.float32)
+        flat = pa.array(arr.reshape(-1), type=pa.float32())
+        res = batch.append_column(
+            self.out_col, pa.FixedSizeListArray.from_arrays(
+                flat, self.out_h * self.out_w))
+        if self.drop_payload:
+            res = res.drop_columns([self.payload_col])
+        return res

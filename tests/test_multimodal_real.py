@@ -130,3 +130,55 @@ def test_multimodal_features_query_uses_real_decode(ray_session):
     # every histogram sums to 1 over 192 pixels of real decoded image
     assert np.allclose(f.sum(axis=1), 1.0, atol=1e-5)
     assert (f >= 0).all()
+
+
+def test_resize_actor_pixel_exact(ray_session):
+    """ResizeActor's nearest-neighbor output equals the direct numpy
+    reference computed from the same decoded pixels."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from biobloom_ray.stages.multimodal import (
+        ResizeActor, StdlibImageCodec, encode_bmp, resize_nearest)
+
+    rng = np.random.default_rng(5)
+    imgs = [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+            for _ in range(6)]
+    payloads = [encode_bmp(im) for im in imgs]
+    ds = ray.data.from_arrow(pa.table({
+        "media_id": pa.array(range(6), type=pa.int64()),
+        "payload": pa.array(payloads, type=pa.large_binary())}))
+    out = (ds.map_batches(ResizeActor,
+                          fn_constructor_kwargs={"out_h": 4, "out_w": 4},
+                          batch_size=3, concurrency=1,
+                          batch_format="pyarrow")
+           .to_pandas().sort_values("media_id"))
+    codec = StdlibImageCodec()
+    for i, payload in enumerate(payloads):
+        px = codec.decode_pixels(payload)
+        if px.ndim == 3:
+            px = px.mean(axis=2)
+        want = (resize_nearest(px, 4, 4).astype(np.float32)
+                / 255.0).reshape(-1)
+        got = np.asarray(out[out.media_id == i].pixels.iloc[0],
+                         dtype=np.float32)
+        assert np.array_equal(got, want)
+    assert "payload" not in out.columns
+
+
+def test_resize_nearest_known_case():
+    import numpy as np
+
+    from biobloom_ray.stages.multimodal import resize_nearest
+
+    px = np.arange(16).reshape(4, 4)
+    # 4->2: src index floor(d*4/2) = 0, 2
+    want = np.array([[0, 2], [8, 10]])
+    assert np.array_equal(resize_nearest(px, 2, 2), want)
+    # upscale 2x2 -> 4x4 repeats each pixel in 2x2 blocks
+    small = np.array([[1, 2], [3, 4]])
+    up = resize_nearest(small, 4, 4)
+    assert np.array_equal(up, np.array(
+        [[1, 1, 2, 2], [1, 1, 2, 2], [3, 3, 4, 4], [3, 3, 4, 4]]))
