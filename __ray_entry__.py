@@ -413,6 +413,52 @@ def _multimodal_resize(sf_dir: str):
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def _audio_features(sf_dir: str):
+    """REAL audio decode through the actor pool: each document gets a
+    deterministic synthetic sine-mix waveform (frequency/length keyed
+    by doc_id), encoded to actual 16-bit PCM WAV bytes and decoded
+    back by the stdlib `wave` parser inside AudioFeatureActor; output
+    is 4 waveform features per doc.  Exactness pinned in
+    tests/test_multimodal_real.py against a direct numpy reference."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from biobloom_ray.stages.multimodal import AudioFeatureActor, encode_wav
+
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_payload(b: pa.Table) -> pa.Table:
+        payloads = []
+        for i in b["doc_id"].to_pylist():
+            n = 200 + (int(i) % 17) * 10
+            t = np.arange(n, dtype=np.float64)
+            f = 0.02 + (int(i) % 7) * 0.01
+            payloads.append(encode_wav(0.7 * np.sin(2 * np.pi * f * t)))
+        return pa.table({"doc_id": b["doc_id"],
+                         "payload": pa.array(payloads,
+                                             type=pa.large_binary())})
+
+    ds = docs.map_batches(to_payload, batch_format="pyarrow")
+    out = ds.map_batches(AudioFeatureActor, batch_size=256,
+                         concurrency=2, batch_format="pyarrow")
+
+    def stats(b: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        f = (_np.stack([_np.asarray(v) for v in
+                        b["audio_features"].to_pylist()])
+             if b.num_rows else _np.zeros((0, 4), dtype=_np.float32))
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "rms_r6": pa.array(_np.round(f[:, 0].astype(_np.float64), 6)),
+            "zcr_r6": pa.array(_np.round(f[:, 3].astype(_np.float64), 6))})
+
+    return (out.map_batches(stats, batch_format="pyarrow").to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def _frame_sample_features(sf_dir: str):
     """Multimodal frame-sampling plumbing: documents' text bytes pose as
     fixed-frame "video" payloads; every 2nd frame explodes into a
@@ -1209,6 +1255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "categorize_besthit": _categorize_besthit,
         "multimodal_features": _multimodal_features,
         "multimodal_resize": _multimodal_resize,
+        "audio_features": _audio_features,
         "frame_sample_features": _frame_sample_features,
     }
 

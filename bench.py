@@ -211,7 +211,8 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "sketch_setops_report", "zorder_bucket_counts",
                "funnel_latency_quantiles", "lang_nchars_tdigest",
                "nchars_robust_outliers", "source_dup_report",
-               "returning_users_daily", "multimodal_resize"]
+               "returning_users_daily", "multimodal_resize",
+               "audio_features"]
 
 
 def run_queries() -> dict[str, float]:

@@ -389,3 +389,82 @@ class ResizeActor:
         if self.drop_payload:
             res = res.drop_columns([self.payload_col])
         return res
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """16-bit mono PCM WAV bytes from float samples in [-1, 1] —
+    stdlib `wave` writer, deterministic."""
+    import io
+    import wave as _wave
+
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm16 = np.round(pcm * 32767.0).astype(np.int16)
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm16.tobytes())
+    return buf.getvalue()
+
+
+class StdlibWavCodec:
+    """REAL audio decode — stdlib `wave` module parses actual RIFF/WAV
+    containers (16-bit PCM, mono or interleaved) into float32 samples
+    in [-1, 1]; no external codec library, no stub."""
+
+    def decode_samples(self, payload: bytes) -> np.ndarray:
+        import io
+        import wave as _wave
+
+        with _wave.open(io.BytesIO(payload), "rb") as w:
+            n = w.getnframes()
+            ch = w.getnchannels()
+            raw = w.readframes(n)
+        pcm = np.frombuffer(raw, dtype=np.int16).astype(np.float32)
+        if ch > 1:
+            pcm = pcm.reshape(-1, ch).mean(axis=1)
+        return pcm / 32767.0
+
+
+class AudioFeatureActor:
+    """Actor-pool stage: WAV payload → 4 deterministic waveform
+    features (rms, mean |x|, peak |x|, zero-crossing rate) through the
+    REAL stdlib decoder.  Per-actor codec init, per-batch work,
+    payload dropped in-stage — the audio twin of DecodeFeatureActor."""
+
+    FEATS = 4
+
+    def __init__(self, payload_col: str = "payload",
+                 out_col: str = "audio_features",
+                 drop_payload: bool = True):
+        self.codec = StdlibWavCodec()
+        self.payload_col = payload_col
+        self.out_col = out_col
+        self.drop_payload = drop_payload
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.payload_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        rows = []
+        for v in col.to_pylist():  # real codecs decode per item
+            x = self.codec.decode_samples(v)
+            if len(x) == 0:
+                rows.append(np.zeros(self.FEATS, dtype=np.float32))
+                continue
+            zc = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) \
+                if len(x) > 1 else 0.0
+            rows.append(np.array([
+                float(np.sqrt(np.mean(x ** 2))),
+                float(np.mean(np.abs(x))),
+                float(np.max(np.abs(x))), zc], dtype=np.float32))
+        arr = np.stack(rows) if rows else np.zeros(
+            (0, self.FEATS), dtype=np.float32)
+        flat = pa.array(arr.reshape(-1), type=pa.float32())
+        out = batch.append_column(
+            self.out_col,
+            pa.FixedSizeListArray.from_arrays(flat, self.FEATS))
+        if self.drop_payload:
+            out = out.drop_columns([self.payload_col])
+        return out
