@@ -459,6 +459,49 @@ def _audio_features(sf_dir: str):
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def _video_frame_features(sf_dir: str):
+    """REAL video-analogue pipeline: deterministic MBMP containers
+    (doc_id-keyed frame counts, real BMP frames) demuxed and decoded
+    by VideoFrameSampleActor — one feature row per sampled frame.
+    Exactness pinned in tests/test_multimodal_real.py."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from biobloom_ray.stages.multimodal import (
+        VideoFrameSampleActor, encode_mbmp)
+
+    docs = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_payload(b: pa.Table) -> pa.Table:
+        payloads = []
+        for i in b["doc_id"].to_pylist():
+            nf = 1 + (int(i) % 5)
+            rng = np.random.default_rng(int(i))
+            frames = [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+                      for _ in range(nf)]
+            payloads.append(encode_mbmp(frames))
+        return pa.table({"media_id": b["doc_id"],
+                         "payload": pa.array(payloads,
+                                             type=pa.large_binary())})
+
+    ds = docs.map_batches(to_payload, batch_format="pyarrow")
+    out = ds.map_batches(VideoFrameSampleActor,
+                         fn_constructor_kwargs={"every": 2,
+                                                "feature_dim": 16},
+                         batch_size=128, concurrency=2,
+                         batch_format="pyarrow")
+
+    def stats(b: pa.Table) -> pa.Table:
+        return pa.table({"media_id": b["media_id"],
+                         "frame_idx": b["frame_idx"]})
+
+    return (out.map_batches(stats, batch_format="pyarrow").to_pandas()
+            .sort_values(["media_id", "frame_idx"])
+            .reset_index(drop=True))
+
+
 def _frame_sample_features(sf_dir: str):
     """Multimodal frame-sampling plumbing: documents' text bytes pose as
     fixed-frame "video" payloads; every 2nd frame explodes into a
@@ -1256,6 +1299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": _multimodal_features,
         "multimodal_resize": _multimodal_resize,
         "audio_features": _audio_features,
+        "video_frame_features": _video_frame_features,
         "frame_sample_features": _frame_sample_features,
     }
 
@@ -2897,6 +2941,14 @@ def oracle_sql() -> dict[str, str]:
             " ON a.user_id = b.user_id AND"
             " b.day_epoch = a.day_epoch + 86400"
             " GROUP BY b.day_epoch ORDER BY b.day_epoch",
+        # video demux+sampling contract: which (media, frame) rows
+        # exist is pure arithmetic on doc_id (features stay
+        # pytest-exact through the real BMP decode)
+        "video_frame_features":
+            "WITH f AS (SELECT doc_id AS media_id,"
+            " 1 + (doc_id % 5) AS nf FROM documents) "
+            "SELECT media_id, CAST(unnest(range(0, nf, 2)) AS BIGINT)"
+            " AS frame_idx FROM f ORDER BY media_id, frame_idx",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

@@ -228,3 +228,40 @@ def test_wav_roundtrip_quantization_exact():
     s = np.linspace(-1, 1, 1001)
     d = StdlibWavCodec().decode_samples(encode_wav(s))
     assert np.abs(d - s).max() <= 0.5 / 32767 + 1e-9
+
+
+def test_video_mbmp_demux_decode_exact(ray_session):
+    """VideoFrameSampleActor demuxes the real MBMP container and its
+    sampled-frame features equal direct BMP decodes of those frames."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from biobloom_ray.stages.multimodal import (
+        StdlibImageCodec, VideoFrameSampleActor, encode_mbmp)
+
+    rng = np.random.default_rng(13)
+    vids = [[rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+             for _ in range(nf)] for nf in (5, 1, 4)]
+    payloads = [encode_mbmp(v) for v in vids]
+    ds = ray.data.from_arrow(pa.table({
+        "media_id": pa.array(range(3), type=pa.int64()),
+        "payload": pa.array(payloads, type=pa.large_binary())}))
+    out = (ds.map_batches(VideoFrameSampleActor,
+                          fn_constructor_kwargs={"every": 2,
+                                                 "feature_dim": 16},
+                          batch_size=2, concurrency=1,
+                          batch_format="pyarrow")
+           .to_pandas().sort_values(["media_id", "frame_idx"]))
+    # 5 frames -> idx 0,2,4; 1 frame -> 0; 4 frames -> 0,2
+    assert out.groupby("media_id").frame_idx.apply(list).tolist() == \
+        [[0, 2, 4], [0], [0, 2]]
+    codec = StdlibImageCodec(16)
+    from biobloom_ray.stages.multimodal import encode_bmp
+
+    for _, row in out.iterrows():
+        want = codec.decode(encode_bmp(vids[int(row.media_id)]
+                                       [int(row.frame_idx)]))
+        got = np.asarray(row.features, dtype=np.float32)
+        assert np.array_equal(got, want.astype(np.float32))

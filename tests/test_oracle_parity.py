@@ -105,7 +105,7 @@ SQL_CHECKED = [
     "weighted_sample_topk", "event_value_ffill_hourly",
     "zorder_bucket_counts", "funnel_latency_quantiles",
     "nchars_robust_outliers", "source_dup_report",
-    "returning_users_daily",
+    "returning_users_daily", "video_frame_features",
 ]
 
 
