@@ -6436,6 +6436,62 @@ def user_bfs_hops(sf_dir: str, max_hops: int = 3):
         return pa.Table.from_pandas(df.drop_duplicates(),
                                     preserve_index=False)
 
+    n_rows = _cheap_count(ds)
+    seed_df = _parts_pandas(
+        ds.map_batches(
+            lambda b: pa.table({"m": pa.array(
+                [int(b["user_id"].to_numpy(
+                    zero_copy_only=False).min())]
+                if b.num_rows else [], type=pa.int64())}),
+            batch_format="pyarrow"), {"m": np.int64})
+    if len(seed_df) == 0:
+        return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                             "hop": pd.Series([], dtype=np.int64)})
+    seed = int(seed_df.m.min())
+
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        # driver tier: ONE Dataset pass (the deduped cell partials);
+        # pair expansion and the whole BSP run on the cell-scale table
+        cdf = (_parts_pandas(
+            ds.map_batches(cell_partial, batch_format="pyarrow"),
+            {"cell": np.int64, "user_id": np.int64})
+            .drop_duplicates().sort_values(["cell", "user_id"]))
+        adj: dict = {}
+        for _cell, g in cdf.groupby("cell", sort=False):
+            u = g["user_id"].to_numpy(np.int64)
+            if len(u) < 2:
+                continue
+            su = set(u.tolist())
+            for x in u.tolist():
+                s = adj.setdefault(x, set())
+                s |= su
+        for x, s in adj.items():
+            s.discard(x)
+        hop_of = {seed: 0}
+        frontier = {seed}
+        for h in range(1, max_hops + 1):
+            nxt = set()
+            for u in frontier:
+                nxt |= adj.get(u, set())
+            nxt -= hop_of.keys()
+            for u in nxt:
+                hop_of[u] = h
+            frontier = nxt
+            if not frontier:
+                break
+        out = pd.DataFrame(sorted(hop_of.items()),
+                           columns=["user_id", "hop"])
+        out["user_id"] = out["user_id"].astype(np.int64)
+        out["hop"] = out["hop"].astype(np.int64)
+        return out
+
+    # cluster tier: deduped cell rollup → per-cell pair expansion →
+    # edge dedup, then BSP rounds as Dataset joins — frontier⋈edges
+    # for the next frontier, left_anti against visited to dedup
+    import ray
+
+    from biobloom_ray.io import hash_join
+
     cells = (ds.map_batches(cell_partial, batch_format="pyarrow")
              .groupby(["cell", "user_id"])
              .aggregate(Count(alias_name="_c")))
@@ -6453,48 +6509,6 @@ def user_bfs_hops(sf_dir: str, max_hops: int = 3):
     edges = (cells.groupby("cell")
              .map_groups(pair_expand, batch_format="pyarrow")
              .groupby(["ua", "ub"]).aggregate(Count(alias_name="_c")))
-
-    n_rows = _cheap_count(ds)
-    seed_df = _parts_pandas(
-        ds.map_batches(
-            lambda b: pa.table({"m": pa.array(
-                [int(b["user_id"].to_numpy(
-                    zero_copy_only=False).min())]
-                if b.num_rows else [], type=pa.int64())}),
-            batch_format="pyarrow"), {"m": np.int64})
-    if len(seed_df) == 0:
-        return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
-                             "hop": pd.Series([], dtype=np.int64)})
-    seed = int(seed_df.m.min())
-
-    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
-        e = _parts_pandas(edges, {"ua": np.int64, "ub": np.int64,
-                                  "_c": np.int64})
-        hop_of = {seed: 0}
-        frontier = {seed}
-        adj = e.groupby("ua")["ub"].apply(set).to_dict()
-        for h in range(1, max_hops + 1):
-            nxt = set()
-            for u in frontier:
-                nxt |= adj.get(u, set())
-            nxt -= hop_of.keys()
-            for u in nxt:
-                hop_of[u] = h
-            frontier = nxt
-            if not frontier:
-                break
-        out = pd.DataFrame(sorted(hop_of.items()),
-                           columns=["user_id", "hop"])
-        out["user_id"] = out["user_id"].astype(np.int64)
-        out["hop"] = out["hop"].astype(np.int64)
-        return out
-
-    # cluster tier: BSP rounds as Dataset joins — frontier⋈edges for
-    # the next frontier, left_anti against visited to dedup
-    import ray
-
-    from biobloom_ray.io import hash_join
-
     edges_m = edges.map_batches(
         lambda b: b.drop_columns(["_c"]), batch_format="pyarrow"
     ).materialize()
