@@ -1269,6 +1269,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 wave 26: per-source dup report / DoD retention
         "source_dup_report": A.source_dup_report,
         "returning_users_daily": A.returning_users_daily,
+        # round-4 wave 27: TPC-H join-graph trio (Q7 / Q14 / Q10)
+        "nation_trade_volume": A.nation_trade_volume,
+        "promo_revenue_share": A.promo_revenue_share,
+        "top_returned_customers": A.top_returned_customers,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -2949,6 +2953,52 @@ def oracle_sql() -> dict[str, str]:
             " 1 + (doc_id % 5) AS nf FROM documents) "
             "SELECT media_id, CAST(unnest(range(0, nf, 2)) AS BIGINT)"
             " AS frame_idx FROM f ORDER BY media_id, frame_idx",
+        # Q7 shape: cross-nation trade volume, exact 10^-4-dollar
+        # integer revenue (cents x (100 - disc-cents))
+        "nation_trade_volume":
+            "SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,"
+            " CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)"
+            " * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))"
+            " AS BIGINT) AS revenue_e4,"
+            " CAST(COUNT(*) AS BIGINT) AS n_items"
+            " FROM lineitem l"
+            " JOIN orders o ON l.l_orderkey = o.o_orderkey"
+            " JOIN customer c ON o.o_custkey = c.c_custkey"
+            " JOIN supplier s ON l.l_suppkey = s.s_suppkey"
+            " JOIN nation cn ON c.c_nationkey = cn.n_nationkey"
+            " JOIN nation sn ON s.s_nationkey = sn.n_nationkey"
+            " WHERE s.s_nationkey <> c.c_nationkey"
+            " GROUP BY 1, 2 ORDER BY 1, 2",
+        # Q14 shape: per ship-month promo revenue share; numerator and
+        # denominator exact integer, only the 6-dp share divides
+        "promo_revenue_share":
+            "WITH j AS (SELECT"
+            " CAST(epoch(date_trunc('month', l.l_shipdate)) AS BIGINT)"
+            " AS month_epoch,"
+            " CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)"
+            " * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)) AS rev,"
+            " CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END AS promo"
+            " FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey) "
+            "SELECT month_epoch,"
+            " CAST(SUM(promo * rev) AS BIGINT) AS promo_rev_e4,"
+            " CAST(SUM(rev) AS BIGINT) AS total_rev_e4,"
+            " ROUND(CAST(SUM(promo * rev) AS DOUBLE)"
+            " / CAST(SUM(rev) AS DOUBLE), 6) AS promo_share_r6"
+            " FROM j GROUP BY 1 ORDER BY 1",
+        # Q10 shape: top-20 customers by returned-item revenue
+        "top_returned_customers":
+            "SELECT c.c_custkey, c.c_name, n.n_name,"
+            " CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)"
+            " * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))"
+            " AS BIGINT) AS revenue_e4,"
+            " CAST(COUNT(*) AS BIGINT) AS n_items"
+            " FROM lineitem l"
+            " JOIN orders o ON l.l_orderkey = o.o_orderkey"
+            " JOIN customer c ON o.o_custkey = c.c_custkey"
+            " JOIN nation n ON c.c_nationkey = n.n_nationkey"
+            " WHERE l.l_returnflag = 'R'"
+            " GROUP BY 1, 2, 3"
+            " ORDER BY revenue_e4 DESC, c.c_custkey LIMIT 20",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

@@ -212,7 +212,9 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "funnel_latency_quantiles", "lang_nchars_tdigest",
                "nchars_robust_outliers", "source_dup_report",
                "returning_users_daily", "multimodal_resize",
-               "audio_features", "video_frame_features"]
+               "audio_features", "video_frame_features",
+               "nation_trade_volume", "promo_revenue_share",
+               "top_returned_customers"]
 
 
 def run_queries() -> dict[str, float]:

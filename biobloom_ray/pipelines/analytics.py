@@ -7052,3 +7052,302 @@ def returning_users_daily(sf_dir: str):
     out["day_epoch"] = out["day_epoch"].astype(np.int64)
     out["n_returning"] = out["n_returning"].astype(np.int64)
     return out.sort_values("day_epoch").reset_index(drop=True)
+
+
+# -- round-4 wave 27: TPC-H join-graph trio (Q7 / Q14 / Q10 shapes) ----------
+
+def nation_trade_volume(sf_dir: str):
+    """TPC-H Q7 shape — cross-nation trade volume: revenue between
+    every (supplier nation, customer nation) pair with DIFFERENT
+    nations.  Two dimension paths meet on the fact table: suppkey→
+    supp-nation rides as a sorted-array broadcast (searchsorted per
+    block, no shuffle), custkey→cust-nation travels through orders.
+    Below the orders gate the orderkey→cust-nation link also
+    broadcasts and lineitem reduces map-side straight to ≤nations²
+    rows per block (ZERO shuffle on the fact table); above it,
+    orders ⋈ customer hash-joins, the supplier-tagged lineitem
+    partial hash-joins the link on orderkey, and a native Sum groupby
+    finishes over (snat, cnat) partials.  Revenue is exact integer
+    10⁻⁴-dollar units (cents × (100 − disc-cents))."""
+    import ray
+
+    from biobloom_ray.io import hash_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation",
+                   columns=["n_nationkey", "n_name"]).to_pandas()
+    name_of_nat = dict(zip(nation.n_nationkey.astype(np.int64),
+                           nation.n_name))
+    # supplier dim: sorted key/value arrays once in plasma, probed with
+    # one searchsorted per block (supplier ≪ lineitem at every sf)
+    so = np.argsort(supp.s_suppkey.to_numpy())
+    supp_ref = ray.put((supp.s_suppkey.to_numpy(np.int64)[so],
+                        supp.s_nationkey.to_numpy(np.int64)[so]))
+    # composite (snat, cnat) code for the bincount partial
+    NAT_BASE = int(nation.n_nationkey.max()) + 1
+
+    def pair_partial(okeys_sorted, cnat_sorted):
+        def fn(b: pa.Table) -> pa.Table:
+            sk_keys, sk_nat = ray.get(supp_ref)
+            lk = b["l_orderkey"].to_numpy(zero_copy_only=False)
+            if len(okeys_sorted) == 0 or len(lk) == 0:
+                return pa.table({"code": pa.array([], pa.int64()),
+                                 "revenue_e4": pa.array([], pa.int64()),
+                                 "n_items": pa.array([], pa.int64())})
+            pos = np.searchsorted(okeys_sorted, lk)
+            pos[pos >= len(okeys_sorted)] = 0
+            hit = okeys_sorted[pos] == lk
+            sk = b["l_suppkey"].to_numpy(zero_copy_only=False)[hit]
+            spos = np.searchsorted(sk_keys, sk)
+            spos[spos >= len(sk_keys)] = 0
+            snat = sk_nat[spos]
+            cnat = cnat_sorted[pos[hit]]
+            keep = snat != cnat
+            cents = _cents_away(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False))[hit][keep]
+            disc = _cents_away(
+                b["l_discount"].to_numpy(zero_copy_only=False))[hit][keep]
+            rev = cents * (100 - disc)
+            code = snat[keep] * NAT_BASE + cnat[keep]
+            if len(code) == 0:
+                return pa.table({"code": pa.array([], pa.int64()),
+                                 "revenue_e4": pa.array([], pa.int64()),
+                                 "n_items": pa.array([], pa.int64())})
+            nbins = NAT_BASE * NAT_BASE
+            n_per = np.bincount(code, minlength=nbins)
+            rev_per = np.zeros(nbins, dtype=np.int64)
+            np.add.at(rev_per, code, rev)
+            nz = np.nonzero(n_per)[0]
+            return pa.table({"code": pa.array(nz.astype(np.int64)),
+                             "revenue_e4": pa.array(rev_per[nz]),
+                             "n_items": pa.array(n_per[nz].astype(np.int64))})
+        return fn
+
+    n_ord = _cheap_count(orders)
+    if n_ord is not None and n_ord <= ANTI_BROADCAST_MAX_ROWS:
+        od = orders.to_pandas()
+        cd = cust.to_pandas()
+        nat_of_cust = dict(zip(cd.c_custkey.astype(np.int64),
+                               cd.c_nationkey.astype(np.int64)))
+        cnat = od.o_custkey.map(nat_of_cust).to_numpy(np.int64)
+        order_ = np.argsort(od.o_orderkey.to_numpy())
+        parts = li.map_batches(
+            pair_partial(od.o_orderkey.to_numpy(np.int64)[order_],
+                         cnat[order_]),
+            batch_format="pyarrow").to_pandas()
+        agg = (parts.groupby("code", as_index=False)
+               [["revenue_e4", "n_items"]].sum())
+    else:
+        link = hash_join(orders, cust, on=("o_custkey",),
+                         right_on=("c_custkey",))
+
+        def tag_snat(b: pa.Table) -> pa.Table:
+            sk_keys, sk_nat = ray.get(supp_ref)
+            sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+            spos = np.searchsorted(sk_keys, sk)
+            spos[spos >= len(sk_keys)] = 0
+            cents = _cents_away(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False))
+            disc = _cents_away(
+                b["l_discount"].to_numpy(zero_copy_only=False))
+            return pa.table({"l_orderkey": b["l_orderkey"],
+                             "snat": pa.array(sk_nat[spos]),
+                             "rev": pa.array(cents * (100 - disc))})
+
+        li_tag = li.map_batches(tag_snat, batch_format="pyarrow")
+        joined = hash_join(li_tag, link, on=("l_orderkey",),
+                           right_on=("o_orderkey",))
+
+        def pair_rollup(b: pa.Table) -> pa.Table:
+            snat = b["snat"].to_numpy(zero_copy_only=False)
+            cnat = b["c_nationkey"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            keep = snat != cnat
+            code = snat[keep] * NAT_BASE + cnat[keep]
+            rev = b["rev"].to_numpy(zero_copy_only=False)[keep]
+            if len(code) == 0:
+                return pa.table({"code": pa.array([], pa.int64()),
+                                 "revenue_e4": pa.array([], pa.int64()),
+                                 "n_items": pa.array([], pa.int64())})
+            nbins = NAT_BASE * NAT_BASE
+            n_per = np.bincount(code, minlength=nbins)
+            rev_per = np.zeros(nbins, dtype=np.int64)
+            np.add.at(rev_per, code, rev)
+            nz = np.nonzero(n_per)[0]
+            return pa.table({"code": pa.array(nz.astype(np.int64)),
+                             "revenue_e4": pa.array(rev_per[nz]),
+                             "n_items": pa.array(n_per[nz].astype(np.int64))})
+
+        agg = (joined.map_batches(pair_rollup, batch_format="pyarrow")
+               .groupby("code")
+               .aggregate(Sum("revenue_e4", alias_name="revenue_e4"),
+                          Sum("n_items", alias_name="n_items"))
+               .to_pandas())
+    agg["supp_nation"] = (agg.code // NAT_BASE).map(name_of_nat)
+    agg["cust_nation"] = (agg.code % NAT_BASE).map(name_of_nat)
+    agg["revenue_e4"] = agg["revenue_e4"].astype(np.int64)
+    agg["n_items"] = agg["n_items"].astype(np.int64)
+    return (agg[["supp_nation", "cust_nation", "revenue_e4", "n_items"]]
+            .sort_values(["supp_nation", "cust_nation"])
+            .reset_index(drop=True))
+
+
+def promo_revenue_share(sf_dir: str, promo_type: str = "PROMO"):
+    """TPC-H Q14 shape — per ship-month promotional revenue share.
+    The part dimension collapses to a sorted promo-flag array
+    broadcast once (searchsorted per block); lineitem reduces
+    map-side to (month, promo?) partials — at most 2·months rows per
+    block, zero fact-table shuffle at every tier (driver fold below
+    the lineitem gate, native Sum groupby above).  Numerator and
+    denominator stay exact integer 10⁻⁴-dollar units; only the final
+    output-scale share divides (6-dp contract)."""
+    import ray
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                        "l_discount"])
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"]).to_pandas()
+    po = np.argsort(part.p_partkey.to_numpy())
+    part_ref = ray.put((
+        part.p_partkey.to_numpy(np.int64)[po],
+        (part.p_type.to_numpy() == promo_type)[po]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        pk_keys, pk_promo = ray.get(part_ref)
+        month = (pc.floor_temporal(b["l_shipdate"], unit="month")
+                 .cast(pa.timestamp("s")).cast(pa.int64())
+                 .to_numpy(zero_copy_only=False))
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(pk_keys, pk)
+        pos[pos >= len(pk_keys)] = 0
+        promo = pk_promo[pos] & (pk_keys[pos] == pk)
+        cents = _cents_away(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False))
+        disc = _cents_away(b["l_discount"].to_numpy(zero_copy_only=False))
+        rev = cents * (100 - disc)
+        df = pd.DataFrame({"month_epoch": month, "promo": promo,
+                           "rev": rev})
+        agg = (df.groupby(["month_epoch", "promo"], as_index=False)
+               .agg(rev=("rev", "sum"), n=("rev", "size")))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = li.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(li)
+    schema = {"month_epoch": np.int64, "promo": np.bool_,
+              "rev": np.int64, "n": np.int64}
+    if n_rows is not None and n_rows <= LINEITEM_DRIVER_MAX_ROWS:
+        parts = _parts_pandas(parts_ds, schema)
+    else:
+        parts = (parts_ds.groupby(["month_epoch", "promo"])
+                 .aggregate(Sum("rev", alias_name="rev"),
+                            Sum("n", alias_name="n")).to_pandas())
+    agg = parts.groupby(["month_epoch", "promo"], as_index=False).sum()
+    piv = agg.pivot_table(index="month_epoch", columns="promo",
+                          values="rev", aggfunc="sum", fill_value=0)
+    out = pd.DataFrame({"month_epoch": piv.index.to_numpy(np.int64)})
+    promo_rev = (piv[True].to_numpy(np.int64) if True in piv.columns
+                 else np.zeros(len(piv), np.int64))
+    other_rev = (piv[False].to_numpy(np.int64) if False in piv.columns
+                 else np.zeros(len(piv), np.int64))
+    out["promo_rev_e4"] = promo_rev
+    out["total_rev_e4"] = promo_rev + other_rev
+    out["promo_share_r6"] = np.round(
+        promo_rev.astype(np.float64) / out.total_rev_e4.to_numpy(np.float64),
+        6)
+    return out.sort_values("month_epoch").reset_index(drop=True)
+
+
+def top_returned_customers(sf_dir: str, k: int = 20):
+    """TPC-H Q10 shape — top-k customers by RETURNED-item revenue
+    (l_returnflag = 'R'), nation name attached.  Lineitem pre-reduces
+    per block to (orderkey, rev) partials on the filtered rows;
+    below the orders gate the orderkey→custkey link broadcasts and
+    the rollup folds on the driver; above it the partial hash-joins
+    orders and a native Sum groupby over custkey finishes, with a
+    per-block exact top-k on the disjoint-key post-groupby blocks so
+    only ≤k·#blocks candidate rows reach the driver.  Names attach
+    via pruned broadcast reads on the ≤k-row result."""
+    import ray
+
+    from biobloom_ray.io import hash_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                        "l_discount"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["l_returnflag"], "R").to_numpy(zero_copy_only=False)
+        lk = b["l_orderkey"].to_numpy(zero_copy_only=False)[m]
+        cents = _cents_away(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False))[m]
+        disc = _cents_away(b["l_discount"].to_numpy(zero_copy_only=False))[m]
+        rev = cents * (100 - disc)
+        df = pd.DataFrame({"l_orderkey": lk, "rev": rev})
+        agg = (df.groupby("l_orderkey", as_index=False)
+               .agg(rev=("rev", "sum"), n_items=("rev", "size")))
+        agg["n_items"] = agg["n_items"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = li.map_batches(partial, batch_format="pyarrow")
+    n_ord = _cheap_count(orders)
+    schema = {"l_orderkey": np.int64, "rev": np.int64, "n_items": np.int64}
+    if n_ord is not None and n_ord <= ANTI_BROADCAST_MAX_ROWS:
+        od = orders.to_pandas()
+        cust_of = dict(zip(od.o_orderkey.astype(np.int64),
+                           od.o_custkey.astype(np.int64)))
+        parts = _parts_pandas(parts_ds, schema)
+        parts["c_custkey"] = parts.l_orderkey.map(cust_of).astype(np.int64)
+        agg = (parts.groupby("c_custkey", as_index=False)
+               [["rev", "n_items"]].sum())
+        top = (agg.sort_values(["rev", "c_custkey"],
+                               ascending=[False, True]).head(k))
+    else:
+        joined = hash_join(parts_ds, orders, on=("l_orderkey",),
+                           right_on=("o_orderkey",))
+
+        def cust_rollup(b: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "c_custkey": b["o_custkey"].to_numpy(zero_copy_only=False),
+                "rev": b["rev"].to_numpy(zero_copy_only=False),
+                "n_items": b["n_items"].to_numpy(zero_copy_only=False)})
+            agg = (df.groupby("c_custkey", as_index=False)
+                   [["rev", "n_items"]].sum())
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+        summed = (joined.map_batches(cust_rollup, batch_format="pyarrow")
+                  .groupby("c_custkey")
+                  .aggregate(Sum("rev", alias_name="rev"),
+                             Sum("n_items", alias_name="n_items")))
+
+        def local_topk(b: pa.Table) -> pa.Table:
+            rv = b["rev"].to_numpy(zero_copy_only=False)
+            keys = b["c_custkey"].to_numpy(zero_copy_only=False)
+            ni = b["n_items"].to_numpy(zero_copy_only=False)
+            idx = np.lexsort((keys, -rv))[:k]
+            return pa.table({"c_custkey": pa.array(keys[idx]),
+                             "rev": pa.array(rv[idx]),
+                             "n_items": pa.array(ni[idx])})
+
+        top = (summed.map_batches(local_topk, batch_format="pyarrow")
+               .to_pandas()
+               .sort_values(["rev", "c_custkey"],
+                            ascending=[False, True]).head(k))
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_name", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation",
+                   columns=["n_nationkey", "n_name"]).to_pandas()
+    meta = cust.merge(nation, left_on="c_nationkey",
+                      right_on="n_nationkey")
+    top = top.reset_index(drop=True)
+    top = top.merge(meta[["c_custkey", "c_name", "n_name"]], on="c_custkey",
+                    how="left")
+    top["revenue_e4"] = top["rev"].astype(np.int64)
+    top["n_items"] = top["n_items"].astype(np.int64)
+    return top[["c_custkey", "c_name", "n_name", "revenue_e4", "n_items"]]

@@ -106,6 +106,8 @@ SQL_CHECKED = [
     "zorder_bucket_counts", "funnel_latency_quantiles",
     "nchars_robust_outliers", "source_dup_report",
     "returning_users_daily", "video_frame_features",
+    "nation_trade_volume", "promo_revenue_share",
+    "top_returned_customers",
 ]
 
 

@@ -1596,3 +1596,35 @@ def test_round4_wave26_tiers_agree(ray_session, monkeypatch):
     assert fast_d.n_dropped.sum() == len(docs) - len(kept)
     # returning counts never exceed the distinct-user count
     assert (fast_r.n_returning <= 150).all()
+
+def test_round4_wave27_tiers_agree(ray_session, monkeypatch):
+    """TPC-H join-graph trio: nation_trade_volume (broadcast link +
+    map-side pair rollup vs double hash join + native Sum groupby),
+    promo_revenue_share (driver fold vs native Sum groupby over
+    (month, promo) partials), top_returned_customers (broadcast
+    orderkey->custkey vs hash join + disjoint-key block top-k)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_t = A.nation_trade_volume(sf)
+    fast_p = A.promo_revenue_share(sf)
+    fast_r = A.top_returned_customers(sf)
+
+    monkeypatch.setattr(A, "ANTI_BROADCAST_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "LINEITEM_DRIVER_MAX_ROWS", 0)
+    slow_t = A.nation_trade_volume(sf)[list(fast_t.columns)]
+    slow_p = A.promo_revenue_share(sf)[list(fast_p.columns)]
+    slow_r = A.top_returned_customers(sf)[list(fast_r.columns)]
+    assert len(fast_t) > 0 and fast_t.equals(slow_t)
+    assert len(fast_p) > 0 and fast_p.equals(slow_p)
+    assert len(fast_r) > 0 and fast_r.equals(slow_r.reset_index(drop=True))
+
+    # no same-nation pair survives the Q7 predicate
+    assert (fast_t.supp_nation != fast_t.cust_nation).all()
+    # promo share bounded and the numerator never exceeds the total
+    assert ((fast_p.promo_share_r6 >= 0) & (fast_p.promo_share_r6 <= 1)).all()
+    assert (fast_p.promo_rev_e4 <= fast_p.total_rev_e4).all()
+    # top-k is ordered by revenue desc and bounded by k
+    assert len(fast_r) <= 20
+    rv = fast_r.revenue_e4.to_numpy()
+    assert (rv[:-1] >= rv[1:]).all()
