@@ -1273,6 +1273,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_trade_volume": A.nation_trade_volume,
         "promo_revenue_share": A.promo_revenue_share,
         "top_returned_customers": A.top_returned_customers,
+        # round-4 wave 28: graph analytics + table integrity
+        "user_pagerank": A.user_pagerank,
+        "user_triangle_stats": A.user_triangle_stats,
+        "table_fingerprint": A.table_fingerprint,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -2999,6 +3003,68 @@ def oracle_sql() -> dict[str, str]:
             " WHERE l.l_returnflag = 'R'"
             " GROUP BY 1, 2, 3"
             " ORDER BY revenue_e4 DESC, c.c_custkey LIMIT 20",
+        # PageRank, 3 unrolled power iterations over the co-presence
+        # graph (same edge CTE as user_bfs_hops); 6-dp score contract
+        "user_pagerank":
+            "WITH cells AS (SELECT DISTINCT"
+            " CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS cell,"
+            " user_id FROM events), "
+            "e AS (SELECT DISTINCT a.user_id AS ua, b.user_id AS ub"
+            " FROM cells a JOIN cells b USING (cell)"
+            " WHERE a.user_id <> b.user_id), "
+            "deg AS (SELECT ua, CAST(COUNT(*) AS BIGINT) AS d"
+            " FROM e GROUP BY 1), "
+            "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg), "
+            "p0 AS (SELECT ua AS u, 1.0 / (SELECT n FROM nn) AS pr"
+            " FROM deg), "
+            "p1 AS (SELECT e.ub AS u, 0.15 / (SELECT n FROM nn)"
+            " + 0.85 * SUM(p0.pr / deg.d) AS pr FROM e"
+            " JOIN p0 ON p0.u = e.ua JOIN deg ON deg.ua = e.ua"
+            " GROUP BY e.ub), "
+            "p2 AS (SELECT e.ub AS u, 0.15 / (SELECT n FROM nn)"
+            " + 0.85 * SUM(p1.pr / deg.d) AS pr FROM e"
+            " JOIN p1 ON p1.u = e.ua JOIN deg ON deg.ua = e.ua"
+            " GROUP BY e.ub), "
+            "p3 AS (SELECT e.ub AS u, 0.15 / (SELECT n FROM nn)"
+            " + 0.85 * SUM(p2.pr / deg.d) AS pr FROM e"
+            " JOIN p2 ON p2.u = e.ua JOIN deg ON deg.ua = e.ua"
+            " GROUP BY e.ub) "
+            "SELECT p3.u AS user_id, deg.d AS degree,"
+            " ROUND(p3.pr, 6) AS pr_r6 FROM p3"
+            " JOIN deg ON deg.ua = p3.u ORDER BY user_id",
+        # triangle census: canonical a<b<c two-hop join; wedges from
+        # the degree table; exact counts + 6-dp clustering coefficient
+        "user_triangle_stats":
+            "WITH cells AS (SELECT DISTINCT"
+            " CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS cell,"
+            " user_id FROM events), "
+            "e AS (SELECT DISTINCT a.user_id AS ua, b.user_id AS ub"
+            " FROM cells a JOIN cells b USING (cell)"
+            " WHERE a.user_id < b.user_id), "
+            "deg AS (SELECT u, COUNT(*) AS d FROM"
+            " (SELECT ua AS u FROM e UNION ALL SELECT ub AS u FROM e)"
+            " GROUP BY 1), "
+            "tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM e e1"
+            " JOIN e e2 ON e2.ua = e1.ub"
+            " JOIN e e3 ON e3.ua = e1.ua AND e3.ub = e2.ub) "
+            "SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT)"
+            " AS n_nodes,"
+            " CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,"
+            " CAST((SELECT SUM(d * (d - 1) // 2) FROM deg) AS BIGINT)"
+            " AS n_wedges,"
+            " (SELECT c FROM tri) AS n_triangles,"
+            " ROUND(3.0 * (SELECT c FROM tri)"
+            " / (SELECT SUM(d * (d - 1) // 2) FROM deg), 6) AS gcc_r6",
+        # order-invariant per-source integrity fingerprint: XOR of a
+        # 60-bit md5 prefix over the canonical row string (exact
+        # same hash replayed: md5 + hex-prefix cast)
+        "table_fingerprint":
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,"
+            " CAST(bit_xor(CAST('0x' || substr(md5("
+            "CAST(doc_id AS VARCHAR) || '|' || lang || '|' ||"
+            " CAST(n_chars AS VARCHAR) || '|' || text), 1, 15)"
+            " AS BIGINT)) AS BIGINT) AS fp60"
+            " FROM documents GROUP BY source ORDER BY source",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

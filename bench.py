@@ -214,7 +214,8 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "returning_users_daily", "multimodal_resize",
                "audio_features", "video_frame_features",
                "nation_trade_volume", "promo_revenue_share",
-               "top_returned_customers"]
+               "top_returned_customers", "user_pagerank",
+               "user_triangle_stats", "table_fingerprint"]
 
 
 def run_queries() -> dict[str, float]:

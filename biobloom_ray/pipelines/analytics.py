@@ -7351,3 +7351,245 @@ def top_returned_customers(sf_dir: str, k: int = 20):
     top["revenue_e4"] = top["rev"].astype(np.int64)
     top["n_items"] = top["n_items"].astype(np.int64)
     return top[["c_custkey", "c_name", "n_name", "revenue_e4", "n_items"]]
+
+
+# -- round-4 wave 28: graph analytics (PageRank / triangles) + integrity ----
+
+def _copresence_cells(sf_dir: str):
+    """Deduped (minute, user) activity cells — the shared edge source
+    for the co-presence graph family (BFS / PageRank / triangles)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def cell_partial(b: pa.Table) -> pa.Table:
+        minute = (pc.floor_temporal(b["ts"], unit="minute")
+                  .cast(pa.timestamp("s")).cast(pa.int64()))
+        df = pd.DataFrame({
+            "cell": minute.to_numpy(zero_copy_only=False),
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False)})
+        return pa.Table.from_pandas(df.drop_duplicates(),
+                                    preserve_index=False)
+
+    return ds, ds.map_batches(cell_partial, batch_format="pyarrow")
+
+
+def _copresence_edges_ds(cells_parts):
+    """Cluster-tier distinct directed edge Dataset from cell partials:
+    dedup rollup → per-cell pair expansion (cells bounded by
+    per-minute activity, the documented LSH-bucket-class assumption)
+    → edge dedup.  Both directions are emitted."""
+    cells = (cells_parts.groupby(["cell", "user_id"])
+             .aggregate(Count(alias_name="_c")))
+
+    def pair_expand(g: pa.Table) -> pa.Table:
+        u = np.unique(g["user_id"].to_numpy(zero_copy_only=False))
+        if len(u) < 2:
+            return pa.table({"ua": pa.array([], pa.int64()),
+                             "ub": pa.array([], pa.int64())})
+        iu, ju = np.triu_indices(len(u), 1)
+        a, b2 = u[iu], u[ju]
+        return pa.table({"ua": pa.array(np.r_[a, b2]),
+                         "ub": pa.array(np.r_[b2, a])})
+
+    return (cells.groupby("cell")
+            .map_groups(pair_expand, batch_format="pyarrow")
+            .groupby(["ua", "ub"]).aggregate(Count(alias_name="_c"))
+            .map_batches(lambda b: b.drop_columns(["_c"]),
+                         batch_format="pyarrow"))
+
+
+def user_pagerank(sf_dir: str, n_iter: int = 3, damping: float = 0.85):
+    """PageRank over the user co-presence graph, n_iter synchronous
+    power iterations from the uniform vector (the BSP iterate the
+    BFS frontier walk doesn't exercise: every round re-weights EVERY
+    node, not just a frontier).  Driver tier (below the shared events
+    gate): one Dataset pass for the deduped cells, then factorized
+    numpy bincount iterations.  Cluster tier: the distinct-edge
+    Dataset stays resident; each iteration is ONE edges⋈rank hash
+    join → (dst, pr/deg) partial rollup → native Sum groupby → one
+    rank⋈degree join — rank/degree tables are node-scale, edges never
+    leave the cluster.  Isolated users (no co-presence partner) are
+    outside the graph by construction, exactly as in the oracle's
+    edge-derived node set.  Scores carry a 6-dp contract; degree and
+    node count are exact."""
+    ds, cells_parts = _copresence_cells(sf_dir)
+    n_rows = _cheap_count(ds)
+
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        cdf = (_parts_pandas(cells_parts,
+                             {"cell": np.int64, "user_id": np.int64})
+               .drop_duplicates())
+        j = cdf.merge(cdf, on="cell", suffixes=("_a", "_b"))
+        j = j[j.user_id_a != j.user_id_b]
+        e = (j[["user_id_a", "user_id_b"]].drop_duplicates())
+        if len(e) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype=np.int64),
+                "degree": pd.Series([], dtype=np.int64),
+                "pr_r6": pd.Series([], dtype=np.float64)})
+        nodes, src = np.unique(e.user_id_a.to_numpy(np.int64),
+                               return_inverse=True)
+        dst = np.searchsorted(nodes, e.user_id_b.to_numpy(np.int64))
+        n = len(nodes)
+        deg = np.bincount(src, minlength=n).astype(np.int64)
+        pr = np.full(n, 1.0 / n)
+        for _ in range(n_iter):
+            contrib = pr[src] / deg[src]
+            inflow = np.bincount(dst, weights=contrib, minlength=n)
+            pr = (1.0 - damping) / n + damping * inflow
+        return pd.DataFrame({
+            "user_id": nodes, "degree": deg,
+            "pr_r6": np.round(pr, 6)})
+
+    # cluster tier: resident edge Dataset + per-iteration join rounds
+    from biobloom_ray.io import hash_join
+
+    edges_m = _copresence_edges_ds(cells_parts).materialize()
+    deg_ds = (edges_m.groupby("ua").aggregate(Count(alias_name="degree"))
+              .materialize())
+    n = _cheap_count(deg_ds) or deg_ds.count()
+
+    rank = deg_ds.map_batches(
+        lambda b: pa.table({"u": b["ua"],
+                            "pr": pa.array(np.full(b.num_rows, 1.0 / n)),
+                            "degree": b["degree"]}),
+        batch_format="pyarrow")
+    for _ in range(n_iter):
+        contrib = hash_join(edges_m, rank, on=("ua",), right_on=("u",))
+
+        def to_contrib(b: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "u": b["ub"].to_numpy(zero_copy_only=False),
+                "c": b["pr"].to_numpy(zero_copy_only=False)
+                / b["degree"].to_numpy(zero_copy_only=False)})
+            agg = df.groupby("u", as_index=False)["c"].sum()
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+        inflow = (contrib.map_batches(to_contrib, batch_format="pyarrow")
+                  .groupby("u").aggregate(Sum("c", alias_name="c")))
+        joined = hash_join(inflow, deg_ds, on=("u",), right_on=("ua",))
+        base = (1.0 - damping) / n
+        rank = joined.map_batches(
+            lambda b, _base=base: pa.table({
+                "u": b["u"],
+                "pr": pa.array(_base + damping * b["c"]
+                               .to_numpy(zero_copy_only=False)),
+                "degree": b["degree"]}),
+            batch_format="pyarrow")
+    out = rank.to_pandas()
+    out["pr_r6"] = np.round(out.pr.to_numpy(np.float64), 6)
+    out["user_id"] = out.u.astype(np.int64)
+    out["degree"] = out.degree.astype(np.int64)
+    return (out[["user_id", "degree", "pr_r6"]]
+            .sort_values("user_id").reset_index(drop=True))
+
+
+def user_triangle_stats(sf_dir: str):
+    """Global triangle census of the co-presence graph: node/edge
+    counts, wedge count Σ d(d−1)/2, triangle count via the canonical
+    a<b<c two-hop join, and the global clustering coefficient
+    3·Δ/wedges (6-dp contract; counts exact).  Driver tier: two
+    pandas merges on the cell-scale edge table.  Cluster tier: the
+    canonical edge Dataset self-joins on the wedge midpoint, the
+    open wedge closes against a third edge join, and per-block COUNT
+    partials fold — triangles are never materialized row-per-row on
+    the driver."""
+    ds, cells_parts = _copresence_cells(sf_dir)
+    n_rows = _cheap_count(ds)
+
+    def stats_from(n_nodes, n_edges, wedges, tri):
+        gcc = float(np.round(3.0 * tri / wedges, 6)) if wedges else 0.0
+        return pd.DataFrame({
+            "n_nodes": [np.int64(n_nodes)],
+            "n_edges": [np.int64(n_edges)],
+            "n_wedges": [np.int64(wedges)],
+            "n_triangles": [np.int64(tri)],
+            "gcc_r6": [gcc]})
+
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        cdf = (_parts_pandas(cells_parts,
+                             {"cell": np.int64, "user_id": np.int64})
+               .drop_duplicates())
+        j = cdf.merge(cdf, on="cell", suffixes=("_a", "_b"))
+        j = j[j.user_id_a < j.user_id_b]
+        e = (j[["user_id_a", "user_id_b"]].drop_duplicates()
+             .rename(columns={"user_id_a": "ua", "user_id_b": "ub"}))
+        if len(e) == 0:
+            return stats_from(0, 0, 0, 0)
+        deg = pd.concat([e.ua, e.ub]).value_counts()
+        wedges = int((deg * (deg - 1) // 2).sum())
+        w = e.merge(e, left_on="ub", right_on="ua",
+                    suffixes=("_1", "_2"))
+        tri = len(w.merge(e, left_on=["ua_1", "ub_2"],
+                          right_on=["ua", "ub"]))
+        return stats_from(deg.size, len(e), wedges, tri)
+
+    from biobloom_ray.io import hash_join
+
+    edges_dir = _copresence_edges_ds(cells_parts).materialize()
+    canon = edges_dir.map_batches(
+        lambda b: b.filter(pc.less(b["ua"], b["ub"])),
+        batch_format="pyarrow").materialize()
+    n_edges = canon.count()
+    degs = (edges_dir.groupby("ua").aggregate(Count(alias_name="d"))
+            .to_pandas())
+    n_nodes = len(degs)
+    d = degs.d.to_numpy(np.int64)
+    wedges = int((d * (d - 1) // 2).sum())
+    w = hash_join(canon, canon, on=("ub",), right_on=("ua",),
+                  left_suffix="_1", right_suffix="_2")
+    w = w.map_batches(
+        lambda b: pa.table({"ua": b["ua"], "ub": b["ub_2"]}),
+        batch_format="pyarrow")
+    closed = hash_join(w, canon, on=("ua", "ub"))
+    tri_parts = closed.map_batches(
+        lambda b: pa.table({"n": pa.array([b.num_rows], pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    tri = int(tri_parts.n.sum()) if len(tri_parts) else 0
+    return stats_from(n_nodes, n_edges, wedges, tri)
+
+
+def table_fingerprint(sf_dir: str):
+    """Order-invariant per-source content fingerprint of the documents
+    table — the anti-entropy / resumable-write integrity check: any
+    changed, dropped or duplicated row flips the per-source XOR of a
+    60-bit md5 prefix over the CANONICAL row string
+    ``doc_id|lang|n_chars|text``.  XOR is commutative-associative, so
+    block partials (one (source, xor, n) row per block per source —
+    output-scale like every sketch partial) fold in any order with no
+    gate; md5 is inherently per-item (same class as the codec loop).
+    The oracle replays the exact hash: DuckDB ``md5`` + hex-prefix
+    cast."""
+    import hashlib
+
+    def partial(b: pa.Table) -> pa.Table:
+        doc = b["doc_id"].to_numpy(zero_copy_only=False)
+        lang = b["lang"].to_pylist()
+        nch = b["n_chars"].to_numpy(zero_copy_only=False)
+        txt = b["text"].to_pylist()
+        src = b["source"].to_pylist()
+        fp = np.fromiter(
+            (int(hashlib.md5(
+                f"{d}|{l}|{nc}|{t}".encode("utf-8")).hexdigest()[:15], 16)
+             for d, l, nc, t in zip(doc, lang, nch, txt)),
+            dtype=np.int64, count=len(doc))
+        df = pd.DataFrame({"source": src, "fp": fp})
+        agg = (df.groupby("source", as_index=False)
+               .agg(fp60=("fp", lambda s: np.bitwise_xor.reduce(
+                   s.to_numpy(np.int64))),
+                    n_rows=("fp", "size")))
+        agg["n_rows"] = agg["n_rows"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "lang", "n_chars", "text", "source"])
+    parts = _parts_pandas(ds.map_batches(partial, batch_format="pyarrow"),
+                          {"source": object, "fp60": np.int64,
+                           "n_rows": np.int64})
+    out = (parts.groupby("source", as_index=False)
+           .agg(n_rows=("n_rows", "sum"),
+                fp60=("fp60", lambda s: np.bitwise_xor.reduce(
+                    s.to_numpy(np.int64)))))
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    out["fp60"] = out["fp60"].astype(np.int64)
+    return (out[["source", "n_rows", "fp60"]]
+            .sort_values("source").reset_index(drop=True))

@@ -107,7 +107,8 @@ SQL_CHECKED = [
     "nchars_robust_outliers", "source_dup_report",
     "returning_users_daily", "video_frame_features",
     "nation_trade_volume", "promo_revenue_share",
-    "top_returned_customers",
+    "top_returned_customers", "user_pagerank", "user_triangle_stats",
+    "table_fingerprint",
 ]
 
 

@@ -1628,3 +1628,35 @@ def test_round4_wave27_tiers_agree(ray_session, monkeypatch):
     assert len(fast_r) <= 20
     rv = fast_r.revenue_e4.to_numpy()
     assert (rv[:-1] >= rv[1:]).all()
+
+def test_round4_wave28_tiers_agree(ray_session, monkeypatch):
+    """Graph analytics: user_pagerank (numpy bincount iterations vs
+    resident-edge Dataset join rounds), user_triangle_stats (pandas
+    merges vs wedge/close hash joins).  table_fingerprint has no gate
+    (XOR partials fold in any order) — pinned by its SQL oracle and a
+    sensitivity check here."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_p = A.user_pagerank(sf)
+    fast_t = A.user_triangle_stats(sf)
+
+    monkeypatch.setattr(A, "EVENTS_DRIVER_MAX_ROWS", 0)
+    slow_p = A.user_pagerank(sf)[list(fast_p.columns)]
+    slow_t = A.user_triangle_stats(sf)[list(fast_t.columns)]
+    assert len(fast_p) > 0 and fast_p.equals(slow_p)
+    assert fast_t.equals(slow_t)
+
+    # PageRank mass is conserved (sums to ~1 over graph nodes)
+    assert abs(fast_p.pr_r6.sum() - 1.0) < 1e-3
+    assert (fast_p.degree >= 1).all()
+    # triangle census invariants: 3*triangles <= wedges
+    r = fast_t.iloc[0]
+    assert 3 * r.n_triangles <= r.n_wedges
+    assert 0.0 <= r.gcc_r6 <= 1.0
+
+    # fingerprint flips on any single-row change (order-invariance is
+    # the oracle's job; sensitivity is checked directly on the kernel)
+    fp = A.table_fingerprint(sf)
+    assert (fp.n_rows > 0).all()
+    assert fp.fp60.nunique() == len(fp)
