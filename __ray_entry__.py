@@ -1277,6 +1277,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_pagerank": A.user_pagerank,
         "user_triangle_stats": A.user_triangle_stats,
         "table_fingerprint": A.table_fingerprint,
+        # round-4 wave 29: retrieval index self-join + readability +
+        # char-class profile
+        "term_overlap_topk": A.term_overlap_topk,
+        "readability_scores": A.readability_scores,
+        "charclass_stats": A.charclass_stats,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -3065,6 +3070,57 @@ def oracle_sql() -> dict[str, str]:
             " CAST(n_chars AS VARCHAR) || '|' || text), 1, 15)"
             " AS BIGINT)) AS BIGINT) AS fp60"
             " FROM documents GROUP BY source ORDER BY source",
+        # sparse integer dot-product retrieval over the df-banded
+        # vocab: exact int64 scores, ties to the smaller doc id
+        "term_overlap_topk":
+            "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all("
+            "text, '\\S+')) AS token FROM documents), "
+            "tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT)"
+            " AS tf FROM tok GROUP BY 1, 2), "
+            "band AS (SELECT token FROM tf GROUP BY token"
+            " HAVING COUNT(*) BETWEEN 2 AND 50), "
+            "pair AS (SELECT a.doc_id AS da, b.doc_id AS db,"
+            " CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot"
+            " FROM tf a JOIN band USING (token)"
+            " JOIN tf b USING (token)"
+            " WHERE a.doc_id <> b.doc_id GROUP BY 1, 2) "
+            "SELECT da AS doc_id, db AS best_doc, dot FROM"
+            " (SELECT da, db, dot, ROW_NUMBER() OVER (PARTITION BY da"
+            " ORDER BY dot DESC, db) AS rn FROM pair)"
+            " WHERE rn = 1 ORDER BY doc_id",
+        # Flesch-style readability from three RE2 run counts; exact
+        # ints + 6-dp score, zero-word docs excluded on both sides
+        "readability_scores":
+            "WITH c AS (SELECT doc_id,"
+            " CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)"
+            " AS n_words,"
+            " CAST(GREATEST(length(regexp_extract_all(text,"
+            " '[.!?]+')), 1) AS BIGINT) AS n_sentences,"
+            " CAST(length(regexp_extract_all(text, '[aeiouyAEIOUY]+'))"
+            " AS BIGINT) AS n_vowel_groups FROM documents) "
+            "SELECT doc_id, n_words, n_sentences, n_vowel_groups,"
+            " ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE)"
+            " / n_sentences) - 84.6 * (CAST(n_vowel_groups AS DOUBLE)"
+            " / n_words), 6) AS flesch_r6"
+            " FROM c WHERE n_words > 0 ORDER BY doc_id",
+        # per-lang character-class profile: exact counts, 6-dp ratios
+        # computed AFTER the global sums on both sides
+        "charclass_stats":
+            "WITH c AS (SELECT lang,"
+            " CAST(SUM(length(text)) AS BIGINT) AS n_chars,"
+            " CAST(SUM(length(regexp_extract_all(text, '[0-9]')))"
+            " AS BIGINT) AS n_digit,"
+            " CAST(SUM(length(regexp_extract_all(text, '[A-Z]')))"
+            " AS BIGINT) AS n_upper,"
+            " CAST(SUM(length(regexp_extract_all(text, '\\s')))"
+            " AS BIGINT) AS n_ws FROM documents GROUP BY lang) "
+            "SELECT lang, n_chars, n_digit, n_upper, n_ws,"
+            " ROUND(CAST(n_digit AS DOUBLE) / n_chars, 6)"
+            " AS digit_ratio_r6,"
+            " ROUND(CAST(n_upper AS DOUBLE) / n_chars, 6)"
+            " AS upper_ratio_r6,"
+            " ROUND(CAST(n_ws AS DOUBLE) / n_chars, 6) AS ws_ratio_r6"
+            " FROM c ORDER BY lang",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

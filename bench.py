@@ -215,7 +215,9 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "audio_features", "video_frame_features",
                "nation_trade_volume", "promo_revenue_share",
                "top_returned_customers", "user_pagerank",
-               "user_triangle_stats", "table_fingerprint"]
+               "user_triangle_stats", "table_fingerprint",
+               "term_overlap_topk", "readability_scores",
+               "charclass_stats"]
 
 
 def run_queries() -> dict[str, float]:

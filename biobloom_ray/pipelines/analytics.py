@@ -7593,3 +7593,169 @@ def table_fingerprint(sf_dir: str):
     out["fp60"] = out["fp60"].astype(np.int64)
     return (out[["source", "n_rows", "fp60"]]
             .sort_values("source").reset_index(drop=True))
+
+
+# -- round-4 wave 29: retrieval-join + webtext readability/charclass --------
+
+def term_overlap_topk(sf_dir: str, df_lo: int = 2, df_hi: int = 50):
+    """Sparse lexical retrieval as an INDEX SELF-JOIN: for every doc,
+    the best other doc by integer term-frequency dot product
+    Σ_t tf_a(t)·tf_b(t) over the df-banded vocabulary (df in
+    [df_lo, df_hi] — the same band inverted_index uses, which bounds
+    every posting list and hence every token's pair expansion at
+    df_hi² ≪ corpus²).  All scores are exact int64 (no float ranking
+    anywhere); ties break to the smaller doc id.  Cluster tier: tf
+    rows semi-join the banded vocab, ONE groupby(token) pair
+    expansion, native Sum over (da, db), per-group top-1.  Driver
+    tier below the shared gate folds the same tf partials in
+    pandas."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    tf_ds = ds.map_batches(_doc_term_tf, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+
+    def best_of(pairs: pd.DataFrame) -> pd.DataFrame:
+        out = (pairs.sort_values(["da", "dot", "db"],
+                                 ascending=[True, False, True])
+               .drop_duplicates("da"))
+        return pd.DataFrame({
+            "doc_id": out.da.to_numpy(np.int64),
+            "best_doc": out.db.to_numpy(np.int64),
+            "dot": out["dot"].to_numpy(np.int64)})
+
+    if n_rows is not None and n_rows <= RANK_DRIVER_MAX_ROWS:
+        tf = _parts_pandas(tf_ds, {"doc_id": np.int64, "token": object,
+                                   "tf": np.int64})
+        dfc = tf.groupby("token", as_index=False).size()
+        band = dfc[(dfc["size"] >= df_lo) & (dfc["size"] <= df_hi)]
+        tfb = tf[tf.token.isin(set(band.token))]
+        j = tfb.merge(tfb, on="token", suffixes=("_a", "_b"))
+        j = j[j.doc_id_a != j.doc_id_b]
+        if len(j) == 0:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype=np.int64),
+                "best_doc": pd.Series([], dtype=np.int64),
+                "dot": pd.Series([], dtype=np.int64)})
+        j["dot"] = j.tf_a.to_numpy(np.int64) * j.tf_b.to_numpy(np.int64)
+        pairs = (j.groupby(["doc_id_a", "doc_id_b"], as_index=False)
+                 ["dot"].sum()
+                 .rename(columns={"doc_id_a": "da", "doc_id_b": "db"}))
+        return best_of(pairs).sort_values("doc_id").reset_index(drop=True)
+
+    from biobloom_ray.io import hash_join
+
+    dfc = tf_ds.groupby("token").aggregate(Count(alias_name="df"))
+    band = dfc.map_batches(
+        lambda b: pa.table({"token": b["token"].filter(pa.array(
+            (b["df"].to_numpy(zero_copy_only=False) >= df_lo)
+            & (b["df"].to_numpy(zero_copy_only=False) <= df_hi)))}),
+        batch_format="pyarrow")
+    tfb = hash_join(tf_ds, band, on=("token",))
+
+    def pair_expand(g: pa.Table) -> pa.Table:
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        t = g["tf"].to_numpy(zero_copy_only=False)
+        if len(d) < 2:
+            return pa.table({"da": pa.array([], pa.int64()),
+                             "db": pa.array([], pa.int64()),
+                             "dot": pa.array([], pa.int64())})
+        iu, ju = np.triu_indices(len(d), 1)
+        a, b2 = d[iu], d[ju]
+        w = t[iu] * t[ju]
+        return pa.table({"da": pa.array(np.r_[a, b2]),
+                         "db": pa.array(np.r_[b2, a]),
+                         "dot": pa.array(np.r_[w, w])})
+
+    pairs_ds = (tfb.groupby("token")
+                .map_groups(pair_expand, batch_format="pyarrow")
+                .groupby(["da", "db"]).aggregate(Sum("dot",
+                                                     alias_name="dot")))
+
+    def top1(g: pa.Table) -> pa.Table:
+        dot = g["dot"].to_numpy(zero_copy_only=False)
+        db = g["db"].to_numpy(zero_copy_only=False)
+        i = np.lexsort((db, -dot))[0]
+        return pa.table({"doc_id": pa.array([g["da"][0].as_py()],
+                                            pa.int64()),
+                         "best_doc": pa.array([int(db[i])], pa.int64()),
+                         "dot": pa.array([int(dot[i])], pa.int64())})
+
+    out = (pairs_ds.groupby("da").map_groups(top1, batch_format="pyarrow")
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def readability_scores(sf_dir: str):
+    """Flesch-reading-ease-style readability per document, from three
+    vectorized regex counts (words = \\S+ runs, sentences = [.!?]+
+    runs clamped to ≥1, syllable proxy = [aeiouyAEIOUY]+ vowel
+    groups): 206.835 − 1.015·(W/S) − 84.6·(V/W).  Counts are exact
+    int64; the score carries the 6-dp contract.  Map-only — no
+    shuffle at any scale; docs with zero words are excluded (score
+    undefined), exactly as in the oracle's WHERE."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(b: pa.Table) -> pa.Table:
+        w = pc.count_substring_regex(b["text"], r"\S+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        s = pc.count_substring_regex(b["text"], r"[.!?]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        v = pc.count_substring_regex(b["text"], r"[aeiouyAEIOUY]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = w > 0
+        w, v = w[keep], v[keep]
+        s = np.maximum(s[keep], 1)
+        fl = 206.835 - 1.015 * (w / s) - 84.6 * (v / w)
+        return pa.table({
+            "doc_id": b["doc_id"].filter(pa.array(keep)),
+            "n_words": pa.array(w), "n_sentences": pa.array(s),
+            "n_vowel_groups": pa.array(v),
+            "flesch_r6": pa.array(np.round(fl, 6))})
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def charclass_stats(sf_dir: str):
+    """Per-language character-class profile — mojibake / boilerplate
+    drift signal: exact counts of total, digit [0-9], upper [A-Z]
+    and whitespace (\\s) characters, plus 6-dp ratios.  Per-block
+    (lang, sums) partials pre-reduce map-side; tiered combine (driver
+    fold below the shared gate, native Sum groupby above)."""
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        tot = pc.utf8_length(b["text"]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        dig = pc.count_substring_regex(b["text"], r"[0-9]") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        upp = pc.count_substring_regex(b["text"], r"[A-Z]") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ws = pc.count_substring_regex(b["text"], r"\s") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"lang": b["lang"].to_pandas(), "n_chars": tot,
+                           "n_digit": dig, "n_upper": upp, "n_ws": ws})
+        agg = (df.groupby("lang", as_index=False)
+               [["n_chars", "n_digit", "n_upper", "n_ws"]].sum())
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    cols = ["n_chars", "n_digit", "n_upper", "n_ws"]
+    if n_rows is not None and n_rows <= RANK_DRIVER_MAX_ROWS:
+        agg = (_parts_pandas(parts_ds,
+                             {"lang": object, **{c: np.int64
+                                                 for c in cols}})
+               .groupby("lang", as_index=False)[cols].sum())
+    else:
+        agg = (parts_ds.groupby("lang")
+               .aggregate(*[Sum(c, alias_name=c) for c in cols])
+               .to_pandas())
+    for c in cols:
+        agg[c] = agg[c].astype(np.int64)
+    tot = agg.n_chars.to_numpy(np.float64)
+    agg["digit_ratio_r6"] = np.round(agg.n_digit.to_numpy() / tot, 6)
+    agg["upper_ratio_r6"] = np.round(agg.n_upper.to_numpy() / tot, 6)
+    agg["ws_ratio_r6"] = np.round(agg.n_ws.to_numpy() / tot, 6)
+    return agg.sort_values("lang").reset_index(drop=True)

@@ -108,7 +108,8 @@ SQL_CHECKED = [
     "returning_users_daily", "video_frame_features",
     "nation_trade_volume", "promo_revenue_share",
     "top_returned_customers", "user_pagerank", "user_triangle_stats",
-    "table_fingerprint",
+    "table_fingerprint", "term_overlap_topk", "readability_scores",
+    "charclass_stats",
 ]
 
 

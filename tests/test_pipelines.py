@@ -1660,3 +1660,31 @@ def test_round4_wave28_tiers_agree(ray_session, monkeypatch):
     fp = A.table_fingerprint(sf)
     assert (fp.n_rows > 0).all()
     assert fp.fp60.nunique() == len(fp)
+
+def test_round4_wave29_tiers_agree(ray_session, monkeypatch):
+    """term_overlap_topk (driver pandas fold vs banded-vocab semi-join
+    + groupby(token) pair expansion + native Sum + per-group top-1),
+    charclass_stats (driver fold vs native Sum groupby).
+    readability_scores is map-only (no tier)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_o = A.term_overlap_topk(sf)
+    fast_c = A.charclass_stats(sf)
+
+    monkeypatch.setattr(A, "RANK_DRIVER_MAX_ROWS", 0)
+    slow_o = A.term_overlap_topk(sf)[list(fast_o.columns)]
+    slow_c = A.charclass_stats(sf)[list(fast_c.columns)]
+    assert len(fast_o) > 0 and fast_o.equals(slow_o)
+    assert len(fast_c) > 0 and fast_c.equals(slow_c)
+
+    # retrieval scores are positive exact ints; no self-matches
+    assert (fast_o["dot"] >= 1).all()
+    assert (fast_o.doc_id != fast_o.best_doc).all()
+    # ratios bounded and consistent with the exact counts
+    assert ((fast_c.digit_ratio_r6 >= 0) & (fast_c.ws_ratio_r6 <= 1)).all()
+    assert (fast_c.n_digit + fast_c.n_upper <= fast_c.n_chars).all()
+
+    r = A.readability_scores(sf)
+    assert len(r) > 0 and (r.n_words >= 1).all() \
+        and (r.n_sentences >= 1).all()
