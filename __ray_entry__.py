@@ -1282,6 +1282,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_overlap_topk": A.term_overlap_topk,
         "readability_scores": A.readability_scores,
         "charclass_stats": A.charclass_stats,
+        # round-4 wave 30: range partitioner / CUSUM / seasonality
+        "range_shard_bounds": A.range_shard_bounds,
+        "cusum_changepoints": A.cusum_changepoints,
+        "hour_of_day_profile": A.hour_of_day_profile,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -3121,6 +3125,57 @@ def oracle_sql() -> dict[str, str]:
             " AS upper_ratio_r6,"
             " ROUND(CAST(n_ws AS DOUBLE) / n_chars, 6) AS ws_ratio_r6"
             " FROM c ORDER BY lang",
+        # equi-depth range partitioner: cut i = smallest cents with
+        # cum >= ceil(i*N/k) (exact integer ceiling), shard = #cuts <
+        # cents — decided on the value-cardinality table on both sides
+        "range_shard_bounds":
+            "WITH c AS (SELECT CAST(ROUND(value * 100) AS BIGINT)"
+            " AS cents, CAST(COUNT(*) AS BIGINT) AS n FROM events"
+            " GROUP BY 1), "
+            "cum AS (SELECT cents, n, SUM(n) OVER (ORDER BY cents)"
+            " AS cum, (SELECT SUM(n) FROM c) AS tot FROM c), "
+            "b AS (SELECT unnest(generate_series(1, 7)) AS i), "
+            "bounds AS (SELECT b.i, MIN(cum.cents) AS cut FROM cum"
+            " CROSS JOIN b WHERE cum.cum >= (b.i * cum.tot + 7) // 8"
+            " GROUP BY b.i), "
+            "sh AS (SELECT cents, n, (SELECT COUNT(*) FROM bounds"
+            " WHERE cut < cents) AS shard FROM cum) "
+            "SELECT CAST(shard AS BIGINT) AS shard,"
+            " CAST(SUM(n) AS BIGINT) AS n_rows,"
+            " MIN(cents) AS min_cents, MAX(cents) AS max_cents"
+            " FROM sh GROUP BY shard ORDER BY shard",
+        # exact-integer CUSUM change point per type: the walk uses
+        # x_d*D - total (mean-deviation scaled by the day count, so
+        # no float exists); max |S|, ties to the earliest day
+        "cusum_changepoints":
+            "WITH d AS (SELECT event_type,"
+            " CAST(epoch(date_trunc('day', ts)) AS BIGINT)"
+            " AS day_epoch, CAST(COUNT(*) AS BIGINT) AS x"
+            " FROM events GROUP BY 1, 2), "
+            "t AS (SELECT event_type, SUM(x) AS tot,"
+            " CAST(COUNT(*) AS BIGINT) AS nd FROM d GROUP BY 1), "
+            "s AS (SELECT d.event_type, d.day_epoch, t.nd,"
+            " CAST(SUM(d.x * t.nd - t.tot) OVER (PARTITION BY"
+            " d.event_type ORDER BY d.day_epoch) AS BIGINT) AS cus"
+            " FROM d JOIN t USING (event_type)), "
+            "r AS (SELECT event_type, day_epoch, nd, ABS(cus) AS a,"
+            " ROW_NUMBER() OVER (PARTITION BY event_type"
+            " ORDER BY ABS(cus) DESC, day_epoch) AS rn FROM s) "
+            "SELECT event_type, day_epoch AS cp_day_epoch,"
+            " CAST(a AS BIGINT) AS max_abs_cusum, nd AS n_days"
+            " FROM r WHERE rn = 1 ORDER BY event_type",
+        # cyclic hour-of-day profile: exact counts/cents, 6-dp share
+        # of the type's total computed AFTER the global sums
+        "hour_of_day_profile":
+            "WITH g AS (SELECT event_type,"
+            " CAST(hour(ts) AS BIGINT) AS hod,"
+            " CAST(COUNT(*) AS BIGINT) AS n,"
+            " CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)"
+            " AS sum_cents FROM events GROUP BY 1, 2) "
+            "SELECT event_type, hod, n, sum_cents,"
+            " ROUND(CAST(n AS DOUBLE) / SUM(n) OVER"
+            " (PARTITION BY event_type), 6) AS share_r6"
+            " FROM g ORDER BY event_type, hod",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

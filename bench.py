@@ -217,7 +217,8 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "top_returned_customers", "user_pagerank",
                "user_triangle_stats", "table_fingerprint",
                "term_overlap_topk", "readability_scores",
-               "charclass_stats"]
+               "charclass_stats", "range_shard_bounds",
+               "cusum_changepoints", "hour_of_day_profile"]
 
 
 def run_queries() -> dict[str, float]:

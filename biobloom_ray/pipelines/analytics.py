@@ -7759,3 +7759,145 @@ def charclass_stats(sf_dir: str):
     agg["upper_ratio_r6"] = np.round(agg.n_upper.to_numpy() / tot, 6)
     agg["ws_ratio_r6"] = np.round(agg.n_ws.to_numpy() / tot, 6)
     return agg.sort_values("lang").reset_index(drop=True)
+
+
+# -- round-4 wave 30: range partitioner + CUSUM + seasonal profile ----------
+
+def range_shard_bounds(sf_dir: str, n_shards: int = 8):
+    """Equi-depth RANGE PARTITIONER — the primitive behind every
+    distributed sort / range-partitioned write: exact k-quantile cut
+    points over event value cents and the resulting per-shard row
+    counts.  KEY INSIGHT (same as value_decile_stats): cuts and shard
+    populations are decided by the VALUE-CARDINALITY count table
+    alone — the corpus reduces to (cents → n) partials (driver fold
+    below the shared events gate, native Sum groupby above) and the
+    bound walk runs on the value-domain-bounded table.  Cut i is the
+    smallest cents whose cumulative count ≥ ⌈i·N/k⌉ (exact integer
+    ceiling); a row's shard is the number of cuts < its cents, so
+    equal values never split across shards (the property a
+    range-partitioned write needs for deterministic resume)."""
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = _cents_away(b["value"].to_numpy(zero_copy_only=False))
+        u, c = np.unique(cents, return_counts=True)
+        return pa.table({"cents": pa.array(u),
+                         "n": pa.array(c.astype(np.int64))})
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        counts = (_parts_pandas(parts_ds, {"cents": np.int64,
+                                           "n": np.int64})
+                  .groupby("cents", as_index=False)["n"].sum())
+    else:
+        counts = (parts_ds.groupby("cents")
+                  .aggregate(Sum("n", alias_name="n")).to_pandas())
+    counts = counts.sort_values("cents").reset_index(drop=True)
+    if len(counts) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in ["shard", "n_rows", "min_cents",
+                                       "max_cents"]})
+    cents = counts.cents.to_numpy(np.int64)
+    n = counts.n.to_numpy(np.int64)
+    cum = np.cumsum(n)
+    total = int(cum[-1])
+    cuts = np.array(
+        [cents[np.searchsorted(cum, (i * total + n_shards - 1)
+                               // n_shards)]
+         for i in range(1, n_shards)], dtype=np.int64)
+    shard = np.searchsorted(cuts, cents, side="left").astype(np.int64)
+    df = pd.DataFrame({"shard": shard, "cents": cents, "n": n})
+    out = (df.groupby("shard", as_index=False)
+           .agg(n_rows=("n", "sum"), min_cents=("cents", "min"),
+                max_cents=("cents", "max")))
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("shard").reset_index(drop=True)
+
+
+def cusum_changepoints(sf_dir: str):
+    """Change-point detection per event type over the daily count
+    series — EXACT-INTEGER CUSUM: the walk accumulates
+    S_d = Σ (x_d·D − total)  (the textbook cusum of deviations from
+    the mean, scaled by the day count D so nothing is ever a float),
+    and the change point is the day with max |S_d| (ties → earliest
+    day).  The corpus reduces to the (type, day) rollup (tiered);
+    the prefix walk runs on the output-scale series table."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = (pc.floor_temporal(b["ts"], unit="day")
+               .cast(pa.timestamp("s")).cast(pa.int64()))
+        df = pd.DataFrame({
+            "event_type": b["event_type"].to_pandas(),
+            "day_epoch": day.to_numpy(zero_copy_only=False)})
+        agg = (df.groupby(["event_type", "day_epoch"], as_index=False)
+               .size().rename(columns={"size": "x"}))
+        agg["x"] = agg["x"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        daily = (_parts_pandas(parts_ds,
+                               {"event_type": object,
+                                "day_epoch": np.int64, "x": np.int64})
+                 .groupby(["event_type", "day_epoch"], as_index=False)
+                 ["x"].sum())
+    else:
+        daily = (parts_ds.groupby(["event_type", "day_epoch"])
+                 .aggregate(Sum("x", alias_name="x")).to_pandas())
+    rows = []
+    for et, g in daily.sort_values("day_epoch").groupby("event_type"):
+        x = g.x.to_numpy(np.int64)
+        days = g.day_epoch.to_numpy(np.int64)
+        tot, nd = int(x.sum()), len(x)
+        cus = np.cumsum(x * nd - tot)
+        i = np.lexsort((days, -np.abs(cus)))[0]
+        rows.append((et, int(days[i]), int(abs(cus[i])), nd))
+    out = pd.DataFrame(rows, columns=["event_type", "cp_day_epoch",
+                                      "max_abs_cusum", "n_days"])
+    for c in ["cp_day_epoch", "max_abs_cusum", "n_days"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def hour_of_day_profile(sf_dir: str):
+    """Cyclic seasonal profile: per (event_type, hour-of-day 0–23)
+    event count, exact value-cents sum, and the hour's share of the
+    type's total (6-dp, computed AFTER the global sums).  Per-block
+    partials pre-reduce to ≤ types×24 rows; tiered combine."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        hod = pc.hour(b["ts"]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = _cents_away(b["value"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({"event_type": b["event_type"].to_pandas(),
+                           "hod": hod, "cents": cents})
+        agg = (df.groupby(["event_type", "hod"], as_index=False)
+               .agg(n=("cents", "size"), sum_cents=("cents", "sum")))
+        agg["n"] = agg["n"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        agg = (_parts_pandas(parts_ds,
+                             {"event_type": object, "hod": np.int64,
+                              "n": np.int64, "sum_cents": np.int64})
+               .groupby(["event_type", "hod"], as_index=False)
+               [["n", "sum_cents"]].sum())
+    else:
+        agg = (parts_ds.groupby(["event_type", "hod"])
+               .aggregate(Sum("n", alias_name="n"),
+                          Sum("sum_cents", alias_name="sum_cents"))
+               .to_pandas())
+    agg["n"] = agg["n"].astype(np.int64)
+    agg["sum_cents"] = agg["sum_cents"].astype(np.int64)
+    tot = agg.groupby("event_type")["n"].transform("sum")
+    agg["share_r6"] = np.round(agg.n.to_numpy(np.float64)
+                               / tot.to_numpy(np.float64), 6)
+    return (agg.sort_values(["event_type", "hod"])
+            .reset_index(drop=True))

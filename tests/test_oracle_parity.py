@@ -109,7 +109,8 @@ SQL_CHECKED = [
     "nation_trade_volume", "promo_revenue_share",
     "top_returned_customers", "user_pagerank", "user_triangle_stats",
     "table_fingerprint", "term_overlap_topk", "readability_scores",
-    "charclass_stats",
+    "charclass_stats", "range_shard_bounds", "cusum_changepoints",
+    "hour_of_day_profile",
 ]
 
 

@@ -1688,3 +1688,34 @@ def test_round4_wave29_tiers_agree(ray_session, monkeypatch):
     r = A.readability_scores(sf)
     assert len(r) > 0 and (r.n_words >= 1).all() \
         and (r.n_sentences >= 1).all()
+
+def test_round4_wave30_tiers_agree(ray_session, monkeypatch):
+    """range_shard_bounds / cusum_changepoints / hour_of_day_profile
+    (driver fold vs native Sum groupby over the count-table / daily /
+    (type,hod) partials)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_s = A.range_shard_bounds(sf)
+    fast_c = A.cusum_changepoints(sf)
+    fast_h = A.hour_of_day_profile(sf)
+
+    monkeypatch.setattr(A, "EVENTS_DRIVER_MAX_ROWS", 0)
+    slow_s = A.range_shard_bounds(sf)[list(fast_s.columns)]
+    slow_c = A.cusum_changepoints(sf)[list(fast_c.columns)]
+    slow_h = A.hour_of_day_profile(sf)[list(fast_h.columns)]
+    assert len(fast_s) > 0 and fast_s.equals(slow_s)
+    assert len(fast_c) > 0 and fast_c.equals(slow_c)
+    assert len(fast_h) > 0 and fast_h.equals(slow_h)
+
+    # shards are equi-depth within one value-run: every shard within
+    # 2x of the ideal N/8 on this fixture, ranges non-overlapping
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["event_id"])
+    assert fast_s.n_rows.sum() == len(ev)
+    assert (fast_s.min_cents.to_numpy()[1:]
+            > fast_s.max_cents.to_numpy()[:-1]).all()
+    # cusum: one row per type, |S| positive on this fixture
+    assert fast_c.event_type.is_unique
+    # hod shares sum to 1 per type (6-dp rounding slack)
+    s = fast_h.groupby("event_type")["share_r6"].sum()
+    assert ((s - 1.0).abs() < 1e-4).all()
