@@ -3082,7 +3082,7 @@ def oracle_sql() -> dict[str, str]:
             "tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT)"
             " AS tf FROM tok GROUP BY 1, 2), "
             "band AS (SELECT token FROM tf GROUP BY token"
-            " HAVING COUNT(*) BETWEEN 2 AND 50), "
+            " HAVING COUNT(*) BETWEEN 2 AND 400), "
             "pair AS (SELECT a.doc_id AS da, b.doc_id AS db,"
             " CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot"
             " FROM tf a JOIN band USING (token)"

@@ -7515,13 +7515,27 @@ def user_triangle_stats(sf_dir: str):
              .rename(columns={"user_id_a": "ua", "user_id_b": "ub"}))
         if len(e) == 0:
             return stats_from(0, 0, 0, 0)
-        deg = pd.concat([e.ua, e.ub]).value_counts()
+        nodes, ia = np.unique(
+            np.r_[e.ua.to_numpy(np.int64), e.ub.to_numpy(np.int64)],
+            return_inverse=True)
+        n = len(nodes)
+        deg = np.bincount(ia, minlength=n).astype(np.int64)
         wedges = int((deg * (deg - 1) // 2).sum())
-        w = e.merge(e, left_on="ub", right_on="ua",
-                    suffixes=("_1", "_2"))
-        tri = len(w.merge(e, left_on=["ua_1", "ub_2"],
-                          right_on=["ua", "ub"]))
-        return stats_from(deg.size, len(e), wedges, tri)
+        src, dst = ia[:len(e)], ia[len(e):]
+        if n <= 4096:
+            # dense adjacency: Δ = Σ (A²∘A)/6 — one float64 matmul
+            # (counts ≪ 2^53, exact) beats the two merges ~20×
+            A = np.zeros((n, n), dtype=np.float64)
+            A[src, dst] = 1.0
+            A[dst, src] = 1.0
+            tri = int(round(((A @ A) * A).sum() / 6.0))
+        else:
+            ed = pd.DataFrame({"ua": src, "ub": dst})
+            w = ed.merge(ed, left_on="ub", right_on="ua",
+                         suffixes=("_1", "_2"))
+            tri = len(w.merge(ed, left_on=["ua_1", "ub_2"],
+                              right_on=["ua", "ub"]))
+        return stats_from(n, len(e), wedges, tri)
 
     from biobloom_ray.io import hash_join
 
@@ -7597,11 +7611,11 @@ def table_fingerprint(sf_dir: str):
 
 # -- round-4 wave 29: retrieval-join + webtext readability/charclass --------
 
-def term_overlap_topk(sf_dir: str, df_lo: int = 2, df_hi: int = 50):
+def term_overlap_topk(sf_dir: str, df_lo: int = 2, df_hi: int = 400):
     """Sparse lexical retrieval as an INDEX SELF-JOIN: for every doc,
     the best other doc by integer term-frequency dot product
     Σ_t tf_a(t)·tf_b(t) over the df-banded vocabulary (df in
-    [df_lo, df_hi] — the same band inverted_index uses, which bounds
+    [df_lo, df_hi] — the inverted_index banding idea, which bounds
     every posting list and hence every token's pair expansion at
     df_hi² ≪ corpus²).  All scores are exact int64 (no float ranking
     anywhere); ties break to the smaller doc id.  Cluster tier: tf
