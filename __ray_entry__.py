@@ -1286,6 +1286,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_shard_bounds": A.range_shard_bounds,
         "cusum_changepoints": A.cusum_changepoints,
         "hour_of_day_profile": A.hour_of_day_profile,
+        # round-4 wave 31: distinct-over-join / join-size / PCA
+        "supplier_part_coverage": A.supplier_part_coverage,
+        "join_size_exact": A.join_size_exact,
+        "join_size_cms": A.join_size_cms,
+        "embedding_top_pc": A.embedding_top_pc,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -3176,6 +3181,26 @@ def oracle_sql() -> dict[str, str]:
             " ROUND(CAST(n AS DOUBLE) / SUM(n) OVER"
             " (PARTITION BY event_type), 6) AS share_r6"
             " FROM g ORDER BY event_type, hod",
+        # Q16 shape: distinct suppliers/parts per (brand, type) from
+        # the deduped lineitem pair table
+        "supplier_part_coverage":
+            "WITH lp AS (SELECT DISTINCT l_partkey AS pk,"
+            " l_suppkey AS sk FROM lineitem) "
+            "SELECT p.p_brand, p.p_type,"
+            " CAST(COUNT(DISTINCT lp.sk) AS BIGINT) AS n_suppliers,"
+            " CAST(COUNT(DISTINCT lp.pk) AS BIGINT) AS n_parts,"
+            " CAST(COUNT(*) AS BIGINT) AS n_pairs"
+            " FROM lp JOIN part p ON lp.pk = p.p_partkey"
+            " GROUP BY 1, 2 ORDER BY 1, 2",
+        # exact equi-join cardinality: sum of per-user count products
+        "join_size_exact":
+            "WITH a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c"
+            " FROM events WHERE event_type = 'view' GROUP BY 1), "
+            "b AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c"
+            " FROM events WHERE event_type = 'purchase' GROUP BY 1) "
+            "SELECT CAST(COALESCE(SUM(a.c * b.c), 0) AS BIGINT)"
+            " AS join_size, CAST(COUNT(*) AS BIGINT)"
+            " AS n_matching_users FROM a JOIN b USING (user_id)",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

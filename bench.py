@@ -218,7 +218,9 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "user_triangle_stats", "table_fingerprint",
                "term_overlap_topk", "readability_scores",
                "charclass_stats", "range_shard_bounds",
-               "cusum_changepoints", "hour_of_day_profile"]
+               "cusum_changepoints", "hour_of_day_profile",
+               "supplier_part_coverage", "join_size_exact",
+               "join_size_cms", "embedding_top_pc"]
 
 
 def run_queries() -> dict[str, float]:

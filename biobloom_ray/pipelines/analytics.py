@@ -7915,3 +7915,239 @@ def hour_of_day_profile(sf_dir: str):
                                / tot.to_numpy(np.float64), 6)
     return (agg.sort_values(["event_type", "hod"])
             .reset_index(drop=True))
+
+
+# -- round-4 wave 31: distinct-over-join / sketch join-size / PCA -----------
+
+def supplier_part_coverage(sf_dir: str):
+    """TPC-H Q16 shape — per (brand, type): distinct suppliers,
+    distinct parts, and distinct (part, supplier) pair count observed
+    in lineitem.  The fact table reduces per block to distinct
+    (partkey, suppkey) pairs; below the gate the driver folds them
+    with the part dims broadcast; above it ONE native pair dedup
+    groupby, a hash join against the pruned part table, and two
+    disjoint-key distinct rollups finish — every shuffled row is a
+    narrow pair, never a lineitem."""
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_brand", "p_type"])
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "pk": b["l_partkey"].to_numpy(zero_copy_only=False),
+            "sk": b["l_suppkey"].to_numpy(zero_copy_only=False)})
+        return pa.Table.from_pandas(df.drop_duplicates(),
+                                    preserve_index=False)
+
+    pairs_ds = li.map_batches(pair_partial, batch_format="pyarrow")
+    n_rows = _cheap_count(li)
+
+    def finish(tagged: pd.DataFrame) -> pd.DataFrame:
+        out = (tagged.groupby(["p_brand", "p_type"], as_index=False)
+               .agg(n_suppliers=("sk", "nunique"),
+                    n_parts=("pk", "nunique"),
+                    n_pairs=("sk", "size")))
+        for c in ["n_suppliers", "n_parts", "n_pairs"]:
+            out[c] = out[c].astype(np.int64)
+        return (out.sort_values(["p_brand", "p_type"])
+                .reset_index(drop=True))
+
+    if n_rows is not None and n_rows <= LINEITEM_DRIVER_MAX_ROWS:
+        pairs = (_parts_pandas(pairs_ds, {"pk": np.int64, "sk": np.int64})
+                 .drop_duplicates())
+        pd_ = part.to_pandas()
+        tagged = pairs.merge(pd_, left_on="pk", right_on="p_partkey")
+        return finish(tagged)
+
+    from biobloom_ray.io import hash_join
+
+    dedup = (pairs_ds.groupby(["pk", "sk"])
+             .aggregate(Count(alias_name="_c"))
+             .map_batches(lambda b: b.drop_columns(["_c"]),
+                          batch_format="pyarrow"))
+    tagged = hash_join(dedup, part, on=("pk",), right_on=("p_partkey",))
+
+    def bt_partial(cols):
+        def fn(b: pa.Table) -> pa.Table:
+            df = pd.DataFrame({c: (b[c].to_pandas() if c.startswith("p_")
+                                   else b[c].to_numpy(
+                                       zero_copy_only=False))
+                               for c in cols})
+            return pa.Table.from_pandas(df.drop_duplicates(),
+                                        preserve_index=False)
+        return fn
+
+    # the tagged pair table is already distinct on (pk, sk); the two
+    # distinct rollups dedup on their own key then count per group
+    sup = (tagged.map_batches(bt_partial(["p_brand", "p_type", "sk"]),
+                              batch_format="pyarrow")
+           .groupby(["p_brand", "p_type", "sk"])
+           .aggregate(Count(alias_name="_c"))
+           .map_batches(lambda b: pa.table({
+               "p_brand": b["p_brand"], "p_type": b["p_type"],
+               "one": pa.array(np.ones(b.num_rows, np.int64))}),
+               batch_format="pyarrow")
+           .groupby(["p_brand", "p_type"])
+           .aggregate(Sum("one", alias_name="n_suppliers")).to_pandas())
+    prt = (tagged.map_batches(bt_partial(["p_brand", "p_type", "pk"]),
+                              batch_format="pyarrow")
+           .groupby(["p_brand", "p_type", "pk"])
+           .aggregate(Count(alias_name="_c"))
+           .map_batches(lambda b: pa.table({
+               "p_brand": b["p_brand"], "p_type": b["p_type"],
+               "one": pa.array(np.ones(b.num_rows, np.int64))}),
+               batch_format="pyarrow")
+           .groupby(["p_brand", "p_type"])
+           .aggregate(Sum("one", alias_name="n_parts")).to_pandas())
+    npair = (tagged.map_batches(
+        lambda b: pa.table({"p_brand": b["p_brand"],
+                            "p_type": b["p_type"],
+                            "one": pa.array(np.ones(b.num_rows,
+                                                    np.int64))}),
+        batch_format="pyarrow")
+        .groupby(["p_brand", "p_type"])
+        .aggregate(Sum("one", alias_name="n_pairs")).to_pandas())
+    out = (sup.merge(prt, on=["p_brand", "p_type"])
+           .merge(npair, on=["p_brand", "p_type"]))
+    for c in ["n_suppliers", "n_parts", "n_pairs"]:
+        out[c] = out[c].astype(np.int64)
+    out = out[["p_brand", "p_type", "n_suppliers", "n_parts", "n_pairs"]]
+    return (out.sort_values(["p_brand", "p_type"])
+            .reset_index(drop=True))
+
+
+def _user_type_counts(sf_dir: str, ta: str, tb: str) -> pd.DataFrame:
+    """Tiered (user, c_a, c_b) frequency table for the two event-type
+    slices — the shared input of the exact and CMS join-size ops."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        m = (et == ta) | (et == tb)
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False)[m],
+            "is_a": (et[m] == ta).astype(np.int64)})
+        agg = (df.groupby("user_id", as_index=False)
+               .agg(ca=("is_a", "sum"), n=("is_a", "size")))
+        agg["cb"] = (agg.n - agg.ca).astype(np.int64)
+        return pa.Table.from_pandas(agg[["user_id", "ca", "cb"]],
+                                    preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        return (_parts_pandas(parts_ds,
+                              {"user_id": np.int64, "ca": np.int64,
+                               "cb": np.int64})
+                .groupby("user_id", as_index=False)[["ca", "cb"]].sum())
+    return (parts_ds.groupby("user_id")
+            .aggregate(Sum("ca", alias_name="ca"),
+                       Sum("cb", alias_name="cb")).to_pandas())
+
+
+def join_size_exact(sf_dir: str, ta: str = "view", tb: str = "purchase"):
+    """EXACT equi-join cardinality |σ_{type=a}(events) ⋈_user
+    σ_{type=b}(events)| = Σ_u c_a(u)·c_b(u) — the number the query
+    planner needs before picking a join strategy.  One tiered
+    (user, c_a, c_b) rollup; the Σ of products runs on the user-scale
+    table.  All int64-exact."""
+    uc = _user_type_counts(sf_dir, ta, tb)
+    both = uc[(uc.ca > 0) & (uc.cb > 0)]
+    return pd.DataFrame({
+        "join_size": [np.int64((both.ca.to_numpy(np.int64)
+                                * both.cb.to_numpy(np.int64)).sum())],
+        "n_matching_users": [np.int64(len(both))]})
+
+
+def join_size_cms(sf_dir: str, ta: str = "view", tb: str = "purchase",
+                  eps: float = 0.0005, delta: float = 0.01):
+    """Sketch-estimated join cardinality: one Count-Min sketch per
+    side built from per-block blob partials (associative merge), then
+    the Cormode–Muthukrishnan inner-product estimate min_r Σ_j
+    a[r,j]·b[r,j].  Guarantees (pytest-pinned): est ≥ exact always,
+    est ≤ exact + ε·N_a·N_b w.p. ≥ 1−δ.  The exact twin rides along
+    for the error column; at corpus scale only the sketches move."""
+    from biobloom_ray.hashing import splitmix64
+    from biobloom_ray.sketches.cms import CountMinSketch
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        uid = b["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        blobs, kinds = [], []
+        for kind, m in (("a", et == ta), ("b", et == tb)):
+            cms = CountMinSketch.for_error(eps, delta)
+            keys = splitmix64(uid[m])
+            cms.update(keys, 1)
+            blobs.append(cms.serialize())
+            kinds.append(kind)
+        return pa.table({"kind": pa.array(kinds),
+                         "blob": pa.array(blobs,
+                                          type=pa.large_binary())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    sk = {"a": None, "b": None}
+    for r in rows:
+        c = CountMinSketch.deserialize(r["blob"])
+        sk[r["kind"]] = c if sk[r["kind"]] is None \
+            else sk[r["kind"]].merge(c)
+    est = sk["a"].inner_product(sk["b"]) if sk["a"] and sk["b"] else 0
+    exact = int(join_size_exact(sf_dir, ta, tb).join_size.iloc[0])
+    na = sk["a"].n if sk["a"] else 0
+    nb = sk["b"].n if sk["b"] else 0
+    return pd.DataFrame({
+        "join_size_cms": [np.int64(est)],
+        "join_size_exact": [np.int64(exact)],
+        "abs_err": [np.int64(est - exact)],
+        "eps_bound": [np.int64(int(np.ceil(eps * na * nb)))]})
+
+
+def embedding_top_pc(sf_dir: str):
+    """Distributed PCA, top principal component: each block
+    contributes the moment partials (n, Σx, XᵀX) — d and d² numbers
+    per block, never rows — which fold associatively into the exact
+    covariance; the d×d eigendecomposition runs on the driver
+    (d = embedding dim, data-scale-free — the same driver-matrix
+    regime as the k-means centroid update).  Sign fixed by the
+    largest-|loading| component.  Output: one row per dimension with
+    the 6-dp loading, plus the explained-variance ratio."""
+    from biobloom_ray.stages.ann import _matrix
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = _matrix(b["embedding"])
+        return pa.table({
+            "n": pa.array([m.shape[0]], pa.int64()),
+            "s": pa.array([np.ascontiguousarray(
+                m.sum(axis=0)).tobytes()], pa.large_binary()),
+            "xtx": pa.array([np.ascontiguousarray(
+                m.T @ m).tobytes()], pa.large_binary())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if not rows:
+        return pd.DataFrame({
+            "dim": pd.Series([], dtype=np.int64),
+            "loading_r6": pd.Series([], dtype=np.float64),
+            "explained_var_r6": pd.Series([], dtype=np.float64)})
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.frombuffer(r["s"], dtype=np.float64) for r in rows],
+               axis=0)
+    d = len(s)
+    xtx = np.sum([np.frombuffer(r["xtx"],
+                                dtype=np.float64).reshape(d, d)
+                  for r in rows], axis=0)
+    mu = s / n
+    cov = xtx / n - np.outer(mu, mu)
+    w, vecs = np.linalg.eigh(cov)
+    v = vecs[:, -1]
+    lam = float(w[-1])
+    if v[np.argmax(np.abs(v))] < 0:
+        v = -v
+    evr = lam / float(np.trace(cov))
+    return pd.DataFrame({
+        "dim": np.arange(d, dtype=np.int64),
+        "loading_r6": np.round(v, 6),
+        "explained_var_r6": np.round(np.full(d, evr), 6)})

@@ -73,6 +73,17 @@ class CountMinSketch:
         self.n += other.n
         return self
 
+    def inner_product(self, other: "CountMinSketch") -> int:
+        """Join-size / inner-product estimate  min_r Σ_j a[r,j]·b[r,j]
+        (Cormode & Muthukrishnan 2005 §4.2): an UPPER bound on the true
+        Σ_k f_a(k)·f_b(k), within ε·N_a·N_b of it w.p. ≥ 1−δ.  Both
+        sketches must share (depth, width, seed)."""
+        if (self.depth, self.width, self.seed) != (
+                other.depth, other.width, other.seed):
+            raise ValueError("cannot inner-product incompatible CMS")
+        return int((self.counts.astype(np.object_)
+                    * other.counts).sum(axis=1).min())
+
     @property
     def eps(self) -> float:
         return math.e / self.width

@@ -110,7 +110,7 @@ SQL_CHECKED = [
     "top_returned_customers", "user_pagerank", "user_triangle_stats",
     "table_fingerprint", "term_overlap_topk", "readability_scores",
     "charclass_stats", "range_shard_bounds", "cusum_changepoints",
-    "hour_of_day_profile",
+    "hour_of_day_profile", "supplier_part_coverage", "join_size_exact",
 ]
 
 

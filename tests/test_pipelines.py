@@ -1719,3 +1719,43 @@ def test_round4_wave30_tiers_agree(ray_session, monkeypatch):
     # hod shares sum to 1 per type (6-dp rounding slack)
     s = fast_h.groupby("event_type")["share_r6"].sum()
     assert ((s - 1.0).abs() < 1e-4).all()
+
+def test_round4_wave31_tiers_agree(ray_session, monkeypatch):
+    """supplier_part_coverage (driver fold + broadcast dims vs native
+    pair dedup + hash join + distinct rollups), join_size_exact
+    (driver fold vs native Sum groupby).  join_size_cms and
+    embedding_top_pc fold blob partials (associative, no gate):
+    pinned against their exact twins here."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_c = A.supplier_part_coverage(sf)
+    fast_j = A.join_size_exact(sf)
+
+    monkeypatch.setattr(A, "LINEITEM_DRIVER_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "EVENTS_DRIVER_MAX_ROWS", 0)
+    slow_c = A.supplier_part_coverage(sf)[list(fast_c.columns)]
+    slow_j = A.join_size_exact(sf)[list(fast_j.columns)]
+    assert len(fast_c) > 0 and fast_c.equals(slow_c)
+    assert fast_j.equals(slow_j)
+    assert (fast_c.n_suppliers <= fast_c.n_pairs).all()
+    assert (fast_c.n_parts <= fast_c.n_pairs).all()
+
+    # CMS join-size estimate: upper bound that respects the eps band
+    cms = A.join_size_cms(sf)
+    exact = int(fast_j.join_size.iloc[0])
+    est = int(cms.join_size_cms.iloc[0])
+    assert est >= exact > 0
+    assert est - exact <= int(cms.eps_bound.iloc[0])
+
+    # PCA power iteration matches a direct dense eigendecomposition
+    pc1 = A.embedding_top_pc(sf)
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    X = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    cov = np.cov(X, rowvar=False, bias=True)
+    w, v = np.linalg.eigh(cov)
+    top = v[:, -1]
+    got = pc1.loading_r6.to_numpy()
+    align = abs(float(got @ top) / (np.linalg.norm(got) or 1.0))
+    assert align > 0.999999
+    assert 0.0 < pc1.explained_var_r6.iloc[0] <= 1.0
