@@ -1291,6 +1291,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_size_exact": A.join_size_exact,
         "join_size_cms": A.join_size_cms,
         "embedding_top_pc": A.embedding_top_pc,
+        # round-4 wave 32: gaps-and-islands / SLA join / Benford
+        "user_activity_streaks": A.user_activity_streaks,
+        "order_fill_rate": A.order_fill_rate,
+        "value_benford_deviation": A.value_benford_deviation,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -3201,6 +3205,52 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(COALESCE(SUM(a.c * b.c), 0) AS BIGINT)"
             " AS join_size, CAST(COUNT(*) AS BIGINT)"
             " AS n_matching_users FROM a JOIN b USING (user_id)",
+        # gaps-and-islands: longest consecutive-day streak per user
+        # (classic day - ROW_NUMBER() island key)
+        "user_activity_streaks":
+            "WITH ud AS (SELECT DISTINCT user_id,"
+            " CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400"
+            " AS day FROM events), "
+            "g AS (SELECT user_id, day, day - ROW_NUMBER() OVER"
+            " (PARTITION BY user_id ORDER BY day) AS grp FROM ud), "
+            "runs AS (SELECT user_id, grp,"
+            " CAST(COUNT(*) AS BIGINT) AS len FROM g GROUP BY 1, 2) "
+            "SELECT user_id, MAX(len) AS max_streak_days,"
+            " CAST(COUNT(*) AS BIGINT) AS n_runs FROM runs"
+            " GROUP BY 1 ORDER BY 1",
+        # fact-to-fact SLA join: first-ship-within-7-days rate per
+        # order priority; whole-day epoch arithmetic on both sides
+        "order_fill_rate":
+            "WITH f AS (SELECT l_orderkey,"
+            " MIN(CAST(epoch(date_trunc('day', l_shipdate)) AS BIGINT))"
+            " AS ship_day FROM lineitem GROUP BY 1) "
+            "SELECT o.o_orderpriority,"
+            " CAST(COUNT(*) AS BIGINT) AS n_orders,"
+            " CAST(SUM(CASE WHEN f.ship_day -"
+            " CAST(epoch(date_trunc('day', o.o_orderdate)) AS BIGINT)"
+            " <= 604800 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_sla,"
+            " ROUND(CAST(SUM(CASE WHEN f.ship_day -"
+            " CAST(epoch(date_trunc('day', o.o_orderdate)) AS BIGINT)"
+            " <= 604800 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)"
+            " AS fill_rate_r6"
+            " FROM orders o JOIN f ON o.o_orderkey = f.l_orderkey"
+            " GROUP BY 1 ORDER BY 1",
+        # Benford leading-digit screen: exact digit counts per type,
+        # 6-dp chi-square terms vs log10(1 + 1/d)
+        "value_benford_deviation":
+            "WITH c AS (SELECT event_type,"
+            " CAST(substr(CAST(CAST(ROUND(value * 100) AS BIGINT)"
+            " AS VARCHAR), 1, 1) AS BIGINT) AS digit"
+            " FROM events WHERE CAST(ROUND(value * 100) AS BIGINT)"
+            " > 0), "
+            "g AS (SELECT event_type, digit,"
+            " CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY 1, 2), "
+            "g2 AS (SELECT event_type, digit, n,"
+            " SUM(n) OVER (PARTITION BY event_type)"
+            " * log10(1 + 1.0 / digit) AS e FROM g) "
+            "SELECT event_type, digit, n,"
+            " ROUND((n - e) * (n - e) / e, 6) AS chi2_term_r6"
+            " FROM g2 ORDER BY event_type, digit",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

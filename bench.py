@@ -220,7 +220,9 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "charclass_stats", "range_shard_bounds",
                "cusum_changepoints", "hour_of_day_profile",
                "supplier_part_coverage", "join_size_exact",
-               "join_size_cms", "embedding_top_pc"]
+               "join_size_cms", "embedding_top_pc",
+               "user_activity_streaks", "order_fill_rate",
+               "value_benford_deviation"]
 
 
 def run_queries() -> dict[str, float]:

@@ -8151,3 +8151,186 @@ def embedding_top_pc(sf_dir: str):
         "dim": np.arange(d, dtype=np.int64),
         "loading_r6": np.round(v, 6),
         "explained_var_r6": np.round(np.full(d, evr), 6)})
+
+
+# -- round-4 wave 32: gaps-and-islands / fact-fact SLA / Benford ------------
+
+def user_activity_streaks(sf_dir: str):
+    """Gaps-and-islands: per user, the LONGEST run of consecutive
+    active days and the number of distinct runs.  The corpus reduces
+    to the deduped (user, day) rollup; the island walk is one
+    vectorized pass (run starts where user changes or day−prev ≠ 1;
+    run ids by cumsum; lengths by bincount) — on the driver below the
+    shared gate, inside groupby(user).map_groups above it (per-user
+    day lists are calendar-bounded, the documented group-size
+    class)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = (pc.floor_temporal(b["ts"], unit="day")
+               .cast(pa.timestamp("s")).cast(pa.int64()))
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+            "day": day.to_numpy(zero_copy_only=False) // 86400})
+        return pa.Table.from_pandas(df.drop_duplicates(),
+                                    preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+
+    def streaks_vec(u: np.ndarray, d: np.ndarray) -> pd.DataFrame:
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        new = np.ones(len(u), dtype=bool)
+        new[1:] = (u[1:] != u[:-1]) | (d[1:] - d[:-1] != 1)
+        rid = np.cumsum(new) - 1
+        rlen = np.bincount(rid)
+        ruser = u[new]
+        out = (pd.DataFrame({"user_id": ruser, "len": rlen})
+               .groupby("user_id", as_index=False)
+               .agg(max_streak_days=("len", "max"),
+                    n_runs=("len", "size")))
+        for c in out.columns:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        ud = (_parts_pandas(parts_ds, {"user_id": np.int64,
+                                       "day": np.int64})
+              .drop_duplicates())
+        out = streaks_vec(ud.user_id.to_numpy(np.int64),
+                          ud.day.to_numpy(np.int64))
+        return out.sort_values("user_id").reset_index(drop=True)
+
+    ud_ds = (parts_ds.groupby(["user_id", "day"])
+             .aggregate(Count(alias_name="_c")))
+
+    def per_user(g: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(
+            streaks_vec(g["user_id"].to_numpy(zero_copy_only=False),
+                        g["day"].to_numpy(zero_copy_only=False)),
+            preserve_index=False)
+
+    out = (ud_ds.groupby("user_id")
+           .map_groups(per_user, batch_format="pyarrow").to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def order_fill_rate(sf_dir: str, sla_days: int = 7):
+    """Fact-to-fact SLA join: per order priority, the fraction of
+    orders whose FIRST lineitem ships within ``sla_days`` of the
+    order date.  Lineitem pre-reduces per block to (orderkey,
+    min-ship-day) — the Min is associative, so the shuffle (native
+    Min groupby above the gate, driver fold below) moves one row per
+    order at most; the SLA predicate and the priority rollup run on
+    the order-scale join (broadcast link below the orders gate, hash
+    join above).  Counts exact; rate 6-dp."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate",
+                            "o_orderpriority"])
+
+    def min_partial(b: pa.Table) -> pa.Table:
+        day = (pc.floor_temporal(b["l_shipdate"], unit="day")
+               .cast(pa.timestamp("s")).cast(pa.int64()))
+        df = pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_numpy(zero_copy_only=False),
+            "ship_day": day.to_numpy(zero_copy_only=False)})
+        agg = (df.groupby("l_orderkey", as_index=False)["ship_day"]
+               .min())
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = li.map_batches(min_partial, batch_format="pyarrow")
+    n_li = _cheap_count(li)
+    if n_li is not None and n_li <= LINEITEM_DRIVER_MAX_ROWS:
+        first = (_parts_pandas(parts_ds, {"l_orderkey": np.int64,
+                                          "ship_day": np.int64})
+                 .groupby("l_orderkey", as_index=False)["ship_day"]
+                 .min())
+        od = orders.to_pandas()
+        od["order_day"] = (od.o_orderdate.dt.floor("D")
+                           .astype("datetime64[s]").astype(np.int64))
+        j = od.merge(first, left_on="o_orderkey", right_on="l_orderkey")
+    else:
+        from biobloom_ray.io import hash_join
+
+        first_ds = (parts_ds.groupby("l_orderkey")
+                    .aggregate(Min("ship_day", alias_name="ship_day")))
+
+        def tag_order(b: pa.Table) -> pa.Table:
+            day = (pc.floor_temporal(b["o_orderdate"], unit="day")
+                   .cast(pa.timestamp("s")).cast(pa.int64()))
+            return pa.table({"o_orderkey": b["o_orderkey"],
+                             "o_orderpriority": b["o_orderpriority"],
+                             "order_day": day})
+
+        od_ds = orders.map_batches(tag_order, batch_format="pyarrow")
+        j = hash_join(first_ds, od_ds, on=("l_orderkey",),
+                      right_on=("o_orderkey",)).to_pandas()
+    within = ((j.ship_day.to_numpy(np.int64)
+               - j.order_day.to_numpy(np.int64))
+              <= sla_days * 86400).astype(np.int64)
+    j = j.assign(within=within)
+    out = (j.groupby("o_orderpriority", as_index=False)
+           .agg(n_orders=("within", "size"),
+                n_within_sla=("within", "sum")))
+    out["n_orders"] = out.n_orders.astype(np.int64)
+    out["n_within_sla"] = out.n_within_sla.astype(np.int64)
+    out["fill_rate_r6"] = np.round(
+        out.n_within_sla.to_numpy(np.float64)
+        / out.n_orders.to_numpy(np.float64), 6)
+    return (out.sort_values("o_orderpriority").reset_index(drop=True))
+
+
+def value_benford_deviation(sf_dir: str):
+    """Data-quality screen: leading-significant-digit distribution of
+    positive event value cents per event type vs Benford's law, with
+    the exact digit counts and a 6-dp chi-square statistic.  The
+    leading digit is pure integer arithmetic (repeated //10 — no
+    string pass); per-block (type, digit) partials pre-reduce to
+    ≤ 9·types rows."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def lead_digit(c: np.ndarray) -> np.ndarray:
+        c = c.copy()
+        while (c >= 10).any():
+            c[c >= 10] //= 10
+        return c
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = _cents_away(b["value"].to_numpy(zero_copy_only=False))
+        m = cents > 0
+        d = lead_digit(cents[m])
+        df = pd.DataFrame({
+            "event_type": pd.Series(
+                b["event_type"].to_pandas())[m].to_numpy(dtype=object),
+            "digit": d})
+        agg = (df.groupby(["event_type", "digit"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        agg["n"] = agg["n"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        agg = (_parts_pandas(parts_ds,
+                             {"event_type": object, "digit": np.int64,
+                              "n": np.int64})
+               .groupby(["event_type", "digit"], as_index=False)
+               ["n"].sum())
+    else:
+        agg = (parts_ds.groupby(["event_type", "digit"])
+               .aggregate(Sum("n", alias_name="n")).to_pandas())
+    agg["n"] = agg.n.astype(np.int64)
+    agg["digit"] = agg.digit.astype(np.int64)
+    tot = agg.groupby("event_type")["n"].transform("sum") \
+        .to_numpy(np.float64)
+    p_benford = np.log10(1.0 + 1.0
+                         / agg.digit.to_numpy(np.float64))
+    expected = tot * p_benford
+    agg["chi2_term_r6"] = np.round(
+        (agg.n.to_numpy(np.float64) - expected) ** 2 / expected, 6)
+    return (agg.sort_values(["event_type", "digit"])
+            .reset_index(drop=True))

@@ -111,6 +111,8 @@ SQL_CHECKED = [
     "table_fingerprint", "term_overlap_topk", "readability_scores",
     "charclass_stats", "range_shard_bounds", "cusum_changepoints",
     "hour_of_day_profile", "supplier_part_coverage", "join_size_exact",
+    "user_activity_streaks", "order_fill_rate",
+    "value_benford_deviation",
 ]
 
 

@@ -1759,3 +1759,35 @@ def test_round4_wave31_tiers_agree(ray_session, monkeypatch):
     align = abs(float(got @ top) / (np.linalg.norm(got) or 1.0))
     assert align > 0.999999
     assert 0.0 < pc1.explained_var_r6.iloc[0] <= 1.0
+
+def test_round4_wave32_tiers_agree(ray_session, monkeypatch):
+    """user_activity_streaks (driver island walk vs per-user
+    map_groups of the same vectorized kernel), order_fill_rate
+    (driver Min fold + broadcast link vs native Min groupby + hash
+    join), value_benford_deviation (driver fold vs native Sum
+    groupby)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_s = A.user_activity_streaks(sf)
+    fast_f = A.order_fill_rate(sf)
+    fast_b = A.value_benford_deviation(sf)
+
+    monkeypatch.setattr(A, "EVENTS_DRIVER_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "LINEITEM_DRIVER_MAX_ROWS", 0)
+    slow_s = A.user_activity_streaks(sf)[list(fast_s.columns)]
+    slow_f = A.order_fill_rate(sf)[list(fast_f.columns)]
+    slow_b = A.value_benford_deviation(sf)[list(fast_b.columns)]
+    assert len(fast_s) > 0 and fast_s.equals(slow_s)
+    assert len(fast_f) > 0 and fast_f.equals(slow_f)
+    assert len(fast_b) > 0 and fast_b.equals(slow_b)
+
+    # streak invariants
+    assert (fast_s.max_streak_days >= 1).all()
+    assert (fast_s.n_runs >= 1).all()
+    # SLA rate bounded, within-counts never exceed totals
+    assert (fast_f.n_within_sla <= fast_f.n_orders).all()
+    assert ((fast_f.fill_rate_r6 >= 0) & (fast_f.fill_rate_r6 <= 1)).all()
+    # Benford digits are 1..9 and chi2 terms non-negative
+    assert fast_b.digit.between(1, 9).all()
+    assert (fast_b.chi2_term_r6 >= 0).all()
