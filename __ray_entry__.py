@@ -1295,6 +1295,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_streaks": A.user_activity_streaks,
         "order_fill_rate": A.order_fill_rate,
         "value_benford_deviation": A.value_benford_deviation,
+        # round-4 wave 33: grid HLL union / weighted median / Q19
+        "weekly_distinct_users": A.weekly_distinct_users,
+        "hll_weekly_union": A.hll_weekly_union,
+        "byte_median_doc_size": A.byte_median_doc_size,
+        "multi_predicate_revenue": A.multi_predicate_revenue,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -3251,6 +3256,41 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, digit, n,"
             " ROUND((n - e) * (n - e) / e, 6) AS chi2_term_r6"
             " FROM g2 ORDER BY event_type, digit",
+        # exact distinct users per (type, ISO week) — the exact twin
+        # of the merged-HLL grid path
+        "weekly_distinct_users":
+            "SELECT event_type,"
+            " CAST(epoch(date_trunc('week', ts)) AS BIGINT)"
+            " AS week_epoch,"
+            " CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users"
+            " FROM events GROUP BY 1, 2 ORDER BY 1, 2",
+        # weighted median from the (source, n_chars) count table:
+        # smallest size with 2*cum-mass >= total-mass (exact ints)
+        "byte_median_doc_size":
+            "WITH c AS (SELECT source, n_chars,"
+            " CAST(COUNT(*) AS BIGINT) AS n,"
+            " CAST(SUM(n_chars) AS BIGINT) AS mass FROM documents"
+            " GROUP BY 1, 2), "
+            "w AS (SELECT source, n_chars,"
+            " SUM(mass) OVER (PARTITION BY source ORDER BY n_chars)"
+            " AS cum, SUM(mass) OVER (PARTITION BY source) AS tot"
+            " FROM c) "
+            "SELECT source, CAST(MIN(CASE WHEN 2 * cum >= tot"
+            " THEN n_chars END) AS BIGINT) AS byte_median_size,"
+            " CAST(MIN(tot) AS BIGINT) AS total_chars"
+            " FROM w GROUP BY source ORDER BY source",
+        # Q19 shape: OR of composite (brand, size, quantity) branches
+        "multi_predicate_revenue":
+            "SELECT CAST(COALESCE(SUM("
+            "CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)"
+            " * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))), 0)"
+            " AS BIGINT) AS revenue_e4,"
+            " CAST(COUNT(*) AS BIGINT) AS n_items"
+            " FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey"
+            " WHERE (p.p_brand = 'Brand#1' AND p.p_size <= 10"
+            " AND l.l_quantity BETWEEN 1 AND 20)"
+            " OR (p.p_brand = 'Brand#2' AND p.p_size <= 20"
+            " AND l.l_quantity BETWEEN 5 AND 30)",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

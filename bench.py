@@ -222,7 +222,9 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "supplier_part_coverage", "join_size_exact",
                "join_size_cms", "embedding_top_pc",
                "user_activity_streaks", "order_fill_rate",
-               "value_benford_deviation"]
+               "value_benford_deviation", "weekly_distinct_users",
+               "hll_weekly_union", "byte_median_doc_size",
+               "multi_predicate_revenue"]
 
 
 def run_queries() -> dict[str, float]:

@@ -8334,3 +8334,199 @@ def value_benford_deviation(sf_dir: str):
         (agg.n.to_numpy(np.float64) - expected) ** 2 / expected, 6)
     return (agg.sort_values(["event_type", "digit"])
             .reset_index(drop=True))
+
+
+# -- round-4 wave 33: grid HLL union / weighted median / Q19 predicate ------
+
+def weekly_distinct_users(sf_dir: str):
+    """Exact distinct users per (event_type, ISO week) — the exact
+    twin of `hll_weekly_union`'s merged sketch path.  Per-block
+    pre-dedup of (type, week, user) triples; driver dedup+count below
+    the gate, two chained native groupbys on the same key prefix
+    above it (dedup cluster-wide, then count survivors)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        week = (pc.floor_temporal(b["ts"], unit="week")
+                .cast(pa.timestamp("s")).cast(pa.int64()))
+        df = pd.DataFrame({
+            "event_type": b["event_type"].to_pandas(),
+            "week_epoch": week.to_numpy(zero_copy_only=False),
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False)})
+        return pa.Table.from_pandas(df.drop_duplicates(),
+                                    preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        tri = (_parts_pandas(parts_ds,
+                             {"event_type": object,
+                              "week_epoch": np.int64,
+                              "user_id": np.int64}).drop_duplicates())
+        out = (tri.groupby(["event_type", "week_epoch"], as_index=False)
+               .size().rename(columns={"size": "n_users"}))
+    else:
+        dedup = (parts_ds
+                 .groupby(["event_type", "week_epoch", "user_id"])
+                 .aggregate(Count(alias_name="_c"))
+                 .map_batches(lambda b: pa.table({
+                     "event_type": b["event_type"],
+                     "week_epoch": b["week_epoch"],
+                     "one": pa.array(np.ones(b.num_rows, np.int64))}),
+                     batch_format="pyarrow"))
+        out = (dedup.groupby(["event_type", "week_epoch"])
+               .aggregate(Sum("one", alias_name="n_users")).to_pandas())
+    out["week_epoch"] = out.week_epoch.astype(np.int64)
+    out["n_users"] = out.n_users.astype(np.int64)
+    return (out.sort_values(["event_type", "week_epoch"])
+            .reset_index(drop=True))
+
+
+def hll_weekly_union(sf_dir: str, p: int = 14):
+    """Grid-cell sketch merge: one HLL per (event_type, week) cell
+    built from per-block blob partials, then the WEEK CELLS of each
+    type merge into the type-level distinct-user estimate — the
+    union-across-grid operation a precomputed sketch cube answers
+    without rescanning (register-wise max, associative).  Pinned
+    against the exact twin within 5σ = 5·1.04/√m in pytest."""
+    from biobloom_ray.hashing import splitmix64
+    from biobloom_ray.sketches.hll import HLL
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        week = (pc.floor_temporal(b["ts"], unit="week")
+                .cast(pa.timestamp("s")).cast(pa.int64())
+                .to_numpy(zero_copy_only=False))
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        uid = b["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        kinds, weeks, blobs = [], [], []
+        df = pd.DataFrame({"et": et, "wk": week})
+        for (t, w), g in df.groupby(["et", "wk"], sort=False):
+            h = HLL(p=p)
+            h.update(splitmix64(uid[g.index.to_numpy()]))
+            kinds.append(t)
+            weeks.append(int(w))
+            blobs.append(h.registers.tobytes())
+        return pa.table({"event_type": pa.array(kinds),
+                         "week_epoch": pa.array(weeks, pa.int64()),
+                         "blob": pa.array(blobs, pa.large_binary())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    cells: dict = {}
+    for r in rows:
+        h = HLL(p=p, registers=np.frombuffer(
+            r["blob"], dtype=np.uint8).copy())
+        key = (r["event_type"], r["week_epoch"])
+        if key in cells:
+            cells[key].merge(h)
+        else:
+            cells[key] = h
+    # union across the week cells of each type
+    per_type: dict = {}
+    n_weeks: dict = {}
+    for (t, _w), h in cells.items():
+        n_weeks[t] = n_weeks.get(t, 0) + 1
+        if t in per_type:
+            per_type[t].merge(h)
+        else:
+            per_type[t] = HLL(p=p, registers=h.registers.copy())
+    out = pd.DataFrame({
+        "event_type": sorted(per_type),
+        "n_weeks": [np.int64(n_weeks[t]) for t in sorted(per_type)],
+        "est_distinct_users": [
+            np.int64(round(per_type[t].estimate()))
+            for t in sorted(per_type)]})
+    return out
+
+
+def byte_median_doc_size(sf_dir: str):
+    """WEIGHTED median — the shard-planning number: per source, the
+    smallest doc size X such that docs of size ≤ X hold at least half
+    the source's total characters ('half the bytes live in docs this
+    small or smaller').  Exactly decided on the (source, n_chars)
+    count table with integer cross-multiplication (2·cum ≥ tot), same
+    regime as value_decile_stats: the corpus reduces to per-block
+    partials, the walk runs on the value-domain-bounded table."""
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": b["source"].to_pandas(),
+            "n_chars": b["n_chars"].to_numpy(zero_copy_only=False)})
+        agg = (df.groupby(["source", "n_chars"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        agg["mass"] = (agg.n_chars.to_numpy(np.int64)
+                       * agg.n.to_numpy(np.int64))
+        agg["n"] = agg["n"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= RANK_DRIVER_MAX_ROWS:
+        counts = (_parts_pandas(parts_ds,
+                                {"source": object, "n_chars": np.int64,
+                                 "n": np.int64, "mass": np.int64})
+                  .groupby(["source", "n_chars"], as_index=False)
+                  [["n", "mass"]].sum())
+    else:
+        counts = (parts_ds.groupby(["source", "n_chars"])
+                  .aggregate(Sum("n", alias_name="n"),
+                             Sum("mass", alias_name="mass")).to_pandas())
+    rows = []
+    for src, g in counts.sort_values("n_chars").groupby("source"):
+        mass = g.mass.to_numpy(np.int64)
+        cum = np.cumsum(mass)
+        tot = int(cum[-1])
+        i = int(np.searchsorted(2 * cum, tot))
+        rows.append((src, int(g.n_chars.to_numpy(np.int64)[i]), tot))
+    out = pd.DataFrame(rows, columns=["source", "byte_median_size",
+                                      "total_chars"])
+    out["byte_median_size"] = out.byte_median_size.astype(np.int64)
+    out["total_chars"] = out.total_chars.astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def multi_predicate_revenue(sf_dir: str):
+    """TPC-H Q19 shape — revenue under an OR of composite
+    (brand, size, quantity) predicates, decided map-side: the part
+    dimension collapses to per-branch eligibility flag arrays
+    broadcast once; each lineitem block evaluates the disjunction
+    vectorized and emits ONE partial row.  Exact integer revenue."""
+    import ray
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice",
+                        "l_discount"])
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_brand", "p_size"]).to_pandas()
+    po = np.argsort(part.p_partkey.to_numpy())
+    pk = part.p_partkey.to_numpy(np.int64)[po]
+    brand = part.p_brand.to_numpy()[po]
+    size = part.p_size.to_numpy(np.int64)[po]
+    flag1 = (brand == "Brand#1") & (size <= 10)
+    flag2 = (brand == "Brand#2") & (size <= 20)
+    part_ref = ray.put((pk, flag1, flag2))
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys, f1, f2 = ray.get(part_ref)
+        lpk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, lpk)
+        pos[pos >= len(keys)] = 0
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False)
+        hit = ((f1[pos] & (qty >= 1) & (qty <= 20))
+               | (f2[pos] & (qty >= 5) & (qty <= 30)))
+        cents = _cents_away(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False))[hit]
+        disc = _cents_away(
+            b["l_discount"].to_numpy(zero_copy_only=False))[hit]
+        rev = int((cents * (100 - disc)).sum())
+        return pa.table({"revenue_e4": pa.array([rev], pa.int64()),
+                         "n_items": pa.array([int(hit.sum())],
+                                             pa.int64())})
+
+    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "revenue_e4": [np.int64(parts.revenue_e4.sum())],
+        "n_items": [np.int64(parts.n_items.sum())]})

@@ -112,7 +112,8 @@ SQL_CHECKED = [
     "charclass_stats", "range_shard_bounds", "cusum_changepoints",
     "hour_of_day_profile", "supplier_part_coverage", "join_size_exact",
     "user_activity_streaks", "order_fill_rate",
-    "value_benford_deviation",
+    "value_benford_deviation", "weekly_distinct_users",
+    "byte_median_doc_size", "multi_predicate_revenue",
 ]
 
 

@@ -1791,3 +1791,37 @@ def test_round4_wave32_tiers_agree(ray_session, monkeypatch):
     # Benford digits are 1..9 and chi2 terms non-negative
     assert fast_b.digit.between(1, 9).all()
     assert (fast_b.chi2_term_r6 >= 0).all()
+
+def test_round4_wave33_tiers_agree(ray_session, monkeypatch):
+    """weekly_distinct_users / byte_median_doc_size (driver folds vs
+    chained native groupbys / count-table Sum groupby);
+    multi_predicate_revenue is map-only (ONE partial row per block).
+    hll_weekly_union's grid-merged estimate is pinned against the
+    exact twin within 5 sigma."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_w = A.weekly_distinct_users(sf)
+    fast_m = A.byte_median_doc_size(sf)
+    fast_q = A.multi_predicate_revenue(sf)
+
+    monkeypatch.setattr(A, "EVENTS_DRIVER_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "RANK_DRIVER_MAX_ROWS", 0)
+    slow_w = A.weekly_distinct_users(sf)[list(fast_w.columns)]
+    slow_m = A.byte_median_doc_size(sf)[list(fast_m.columns)]
+    assert len(fast_w) > 0 and fast_w.equals(slow_w)
+    assert len(fast_m) > 0 and fast_m.equals(slow_m)
+    assert int(fast_q.n_items.iloc[0]) > 0
+
+    # HLL union-across-weeks vs exact distinct users per type: 5 sigma
+    est = A.hll_weekly_union(sf)
+    exact = (pd.read_parquet(f"{sf}/events.parquet",
+                             columns=["event_type", "user_id"])
+             .groupby("event_type")["user_id"].nunique())
+    sigma = 5 * 1.04 / np.sqrt(1 << 14)
+    for _, r in est.iterrows():
+        ex = exact[r.event_type]
+        assert abs(r.est_distinct_users - ex) <= max(sigma * ex, 3.0), \
+            (r.event_type, r.est_distinct_users, ex)
+    # union never exceeds the sum of weekly exacts
+    assert (est.n_weeks >= 1).all()
