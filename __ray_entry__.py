@@ -142,6 +142,14 @@ def _ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(docs, threshold=0.5)
 
 
+def _ngram_containment(sf_dir: str):
+    from biobloom_ray.stages.dedup import ngram_containment_pairs
+
+    docs = _rp(f"{sf_dir}/documents.parquet",
+               columns=["doc_id", "text"])
+    return ngram_containment_pairs(docs, threshold=0.8)
+
+
 def _embedding_neardup(sf_dir: str):
     """Near-duplicate vectors at cosine ≥ 0.9.  The synthetic embeddings
     are near-orthogonal (max pairwise cosine ≈ 0.51 at sf0.01), so to
@@ -1300,6 +1308,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_weekly_union": A.hll_weekly_union,
         "byte_median_doc_size": A.byte_median_doc_size,
         "multi_predicate_revenue": A.multi_predicate_revenue,
+        # round-4 wave 34: market basket / containment / provenance
+        "copurchase_type_pairs": A.copurchase_type_pairs,
+        "ngram_containment_pairs": _ngram_containment,
+        "source_exclusive_tokens": A.source_exclusive_tokens,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -3291,6 +3303,51 @@ def oracle_sql() -> dict[str, str]:
             " AND l.l_quantity BETWEEN 1 AND 20)"
             " OR (p.p_brand = 'Brand#2' AND p.p_size <= 20"
             " AND l.l_quantity BETWEEN 5 AND 30)",
+        # market basket: top part-type pairs co-occurring per order
+        "copurchase_type_pairs":
+            "WITH ot AS (SELECT DISTINCT l.l_orderkey AS o,"
+            " p.p_type AS t FROM lineitem l"
+            " JOIN part p ON l.l_partkey = p.p_partkey), "
+            "pr AS (SELECT a.t AS ta, b.t AS tb,"
+            " CAST(COUNT(*) AS BIGINT) AS n_orders FROM ot a"
+            " JOIN ot b ON a.o = b.o AND a.t < b.t GROUP BY 1, 2) "
+            "SELECT ta, tb, n_orders FROM pr"
+            " ORDER BY n_orders DESC, ta, tb LIMIT 20",
+        # asymmetric near-dup: exact shingle containment
+        # |A∩B|/min(|A|,|B|) — same 5-gram shingle CTE as the
+        # jaccard twin, LEAST in place of the union
+        "ngram_containment_pairs":
+            "WITH sh AS (SELECT DISTINCT doc_id, substr(text, i.i, 5) AS g"
+            " FROM documents, LATERAL (SELECT unnest(range(1, len(text)-3))"
+            " AS i) i WHERE len(text) >= 5), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY"
+            " doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)"
+            " AS c FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <"
+            " b.doc_id GROUP BY a.doc_id, b.doc_id) "
+            "SELECT id_a, id_b, c*1.0/LEAST(sa.n, sb.n) AS containment "
+            "FROM inter JOIN sizes sa ON sa.doc_id = id_a"
+            " JOIN sizes sb ON sb.doc_id = id_b "
+            "WHERE c*1.0/LEAST(sa.n, sb.n) >= 0.8 ORDER BY id_a, id_b",
+        # provenance: per-source exclusive vocabulary share
+        "source_exclusive_tokens":
+            "WITH tok AS (SELECT source, unnest(regexp_extract_all("
+            "text, '\\S+')) AS token FROM documents), "
+            "st AS (SELECT source, token, CAST(COUNT(*) AS BIGINT)"
+            " AS n FROM tok GROUP BY 1, 2), "
+            "v AS (SELECT token, COUNT(DISTINCT source) AS ns FROM st"
+            " GROUP BY 1), "
+            "j AS (SELECT st.source, st.token, st.n, v.ns FROM st"
+            " JOIN v USING (token)) "
+            "SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,"
+            " CAST(COALESCE(SUM(CASE WHEN ns = 1 THEN n END), 0)"
+            " AS BIGINT) AS n_exclusive_occ,"
+            " CAST(COALESCE(SUM(CASE WHEN ns = 1 THEN 1 END), 0)"
+            " AS BIGINT) AS n_exclusive_types,"
+            " ROUND(CAST(COALESCE(SUM(CASE WHEN ns = 1 THEN n END), 0)"
+            " AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)"
+            " AS exclusive_share_r6"
+            " FROM j GROUP BY source ORDER BY source",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

@@ -224,7 +224,8 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "user_activity_streaks", "order_fill_rate",
                "value_benford_deviation", "weekly_distinct_users",
                "hll_weekly_union", "byte_median_doc_size",
-               "multi_predicate_revenue"]
+               "multi_predicate_revenue", "copurchase_type_pairs",
+               "ngram_containment_pairs", "source_exclusive_tokens"]
 
 
 def run_queries() -> dict[str, float]:

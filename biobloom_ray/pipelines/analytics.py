@@ -8530,3 +8530,139 @@ def multi_predicate_revenue(sf_dir: str):
     return pd.DataFrame({
         "revenue_e4": [np.int64(parts.revenue_e4.sum())],
         "n_items": [np.int64(parts.n_items.sum())]})
+
+
+# -- round-4 wave 34: market basket / containment / exclusive vocab ---------
+
+def copurchase_type_pairs(sf_dir: str, k: int = 20):
+    """Market-basket pair mining: the top-k part-TYPE pairs
+    co-occurring in the same order, counted once per order.  The
+    fact table reduces per block to distinct (order, type) rows
+    (types per order are bounded by the type domain — the documented
+    small-group class); pair expansion runs per order group and the
+    (ta, tb) support rollup is native.  Exact counts; ties break on
+    the pair."""
+    import ray
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_type"]).to_pandas()
+    po = np.argsort(part.p_partkey.to_numpy())
+    pk = part.p_partkey.to_numpy(np.int64)[po]
+    ptype = part.p_type.to_numpy()[po]
+    part_ref = ray.put((pk, ptype))
+
+    def ot_partial(b: pa.Table) -> pa.Table:
+        keys, types = ray.get(part_ref)
+        lpk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, lpk)
+        pos[pos >= len(keys)] = 0
+        df = pd.DataFrame({
+            "o": b["l_orderkey"].to_numpy(zero_copy_only=False),
+            "t": types[pos]})
+        return pa.Table.from_pandas(df.drop_duplicates(),
+                                    preserve_index=False)
+
+    parts_ds = li.map_batches(ot_partial, batch_format="pyarrow")
+    n_rows = _cheap_count(li)
+
+    def pairs_from(ot: pd.DataFrame) -> pd.DataFrame:
+        j = ot.merge(ot, on="o")
+        j = j[j.t_x < j.t_y]
+        out = (j.groupby(["t_x", "t_y"], as_index=False)
+               .size().rename(columns={"t_x": "ta", "t_y": "tb",
+                                       "size": "n_orders"}))
+        out["n_orders"] = out["n_orders"].astype(np.int64)
+        return (out.sort_values(["n_orders", "ta", "tb"],
+                                ascending=[False, True, True])
+                .head(k).reset_index(drop=True))
+
+    if n_rows is not None and n_rows <= LINEITEM_DRIVER_MAX_ROWS:
+        ot = _parts_pandas(parts_ds, {"o": np.int64, "t": object}) \
+            .drop_duplicates()
+        return pairs_from(ot)
+
+    ot_ds = (parts_ds.groupby(["o", "t"])
+             .aggregate(Count(alias_name="_c")))
+
+    def pair_expand(g: pa.Table) -> pa.Table:
+        t = np.unique(g["t"].to_numpy(zero_copy_only=False))
+        if len(t) < 2:
+            return pa.table({"ta": pa.array([], pa.string()),
+                             "tb": pa.array([], pa.string()),
+                             "one": pa.array([], pa.int64())})
+        iu, ju = np.triu_indices(len(t), 1)
+        return pa.table({"ta": pa.array(t[iu]), "tb": pa.array(t[ju]),
+                         "one": pa.array(np.ones(len(iu), np.int64))})
+
+    sup = (ot_ds.groupby("o").map_groups(pair_expand,
+                                         batch_format="pyarrow")
+           .groupby(["ta", "tb"])
+           .aggregate(Sum("one", alias_name="n_orders")))
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        n = b["n_orders"].to_numpy(zero_copy_only=False)
+        ta = b["ta"].to_numpy(zero_copy_only=False)
+        tb = b["tb"].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((tb, ta, -n))[:k]
+        return pa.table({"ta": pa.array(ta[idx]),
+                         "tb": pa.array(tb[idx]),
+                         "n_orders": pa.array(n[idx])})
+
+    out = (sup.map_batches(local_topk, batch_format="pyarrow")
+           .to_pandas()
+           .sort_values(["n_orders", "ta", "tb"],
+                        ascending=[False, True, True]).head(k))
+    out["n_orders"] = out.n_orders.astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+def source_exclusive_tokens(sf_dir: str):
+    """Source-exclusive vocabulary — contamination/provenance signal:
+    per source, how many of its token OCCURRENCES use a token that
+    appears in NO other source, plus the exclusive-type count and the
+    6-dp occurrence share.  The corpus reduces to the (token, source)
+    rollup (vocab-scale); exclusivity is decided on the vocab table
+    (a token's distinct-source count == 1) and joined back without
+    touching the corpus again."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        from biobloom_ray.stages.textstats import _token_arrays
+
+        flat, lens, row_of = _token_arrays(b)
+        src = b["source"].to_numpy(zero_copy_only=False)
+        if not len(flat):
+            return pa.table({"source": pa.array([], pa.string()),
+                             "token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        df = pd.DataFrame({"source": src[row_of], "token": flat})
+        agg = (df.groupby(["source", "token"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        agg["n"] = agg["n"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= RANK_DRIVER_MAX_ROWS:
+        st = (_parts_pandas(parts_ds, {"source": object,
+                                       "token": object, "n": np.int64})
+              .groupby(["source", "token"], as_index=False)["n"].sum())
+    else:
+        st = (parts_ds.groupby(["source", "token"])
+              .aggregate(Sum("n", alias_name="n")).to_pandas())
+    nsrc = st.groupby("token")["source"].transform("nunique")
+    st["excl"] = (nsrc == 1).to_numpy()
+    tot = st.groupby("source", as_index=False)["n"].sum() \
+        .rename(columns={"n": "n_tokens"})
+    exc = (st[st.excl].groupby("source", as_index=False)
+           .agg(n_exclusive_occ=("n", "sum"),
+                n_exclusive_types=("token", "size")))
+    out = tot.merge(exc, on="source", how="left").fillna(0)
+    out["n_tokens"] = out.n_tokens.astype(np.int64)
+    out["n_exclusive_occ"] = out.n_exclusive_occ.astype(np.int64)
+    out["n_exclusive_types"] = out.n_exclusive_types.astype(np.int64)
+    out["exclusive_share_r6"] = np.round(
+        out.n_exclusive_occ.to_numpy(np.float64)
+        / out.n_tokens.to_numpy(np.float64), 6)
+    return out.sort_values("source").reset_index(drop=True)

@@ -338,6 +338,17 @@ def _jaccard_from_sets(va, la, vb, lb) -> np.ndarray:
     return jac
 
 
+def _containment_from_sets(va, la, vb, lb) -> np.ndarray:
+    """Exact CONTAINMENT per pair — |A∩B| / min(|A|,|B|), the
+    asymmetric near-dup score that catches a small doc quoted inside
+    a large one where Jaccard stays low.  Both-empty pairs score
+    1.0 (identical contentless docs)."""
+    inter = _pair_intersections(va, la, vb, lb)
+    mn = np.minimum(la, lb)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return np.where(mn > 0, inter / np.maximum(mn, 1), 1.0)
+
+
 def _dup_buckets(band, id_col: str):
     """groupby(band_key) → materialized ≥2-doc buckets with native
     Count/Min/Max.  ONE groupby shuffle of 16 B rows does all the
@@ -796,6 +807,40 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                         candidate_threshold: float = 0.3,
                         num_partitions: int = DEFAULT_JOIN_PARTITIONS,
                         broadcast_limit: int = 50_000):
+    return _ngram_metric_pairs(
+        ds, "jaccard", "jaccard", text_col, id_col, threshold, shingle_k,
+        num_perm, num_bands, candidate_threshold, num_partitions,
+        broadcast_limit)
+
+
+def ngram_containment_pairs(ds, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            threshold: float = 0.8, shingle_k: int = 5,
+                            num_perm: int = 128, num_bands: int = 16,
+                            candidate_threshold: float = 0.3,
+                            num_partitions: int = DEFAULT_JOIN_PARTITIONS,
+                            broadcast_limit: int = 50_000):
+    """Asymmetric near-dup: pairs whose exact shingle CONTAINMENT
+    |A∩B|/min(|A|,|B|) ≥ threshold — quote/subset detection the
+    symmetric Jaccard misses.  Same distributed shape as
+    ngram_jaccard_pairs (LSH candidates → CSR hash-set verify), same
+    documented recall assumption: candidates come from the MinHash
+    banding, so a high-containment pair with Jaccard far below
+    ``candidate_threshold`` (a tiny doc inside a huge one) relies on
+    band collision; the exact-SQL twin verifies no such pair exists
+    in the fixtures."""
+    return _ngram_metric_pairs(
+        ds, "containment", "containment", text_col, id_col, threshold,
+        shingle_k, num_perm, num_bands, candidate_threshold,
+        num_partitions, broadcast_limit)
+
+
+def _ngram_metric_pairs(ds, metric, score_col, text_col="text",
+                        id_col="doc_id", threshold=0.5, shingle_k=5,
+                        num_perm=128, num_bands=16,
+                        candidate_threshold=0.3,
+                        num_partitions=DEFAULT_JOIN_PARTITIONS,
+                        broadcast_limit=50_000):
     """MinHash-LSH candidates verified with EXACT n-gram Jaccard —
     fully distributed (round-2 redesign, VERDICT.md "Next round" #4).
 
@@ -806,6 +851,8 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     beyond the limit everything stays in the cluster — a hash semi-join
     selects the candidate docs, their hash sets join onto the pair
     list, and exact Jaccard runs per batch of pairs."""
+    score_of = (_containment_from_sets if metric == "containment"
+                else _jaccard_from_sets)
     cand = minhash_neardup_pairs_ds(
         ds, text_col, id_col, threshold=candidate_threshold,
         shingle_k=shingle_k, num_perm=num_perm, num_bands=num_bands,
@@ -813,7 +860,7 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     n_cand = cand.count()
     if n_cand == 0:
-        return _empty_pairs("jaccard")
+        return _empty_pairs(score_col)
 
     def hash_sets(b: pa.Table) -> pa.Table:
         """Per-doc sorted-unique shingle-hash sets as <u8 blobs — one
@@ -877,12 +924,12 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         idx_b = np.searchsorted(ids_sorted, id_b)
         va, la = _segment_gather(vals_sorted, offs_sorted, idx_a)
         vb, lb = _segment_gather(vals_sorted, offs_sorted, idx_b)
-        jac = _jaccard_from_sets(va, la, vb, lb)
+        jac = score_of(va, la, vb, lb)
         keep = jac >= threshold
         out = pd.DataFrame({"id_a": id_a[keep], "id_b": id_b[keep],
-                            "jaccard": jac[keep]})
+                            score_col: jac[keep]})
         if out.empty:
-            return _empty_pairs("jaccard")
+            return _empty_pairs(score_col)
         return (out.sort_values(["id_a", "id_b"], kind="stable")
                 .reset_index(drop=True))
 
@@ -902,13 +949,13 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         # no per-row Python (VERDICT r2 "Next round" #5)
         va, oa = _hashset_csr(b["sig_a"])
         vb, ob = _hashset_csr(b["sig_b"])
-        jac = _jaccard_from_sets(va, np.diff(oa), vb, np.diff(ob))
+        jac = score_of(va, np.diff(oa), vb, np.diff(ob))
         t = pa.table({"id_a": b["id_a"], "id_b": b["id_b"],
-                      "jaccard": pa.array(jac)})
-        return t.filter(pc.greater_equal(t["jaccard"], threshold))
+                      score_col: pa.array(jac)})
+        return t.filter(pc.greater_equal(t[score_col], threshold))
 
     out = joined.map_batches(verify, batch_format="pyarrow").to_pandas()
     if out.empty:
-        return _empty_pairs("jaccard")
+        return _empty_pairs(score_col)
     return (out.sort_values(["id_a", "id_b"], kind="stable")
             .reset_index(drop=True))

@@ -114,6 +114,8 @@ SQL_CHECKED = [
     "user_activity_streaks", "order_fill_rate",
     "value_benford_deviation", "weekly_distinct_users",
     "byte_median_doc_size", "multi_predicate_revenue",
+    "copurchase_type_pairs", "ngram_containment_pairs",
+    "source_exclusive_tokens",
 ]
 
 

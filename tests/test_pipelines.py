@@ -1825,3 +1825,34 @@ def test_round4_wave33_tiers_agree(ray_session, monkeypatch):
             (r.event_type, r.est_distinct_users, ex)
     # union never exceeds the sum of weekly exacts
     assert (est.n_weeks >= 1).all()
+
+def test_round4_wave34_tiers_agree(ray_session, monkeypatch):
+    """copurchase_type_pairs (driver merge vs per-order map_groups
+    pair expansion + native Sum + block top-k), source_exclusive_tokens
+    (driver fold vs native Sum groupby over (source, token) partials).
+    ngram_containment_pairs reuses the LSH->CSR verify machinery
+    (tiers covered by the jaccard twin's tests) and is SQL-oracled."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_c = A.copurchase_type_pairs(sf)
+    fast_x = A.source_exclusive_tokens(sf)
+
+    monkeypatch.setattr(A, "LINEITEM_DRIVER_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "RANK_DRIVER_MAX_ROWS", 0)
+    slow_c = A.copurchase_type_pairs(sf)[list(fast_c.columns)]
+    slow_x = A.source_exclusive_tokens(sf)[list(fast_x.columns)]
+    assert len(fast_c) > 0 and fast_c.equals(slow_c)
+    assert len(fast_x) > 0 and fast_x.equals(slow_x)
+
+    assert (fast_c.ta < fast_c.tb).all()
+    assert (fast_c.n_orders >= 1).all()
+    assert (fast_x.n_exclusive_occ <= fast_x.n_tokens).all()
+    # containment >= jaccard on every shared pair (set identity)
+    import __ray_entry__ as E
+
+    cont = E.queries()["ngram_containment_pairs"](sf)
+    jac = E.queries()["ngram_jaccard_pairs"](sf)
+    m = cont.merge(jac, on=["id_a", "id_b"])
+    assert len(cont) > 0
+    assert (m.containment >= m.jaccard - 1e-12).all()
