@@ -336,6 +336,20 @@ def _lang_id(sf_dir: str):
     return out.select_columns(["doc_id", "lang", "lang_pred"]).to_pandas()
 
 
+def _langid_confusion(sf_dir: str):
+    """Model-eval composition: the lang-ID scorer's (true, predicted)
+    confusion counts — the evaluation table every classifier stage
+    ships with.  Reuses the distributed fit + task-path scoring of
+    ``lang_id_pred``; the rollup is output-scale (#langs²)."""
+    pred = _lang_id(sf_dir)
+    out = (pred.groupby(["lang", "lang_pred"], as_index=False)
+           .size().rename(columns={"size": "n"}))
+    import numpy as np
+
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
+
+
 def _multimodal_features(sf_dir: str):
     """REAL image decode through the actor pool: each document's text
     bytes are tiled into a deterministic 8x8 24-bit BMP payload, and
@@ -1312,6 +1326,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_type_pairs": A.copurchase_type_pairs,
         "ngram_containment_pairs": _ngram_containment,
         "source_exclusive_tokens": A.source_exclusive_tokens,
+        # round-4 wave 35: FK audit / log2 histogram / model eval
+        "fk_orphan_counts": A.fk_orphan_counts,
+        "nchars_histogram_log2": A.nchars_histogram_log2,
+        "langid_confusion_matrix": _langid_confusion,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -3348,6 +3366,42 @@ def oracle_sql() -> dict[str, str]:
             " AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)"
             " AS exclusive_share_r6"
             " FROM j GROUP BY source ORDER BY source",
+        # referential-integrity audit: per-FK-edge orphan counts
+        "fk_orphan_counts":
+            "WITH lo AS (SELECT CAST(COUNT(*) AS BIGINT) AS fr,"
+            " CAST(COALESCE(SUM(CASE WHEN o.o_orderkey IS NULL"
+            " THEN 1 ELSE 0 END), 0) AS BIGINT) AS orow,"
+            " CAST(COUNT(DISTINCT CASE WHEN o.o_orderkey IS NULL"
+            " THEN l.l_orderkey END) AS BIGINT) AS okey"
+            " FROM lineitem l LEFT JOIN orders o"
+            " ON l.l_orderkey = o.o_orderkey), "
+            "lp AS (SELECT CAST(COUNT(*) AS BIGINT) AS fr,"
+            " CAST(COALESCE(SUM(CASE WHEN p.p_partkey IS NULL"
+            " THEN 1 ELSE 0 END), 0) AS BIGINT) AS orow,"
+            " CAST(COUNT(DISTINCT CASE WHEN p.p_partkey IS NULL"
+            " THEN l.l_partkey END) AS BIGINT) AS okey"
+            " FROM lineitem l LEFT JOIN part p"
+            " ON l.l_partkey = p.p_partkey), "
+            "oc AS (SELECT CAST(COUNT(*) AS BIGINT) AS fr,"
+            " CAST(COALESCE(SUM(CASE WHEN c.c_custkey IS NULL"
+            " THEN 1 ELSE 0 END), 0) AS BIGINT) AS orow,"
+            " CAST(COUNT(DISTINCT CASE WHEN c.c_custkey IS NULL"
+            " THEN o.o_custkey END) AS BIGINT) AS okey"
+            " FROM orders o LEFT JOIN customer c"
+            " ON o.o_custkey = c.c_custkey) "
+            "SELECT 'lineitem->orders' AS fk_edge, fr AS n_fact_rows,"
+            " orow AS n_orphan_rows, okey AS n_orphan_keys FROM lo"
+            " UNION ALL SELECT 'lineitem->part', fr, orow, okey FROM lp"
+            " UNION ALL SELECT 'orders->customer', fr, orow, okey"
+            " FROM oc ORDER BY fk_edge",
+        # exact log2-bucket histogram: bucket = len(bin(x)) - 1,
+        # integer on both sides (searchsorted vs power table / binary
+        # string length — no float log anywhere)
+        "nchars_histogram_log2":
+            "SELECT lang, CAST(length(bin(n_chars)) - 1 AS BIGINT)"
+            " AS bucket, CAST(COUNT(*) AS BIGINT) AS n"
+            " FROM documents WHERE n_chars > 0"
+            " GROUP BY 1, 2 ORDER BY 1, 2",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

@@ -225,7 +225,9 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "value_benford_deviation", "weekly_distinct_users",
                "hll_weekly_union", "byte_median_doc_size",
                "multi_predicate_revenue", "copurchase_type_pairs",
-               "ngram_containment_pairs", "source_exclusive_tokens"]
+               "ngram_containment_pairs", "source_exclusive_tokens",
+               "fk_orphan_counts", "nchars_histogram_log2",
+               "langid_confusion_matrix"]
 
 
 def run_queries() -> dict[str, float]:

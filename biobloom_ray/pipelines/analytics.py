@@ -8666,3 +8666,125 @@ def source_exclusive_tokens(sf_dir: str):
         out.n_exclusive_occ.to_numpy(np.float64)
         / out.n_tokens.to_numpy(np.float64), 6)
     return out.sort_values("source").reset_index(drop=True)
+
+
+# -- round-4 wave 35: FK audit / log2 histogram ------------------------------
+
+def fk_orphan_counts(sf_dir: str):
+    """Referential-integrity audit in one rollup per edge: orphan
+    counts for the three star-schema FKs (lineitem→orders,
+    lineitem→part, orders→customer).  Each fact side reduces per
+    block to its distinct key partials; the key sets are dimension-
+    scale, so membership is one sorted-array broadcast probe below
+    the gate and a left-anti hash join above (the same tier pair the
+    subtract/decontaminate ops use).  Output: one exact row per
+    edge."""
+    import ray
+
+    from biobloom_ray.io import hash_join
+
+    edges = [
+        ("lineitem->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("orders->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+    ]
+    rows = []
+    for name, fact, fkey, dim, dkey in edges:
+        fds = _read(sf_dir, fact, columns=[fkey])
+
+        def key_partial(b: pa.Table, _k=fkey) -> pa.Table:
+            u = np.unique(b[_k].to_numpy(zero_copy_only=False))
+            return pa.table({"k": pa.array(u.astype(np.int64)),
+                             "n": pa.array(
+                                 pd.Series(b[_k].to_numpy(
+                                     zero_copy_only=False))
+                                 .value_counts().sort_index()
+                                 .to_numpy(np.int64))})
+
+        parts_ds = fds.map_batches(key_partial, batch_format="pyarrow")
+        n_rows = _cheap_count(fds)
+        if n_rows is not None and n_rows <= LINEITEM_DRIVER_MAX_ROWS:
+            keys = (_parts_pandas(parts_ds, {"k": np.int64,
+                                             "n": np.int64})
+                    .groupby("k", as_index=False)["n"].sum())
+            dset = np.sort(_read(sf_dir, dim, columns=[dkey])
+                           .to_pandas()[dkey].to_numpy(np.int64))
+            kk = keys.k.to_numpy(np.int64)
+            pos = np.searchsorted(dset, kk)
+            pos[pos >= len(dset)] = max(len(dset) - 1, 0)
+            orphan = (dset[pos] != kk) if len(dset) else \
+                np.ones(len(kk), dtype=bool)
+            rows.append((name,
+                         int(keys.n.sum()),
+                         int(keys.n.to_numpy(np.int64)[orphan].sum()),
+                         int(orphan.sum())))
+            continue
+        # cluster tier: distinct-key rollup stays a Dataset; orphans
+        # via a left-anti hash join against the dimension key column
+        keys_ds = (parts_ds.groupby("k")
+                   .aggregate(Sum("n", alias_name="n")).materialize())
+
+        def _sums(b: pa.Table) -> pa.Table:
+            nn = b["n"].to_numpy(zero_copy_only=False)
+            return pa.table({"rows": pa.array([int(nn.sum())], pa.int64()),
+                             "keys": pa.array([b.num_rows], pa.int64())})
+
+        tot = keys_ds.map_batches(_sums, batch_format="pyarrow") \
+            .to_pandas()
+        dds = _read(sf_dir, dim, columns=[dkey])
+        anti = hash_join(keys_ds, dds, on=("k",), right_on=(dkey,),
+                         join_type="left_anti")
+        orph = anti.map_batches(_sums, batch_format="pyarrow").to_pandas()
+        rows.append((name,
+                     int(tot.rows.sum()),
+                     int(orph.rows.sum()) if len(orph) else 0,
+                     int(orph.keys.sum()) if len(orph) else 0))
+    out = pd.DataFrame(rows, columns=["fk_edge", "n_fact_rows",
+                                      "n_orphan_rows",
+                                      "n_orphan_keys"])
+    for c in ["n_fact_rows", "n_orphan_rows", "n_orphan_keys"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("fk_edge").reset_index(drop=True)
+
+
+def nchars_histogram_log2(sf_dir: str):
+    """Log2-bucket size histogram per lang — the shard/batch-size
+    planning view: bucket = ⌊log2(n_chars)⌋ computed EXACTLY by a
+    searchsorted against the power-of-two table (no float log
+    anywhere; the oracle uses the binary-string length for the same
+    exact integer).  Per-block (lang, bucket) partials pre-reduce
+    map-side; tiered combine."""
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    powers = (np.int64(1) << np.arange(63)).astype(np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = x > 0
+        bucket = (np.searchsorted(powers, x[m], side="right") - 1) \
+            .astype(np.int64)
+        df = pd.DataFrame({
+            "lang": pd.Series(b["lang"].to_pandas())[m]
+            .to_numpy(dtype=object),
+            "bucket": bucket})
+        agg = (df.groupby(["lang", "bucket"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        agg["n"] = agg["n"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= RANK_DRIVER_MAX_ROWS:
+        agg = (_parts_pandas(parts_ds,
+                             {"lang": object, "bucket": np.int64,
+                              "n": np.int64})
+               .groupby(["lang", "bucket"], as_index=False)["n"].sum())
+    else:
+        agg = (parts_ds.groupby(["lang", "bucket"])
+               .aggregate(Sum("n", alias_name="n")).to_pandas())
+    agg["bucket"] = agg.bucket.astype(np.int64)
+    agg["n"] = agg.n.astype(np.int64)
+    return (agg.sort_values(["lang", "bucket"])
+            .reset_index(drop=True))

@@ -115,7 +115,8 @@ SQL_CHECKED = [
     "value_benford_deviation", "weekly_distinct_users",
     "byte_median_doc_size", "multi_predicate_revenue",
     "copurchase_type_pairs", "ngram_containment_pairs",
-    "source_exclusive_tokens",
+    "source_exclusive_tokens", "fk_orphan_counts",
+    "nchars_histogram_log2",
 ]
 
 

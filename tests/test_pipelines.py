@@ -1856,3 +1856,42 @@ def test_round4_wave34_tiers_agree(ray_session, monkeypatch):
     m = cont.merge(jac, on=["id_a", "id_b"])
     assert len(cont) > 0
     assert (m.containment >= m.jaccard - 1e-12).all()
+
+def test_round4_wave35_tiers_agree(ray_session, monkeypatch):
+    """fk_orphan_counts (driver sorted-array probe vs left-anti hash
+    join on the distinct-key rollup), nchars_histogram_log2 (driver
+    fold vs native Sum groupby; exact integer bucketing).
+    langid_confusion_matrix composes the scored predictions into the
+    (true, pred) table — diagonal dominance pinned."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_f = A.fk_orphan_counts(sf)
+    fast_h = A.nchars_histogram_log2(sf)
+
+    monkeypatch.setattr(A, "LINEITEM_DRIVER_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "RANK_DRIVER_MAX_ROWS", 0)
+    slow_f = A.fk_orphan_counts(sf)[list(fast_f.columns)]
+    slow_h = A.nchars_histogram_log2(sf)[list(fast_h.columns)]
+    assert len(fast_f) == 3 and fast_f.equals(slow_f)
+    assert len(fast_h) > 0 and fast_h.equals(slow_h)
+
+    # the synthetic star schema is referentially intact
+    assert (fast_f.n_orphan_rows == 0).all()
+    assert (fast_f.n_fact_rows > 0).all()
+    # bucket totals account for every positive-length doc
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["n_chars"])
+    assert fast_h.n.sum() == int((docs.n_chars > 0).sum())
+
+    import __ray_entry__ as E
+
+    cm = E.queries()["langid_confusion_matrix"](sf)
+    diag = cm[cm.lang == cm.lang_pred].n.sum()
+    n_langs = cm.lang.nunique()
+    # the synthetic docs vocab is tiny (~31 tokens) so the n-gram
+    # model is weak here — require better-than-chance, not accuracy
+    # (the real accuracy pin lives in test_dedup_textstats_ann over
+    # the page fixture with distinct per-lang char distributions)
+    assert diag / cm.n.sum() > 1.5 / n_langs
+    assert cm.n.sum() == 500
