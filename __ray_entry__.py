@@ -1330,6 +1330,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_orphan_counts": A.fk_orphan_counts,
         "nchars_histogram_log2": A.nchars_histogram_log2,
         "langid_confusion_matrix": _langid_confusion,
+        # round-4 wave 36: Q13 counts-of-counts / Q22 scalar-gated
+        # anti-join / Bloom-pruned join (runtime-filter pushdown)
+        "customer_order_distribution": A.customer_order_distribution,
+        "cold_customers_by_nation": A.cold_customers_by_nation,
+        "bloom_prune_join_revenue": A.bloom_prune_join_revenue,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -3402,6 +3407,51 @@ def oracle_sql() -> dict[str, str]:
             " AS bucket, CAST(COUNT(*) AS BIGINT) AS n"
             " FROM documents WHERE n_chars > 0"
             " GROUP BY 1, 2 ORDER BY 1, 2",
+        # TPC-H Q13 shape: counts-of-counts over a LEFT join, zero
+        # bucket included
+        "customer_order_distribution":
+            "WITH oc AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT)"
+            " AS n FROM orders GROUP BY 1), "
+            "co AS (SELECT c.c_custkey, COALESCE(oc.n, 0) AS c_count"
+            " FROM customer c LEFT JOIN oc"
+            " ON c.c_custkey = oc.o_custkey) "
+            "SELECT CAST(c_count AS BIGINT) AS c_count,"
+            " CAST(COUNT(*) AS BIGINT) AS custdist"
+            " FROM co GROUP BY 1 ORDER BY 1",
+        # TPC-H Q22 shape: global-average threshold decided by the
+        # exact-integer cross-multiplication rule (cents*n > sum) on
+        # BOTH sides — no float average anywhere
+        "cold_customers_by_nation":
+            "WITH pos AS (SELECT CAST(SUM(CAST(ROUND(c_acctbal*100)"
+            " AS BIGINT)) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT)"
+            " AS c FROM customer"
+            " WHERE CAST(ROUND(c_acctbal*100) AS BIGINT) > 0), "
+            "cold AS (SELECT c.c_nationkey,"
+            " CAST(ROUND(c.c_acctbal*100) AS BIGINT) AS cents"
+            " FROM customer c, pos"
+            " WHERE CAST(ROUND(c.c_acctbal*100) AS BIGINT) * pos.c"
+            " > pos.s AND NOT EXISTS (SELECT 1 FROM orders o"
+            " WHERE o.o_custkey = c.c_custkey"
+            " AND o.o_orderdate >= TIMESTAMP '1999-01-01')) "
+            "SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_cold,"
+            " CAST(SUM(cold.cents) AS BIGINT) AS sum_acctbal_cents"
+            " FROM cold JOIN nation n"
+            " ON cold.c_nationkey = n.n_nationkey"
+            " GROUP BY 1 ORDER BY 1",
+        # Bloom-pruned join: the sketch only shrinks the shuffle, the
+        # result is the plain exact join
+        "bloom_prune_join_revenue":
+            "SELECT l.l_returnflag,"
+            " CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT) *"
+            " (100 - CAST(ROUND(l.l_discount*100) AS BIGINT)))"
+            " AS BIGINT) AS revenue,"
+            " CAST(COUNT(*) AS BIGINT) AS n_items"
+            " FROM lineitem l JOIN orders o"
+            " ON l.l_orderkey = o.o_orderkey"
+            " WHERE o.o_orderpriority = '1-URGENT'"
+            " AND o.o_orderdate >= TIMESTAMP '1995-01-01'"
+            " AND o.o_orderdate < TIMESTAMP '1996-01-01'"
+            " GROUP BY 1 ORDER BY 1",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

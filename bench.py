@@ -227,7 +227,10 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "multi_predicate_revenue", "copurchase_type_pairs",
                "ngram_containment_pairs", "source_exclusive_tokens",
                "fk_orphan_counts", "nchars_histogram_log2",
-               "langid_confusion_matrix"]
+               "langid_confusion_matrix",
+               "customer_order_distribution",
+               "cold_customers_by_nation",
+               "bloom_prune_join_revenue"]
 
 
 def run_queries() -> dict[str, float]:

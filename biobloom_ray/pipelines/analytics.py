@@ -8788,3 +8788,334 @@ def nchars_histogram_log2(sf_dir: str):
     agg["n"] = agg.n.astype(np.int64)
     return (agg.sort_values(["lang", "bucket"])
             .reset_index(drop=True))
+
+
+def customer_order_distribution(sf_dir: str):
+    """TPC-H Q13 shape — counts-of-counts over a LEFT join: how many
+    customers placed exactly N orders, INCLUDING the zero-order bucket
+    (the left-join rows the fact table never sees).  The orders side
+    pre-reduces per block to (custkey, n) partials; the second rollup
+    (count values → customer tallies) is output-scale (bounded by the
+    max orders per customer), so it always combines as tiny partials.
+    The zero bucket is computed as |customer| − |distinct buyers| —
+    valid under the star schema's FK integrity, which
+    ``fk_orphan_counts`` audits (0 orphans on the fixture).  Cluster
+    tier: native Sum groupby on custkey, then per-block counts-of-
+    counts partials; nothing customer-scale ever reaches the driver."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def cnt_partial(b: pa.Table) -> pa.Table:
+        vc = (pd.Series(b["o_custkey"].to_numpy(zero_copy_only=False))
+              .value_counts().sort_index())
+        return pa.table({"ck": pa.array(vc.index.to_numpy(np.int64)),
+                         "n": pa.array(vc.to_numpy(np.int64))})
+
+    parts_ds = orders.map_batches(cnt_partial, batch_format="pyarrow")
+
+    def rowcount_partial(b: pa.Table) -> pa.Table:
+        return pa.table({"rows": pa.array([b.num_rows], pa.int64())})
+
+    n_cust = _cheap_count(cust)
+    if n_cust is None:
+        n_cust = int(cust.map_batches(rowcount_partial,
+                                      batch_format="pyarrow")
+                     .to_pandas().rows.sum())
+
+    n_ord = _cheap_count(orders)
+    if n_ord is not None and n_ord <= LINEITEM_DRIVER_MAX_ROWS:
+        per_cust = (_parts_pandas(parts_ds, {"ck": np.int64,
+                                             "n": np.int64})
+                    .groupby("ck", as_index=False)["n"].sum())
+        dist = (per_cust.groupby("n", as_index=False)
+                .size().rename(columns={"n": "c_count",
+                                        "size": "custdist"}))
+        n_buyers = len(per_cust)
+    else:
+        counts_ds = (parts_ds.groupby("ck")
+                     .aggregate(Sum("n", alias_name="n")).materialize())
+
+        def dist_partial(b: pa.Table) -> pa.Table:
+            vc = (pd.Series(b["n"].to_numpy(zero_copy_only=False))
+                  .value_counts().sort_index())
+            return pa.table({
+                "c_count": pa.array(vc.index.to_numpy(np.int64)),
+                "custdist": pa.array(vc.to_numpy(np.int64))})
+
+        dist = (_parts_pandas(
+            counts_ds.map_batches(dist_partial, batch_format="pyarrow"),
+            {"c_count": np.int64, "custdist": np.int64})
+            .groupby("c_count", as_index=False)["custdist"].sum())
+        n_buyers = int(dist.custdist.sum())
+    zero = int(n_cust) - int(n_buyers)
+    if zero > 0:
+        dist = pd.concat([dist, pd.DataFrame(
+            {"c_count": [0], "custdist": [zero]})], ignore_index=True)
+    dist["c_count"] = dist.c_count.astype(np.int64)
+    dist["custdist"] = dist.custdist.astype(np.int64)
+    return (dist.sort_values("c_count").reset_index(drop=True)
+            [["c_count", "custdist"]])
+
+
+def cold_customers_by_nation(sf_dir: str, cutoff: str = "1999-01-01"):
+    """TPC-H Q22 shape — anti-join gated by a GLOBAL scalar threshold:
+    high-balance customers with no order since ``cutoff`` (lapsed
+    wealth), rolled up per nation.  The threshold (mean of positive
+    balances) is decided with the exact-integer cross-multiplication
+    rule ``cents·n_pos > sum_pos_cents`` — no float average anywhere,
+    so the borderline customer is bit-deterministic on both the
+    pipeline and the DuckDB oracle.  The threshold filter pushes down
+    map-side BEFORE the anti-join (FP-free: the rule is row-local).
+    Below the gate the recent-buyer key set broadcasts once and the
+    probe is searchsorted misses; above it block-deduped buyer keys
+    feed a ``left_anti`` hash join (duplicate right keys are
+    anti-neutral).  The final rollup keys on c_nationkey (≤ dimension
+    cardinality) and maps names from the tiny nation table."""
+    import ray
+
+    from biobloom_ray.io import hash_join
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    lo = np.datetime64(cutoff, "us").astype(np.int64)
+
+    def pos_partial(b: pa.Table) -> pa.Table:
+        cents = _cents_away(b["c_acctbal"].to_numpy(zero_copy_only=False))
+        p = cents[cents > 0]
+        return pa.table({"s": pa.array([int(p.sum())], pa.int64()),
+                         "c": pa.array([len(p)], pa.int64())})
+
+    pos = _parts_pandas(cust.map_batches(pos_partial,
+                                         batch_format="pyarrow"),
+                        {"s": np.int64, "c": np.int64})
+    sum_pos, n_pos = int(pos.s.sum()), int(pos.c.sum())
+
+    def rich(b: pa.Table) -> pa.Table:
+        cents = _cents_away(b["c_acctbal"].to_numpy(zero_copy_only=False))
+        keep = cents * n_pos > sum_pos
+        return pa.table({
+            "c_custkey": b["c_custkey"].filter(pa.array(keep)),
+            "c_nationkey": b["c_nationkey"].filter(pa.array(keep)),
+            "cents": pa.array(cents[keep])})
+
+    rich_ds = cust.map_batches(rich, batch_format="pyarrow")
+
+    def recent_keys(b: pa.Table) -> pa.Table:
+        ts = (b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"o_custkey": pa.array(np.unique(ck[ts >= lo]))})
+
+    keys_ds = orders.map_batches(recent_keys, batch_format="pyarrow")
+
+    def nation_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "c_nationkey": b["c_nationkey"].to_numpy(zero_copy_only=False),
+            "cents": b["cents"].to_numpy(zero_copy_only=False)})
+        agg = (df.groupby("c_nationkey", as_index=False)
+               .agg(n_cold=("cents", "size"),
+                    sum_acctbal_cents=("cents", "sum")))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    n_ord = _cheap_count(orders)
+    if n_ord is not None and n_ord <= ANTI_BROADCAST_MAX_ROWS:
+        buyers = np.unique(_parts_pandas(keys_ds, {"o_custkey": np.int64})
+                           ["o_custkey"].to_numpy(np.int64))
+        b_ref = ray.put(buyers)
+
+        def anti_probe(b: pa.Table) -> pa.Table:
+            keys = ray.get(b_ref)
+            ck = b["c_custkey"].to_numpy(zero_copy_only=False)
+            if len(keys) == 0:
+                return nation_partial(b)
+            pos_ = np.searchsorted(keys, ck)
+            pos_[pos_ >= len(keys)] = 0
+            miss = keys[pos_] != ck
+            return nation_partial(b.filter(pa.array(miss)))
+
+        parts = rich_ds.map_batches(anti_probe, batch_format="pyarrow")
+    else:
+        anti = hash_join(rich_ds, keys_ds, on=("c_custkey",),
+                         right_on=("o_custkey",), join_type="left_anti")
+        parts = anti.map_batches(nation_partial, batch_format="pyarrow")
+    agg = (_parts_pandas(parts, {"c_nationkey": np.int64,
+                                 "n_cold": np.int64,
+                                 "sum_acctbal_cents": np.int64})
+           .groupby("c_nationkey", as_index=False)
+           [["n_cold", "sum_acctbal_cents"]].sum())
+    names = (_read(sf_dir, "nation",
+                   columns=["n_nationkey", "n_name"]).to_pandas())
+    out = agg.merge(names, left_on="c_nationkey",
+                    right_on="n_nationkey")[["n_name", "n_cold",
+                                             "sum_acctbal_cents"]]
+    out["n_cold"] = out.n_cold.astype(np.int64)
+    out["sum_acctbal_cents"] = out.sum_acctbal_cents.astype(np.int64)
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+#: FPR for the key-Bloom the pruned join broadcasts (2^-8: ~11 bits/key,
+#: so even a 10^9-key dimension side stays a ~1.4 GB one-time broadcast
+#: while cutting ~99.6% of non-matching fact rows before the shuffle).
+BLOOMJOIN_FPR = 1.0 / 256.0
+
+
+def _key_hashes(keys: np.ndarray, seed: int = 0x9E3779B97F4A7C15):
+    """(h1, h2) double-hash pair for int64 join keys (splitmix64
+    family); h2 forced odd so ``h1 + i*h2`` walks all bit positions."""
+    from biobloom_ray.hashing import splitmix64
+
+    u = keys.astype(np.uint64)
+    h1 = splitmix64(u)
+    h2 = splitmix64(u ^ np.uint64(seed)) | np.uint64(1)
+    return h1, h2
+
+
+def bloom_prune_join_revenue(sf_dir: str, priority: str = "1-URGENT",
+                             lo: str = "1995-01-01",
+                             hi: str = "1996-01-01"):
+    """Bloom-pruned fact⋈dimension join (the classic "Bloom join" /
+    runtime-filter pushdown, here built from the engine's OWN sketch
+    core): revenue of lineitems whose order is in-priority and
+    in-window, per return flag — EXACT result, the Bloom only shrinks
+    the shuffle.  Cluster tier: (1) the filtered order keys build a
+    ``BloomFilter`` distributively — per-block partial filters OR-merge
+    through a 16-way salted ``map_groups`` level, then once on the
+    driver (same blob-partial shape as the maker UDAF,
+    ``pipelines/build.py:49``; sized to the unfiltered order count so
+    the realized FPR only undershoots ``BLOOMJOIN_FPR``); (2) the fact
+    scan probes the broadcast filter map-side and pre-reduces survivors
+    to (orderkey, flag, cents) partials — no false negatives, so
+    nothing true is lost; (3) an inner hash join against the real key
+    set kills the ≤FPR false positives, then a tiny Sum groupby.  At
+    a selectivity of s the exchange moves ≈ (s + FPR) of the fact rows
+    instead of all of them.  Below the gate the exact sorted key set
+    broadcasts directly (no Bloom needed at that size)."""
+    import ray
+
+    from biobloom_ray.io import hash_join
+    from biobloom_ray.sketches.bloom import (BloomFilter,
+                                             calc_optimal_hash_num,
+                                             calc_optimal_size)
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate",
+                            "o_orderpriority"])
+    tlo = np.datetime64(lo, "us").astype(np.int64)
+    thi = np.datetime64(hi, "us").astype(np.int64)
+
+    def sel_keys(b: pa.Table) -> pa.Table:
+        ts = (b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        pr = b["o_orderpriority"].to_numpy(zero_copy_only=False)
+        keep = (pr == priority) & (ts >= tlo) & (ts < thi)
+        return pa.table({"o_orderkey": pa.array(
+            b["o_orderkey"].to_numpy(zero_copy_only=False)[keep])})
+
+    keys_ds = orders.map_batches(sel_keys, batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_returnflag",
+                        "l_extendedprice", "l_discount"])
+
+    _rev_schema = pa.schema([("l_orderkey", pa.int64()),
+                             ("l_returnflag", pa.string()),
+                             ("revenue", pa.int64()),
+                             ("n_items", pa.int64())])
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:  # keep block schemas unifiable (no null cols)
+            return _rev_schema.empty_table()
+        cents = _cents_away(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False))
+        disc = _cents_away(b["l_discount"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_numpy(zero_copy_only=False),
+            "l_returnflag": pd.Series(b["l_returnflag"].to_pandas())
+            .to_numpy(dtype=object),
+            "revenue": cents * (100 - disc)})
+        agg = (df.groupby(["l_orderkey", "l_returnflag"], as_index=False)
+               .agg(revenue=("revenue", "sum"), n_items=("revenue", "size")))
+        return pa.Table.from_pandas(agg, preserve_index=False) \
+            .cast(_rev_schema)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("l_returnflag", as_index=False)
+               [["revenue", "n_items"]].sum())
+        out["revenue"] = out.revenue.astype(np.int64)
+        out["n_items"] = out.n_items.astype(np.int64)
+        return out.sort_values("l_returnflag").reset_index(drop=True)
+
+    n_ord = _cheap_count(orders)
+    if n_ord is not None and n_ord <= LINEITEM_DRIVER_MAX_ROWS:
+        keys = np.sort(_parts_pandas(keys_ds, {"o_orderkey": np.int64})
+                       ["o_orderkey"].to_numpy(np.int64))
+        k_ref = ray.put(keys)
+
+        def probe_exact(b: pa.Table) -> pa.Table:
+            kk = ray.get(k_ref)
+            ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+            if len(kk) == 0:
+                return rev_partial(b.slice(0, 0))
+            pos = np.searchsorted(kk, ok)
+            pos[pos >= len(kk)] = 0
+            hit = kk[pos] == ok
+            return rev_partial(b.filter(pa.array(hit)))
+
+        parts = li.map_batches(probe_exact, batch_format="pyarrow")
+        return final(_parts_pandas(parts, {"l_orderkey": np.int64,
+                                           "l_returnflag": object,
+                                           "revenue": np.int64,
+                                           "n_items": np.int64}))
+
+    # cluster tier: distributed key-Bloom build (salted two-level merge)
+    h = calc_optimal_hash_num(BLOOMJOIN_FPR)
+    m = calc_optimal_size(max(int(n_ord or 1), 1), BLOOMJOIN_FPR, h)
+
+    def bloom_partial(b: pa.Table) -> pa.Table:
+        bf = BloomFilter(m=m, hash_num=h, kmer_size=1,
+                         filter_id="bloomjoin")
+        kk = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        if len(kk):
+            bf.insert(*_key_hashes(kk.astype(np.int64)))
+        g = int(kk[0] % 16) if len(kk) else 0
+        return pa.table({"g": pa.array([g], pa.int64()),
+                         "blob": pa.array([bf.serialize()],
+                                          pa.large_binary())})
+
+    def or_merge(df: pd.DataFrame) -> pd.DataFrame:
+        acc = BloomFilter.deserialize(df.blob.iloc[0])
+        for blob in df.blob.iloc[1:]:
+            acc = acc.merge(BloomFilter.deserialize(blob))
+        return pd.DataFrame({"g": [int(df.g.iloc[0])],
+                             "blob": [acc.serialize()]})
+
+    level1 = (keys_ds.map_batches(bloom_partial, batch_format="pyarrow")
+              .groupby("g").map_groups(or_merge, batch_format="pandas")
+              .to_pandas())
+    bf = BloomFilter.deserialize(level1.blob.iloc[0])
+    for blob in level1.blob.iloc[1:]:
+        bf = bf.merge(BloomFilter.deserialize(blob))
+    bf_ref = ray.put(bf.serialize())
+
+    class BloomProbe:
+        """Actor-pool stage: deserialize the broadcast filter ONCE per
+        worker (worker-private words array — no per-batch plasma read),
+        probe + pre-reduce per batch."""
+
+        def __init__(self):
+            self._bf = BloomFilter.deserialize(ray.get(bf_ref))
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+            maybe = self._bf.contains(*_key_hashes(ok.astype(np.int64)))
+            return rev_partial(b.filter(pa.array(maybe)))
+
+    survivors = li.map_batches(BloomProbe, batch_format="pyarrow",
+                               concurrency=(1, 8))
+    exact = hash_join(survivors, keys_ds, on=("l_orderkey",),
+                      right_on=("o_orderkey",), join_type="inner")
+    agg = (exact.groupby("l_returnflag")
+           .aggregate(Sum("revenue", alias_name="revenue"),
+                      Sum("n_items", alias_name="n_items"))
+           .to_pandas())
+    return final(agg)

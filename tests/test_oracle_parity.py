@@ -116,7 +116,8 @@ SQL_CHECKED = [
     "byte_median_doc_size", "multi_predicate_revenue",
     "copurchase_type_pairs", "ngram_containment_pairs",
     "source_exclusive_tokens", "fk_orphan_counts",
-    "nchars_histogram_log2",
+    "nchars_histogram_log2", "customer_order_distribution",
+    "cold_customers_by_nation", "bloom_prune_join_revenue",
 ]
 
 

@@ -1895,3 +1895,44 @@ def test_round4_wave35_tiers_agree(ray_session, monkeypatch):
     # the page fixture with distinct per-lang char distributions)
     assert diag / cm.n.sum() > 1.5 / n_langs
     assert cm.n.sum() == 500
+
+
+def test_round4_wave36_tiers_agree(ray_session, monkeypatch):
+    """customer_order_distribution (driver combine vs native Sum
+    groupby + output-scale counts-of-counts), cold_customers_by_nation
+    (broadcast searchsorted anti vs left_anti hash join; exact-integer
+    threshold), bloom_prune_join_revenue (exact broadcast key set vs
+    distributed key-Bloom prune + FP-killing inner hash join)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_q13 = A.customer_order_distribution(sf)
+    fast_cold = A.cold_customers_by_nation(sf)
+    fast_bj = A.bloom_prune_join_revenue(sf)
+
+    monkeypatch.setattr(A, "LINEITEM_DRIVER_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "ANTI_BROADCAST_MAX_ROWS", 0)
+    slow_q13 = A.customer_order_distribution(sf)[list(fast_q13.columns)]
+    slow_cold = A.cold_customers_by_nation(sf)[list(fast_cold.columns)]
+    slow_bj = A.bloom_prune_join_revenue(sf)[list(fast_bj.columns)]
+    assert len(fast_q13) > 0 and fast_q13.equals(slow_q13)
+    assert len(fast_cold) > 0 and fast_cold.equals(slow_cold)
+    assert len(fast_bj) > 0 and fast_bj.equals(slow_bj)
+
+    # Q13 buckets account for every customer exactly once
+    cust = pd.read_parquet(f"{sf}/customer.parquet",
+                           columns=["c_custkey"])
+    assert fast_q13.custdist.sum() == len(cust)
+    # the threshold rule keeps only above-average balances: the cold
+    # set's mean balance must exceed the global positive mean
+    cb = pd.read_parquet(f"{sf}/customer.parquet",
+                         columns=["c_acctbal"]).c_acctbal
+    pos_mean_cents = (np.sign(cb) * np.floor(np.abs(cb) * 100 + 0.5))
+    pos_mean_cents = pos_mean_cents[pos_mean_cents > 0].mean()
+    cold_mean = (fast_cold.sum_acctbal_cents.sum()
+                 / fast_cold.n_cold.sum())
+    assert cold_mean > pos_mean_cents
+    # Bloom prune is FP-safe end-to-end: revenue strictly positive and
+    # three return flags present on the fixture
+    assert set(fast_bj.l_returnflag) == {"A", "N", "R"}
+    assert (fast_bj.revenue > 0).all()
