@@ -1335,6 +1335,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_distribution": A.customer_order_distribution,
         "cold_customers_by_nation": A.cold_customers_by_nation,
         "bloom_prune_join_revenue": A.bloom_prune_join_revenue,
+        # round-4 wave 37: interval-overlap join / rolling exact
+        # median / Q21 sole-blame decorrelation
+        "session_overlap_pairs": A.session_overlap_pairs,
+        "rolling_median_daily_revenue": A.rolling_median_daily_revenue,
+        "late_sole_supplier_counts": A.late_sole_supplier_counts,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -3452,6 +3457,56 @@ def oracle_sql() -> dict[str, str]:
             " AND o.o_orderdate >= TIMESTAMP '1995-01-01'"
             " AND o.o_orderdate < TIMESTAMP '1996-01-01'"
             " GROUP BY 1 ORDER BY 1",
+        # interval-overlap join: sessionized episodes per (user, type),
+        # cross-type same-user interval intersections
+        "session_overlap_pairs":
+            "WITH x AS (SELECT user_id, event_type, ts,"
+            " CASE WHEN LAG(ts) OVER (PARTITION BY user_id, event_type"
+            " ORDER BY ts) IS NULL OR ts - LAG(ts) OVER (PARTITION BY"
+            " user_id, event_type ORDER BY ts) > INTERVAL 72 HOUR"
+            " THEN 1 ELSE 0 END AS new_s FROM events), "
+            "y AS (SELECT user_id, event_type, ts, SUM(new_s) OVER"
+            " (PARTITION BY user_id, event_type ORDER BY ts) AS sid"
+            " FROM x), "
+            "s AS (SELECT user_id, event_type, sid, MIN(ts) AS st,"
+            " MAX(ts) AS en FROM y GROUP BY 1, 2, 3) "
+            "SELECT a.event_type AS type_a, b.event_type AS type_b,"
+            " CAST(COUNT(*) AS BIGINT) AS n_overlaps"
+            " FROM s a JOIN s b ON a.user_id = b.user_id"
+            " AND a.event_type < b.event_type"
+            " AND a.st <= b.en AND b.st <= a.en"
+            " GROUP BY 1, 2 ORDER BY 1, 2",
+        # rows-based rolling exact median (PERCENTILE_DISC over the
+        # trailing-7-observed-days frame, decorrelated via rn self-join
+        # because DuckDB lacks ordered-set window aggregates)
+        "rolling_median_daily_revenue":
+            "WITH d AS (SELECT event_type,"
+            " CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,"
+            " CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)"
+            " AS rev FROM events GROUP BY 1, 2), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type"
+            " ORDER BY day_epoch) AS rn FROM d) "
+            "SELECT r1.event_type, r1.day_epoch,"
+            " CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY r2.rev)"
+            " AS BIGINT) AS med_rev_cents"
+            " FROM r r1 JOIN r r2 ON r1.event_type = r2.event_type"
+            " AND r2.rn BETWEEN r1.rn - 6 AND r1.rn"
+            " GROUP BY 1, 2 ORDER BY 1, 2",
+        # TPC-H Q21 shape: sole-late supplier in multi-supplier orders
+        "late_sole_supplier_counts":
+            "WITH pr AS (SELECT l_orderkey, l_suppkey,"
+            " MAX(l_shipdate) AS mx FROM lineitem GROUP BY 1, 2), "
+            "f AS (SELECT pr.l_orderkey, pr.l_suppkey,"
+            " CASE WHEN pr.mx > o.o_orderdate + INTERVAL 90 DAY"
+            " THEN 1 ELSE 0 END AS late FROM pr JOIN orders o"
+            " ON pr.l_orderkey = o.o_orderkey), "
+            "po AS (SELECT l_orderkey, COUNT(*) AS ns, SUM(late) AS nl"
+            " FROM f GROUP BY 1) "
+            "SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait"
+            " FROM f JOIN po USING (l_orderkey)"
+            " JOIN supplier s ON f.l_suppkey = s.s_suppkey"
+            " WHERE f.late = 1 AND po.ns >= 2 AND po.nl = 1"
+            " GROUP BY 1 ORDER BY numwait DESC, s_name ASC LIMIT 10",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

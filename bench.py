@@ -230,7 +230,10 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "langid_confusion_matrix",
                "customer_order_distribution",
                "cold_customers_by_nation",
-               "bloom_prune_join_revenue"]
+               "bloom_prune_join_revenue",
+               "session_overlap_pairs",
+               "rolling_median_daily_revenue",
+               "late_sole_supplier_counts"]
 
 
 def run_queries() -> dict[str, float]:

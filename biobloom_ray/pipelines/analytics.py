@@ -9119,3 +9119,255 @@ def bloom_prune_join_revenue(sf_dir: str, priority: str = "1-URGENT",
                       Sum("n_items", alias_name="n_items"))
            .to_pandas())
     return final(agg)
+
+
+def session_overlap_pairs(sf_dir: str, gap_hours: int = 72):
+    """Interval-OVERLAP join (interval × interval, not the point-in-
+    range shape of ``events_range_join``): sessionize each user's
+    stream per event type (episode break at > ``gap_hours``), then
+    count, per unordered type pair, the cross-type episode pairs of
+    the same user whose [start, end] intervals intersect.  Per-user
+    work is one vectorized kernel — boundary detection by ``diff``,
+    episode bounds by ``reduceat``, and per type pair TWO
+    searchsorteds (episodes of one type are disjoint ⇒ starts AND
+    ends are each sorted, so overlap count = rank(b.end in A.start)
+    − rank(b.start in A.end)); no per-interval Python.  Cluster tier:
+    ``groupby(user).map_groups`` (per-user history fits a block —
+    the same bounded-entity assumption ``events_sessionize``
+    documents) emitting per-user pair counts, then a native Sum
+    groupby over ≤ |types|² rows per user.  Driver tier: one sorted
+    pull + the same kernel per user slice."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    gap_us = int(gap_hours) * 3_600_000_000
+
+    def user_kernel(tp: np.ndarray, ts: np.ndarray) -> dict:
+        """(type, ts)-sorted arrays of ONE user → {(a, b): n}."""
+        if len(ts) == 0:
+            return {}
+        new = np.ones(len(ts), dtype=bool)
+        if len(ts) > 1:
+            new[1:] = (tp[1:] != tp[:-1]) | (np.diff(ts) > gap_us)
+        starts_i = np.nonzero(new)[0]
+        ends_i = np.append(starts_i[1:] - 1, len(ts) - 1)
+        st, en, ty = ts[starts_i], ts[ends_i], tp[starts_i]
+        out = {}
+        utypes = np.unique(ty)
+        for ai in range(len(utypes)):
+            a_m = ty == utypes[ai]
+            a_st, a_en = st[a_m], en[a_m]
+            for bi in range(ai + 1, len(utypes)):
+                b_m = ty == utypes[bi]
+                n = int((np.searchsorted(a_st, en[b_m], side="right")
+                         - np.searchsorted(a_en, st[b_m], side="left"))
+                        .sum())
+                if n:
+                    out[(str(utypes[ai]), str(utypes[bi]))] = n
+        return out
+
+    def pairs_frame(acc: dict) -> pd.DataFrame:
+        if not acc:
+            return pd.DataFrame({"type_a": pd.Series([], dtype=object),
+                                 "type_b": pd.Series([], dtype=object),
+                                 "n_overlaps": pd.Series([],
+                                                         dtype=np.int64)})
+        ks = sorted(acc)
+        return pd.DataFrame({"type_a": [k[0] for k in ks],
+                             "type_b": [k[1] for k in ks],
+                             "n_overlaps": np.asarray(
+                                 [acc[k] for k in ks], np.int64)})
+
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        df = ds.to_pandas().sort_values(["user_id", "event_type", "ts"])
+        ts = df.ts.astype("datetime64[us]").astype(np.int64).to_numpy()
+        tp = df.event_type.to_numpy(dtype=object)
+        uid = df.user_id.to_numpy()
+        cuts = np.nonzero(np.r_[True, uid[1:] != uid[:-1]])[0]
+        acc: dict = {}
+        for lo, hi in zip(cuts, np.append(cuts[1:], len(uid))):
+            for k, v in user_kernel(tp[lo:hi], ts[lo:hi]).items():
+                acc[k] = acc.get(k, 0) + v
+        return pairs_frame(acc)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["event_type", "ts"])
+        ts = df.ts.astype("datetime64[us]").astype(np.int64).to_numpy()
+        return pairs_frame(user_kernel(df.event_type
+                                       .to_numpy(dtype=object), ts))
+
+    parts = (ds.groupby("user_id")
+             .map_groups(per_user, batch_format="pandas"))
+    agg = (parts.groupby(["type_a", "type_b"])
+           .aggregate(Sum("n_overlaps", alias_name="n_overlaps"))
+           .to_pandas())
+    agg["n_overlaps"] = agg.n_overlaps.astype(np.int64)
+    return (agg.sort_values(["type_a", "type_b"])
+            .reset_index(drop=True))
+
+
+def rolling_median_daily_revenue(sf_dir: str, window: int = 7):
+    """Rows-based rolling EXACT median — the robust twin of the
+    ``event_type_daily_ma7`` moving average: per event type, the
+    PERCENTILE_DISC(0.5) of the trailing ``window`` OBSERVED daily
+    revenue sums (row frame, not a dense calendar range).  The daily
+    rollup pre-reduces per block and combines tiered (native Sum
+    groupby above the gate); the rolling pass runs on the
+    output-scale (type, day) table — full windows via one
+    ``sliding_window_view`` sort, the < window heads via a short
+    per-type loop.  Discrete-quantile contract: element at 0-based
+    index ⌈n/2⌉−1 of the sorted window, exact int64 cents on both
+    sides."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def day_partial(b: pa.Table) -> pa.Table:
+        ts = (b["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        day = (ts // 86_400_000_000) * 86_400
+        cents = _cents_away(b["value"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({
+            "event_type": pd.Series(b["event_type"].to_pandas())
+            .to_numpy(dtype=object),
+            "day_epoch": day, "rev": cents})
+        agg = (df.groupby(["event_type", "day_epoch"], as_index=False)
+               ["rev"].sum())
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(day_partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        daily = (_parts_pandas(parts_ds, {"event_type": object,
+                                          "day_epoch": np.int64,
+                                          "rev": np.int64})
+                 .groupby(["event_type", "day_epoch"], as_index=False)
+                 ["rev"].sum())
+    else:
+        daily = (parts_ds.groupby(["event_type", "day_epoch"])
+                 .aggregate(Sum("rev", alias_name="rev")).to_pandas())
+    daily = daily.sort_values(["event_type", "day_epoch"])
+    out_rows = []
+    for et, g in daily.groupby("event_type", sort=True):
+        rv = g.rev.to_numpy(np.int64)
+        de = g.day_epoch.to_numpy(np.int64)
+        med = np.empty(len(rv), dtype=np.int64)
+        head = min(window - 1, len(rv))
+        for i in range(head):  # < window-row heads (≤ 6 per type)
+            w = np.sort(rv[:i + 1])
+            med[i] = w[(len(w) - 1) // 2]
+        if len(rv) >= window:
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            sw = np.sort(sliding_window_view(rv, window), axis=1)
+            med[window - 1:] = sw[:, (window - 1) // 2]
+        out_rows.append(pd.DataFrame({
+            "event_type": et, "day_epoch": de, "med_rev_cents": med}))
+    out = pd.concat(out_rows, ignore_index=True)
+    out["day_epoch"] = out.day_epoch.astype(np.int64)
+    out["med_rev_cents"] = out.med_rev_cents.astype(np.int64)
+    return (out.sort_values(["event_type", "day_epoch"])
+            .reset_index(drop=True))
+
+
+def late_sole_supplier_counts(sf_dir: str, late_days: int = 90,
+                              k: int = 10):
+    """TPC-H Q21 shape — the sole-blame double-EXISTS, decorrelated
+    into two disjoint-key rollups instead of correlated subqueries:
+    a supplier "kept the order waiting" when its latest line shipped
+    > ``late_days`` after the order date, the order used ≥ 2
+    suppliers, and NO other supplier was late on it.  Plan: (1)
+    per-block (orderkey, suppkey) Max(shipdate) partials → tiered
+    pair rollup; (2) order dates attach by broadcast searchsorted
+    below the gate / hash join above; (3) per-order (n_suppliers,
+    n_late) from the pair table; (4) qualifying = late pairs in
+    (ns ≥ 2, nl = 1) orders → per-supplier counts → exact block
+    top-k (ties broken by suppkey; supplier names are key-monotonic,
+    so the SQL name tiebreak is identical) → names map on the k-row
+    result."""
+    import ray
+
+    from biobloom_ray.io import hash_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate"])
+    late_us = int(late_days) * 86_400_000_000
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        ship = (b["l_shipdate"].cast(pa.timestamp("us"))
+                .cast(pa.int64()).to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({
+            "ok": b["l_orderkey"].to_numpy(zero_copy_only=False),
+            "sk": b["l_suppkey"].to_numpy(zero_copy_only=False),
+            "mx": ship})
+        agg = df.groupby(["ok", "sk"], as_index=False)["mx"].max()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = li.map_batches(pair_partial, batch_format="pyarrow")
+    n_li = _cheap_count(li)
+    driver = n_li is not None and n_li <= LINEITEM_DRIVER_MAX_ROWS
+    if driver:
+        pairs = (_parts_pandas(parts_ds, {"ok": np.int64, "sk": np.int64,
+                                          "mx": np.int64})
+                 .groupby(["ok", "sk"], as_index=False)["mx"].max())
+        od = orders.to_pandas()
+        okeys = od.o_orderkey.to_numpy(np.int64)
+        order_sort = np.argsort(okeys)
+        okeys = okeys[order_sort]
+        odates = (od.o_orderdate.astype("datetime64[us]")
+                  .astype(np.int64).to_numpy()[order_sort])
+        pos = np.searchsorted(okeys, pairs.ok.to_numpy(np.int64))
+        pairs["late"] = (pairs.mx.to_numpy(np.int64)
+                         > odates[pos] + late_us).astype(np.int64)
+        po = (pairs.groupby("ok", as_index=False)
+              .agg(ns=("sk", "size"), nl=("late", "sum")))
+        q = pairs.merge(po, on="ok")
+        q = q[(q.late == 1) & (q.ns >= 2) & (q.nl == 1)]
+        counts = (q.groupby("sk", as_index=False)
+                  .size().rename(columns={"size": "numwait"}))
+    else:
+        pair_ds = (parts_ds.groupby(["ok", "sk"])
+                   .aggregate(Max("mx", alias_name="mx")))
+        joined = hash_join(pair_ds, orders, on=("ok",),
+                           right_on=("o_orderkey",))
+
+        def flag(b: pa.Table) -> pa.Table:
+            od_ = (b["o_orderdate"].cast(pa.timestamp("us"))
+                   .cast(pa.int64()).to_numpy(zero_copy_only=False))
+            late = (b["mx"].to_numpy(zero_copy_only=False)
+                    > od_ + late_us).astype(np.int64)
+            return pa.table({"ok": b["ok"], "sk": b["sk"],
+                             "late": pa.array(late)})
+
+        flagged = joined.map_batches(flag, batch_format="pyarrow") \
+            .materialize()
+        po_ds = (flagged.groupby("ok")
+                 .aggregate(Count(alias_name="ns"),
+                            Sum("late", alias_name="nl")))
+        qual = hash_join(flagged, po_ds, on=("ok",))
+
+        def supp_partial(b: pa.Table) -> pa.Table:
+            m = (pc.and_(pc.and_(pc.equal(b["late"], 1),
+                                 pc.greater_equal(b["ns"], 2)),
+                         pc.equal(b["nl"], 1)))
+            sk = b.filter(m)["sk"].to_numpy(zero_copy_only=False)
+            vc = pd.Series(sk).value_counts().sort_index()
+            return pa.table({
+                "sk": pa.array(vc.index.to_numpy(np.int64)),
+                "numwait": pa.array(vc.to_numpy(np.int64))})
+
+        counts = (_parts_pandas(
+            qual.map_batches(supp_partial, batch_format="pyarrow")
+            .groupby("sk").aggregate(Sum("numwait",
+                                         alias_name="numwait")),
+            {"sk": np.int64, "numwait": np.int64}))
+    if len(counts) == 0:
+        return pd.DataFrame({"s_name": pd.Series([], dtype=object),
+                             "numwait": pd.Series([], dtype=np.int64)})
+    top = (counts.sort_values(["numwait", "sk"],
+                              ascending=[False, True]).head(k))
+    names = _read(sf_dir, "supplier",
+                  columns=["s_suppkey", "s_name"]).to_pandas()
+    out = top.merge(names, left_on="sk",
+                    right_on="s_suppkey")[["s_name", "numwait"]]
+    out["numwait"] = out.numwait.astype(np.int64)
+    return out.reset_index(drop=True)

@@ -118,6 +118,8 @@ SQL_CHECKED = [
     "source_exclusive_tokens", "fk_orphan_counts",
     "nchars_histogram_log2", "customer_order_distribution",
     "cold_customers_by_nation", "bloom_prune_join_revenue",
+    "session_overlap_pairs", "rolling_median_daily_revenue",
+    "late_sole_supplier_counts",
 ]
 
 

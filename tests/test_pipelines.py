@@ -1936,3 +1936,48 @@ def test_round4_wave36_tiers_agree(ray_session, monkeypatch):
     # three return flags present on the fixture
     assert set(fast_bj.l_returnflag) == {"A", "N", "R"}
     assert (fast_bj.revenue > 0).all()
+
+
+def test_round4_wave36b_tiers_agree(ray_session, monkeypatch):
+    """session_overlap_pairs (driver user-slice loop vs per-user
+    map_groups + native Sum), rolling_median_daily_revenue (driver
+    combine vs native Sum groupby; identical rolling kernel),
+    late_sole_supplier_counts (broadcast order-date searchsorted vs
+    hash-join chain with native Max/Count/Sum rollups)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_ov = A.session_overlap_pairs(sf)
+    fast_rm = A.rolling_median_daily_revenue(sf)
+    fast_lt = A.late_sole_supplier_counts(sf)
+
+    monkeypatch.setattr(A, "EVENTS_DRIVER_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "LINEITEM_DRIVER_MAX_ROWS", 0)
+    slow_ov = A.session_overlap_pairs(sf)[list(fast_ov.columns)]
+    slow_rm = A.rolling_median_daily_revenue(sf)[list(fast_rm.columns)]
+    slow_lt = A.late_sole_supplier_counts(sf)[list(fast_lt.columns)]
+    assert len(fast_ov) > 0 and fast_ov.equals(slow_ov)
+    assert len(fast_rm) > 0 and fast_rm.equals(slow_rm)
+    assert len(fast_lt) > 0 and fast_lt.equals(slow_lt)
+
+    # overlap counts are symmetric-free (a < b) and positive
+    assert (fast_ov.type_a < fast_ov.type_b).all()
+    assert (fast_ov.n_overlaps > 0).all()
+    # each type's first-row rolling median equals its first daily sum
+    first = fast_rm.groupby("event_type").head(1)
+    daily = (pd.read_parquet(f"{sf}/events.parquet",
+                             columns=["event_type", "ts", "value"]))
+    daily["day_epoch"] = (daily.ts.astype("datetime64[us]")
+                          .astype(np.int64) // 86_400_000_000) * 86_400
+    cents = (np.sign(daily.value)
+             * np.floor(np.abs(daily.value) * 100 + 0.5)).astype(np.int64)
+    daily["rev"] = cents
+    d0 = (daily.groupby(["event_type", "day_epoch"], as_index=False)
+          .rev.sum().sort_values(["event_type", "day_epoch"])
+          .groupby("event_type").head(1))
+    merged = first.merge(d0, on=["event_type", "day_epoch"])
+    assert len(merged) == len(first)
+    assert (merged.med_rev_cents == merged.rev).all()
+    # Q21: top list is exactly k rows with non-increasing counts
+    assert len(fast_lt) == 10
+    assert (np.diff(fast_lt.numwait.to_numpy()) <= 0).all()
