@@ -1340,6 +1340,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_overlap_pairs": A.session_overlap_pairs,
         "rolling_median_daily_revenue": A.rolling_median_daily_revenue,
         "late_sole_supplier_counts": A.late_sole_supplier_counts,
+        # round-4 wave 38: KMV bottom-k sketch (bit-exact SQL replay)
+        # / Pareto skyline / Q18 HAVING-rollup chain
+        "kmv_distinct_userdays": A.kmv_distinct_userdays,
+        "part_skyline": A.part_skyline,
+        "large_quantity_orders": A.large_quantity_orders,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -3507,6 +3512,53 @@ def oracle_sql() -> dict[str, str]:
             " JOIN supplier s ON f.l_suppkey = s.s_suppkey"
             " WHERE f.late = 1 AND po.ns >= 2 AND po.nl = 1"
             " GROUP BY 1 ORDER BY numwait DESC, s_name ASC LIMIT 10",
+        # KMV bottom-k distinct sketch: DuckDB replays the exact md5
+        # 60-bit hash, the exact k-th order statistic AND the exact
+        # estimate — a fully SQL-oracled sketch (k = 64)
+        "kmv_distinct_userdays":
+            "WITH p AS (SELECT DISTINCT event_type, user_id,"
+            " CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS d"
+            " FROM events), "
+            "h AS (SELECT DISTINCT event_type,"
+            " CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|'"
+            " || CAST(d AS VARCHAR)), 1, 15) AS BIGINT) AS hv FROM p), "
+            "r AS (SELECT event_type, hv, ROW_NUMBER() OVER"
+            " (PARTITION BY event_type ORDER BY hv) AS rn,"
+            " COUNT(*) OVER (PARTITION BY event_type) AS m FROM h) "
+            "SELECT event_type, CAST(LEAST(m, 64) AS BIGINT) AS n_kept,"
+            " CAST(MAX(CASE WHEN rn = LEAST(m, 64) THEN hv END)"
+            " AS BIGINT) AS kth_hash,"
+            " ROUND(CASE WHEN m < 64 THEN CAST(m AS DOUBLE)"
+            " ELSE 63.0 / (CAST(MAX(CASE WHEN rn = 64 THEN hv END)"
+            " AS DOUBLE) / 1152921504606846976.0) END, 6)"
+            " AS kmv_distinct_r6"
+            " FROM r GROUP BY event_type, m ORDER BY event_type",
+        # Pareto skyline: non-dominated (price low, size high) parts
+        "part_skyline":
+            "SELECT p.p_partkey,"
+            " CAST(ROUND(p.p_retailprice*100) AS BIGINT) AS price_cents,"
+            " CAST(p.p_size AS BIGINT) AS p_size FROM part p"
+            " WHERE NOT EXISTS (SELECT 1 FROM part q WHERE"
+            " (CAST(ROUND(q.p_retailprice*100) AS BIGINT)"
+            " < CAST(ROUND(p.p_retailprice*100) AS BIGINT)"
+            " AND q.p_size >= p.p_size)"
+            " OR (CAST(ROUND(q.p_retailprice*100) AS BIGINT)"
+            " <= CAST(ROUND(p.p_retailprice*100) AS BIGINT)"
+            " AND q.p_size > p.p_size))"
+            " ORDER BY p.p_partkey",
+        # TPC-H Q18 shape: HAVING on the quantity rollup, top-k by
+        # order value
+        "large_quantity_orders":
+            "WITH big AS (SELECT l_orderkey,"
+            " CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)"
+            " AS sum_qty FROM lineitem GROUP BY 1"
+            " HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 180) "
+            "SELECT c.c_name, o.o_orderkey,"
+            " CAST(ROUND(o.o_totalprice*100) AS BIGINT) AS total_cents,"
+            " big.sum_qty FROM big JOIN orders o"
+            " ON big.l_orderkey = o.o_orderkey"
+            " JOIN customer c ON o.o_custkey = c.c_custkey"
+            " ORDER BY total_cents DESC, o.o_orderkey ASC LIMIT 10",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

@@ -233,7 +233,9 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "bloom_prune_join_revenue",
                "session_overlap_pairs",
                "rolling_median_daily_revenue",
-               "late_sole_supplier_counts"]
+               "late_sole_supplier_counts",
+               "kmv_distinct_userdays", "part_skyline",
+               "large_quantity_orders"]
 
 
 def run_queries() -> dict[str, float]:

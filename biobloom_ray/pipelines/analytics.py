@@ -9371,3 +9371,226 @@ def late_sole_supplier_counts(sf_dir: str, late_days: int = 90,
                     right_on="s_suppkey")[["s_name", "numwait"]]
     out["numwait"] = out.numwait.astype(np.int64)
     return out.reset_index(drop=True)
+
+
+#: KMV (k-minimum-values / bottom-k) sketch size — 7th mergeable
+#: sketch family.  Relative std ≈ 1/sqrt(k-2) ≈ 0.127 at 64.
+KMV_K = 64
+
+
+def kmv_distinct_userdays(sf_dir: str, k: int = KMV_K):
+    """KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002): per
+    event type, estimate distinct (user, day) pairs from the k SMALLEST
+    60-bit md5 hashes.  Fully SQL-oracled — unlike HLL, the KMV state
+    is a deterministic function of the input set, so DuckDB replays the
+    exact hash, the exact k-th order statistic, AND the exact estimate
+    ((k−1)/normalized kth hash; exact count when fewer than k distinct
+    hashes survive).  Merge is keep-k-smallest-of-union — associative,
+    and lossless in the <k regime (no partial ever truncates before the
+    union does).  Partials are ≤ k rows per (block, type); the combine
+    shuffles nothing fact-scale (below the gate they fold on the
+    driver, above it one ``groupby(type).map_groups`` whose groups are
+    #types).  md5 is inherently per-item (same class as
+    ``table_fingerprint``); it runs on block-DEDUPED pairs only."""
+    import hashlib
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id", "ts"])
+    two60 = float(1 << 60)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = (b["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        day = (ts // 86_400_000_000) * 86_400
+        df = pd.DataFrame({
+            "event_type": pd.Series(b["event_type"].to_pandas())
+            .to_numpy(dtype=object),
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+            "day": day}).drop_duplicates()
+        hv = np.fromiter(
+            (int(hashlib.md5(f"{u}|{d}".encode()).hexdigest()[:15], 16)
+             for u, d in zip(df.user_id, df.day)),
+            dtype=np.int64, count=len(df))
+        df["hv"] = hv
+        keep = (df.drop_duplicates(["event_type", "hv"])
+                .sort_values(["event_type", "hv"])
+                .groupby("event_type").head(k))
+        return pa.Table.from_pandas(keep[["event_type", "hv"]],
+                                    preserve_index=False)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        hv = np.unique(df.hv.to_numpy(np.int64))[:k]
+        m = len(hv)
+        kth = int(hv[-1]) if m else 0
+        est = float(m) if m < k else (k - 1) / (kth / two60)
+        return pd.DataFrame({
+            "event_type": [df.event_type.iloc[0]],
+            "n_kept": np.asarray([m], np.int64),
+            "kth_hash": np.asarray([kth], np.int64),
+            "kmv_distinct_r6": [round(est, 6)]})
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        parts = _parts_pandas(parts_ds, {"event_type": object,
+                                         "hv": np.int64})
+        out = (parts.groupby("event_type", group_keys=False, sort=True)
+               [["event_type", "hv"]].apply(fold).reset_index(drop=True))
+    else:
+        out = (parts_ds.groupby("event_type")
+               .map_groups(fold, batch_format="pandas").to_pandas())
+    out["n_kept"] = out.n_kept.astype(np.int64)
+    out["kth_hash"] = out.kth_hash.astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def part_skyline(sf_dir: str):
+    """Pareto-frontier (SKYLINE) query: parts not dominated in
+    (cheaper-or-equal price, larger-or-equal size, strictly better in
+    one).  Skyline-of-skylines is associative, and the 2-D frontier
+    here is provably ≤ |size domain| rows (at most one surviving price
+    level per size, sizes are small ints), so per-block partial
+    frontiers fold on the driver with NO gate — the same
+    bounded-partial argument as ``table_fingerprint``.  Kernel: one
+    lexsort (price ↑, size ↓) + per-price max size + strict running-max
+    filter; duplicates of a surviving (price, size) pair all survive
+    (neither strictly dominates the other)."""
+    ds = _read(sf_dir, "part",
+               columns=["p_partkey", "p_retailprice", "p_size"])
+
+    def skyline_rows(key, cents, size):
+        if len(key) == 0:
+            return key, cents, size
+        order = np.lexsort((-size, cents))
+        c, s = cents[order], size[order]
+        first = np.r_[True, c[1:] != c[:-1]]
+        pc_, ps = c[first], s[first]  # per-price max size, price asc
+        run = np.maximum.accumulate(ps)
+        keep_lvl = np.r_[True, ps[1:] > run[:-1]]
+        lv_c, lv_s = pc_[keep_lvl], ps[keep_lvl]
+        lv = set(zip(lv_c.tolist(), lv_s.tolist()))
+        mask = np.fromiter(((a, b) in lv for a, b in
+                            zip(cents.tolist(), size.tolist())),
+                           dtype=bool, count=len(cents))
+        return key[mask], cents[mask], size[mask]
+
+    def partial(b: pa.Table) -> pa.Table:
+        key = b["p_partkey"].to_numpy(zero_copy_only=False)
+        cents = _cents_away(
+            b["p_retailprice"].to_numpy(zero_copy_only=False))
+        size = b["p_size"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        kk, cc, ss = skyline_rows(key, cents, size)
+        return pa.table({"p_partkey": pa.array(kk.astype(np.int64)),
+                         "price_cents": pa.array(cc),
+                         "p_size": pa.array(ss)})
+
+    parts = _parts_pandas(ds.map_batches(partial, batch_format="pyarrow"),
+                          {"p_partkey": np.int64, "price_cents": np.int64,
+                           "p_size": np.int64})
+    kk, cc, ss = skyline_rows(parts.p_partkey.to_numpy(np.int64),
+                              parts.price_cents.to_numpy(np.int64),
+                              parts.p_size.to_numpy(np.int64))
+    out = pd.DataFrame({"p_partkey": kk, "price_cents": cc,
+                        "p_size": ss}).sort_values("p_partkey")
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+def large_quantity_orders(sf_dir: str, min_qty: int = 180, k: int = 10):
+    """TPC-H Q18 shape — HAVING on a fact rollup, then a dimension
+    chain: orders whose total lineitem quantity exceeds ``min_qty``,
+    top-k by order value.  The quantity rollup pre-reduces per block
+    and combines tiered (native Sum groupby above the gate); the
+    HAVING filter applies map-side on the rollup, the order/customer
+    attributes attach to the SURVIVORS only (hash join above the gate,
+    broadcast searchsorted below), and the final top-k uses per-block
+    exact top-k partials.  Customer names map onto the k-row result
+    via a map-only filtered scan — nothing customer-scale is joined."""
+    import ray
+
+    from biobloom_ray.io import hash_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        q = np.floor(np.abs(b["l_quantity"]
+                            .to_numpy(zero_copy_only=False)) + 0.5) \
+            .astype(np.int64)
+        df = pd.DataFrame({
+            "ok": b["l_orderkey"].to_numpy(zero_copy_only=False),
+            "q": q})
+        agg = df.groupby("ok", as_index=False)["q"].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = li.map_batches(qty_partial, batch_format="pyarrow")
+    n_li = _cheap_count(li)
+    if n_li is not None and n_li <= LINEITEM_DRIVER_MAX_ROWS:
+        sums = (_parts_pandas(parts_ds, {"ok": np.int64, "q": np.int64})
+                .groupby("ok", as_index=False)["q"].sum())
+        big = sums[sums.q > min_qty]
+        od = orders.to_pandas()
+        top = (big.merge(od, left_on="ok", right_on="o_orderkey"))
+        top["total_cents"] = _cents_away(top.o_totalprice.to_numpy())
+        top = (top.drop(columns=["o_orderkey", "o_totalprice"])
+               .sort_values(["total_cents", "ok"],
+                            ascending=[False, True]).head(k))
+    else:
+        sums_ds = (parts_ds.groupby("ok")
+                   .aggregate(Sum("q", alias_name="q")))
+
+        def having(b: pa.Table) -> pa.Table:
+            return b.filter(pc.greater(b["q"], min_qty))
+
+        big_ds = sums_ds.map_batches(having, batch_format="pyarrow")
+        joined = hash_join(big_ds, orders, on=("ok",),
+                           right_on=("o_orderkey",))
+
+        def topk_partial(b: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "ok": b["ok"].to_numpy(zero_copy_only=False),
+                "q": b["q"].to_numpy(zero_copy_only=False),
+                "o_custkey": b["o_custkey"]
+                .to_numpy(zero_copy_only=False),
+                "total_cents": _cents_away(
+                    b["o_totalprice"].to_numpy(zero_copy_only=False))})
+            return pa.Table.from_pandas(
+                df.sort_values(["total_cents", "ok"],
+                               ascending=[False, True]).head(k),
+                preserve_index=False)
+
+        top = (_parts_pandas(
+            joined.map_batches(topk_partial, batch_format="pyarrow"),
+            {"ok": np.int64, "q": np.int64, "o_custkey": np.int64,
+             "total_cents": np.int64})
+            .sort_values(["total_cents", "ok"],
+                         ascending=[False, True]).head(k))
+    if len(top) == 0:
+        return pd.DataFrame({
+            "c_name": pd.Series([], dtype=object),
+            "o_orderkey": pd.Series([], dtype=np.int64),
+            "total_cents": pd.Series([], dtype=np.int64),
+            "sum_qty": pd.Series([], dtype=np.int64)})
+    want = np.sort(top.o_custkey.to_numpy(np.int64))
+    w_ref = ray.put(want)
+
+    def name_filter(b: pa.Table) -> pa.Table:
+        keys = ray.get(w_ref)
+        ck = b["c_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, ck)
+        pos[pos >= len(keys)] = 0
+        return b.filter(pa.array(keys[pos] == ck))
+
+    names = (_read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+             .map_batches(name_filter, batch_format="pyarrow")
+             .to_pandas())
+    out = top.merge(names, left_on="o_custkey", right_on="c_custkey")
+    out = out.rename(columns={"ok": "o_orderkey", "q": "sum_qty"})
+    out = (out.sort_values(["total_cents", "o_orderkey"],
+                           ascending=[False, True])
+           [["c_name", "o_orderkey", "total_cents", "sum_qty"]])
+    for c in ["o_orderkey", "total_cents", "sum_qty"]:
+        out[c] = out[c].astype(np.int64)
+    return out.reset_index(drop=True)

@@ -119,7 +119,8 @@ SQL_CHECKED = [
     "nchars_histogram_log2", "customer_order_distribution",
     "cold_customers_by_nation", "bloom_prune_join_revenue",
     "session_overlap_pairs", "rolling_median_daily_revenue",
-    "late_sole_supplier_counts",
+    "late_sole_supplier_counts", "kmv_distinct_userdays",
+    "part_skyline", "large_quantity_orders",
 ]
 
 

@@ -1981,3 +1981,55 @@ def test_round4_wave36b_tiers_agree(ray_session, monkeypatch):
     # Q21: top list is exactly k rows with non-increasing counts
     assert len(fast_lt) == 10
     assert (np.diff(fast_lt.numwait.to_numpy()) <= 0).all()
+
+
+def test_round4_wave38_tiers_agree(ray_session, monkeypatch):
+    """kmv_distinct_userdays (driver fold vs groupby(type).map_groups
+    keep-k-smallest merge), part_skyline (gate-free associative
+    merge — asserted against a brute-force domination check),
+    large_quantity_orders (driver combine vs native Sum + hash join +
+    block top-k)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_kmv = A.kmv_distinct_userdays(sf)
+    fast_sky = A.part_skyline(sf)
+    fast_q18 = A.large_quantity_orders(sf)
+
+    monkeypatch.setattr(A, "EVENTS_DRIVER_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "LINEITEM_DRIVER_MAX_ROWS", 0)
+    slow_kmv = A.kmv_distinct_userdays(sf)[list(fast_kmv.columns)]
+    slow_q18 = A.large_quantity_orders(sf)[list(fast_q18.columns)]
+    assert len(fast_kmv) > 0 and fast_kmv.equals(slow_kmv)
+    assert len(fast_q18) == 10 and fast_q18.equals(slow_q18)
+
+    # KMV is in the estimator regime on the fixture and within 5
+    # sigma of the exact distinct count (rel std = 1/sqrt(k-2))
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_type", "user_id", "ts"])
+    ev["day"] = (ev.ts.astype("datetime64[us]").astype(np.int64)
+                 // 86_400_000_000) * 86_400
+    exact = (ev.drop_duplicates(["event_type", "user_id", "day"])
+             .groupby("event_type").size())
+    assert (fast_kmv.n_kept == A.KMV_K).all()
+    for _, r in fast_kmv.iterrows():
+        tru = exact[r.event_type]
+        assert abs(r.kmv_distinct_r6 - tru) / tru < 5 / np.sqrt(
+            A.KMV_K - 2)
+
+    # skyline: no member dominated by any part, every non-member
+    # dominated by some member (brute force over the fixture)
+    parts = pd.read_parquet(f"{sf}/part.parquet",
+                            columns=["p_partkey", "p_retailprice",
+                                     "p_size"])
+    parts["cents"] = (np.sign(parts.p_retailprice) * np.floor(
+        np.abs(parts.p_retailprice) * 100 + 0.5)).astype(np.int64)
+    c = parts.cents.to_numpy()
+    s = parts.p_size.to_numpy(np.int64)
+    in_sky = parts.p_partkey.isin(fast_sky.p_partkey).to_numpy()
+    for i in np.nonzero(in_sky)[0]:
+        dom = ((c < c[i]) & (s >= s[i])) | ((c <= c[i]) & (s > s[i]))
+        assert not dom.any()
+    for i in np.nonzero(~in_sky)[0]:
+        dom = (((c < c[i]) & (s >= s[i])) | ((c <= c[i]) & (s > s[i])))
+        assert dom[in_sky].any()
