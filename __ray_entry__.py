@@ -1345,6 +1345,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct_userdays": A.kmv_distinct_userdays,
         "part_skyline": A.part_skyline,
         "large_quantity_orders": A.large_quantity_orders,
+        # round-4 wave 39: KMV set algebra / band self-join / strict
+        # sequence funnel
+        "kmv_type_jaccard": A.kmv_type_jaccard,
+        "repeat_purchase_pairs": A.repeat_purchase_pairs,
+        "strict_funnel_users": A.strict_funnel_users,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -3559,6 +3564,56 @@ def oracle_sql() -> dict[str, str]:
             " ON big.l_orderkey = o.o_orderkey"
             " JOIN customer c ON o.o_custkey = c.c_custkey"
             " ORDER BY total_cents DESC, o.o_orderkey ASC LIMIT 10",
+        # KMV set algebra: Jaccard of (user, day) sets per type pair,
+        # replayed bit-exactly from the two bottom-64 sketches
+        "kmv_type_jaccard":
+            "WITH p AS (SELECT DISTINCT event_type, user_id,"
+            " CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS d"
+            " FROM events), "
+            "h AS (SELECT DISTINCT event_type,"
+            " CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|'"
+            " || CAST(d AS VARCHAR)), 1, 15) AS BIGINT) AS hv FROM p), "
+            "r AS (SELECT event_type, hv, ROW_NUMBER() OVER"
+            " (PARTITION BY event_type ORDER BY hv) AS rn FROM h), "
+            "s AS (SELECT event_type, hv FROM r WHERE rn <= 64), "
+            "pr AS (SELECT DISTINCT a.event_type AS ta,"
+            " b.event_type AS tb FROM s a JOIN s b"
+            " ON a.event_type < b.event_type), "
+            "u AS (SELECT pr.ta, pr.tb, s.hv,"
+            " MAX(CASE WHEN s.event_type = pr.ta THEN 1 ELSE 0 END)"
+            " AS ina, MAX(CASE WHEN s.event_type = pr.tb THEN 1"
+            " ELSE 0 END) AS inb FROM pr JOIN s"
+            " ON s.event_type = pr.ta OR s.event_type = pr.tb"
+            " GROUP BY 1, 2, 3), "
+            "ru AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY ta, tb"
+            " ORDER BY hv) AS rn FROM u) "
+            "SELECT ta AS type_a, tb AS type_b,"
+            " CAST(COUNT(*) AS BIGINT) AS n_union_kept,"
+            " CAST(SUM(ina * inb) AS BIGINT) AS n_matches,"
+            " ROUND(CAST(SUM(ina * inb) AS DOUBLE) / COUNT(*), 6)"
+            " AS jaccard_r6 FROM ru WHERE rn <= 64"
+            " GROUP BY 1, 2 ORDER BY 1, 2",
+        # band self-join: same-customer order pairs 0 < delta <= 7d,
+        # counted per month of the earlier order
+        "repeat_purchase_pairs":
+            "SELECT CAST(epoch(date_trunc('month', o1.o_orderdate))"
+            " AS BIGINT) AS month_epoch,"
+            " CAST(COUNT(*) AS BIGINT) AS n_pairs"
+            " FROM orders o1 JOIN orders o2"
+            " ON o1.o_custkey = o2.o_custkey"
+            " AND o2.o_orderdate > o1.o_orderdate"
+            " AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 7 DAY"
+            " GROUP BY 1 ORDER BY 1",
+        # strict-sequence funnel: view < click < purchase within 24h
+        "strict_funnel_users":
+            "SELECT CAST(COUNT(DISTINCT v.user_id) AS BIGINT)"
+            " AS n_users FROM events v"
+            " JOIN events c ON c.user_id = v.user_id"
+            " AND c.event_type = 'click' AND c.ts > v.ts"
+            " JOIN events p ON p.user_id = v.user_id"
+            " AND p.event_type = 'purchase' AND p.ts > c.ts"
+            " WHERE v.event_type = 'view'"
+            " AND p.ts <= v.ts + INTERVAL 24 HOUR",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

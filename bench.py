@@ -235,7 +235,9 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "rolling_median_daily_revenue",
                "late_sole_supplier_counts",
                "kmv_distinct_userdays", "part_skyline",
-               "large_quantity_orders"]
+               "large_quantity_orders",
+               "kmv_type_jaccard", "repeat_purchase_pairs",
+               "strict_funnel_users"]
 
 
 def run_queries() -> dict[str, float]:

@@ -9378,6 +9378,57 @@ def late_sole_supplier_counts(sf_dir: str, late_days: int = 90,
 KMV_K = 64
 
 
+def _kmv_userday_partial(b: pa.Table, k: int) -> pa.Table:
+    """Per-block bottom-k partial of the (user, day) KMV sketch:
+    block-dedupe pairs, 60-bit md5 hash, keep the k smallest distinct
+    hashes per event type.  Shared by ``kmv_distinct_userdays`` and
+    ``kmv_type_jaccard``."""
+    import hashlib
+
+    ts = (b["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+          .to_numpy(zero_copy_only=False))
+    day = (ts // 86_400_000_000) * 86_400
+    df = pd.DataFrame({
+        "event_type": pd.Series(b["event_type"].to_pandas())
+        .to_numpy(dtype=object),
+        "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+        "day": day}).drop_duplicates()
+    hv = np.fromiter(
+        (int(hashlib.md5(f"{u}|{d}".encode()).hexdigest()[:15], 16)
+         for u, d in zip(df.user_id, df.day)),
+        dtype=np.int64, count=len(df))
+    df["hv"] = hv
+    keep = (df.drop_duplicates(["event_type", "hv"])
+            .sort_values(["event_type", "hv"])
+            .groupby("event_type").head(k))
+    return pa.Table.from_pandas(keep[["event_type", "hv"]],
+                                preserve_index=False)
+
+
+def _kmv_type_sets(sf_dir: str, k: int) -> dict:
+    """Tiered bottom-k-per-type fold → {event_type: sorted int64 hash
+    array (≤ k)}.  Output scale is k × |types| rows at any corpus
+    size."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id", "ts"])
+    parts_ds = ds.map_batches(lambda b: _kmv_userday_partial(b, k),
+                              batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        parts = _parts_pandas(parts_ds, {"event_type": object,
+                                         "hv": np.int64})
+    else:
+        def fold_set(df: pd.DataFrame) -> pd.DataFrame:
+            hv = np.unique(df.hv.to_numpy(np.int64))[:k]
+            return pd.DataFrame({
+                "event_type": df.event_type.iloc[0], "hv": hv})
+
+        parts = (parts_ds.groupby("event_type")
+                 .map_groups(fold_set, batch_format="pandas")
+                 .to_pandas())
+    return {t: np.unique(g.hv.to_numpy(np.int64))[:k]
+            for t, g in parts.groupby("event_type", sort=True)}
+
+
 def kmv_distinct_userdays(sf_dir: str, k: int = KMV_K):
     """KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002): per
     event type, estimate distinct (user, day) pairs from the k SMALLEST
@@ -9392,30 +9443,11 @@ def kmv_distinct_userdays(sf_dir: str, k: int = KMV_K):
     driver, above it one ``groupby(type).map_groups`` whose groups are
     #types).  md5 is inherently per-item (same class as
     ``table_fingerprint``); it runs on block-DEDUPED pairs only."""
-    import hashlib
-
     ds = _read(sf_dir, "events", columns=["event_type", "user_id", "ts"])
     two60 = float(1 << 60)
 
     def partial(b: pa.Table) -> pa.Table:
-        ts = (b["ts"].cast(pa.timestamp("us")).cast(pa.int64())
-              .to_numpy(zero_copy_only=False))
-        day = (ts // 86_400_000_000) * 86_400
-        df = pd.DataFrame({
-            "event_type": pd.Series(b["event_type"].to_pandas())
-            .to_numpy(dtype=object),
-            "user_id": b["user_id"].to_numpy(zero_copy_only=False),
-            "day": day}).drop_duplicates()
-        hv = np.fromiter(
-            (int(hashlib.md5(f"{u}|{d}".encode()).hexdigest()[:15], 16)
-             for u, d in zip(df.user_id, df.day)),
-            dtype=np.int64, count=len(df))
-        df["hv"] = hv
-        keep = (df.drop_duplicates(["event_type", "hv"])
-                .sort_values(["event_type", "hv"])
-                .groupby("event_type").head(k))
-        return pa.Table.from_pandas(keep[["event_type", "hv"]],
-                                    preserve_index=False)
+        return _kmv_userday_partial(b, k)
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         hv = np.unique(df.hv.to_numpy(np.int64))[:k]
@@ -9594,3 +9626,155 @@ def large_quantity_orders(sf_dir: str, min_qty: int = 180, k: int = 10):
     for c in ["o_orderkey", "total_cents", "sum_qty"]:
         out[c] = out[c].astype(np.int64)
     return out.reset_index(drop=True)
+
+
+def kmv_type_jaccard(sf_dir: str, k: int = KMV_K):
+    """KMV SET ALGEBRA — the bottom-k sketch's party trick (HLL can
+    only union): estimate the Jaccard similarity of the (user, day)
+    sets of every event-type pair from the two bottom-k sketches
+    alone.  J ≈ |bottom-k(A ∪ B) ∩ A_k ∩ B_k| / |bottom-k(A ∪ B)| —
+    the k smallest hashes of the union are a uniform sample of the
+    union, so the match fraction is an unbiased Jaccard estimate.
+    Deterministic given the hash ⇒ DuckDB replays the whole
+    computation bit-exactly (the sketch is SQL-oracled, not just
+    bounded).  The per-type sets come from the shared tiered fold
+    (``_kmv_type_sets``); the pair math runs on k × |types| rows."""
+    sets = _kmv_type_sets(sf_dir, k)
+    types = sorted(sets)
+    rows = []
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            u = np.union1d(sets[ta], sets[tb])[:k]
+            both = np.intersect1d(np.intersect1d(u, sets[ta]),
+                                  sets[tb])
+            rows.append((ta, tb, len(u), len(both),
+                         round(len(both) / len(u), 6) if len(u) else 0.0))
+    out = pd.DataFrame(rows, columns=["type_a", "type_b",
+                                      "n_union_kept", "n_matches",
+                                      "jaccard_r6"])
+    out["n_union_kept"] = out.n_union_kept.astype(np.int64)
+    out["n_matches"] = out.n_matches.astype(np.int64)
+    return (out.sort_values(["type_a", "type_b"])
+            .reset_index(drop=True))
+
+
+def repeat_purchase_pairs(sf_dir: str, window_days: int = 7):
+    """BAND self-join (inequality θ-join — the pair shape none of the
+    as-of/range/overlap joins cover): same-customer order pairs whose
+    dates are 0 < Δ ≤ ``window_days`` apart, counted per month of the
+    EARLIER order.  Per-customer kernel is two searchsorteds over the
+    sorted date array (counts per anchor = rank(d+W, right) −
+    rank(d, right); ties on equal dates are excluded by the strict
+    lower bound on both sides).  Cluster tier:
+    ``groupby(custkey).map_groups`` emitting (month, n) partials →
+    native Sum groupby; driver tier: one sorted pull + the same
+    kernel per customer slice."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    w_us = int(window_days) * 86_400_000_000
+
+    def cust_kernel(d: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """sorted int64 us dates of ONE customer → (month_epochs,
+        counts) of in-window later orders per anchor."""
+        n = (np.searchsorted(d, d + w_us, side="right")
+             - np.searchsorted(d, d, side="right"))
+        m = n > 0
+        if not m.any():
+            return (np.empty(0, np.int64), np.empty(0, np.int64))
+        months = (d[m].astype("datetime64[us]").astype("datetime64[M]")
+                  .astype("datetime64[s]").astype(np.int64))
+        return months, n[m].astype(np.int64)
+
+    def month_frame(months: np.ndarray, cnts: np.ndarray) -> pd.DataFrame:
+        if len(months) == 0:
+            return pd.DataFrame({
+                "month_epoch": pd.Series([], dtype=np.int64),
+                "n_pairs": pd.Series([], dtype=np.int64)})
+        df = pd.DataFrame({"month_epoch": months, "n_pairs": cnts})
+        return df.groupby("month_epoch", as_index=False)["n_pairs"].sum()
+
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        df = ds.to_pandas().sort_values(["o_custkey", "o_orderdate"])
+        d = (df.o_orderdate.astype("datetime64[us]")
+             .astype(np.int64).to_numpy())
+        ck = df.o_custkey.to_numpy()
+        cuts = np.nonzero(np.r_[True, ck[1:] != ck[:-1]])[0]
+        ms, cs = [], []
+        for lo, hi in zip(cuts, np.append(cuts[1:], len(ck))):
+            mm, cc = cust_kernel(d[lo:hi])
+            ms.append(mm)
+            cs.append(cc)
+        agg = month_frame(np.concatenate(ms), np.concatenate(cs))
+    else:
+        def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+            d = np.sort(g.o_orderdate.astype("datetime64[us]")
+                        .astype(np.int64).to_numpy())
+            return month_frame(*cust_kernel(d))
+
+        parts = (ds.groupby("o_custkey")
+                 .map_groups(per_cust, batch_format="pandas"))
+        agg = (parts.groupby("month_epoch")
+               .aggregate(Sum("n_pairs", alias_name="n_pairs"))
+               .to_pandas())
+    agg["month_epoch"] = agg.month_epoch.astype(np.int64)
+    agg["n_pairs"] = agg.n_pairs.astype(np.int64)
+    return agg.sort_values("month_epoch").reset_index(drop=True)
+
+
+def strict_funnel_users(sf_dir: str, window_hours: int = 24,
+                        steps: tuple = ("view", "click", "purchase")):
+    """STRICT-SEQUENCE funnel (ordered triple within one window —
+    stricter than ``funnel_conversion``'s first-touch minima): count
+    users with at least one view < click < purchase chain whose total
+    span is ≤ ``window_hours``.  Per-user kernel: for each middle
+    step, the OPTIMAL witnesses are the latest earlier first-step and
+    the earliest later last-step (two searchsorteds); a chain exists
+    iff some middle event's witness span fits the window.  Single-row
+    exact output; per-user map_groups above the gate emits 0/1
+    partials into a native Sum."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    w_us = int(window_hours) * 3_600_000_000
+    s0, s1, s2 = steps
+
+    def user_converted(tp: np.ndarray, ts: np.ndarray) -> bool:
+        a = np.sort(ts[tp == s0])
+        b = np.sort(ts[tp == s1])
+        c = np.sort(ts[tp == s2])
+        if not (len(a) and len(b) and len(c)):
+            return False
+        ia = np.searchsorted(a, b, side="left") - 1   # latest a < b
+        ic = np.searchsorted(c, b, side="right")      # earliest c > b
+        ok = (ia >= 0) & (ic < len(c))
+        if not ok.any():
+            return False
+        return bool((c[ic[ok]] - a[ia[ok]] <= w_us).any())
+
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        df = ds.to_pandas().sort_values("user_id")
+        ts = df.ts.astype("datetime64[us]").astype(np.int64).to_numpy()
+        tp = df.event_type.to_numpy(dtype=object)
+        uid = df.user_id.to_numpy()
+        cuts = np.nonzero(np.r_[True, uid[1:] != uid[:-1]])[0]
+        n = sum(user_converted(tp[lo:hi], ts[lo:hi])
+                for lo, hi in zip(cuts, np.append(cuts[1:], len(uid))))
+    else:
+        def per_user(g: pd.DataFrame) -> pd.DataFrame:
+            ts = (g.ts.astype("datetime64[us]").astype(np.int64)
+                  .to_numpy())
+            conv = user_converted(g.event_type.to_numpy(dtype=object),
+                                  ts)
+            return pd.DataFrame({"c": np.asarray([int(conv)],
+                                                 np.int64)})
+
+        parts = (ds.groupby("user_id")
+                 .map_groups(per_user, batch_format="pandas"))
+
+        def total(b: pa.Table) -> pa.Table:
+            return pa.table({"c": pa.array(
+                [int(b["c"].to_numpy(zero_copy_only=False).sum())],
+                pa.int64())})
+
+        n = int(parts.map_batches(total, batch_format="pyarrow")
+                .to_pandas().c.sum())
+    return pd.DataFrame({"n_users": np.asarray([n], np.int64)})

@@ -121,6 +121,8 @@ SQL_CHECKED = [
     "session_overlap_pairs", "rolling_median_daily_revenue",
     "late_sole_supplier_counts", "kmv_distinct_userdays",
     "part_skyline", "large_quantity_orders",
+    "kmv_type_jaccard", "repeat_purchase_pairs",
+    "strict_funnel_users",
 ]
 
 

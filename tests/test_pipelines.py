@@ -2033,3 +2033,51 @@ def test_round4_wave38_tiers_agree(ray_session, monkeypatch):
     for i in np.nonzero(~in_sky)[0]:
         dom = (((c < c[i]) & (s >= s[i])) | ((c <= c[i]) & (s > s[i])))
         assert dom[in_sky].any()
+
+
+def test_round4_wave39_tiers_agree(ray_session, monkeypatch):
+    """kmv_type_jaccard (driver fold vs map_groups bottom-k sets),
+    repeat_purchase_pairs (driver customer-slice loop vs per-customer
+    map_groups + native Sum), strict_funnel_users (driver loop vs
+    per-user 0/1 partials)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_j = A.kmv_type_jaccard(sf)
+    fast_b = A.repeat_purchase_pairs(sf)
+    fast_f = A.strict_funnel_users(sf)
+
+    monkeypatch.setattr(A, "EVENTS_DRIVER_MAX_ROWS", 0)
+    slow_j = A.kmv_type_jaccard(sf)[list(fast_j.columns)]
+    slow_b = A.repeat_purchase_pairs(sf)[list(fast_b.columns)]
+    slow_f = A.strict_funnel_users(sf)[list(fast_f.columns)]
+    assert len(fast_j) == 10 and fast_j.equals(slow_j)
+    assert len(fast_b) > 0 and fast_b.equals(slow_b)
+    assert fast_f.n_users.iloc[0] > 0 and fast_f.equals(slow_f)
+
+    # KMV Jaccard estimate within a loose absolute band of the exact
+    # Jaccard of the (user, day) sets (k=64 => std ~ sqrt(J(1-J)/64))
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_type", "user_id", "ts"])
+    ev["day"] = (ev.ts.astype("datetime64[us]").astype(np.int64)
+                 // 86_400_000_000) * 86_400
+    sets = {t: set(map(tuple, g[["user_id", "day"]].to_numpy()))
+            for t, g in ev.groupby("event_type")}
+    for _, r in fast_j.iterrows():
+        a, b = sets[r.type_a], sets[r.type_b]
+        true_j = len(a & b) / len(a | b)
+        assert abs(r.jaccard_r6 - true_j) < 5 * np.sqrt(
+            max(true_j * (1 - true_j), 0.01) / A.KMV_K)
+
+    # band join totals: each pair is counted exactly once, and total
+    # pairs matches a brute-force per-customer window count
+    od = pd.read_parquet(f"{sf}/orders.parquet",
+                         columns=["o_custkey", "o_orderdate"])
+    d = od.o_orderdate.astype("datetime64[us]").astype(np.int64)
+    w = 7 * 86_400_000_000
+    tot = 0
+    for _, g in pd.DataFrame({"c": od.o_custkey, "d": d}).groupby("c"):
+        dd = np.sort(g.d.to_numpy())
+        tot += int((np.searchsorted(dd, dd + w, side="right")
+                    - np.searchsorted(dd, dd, side="right")).sum())
+    assert fast_b.n_pairs.sum() == tot
