@@ -1350,6 +1350,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_type_jaccard": A.kmv_type_jaccard,
         "repeat_purchase_pairs": A.repeat_purchase_pairs,
         "strict_funnel_users": A.strict_funnel_users,
+        # round-4 wave 40: pairwise JSD / Q5 4-way star join / Q2
+        # argmin-over-join
+        "lang_bigram_jsd": A.lang_bigram_jsd,
+        "local_supplier_revenue": A.local_supplier_revenue,
+        "cheapest_shipper_per_brand": A.cheapest_shipper_per_brand,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -3614,6 +3619,70 @@ def oracle_sql() -> dict[str, str]:
             " AND p.event_type = 'purchase' AND p.ts > c.ts"
             " WHERE v.event_type = 'view'"
             " AND p.ts <= v.ts + INTERVAL 24 HOUR",
+        # pairwise Jensen-Shannon divergence between per-lang bigram
+        # distributions (natural log, 6-dp contract; integer anchors)
+        "lang_bigram_jsd":
+            "WITH tok AS (SELECT doc_id, lang, regexp_extract_all("
+            "text, '\\S+') AS toks FROM documents), "
+            "uni AS (SELECT doc_id, lang, unnest(toks) AS w,"
+            " generate_subscripts(toks, 1) AS i FROM tok), "
+            "bg AS (SELECT a.lang AS lang, a.w || ' ' || b.w AS bigram"
+            " FROM uni a JOIN uni b ON a.doc_id = b.doc_id"
+            " AND b.i = a.i + 1), "
+            "c AS (SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS n"
+            " FROM bg GROUP BY 1, 2), "
+            "tot AS (SELECT lang, SUM(n) AS s FROM c GROUP BY 1), "
+            "pr AS (SELECT a.lang AS la, b.lang AS lb FROM tot a"
+            " JOIN tot b ON a.lang < b.lang), "
+            "keys AS (SELECT pr.la, pr.lb, c.bigram FROM pr JOIN c"
+            " ON c.lang = pr.la OR c.lang = pr.lb GROUP BY 1, 2, 3), "
+            "j AS (SELECT k.la, k.lb, k.bigram,"
+            " COALESCE(ca.n, 0) AS na, COALESCE(cb.n, 0) AS nb,"
+            " ta.s AS sa, tb.s AS sb FROM keys k"
+            " LEFT JOIN c ca ON ca.lang = k.la AND ca.bigram = k.bigram"
+            " LEFT JOIN c cb ON cb.lang = k.lb AND cb.bigram = k.bigram"
+            " JOIN tot ta ON ta.lang = k.la"
+            " JOIN tot tb ON tb.lang = k.lb), "
+            "t AS (SELECT la, lb,"
+            " CAST(na AS DOUBLE) / sa AS p, CAST(nb AS DOUBLE) / sb"
+            " AS q, na, nb FROM j) "
+            "SELECT la AS lang_a, lb AS lang_b,"
+            " CAST(COUNT(*) AS BIGINT) AS n_union,"
+            " CAST(SUM(CASE WHEN na > 0 AND nb > 0 THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_common,"
+            " ROUND(SUM(CASE WHEN p > 0 THEN 0.5 * p * ln(p /"
+            " (0.5 * (p + q))) ELSE 0 END + CASE WHEN q > 0 THEN"
+            " 0.5 * q * ln(q / (0.5 * (p + q))) ELSE 0 END), 6)"
+            " AS jsd_r6 FROM t GROUP BY 1, 2 ORDER BY 1, 2",
+        # TPC-H Q5 shape: 4-way star join with co-nationality
+        "local_supplier_revenue":
+            "SELECT n.n_name,"
+            " CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT) *"
+            " (100 - CAST(ROUND(l.l_discount*100) AS BIGINT)))"
+            " AS BIGINT) AS revenue,"
+            " CAST(COUNT(*) AS BIGINT) AS n_items"
+            " FROM lineitem l JOIN orders o"
+            " ON l.l_orderkey = o.o_orderkey"
+            " JOIN customer c ON o.o_custkey = c.c_custkey"
+            " JOIN supplier s ON l.l_suppkey = s.s_suppkey"
+            " JOIN nation n ON c.c_nationkey = n.n_nationkey"
+            " JOIN region r ON n.n_regionkey = r.r_regionkey"
+            " WHERE c.c_nationkey = s.s_nationkey"
+            " AND r.r_name = 'ASIA' GROUP BY 1 ORDER BY 1",
+        # TPC-H Q2 shape: argmin over a join (ties -> smaller suppkey)
+        "cheapest_shipper_per_brand":
+            "WITH links AS (SELECT DISTINCT p.p_brand, l.l_suppkey"
+            " FROM lineitem l JOIN part p"
+            " ON l.l_partkey = p.p_partkey), "
+            "r AS (SELECT links.p_brand, links.l_suppkey AS s_suppkey,"
+            " CAST(ROUND(s.s_acctbal*100) AS BIGINT) AS acctbal_cents,"
+            " ROW_NUMBER() OVER (PARTITION BY links.p_brand ORDER BY"
+            " CAST(ROUND(s.s_acctbal*100) AS BIGINT) ASC,"
+            " links.l_suppkey ASC) AS rn"
+            " FROM links JOIN supplier s"
+            " ON links.l_suppkey = s.s_suppkey) "
+            "SELECT p_brand, s_suppkey, acctbal_cents FROM r"
+            " WHERE rn = 1 ORDER BY p_brand",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

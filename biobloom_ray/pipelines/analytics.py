@@ -9778,3 +9778,379 @@ def strict_funnel_users(sf_dir: str, window_hours: int = 24,
         n = int(parts.map_batches(total, batch_format="pyarrow")
                 .to_pandas().c.sum())
     return pd.DataFrame({"n_users": np.asarray([n], np.int64)})
+
+
+def lang_bigram_jsd(sf_dir: str):
+    """Pairwise Jensen-Shannon divergence between the per-language
+    word-bigram distributions — the corpus-drift / contamination
+    screen in information-theoretic units.  Distributed shape: block
+    partials PIVOT counts into one column per language (languages
+    discovered in a tiny pre-pass), so ONE native Sum groupby on
+    bigram co-locates every language's count for a key with no
+    per-group Python; per-pair JSD terms then vectorize per block and
+    fold into |langs|² rows.  Driver tier: pandas pivot_table.  The
+    exact-integer anchors (union / common bigram counts) pin the
+    float column, which rounds to 6 dp like every entropy oracle."""
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+    langs = sorted(ds.groupby("lang").count().to_pandas()["lang"]
+                   .to_numpy(dtype=object))
+    lcols = [f"n_{i}" for i in range(len(langs))]
+    lidx = {l: i for i, l in enumerate(langs)}
+
+    def partial(b: pa.Table) -> pa.Table:
+        from biobloom_ray.stages.textstats import _token_arrays
+
+        flat, _lens, row_of = _token_arrays(b)
+        cols = {"bigram": pd.Series([], dtype=object)}
+        cols.update({c: pd.Series([], dtype=np.int64) for c in lcols})
+        if len(flat) < 2:
+            return pa.Table.from_pandas(pd.DataFrame(cols),
+                                        preserve_index=False)
+        lg = b["lang"].to_pandas().to_numpy(dtype=object)
+        same = row_of[1:] == row_of[:-1]
+        bg = (pd.Series(flat[:-1][same], dtype=object)
+              .str.cat(pd.Series(flat[1:][same], dtype=object),
+                       sep=" "))
+        df = pd.DataFrame({"lang": lg[row_of[:-1][same]],
+                           "bigram": bg.to_numpy(dtype=object)})
+        agg = (df.groupby(["lang", "bigram"], as_index=False).size())
+        piv = (agg.pivot_table(index="bigram", columns="lang",
+                               values="size", fill_value=0,
+                               aggfunc="sum").reset_index())
+        out = pd.DataFrame({"bigram": piv.bigram
+                            .to_numpy(dtype=object)})
+        for l in langs:
+            out[lcols[lidx[l]]] = (piv[l].to_numpy(np.int64)
+                                   if l in piv.columns
+                                   else np.zeros(len(piv), np.int64))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def pair_terms(mat: np.ndarray, tot: np.ndarray) -> pd.DataFrame:
+        """(vocab_chunk × L) counts + GLOBAL totals → per-pair partial
+        (Σ jsd terms, union tally, common tally) — associative."""
+        rows = []
+        for i in range(len(langs)):
+            for j in range(i + 1, len(langs)):
+                na, nb = mat[:, i], mat[:, j]
+                m = (na > 0) | (nb > 0)
+                p = na[m] / tot[i] if tot[i] else na[m] * 0.0
+                q = nb[m] / tot[j] if tot[j] else nb[m] * 0.0
+                mid = 0.5 * (p + q)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    ta = np.where(p > 0, p * np.log(
+                        np.where(p > 0, p, 1.0) / np.where(
+                            mid > 0, mid, 1.0)), 0.0)
+                    tb = np.where(q > 0, q * np.log(
+                        np.where(q > 0, q, 1.0) / np.where(
+                            mid > 0, mid, 1.0)), 0.0)
+                rows.append((langs[i], langs[j],
+                             0.5 * float(ta.sum())
+                             + 0.5 * float(tb.sum()),
+                             int(m.sum()),
+                             int(((na > 0) & (nb > 0)).sum())))
+        return pd.DataFrame(rows, columns=["lang_a", "lang_b", "term",
+                                           "n_union", "n_common"])
+
+    def finish(parts: pd.DataFrame) -> pd.DataFrame:
+        agg = (parts.groupby(["lang_a", "lang_b"], as_index=False)
+               .agg(jsd_r6=("term", "sum"), n_union=("n_union", "sum"),
+                    n_common=("n_common", "sum")))
+        agg["jsd_r6"] = agg.jsd_r6.round(6)
+        agg["n_union"] = agg.n_union.astype(np.int64)
+        agg["n_common"] = agg.n_common.astype(np.int64)
+        return (agg[["lang_a", "lang_b", "n_union", "n_common",
+                     "jsd_r6"]].sort_values(["lang_a", "lang_b"])
+                .reset_index(drop=True))
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= BIGRAM_DRIVER_MAX_ROWS:
+        p = _parts_pandas(parts_ds, dict(
+            [("bigram", object)] + [(c, np.int64) for c in lcols]))
+        agg = p.groupby("bigram", as_index=False)[lcols].sum()
+        mat = agg[lcols].to_numpy(np.int64)
+        return finish(pair_terms(mat, mat.sum(axis=0)
+                                 .astype(np.float64)))
+    # cluster tier: ONE native Sum groupby co-locates each bigram's
+    # per-lang counts; totals broadcast; per-block pair partials fold
+    # to |blocks| × |pairs| rows — nothing vocab-scale leaves workers
+    counts_ds = (parts_ds.groupby("bigram")
+                 .aggregate(*[Sum(c, alias_name=c) for c in lcols])
+                 .materialize())
+
+    def col_sums(b: pa.Table) -> pa.Table:
+        return pa.table({c: pa.array(
+            [int(b[c].to_numpy(zero_copy_only=False).sum())],
+            pa.int64()) for c in lcols})
+
+    tot = (counts_ds.map_batches(col_sums, batch_format="pyarrow")
+           .to_pandas()[lcols].sum().to_numpy(np.float64))
+    import ray as _ray
+
+    tot_ref = _ray.put(tot)
+
+    def block_terms(b: pa.Table) -> pa.Table:
+        sub = np.stack([b[c].to_numpy(zero_copy_only=False)
+                        for c in lcols], axis=1).astype(np.int64)
+        return pa.Table.from_pandas(
+            pair_terms(sub, _ray.get(tot_ref)), preserve_index=False)
+
+    parts = _parts_pandas(
+        counts_ds.map_batches(block_terms, batch_format="pyarrow"),
+        {"lang_a": object, "lang_b": object, "term": np.float64,
+         "n_union": np.int64, "n_common": np.int64})
+    return finish(parts)
+
+
+def local_supplier_revenue(sf_dir: str, region: str = "ASIA"):
+    """TPC-H Q5 shape — the FOUR-way star join (lineitem ⋈ orders ⋈
+    customer ⋈ supplier) with the cross-dimension equality
+    c_nationkey = s_nationkey and a region filter: revenue by nation
+    where the customer and the shipping supplier are co-national.
+    Plan: the region's nation keys broadcast (tiny); the supplier →
+    nation map attaches MAP-SIDE to lineitem (dimension broadcast
+    below the gate, hash join above) with non-region rows dropped
+    before any shuffle; customers prune to the region BEFORE the
+    orders join; the two fact-scale sides meet in ONE orderkey hash
+    join of pre-reduced (orderkey, nation, revenue) partials, and the
+    co-nationality predicate applies map-side on the join output."""
+    import ray
+
+    from biobloom_ray.io import hash_join
+
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name", "n_regionkey"]) \
+        .to_pandas()
+    reg = _read(sf_dir, "region",
+                columns=["r_regionkey", "r_name"]).to_pandas()
+    rkey = int(reg[reg.r_name == region].r_regionkey.iloc[0])
+    nkeys = np.sort(nat[nat.n_regionkey == rkey]
+                    .n_nationkey.to_numpy(np.int64))
+    names = dict(zip(nat.n_nationkey.to_numpy(np.int64),
+                     nat.n_name.to_numpy(dtype=object)))
+    nk_ref = ray.put(nkeys)
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"])
+
+    def in_region(b: pa.Table, col: str) -> pa.Table:
+        keys = ray.get(nk_ref)
+        v = b[col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, v)
+        pos[pos >= len(keys)] = 0
+        return b.filter(pa.array(keys[pos] == v))
+
+    cust_r = cust.map_batches(lambda b: in_region(b, "c_nationkey"),
+                              batch_format="pyarrow")
+    supp_r = supp.map_batches(lambda b: in_region(b, "s_nationkey"),
+                              batch_format="pyarrow")
+
+    n_cust = _cheap_count(cust)
+    broadcast = (n_cust is not None
+                 and n_cust <= CUST_BROADCAST_MAX_ROWS)
+    # supplier → nation map for the lineitem side
+    sp = supp_r.to_pandas() if broadcast else None
+
+    def li_partial(b: pa.Table, smap) -> pa.Table:
+        sk = np.sort(smap.s_suppkey.to_numpy(np.int64))
+        order = np.argsort(smap.s_suppkey.to_numpy(np.int64))
+        sn = smap.s_nationkey.to_numpy(np.int64)[order]
+        v = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(sk, v)
+        pos[pos >= len(sk)] = 0
+        hit = (sk[pos] == v) if len(sk) else np.zeros(len(v), bool)
+        sub = b.filter(pa.array(hit))
+        if sub.num_rows == 0:
+            return pa.table({"ok": pa.array([], pa.int64()),
+                             "snat": pa.array([], pa.int64()),
+                             "rev": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        snat = sn[pos[hit]]
+        cents = _cents_away(
+            sub["l_extendedprice"].to_numpy(zero_copy_only=False))
+        disc = _cents_away(sub["l_discount"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({
+            "ok": sub["l_orderkey"].to_numpy(zero_copy_only=False),
+            "snat": snat, "rev": cents * (100 - disc)})
+        agg = (df.groupby(["ok", "snat"], as_index=False)
+               .agg(rev=("rev", "sum"), n=("rev", "size")))
+        agg["n"] = agg.n.astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    if broadcast:
+        sp_ref = ray.put(sp)
+        li_parts = li.map_batches(
+            lambda b: li_partial(b, ray.get(sp_ref)),
+            batch_format="pyarrow")
+        cu = cust_r.to_pandas()
+        ck = np.sort(cu.c_custkey.to_numpy(np.int64))
+        order = np.argsort(cu.c_custkey.to_numpy(np.int64))
+        cn = cu.c_nationkey.to_numpy(np.int64)[order]
+        cu_ref = ray.put((ck, cn))
+
+        def ord_map(b: pa.Table) -> pa.Table:
+            kk, nn = ray.get(cu_ref)
+            v = b["o_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(kk, v)
+            pos[pos >= len(kk)] = 0
+            hit = (kk[pos] == v) if len(kk) else np.zeros(len(v), bool)
+            sub = b.filter(pa.array(hit))
+            return pa.table({
+                "ok2": sub["o_orderkey"].cast(pa.int64()),
+                "cnat": pa.array(nn[pos[hit]].astype(np.int64))})
+
+        ords = orders.map_batches(ord_map, batch_format="pyarrow")
+        joined = hash_join(li_parts, ords, on=("ok",),
+                           right_on=("ok2",))
+    else:
+        # cluster tier: both attaches are hash joins; lineitem first
+        # pre-reduces per block on (orderkey, suppkey)
+        def li_pre(b: pa.Table) -> pa.Table:
+            cents = _cents_away(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False))
+            disc = _cents_away(
+                b["l_discount"].to_numpy(zero_copy_only=False))
+            df = pd.DataFrame({
+                "ok": b["l_orderkey"].to_numpy(zero_copy_only=False),
+                "sk": b["l_suppkey"].to_numpy(zero_copy_only=False),
+                "rev": cents * (100 - disc)})
+            agg = (df.groupby(["ok", "sk"], as_index=False)
+                   .agg(rev=("rev", "sum"), n=("rev", "size")))
+            agg["n"] = agg.n.astype(np.int64)
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+        li_sup = hash_join(li.map_batches(li_pre,
+                                          batch_format="pyarrow"),
+                           supp_r, on=("sk",), right_on=("s_suppkey",))
+
+        def li_rename(b: pa.Table) -> pa.Table:
+            return pa.table({"ok": b["ok"],
+                             "snat": b["s_nationkey"].cast(pa.int64()),
+                             "rev": b["rev"], "n": b["n"]})
+
+        li_parts = li_sup.map_batches(li_rename, batch_format="pyarrow")
+        ords_j = hash_join(orders, cust_r, on=("o_custkey",),
+                           right_on=("c_custkey",))
+
+        def ord_rename(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "ok2": b["o_orderkey"].cast(pa.int64()),
+                "cnat": b["c_nationkey"].cast(pa.int64())})
+
+        ords = ords_j.map_batches(ord_rename, batch_format="pyarrow")
+        joined = hash_join(li_parts, ords, on=("ok",), right_on=("ok2",))
+
+    def conational(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["snat"], b["cnat"])
+        sub = b.filter(m)
+        df = pd.DataFrame({
+            "nat": sub["snat"].to_numpy(zero_copy_only=False),
+            "revenue": sub["rev"].to_numpy(zero_copy_only=False),
+            "n_items": sub["n"].to_numpy(zero_copy_only=False)})
+        agg = (df.groupby("nat", as_index=False)
+               [["revenue", "n_items"]].sum())
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts = _parts_pandas(
+        joined.map_batches(conational, batch_format="pyarrow"),
+        {"nat": np.int64, "revenue": np.int64, "n_items": np.int64})
+    agg = (parts.groupby("nat", as_index=False)
+           [["revenue", "n_items"]].sum())
+    agg["n_name"] = agg.nat.map(names)
+    out = agg[["n_name", "revenue", "n_items"]] \
+        .sort_values("n_name").reset_index(drop=True)
+    out["revenue"] = out.revenue.astype(np.int64)
+    out["n_items"] = out.n_items.astype(np.int64)
+    return out
+
+
+def cheapest_shipper_per_brand(sf_dir: str):
+    """TPC-H Q2 shape — ARGMIN over a join: for every part brand, the
+    supplier with the minimum account balance among suppliers that
+    ever shipped that brand (ties → smaller suppkey).  The
+    (brand, suppkey) link table block-dedupes before any shuffle
+    (duplicate links are argmin-neutral); brand attaches from the
+    part dimension (driver merge below the gate, hash join above);
+    the argmin itself folds associatively — per-block argmin partials
+    → a ≤ |brands| driver resolve.  The supplier balance map
+    broadcasts below the dimension gate and hash-joins above it."""
+    import ray
+
+    from biobloom_ray.io import hash_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"])
+
+    def link_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "pk": b["l_partkey"].to_numpy(zero_copy_only=False),
+            "sk": b["l_suppkey"].to_numpy(zero_copy_only=False)}) \
+            .drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    links = li.map_batches(link_partial, batch_format="pyarrow")
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["p_brand", "cents", "sk"])
+                .drop_duplicates("p_brand")
+                [["p_brand", "sk", "cents"]])
+
+    n_supp = _cheap_count(supp)
+    small_supp = (n_supp is not None
+                  and n_supp <= CUST_BROADCAST_MAX_ROWS)
+    sb_ref = None
+    if small_supp:
+        sp = supp.to_pandas()
+        order = np.argsort(sp.s_suppkey.to_numpy(np.int64))
+        sb_ref = ray.put((sp.s_suppkey.to_numpy(np.int64)[order],
+                          _cents_away(sp.s_acctbal.to_numpy())[order]))
+
+    def attach_bal(df: pd.DataFrame) -> pd.DataFrame:
+        kk, bal = ray.get(sb_ref)
+        pos = np.searchsorted(kk, df.sk.to_numpy(np.int64))
+        pos[pos >= len(kk)] = 0
+        return df.assign(cents=bal[pos])
+
+    n_li = _cheap_count(li)
+    if (n_li is not None and n_li <= PART_DRIVER_MAX_ROWS
+            and small_supp):
+        pt = part.to_pandas()
+        ln = (links.to_pandas().drop_duplicates()
+              .merge(pt, left_on="pk", right_on="p_partkey"))
+        resolved = resolve(attach_bal(ln[["p_brand", "sk"]]))
+    else:
+        branded = hash_join(links, part, on=("pk",),
+                            right_on=("p_partkey",))
+        if not small_supp:  # dimension too big to broadcast: join it
+            branded = hash_join(branded, supp, on=("sk",),
+                                right_on=("s_suppkey",))
+
+        def blk(b: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "p_brand": pd.Series(b["p_brand"].to_pandas())
+                .to_numpy(dtype=object),
+                "sk": b["sk"].to_numpy(zero_copy_only=False)})
+            if small_supp:
+                df = attach_bal(df)
+            else:
+                df = df.assign(cents=_cents_away(
+                    b["s_acctbal"].to_numpy(zero_copy_only=False)))
+            return pa.Table.from_pandas(resolve(df),
+                                        preserve_index=False)
+
+        parts = _parts_pandas(
+            branded.map_batches(blk, batch_format="pyarrow"),
+            {"p_brand": object, "sk": np.int64, "cents": np.int64})
+        resolved = (parts.sort_values(["p_brand", "cents", "sk"])
+                    .drop_duplicates("p_brand"))
+    out = resolved.rename(columns={"sk": "s_suppkey",
+                                   "cents": "acctbal_cents"})
+    out["s_suppkey"] = out.s_suppkey.astype(np.int64)
+    out["acctbal_cents"] = out.acctbal_cents.astype(np.int64)
+    return (out[["p_brand", "s_suppkey", "acctbal_cents"]]
+            .sort_values("p_brand").reset_index(drop=True))

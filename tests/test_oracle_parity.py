@@ -122,7 +122,8 @@ SQL_CHECKED = [
     "late_sole_supplier_counts", "kmv_distinct_userdays",
     "part_skyline", "large_quantity_orders",
     "kmv_type_jaccard", "repeat_purchase_pairs",
-    "strict_funnel_users",
+    "strict_funnel_users", "lang_bigram_jsd",
+    "local_supplier_revenue", "cheapest_shipper_per_brand",
 ]
 
 

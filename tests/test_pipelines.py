@@ -2081,3 +2081,46 @@ def test_round4_wave39_tiers_agree(ray_session, monkeypatch):
         tot += int((np.searchsorted(dd, dd + w, side="right")
                     - np.searchsorted(dd, dd, side="right")).sum())
     assert fast_b.n_pairs.sum() == tot
+
+
+def test_round4_wave40_tiers_agree(ray_session, monkeypatch):
+    """lang_bigram_jsd (driver pivot vs native lang-column Sum groupby
+    + per-block pair-term folds), local_supplier_revenue (dimension
+    broadcasts vs double hash-join chain), cheapest_shipper_per_brand
+    (driver merge vs hash joins; supplier broadcast vs joined
+    balance)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_j = A.lang_bigram_jsd(sf)
+    fast_q5 = A.local_supplier_revenue(sf)
+    fast_am = A.cheapest_shipper_per_brand(sf)
+
+    monkeypatch.setattr(A, "BIGRAM_DRIVER_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "CUST_BROADCAST_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "PART_DRIVER_MAX_ROWS", 0)
+    slow_j = A.lang_bigram_jsd(sf)[list(fast_j.columns)]
+    slow_q5 = A.local_supplier_revenue(sf)[list(fast_q5.columns)]
+    slow_am = A.cheapest_shipper_per_brand(sf)[list(fast_am.columns)]
+    assert len(fast_q5) > 0 and fast_q5.equals(slow_q5)
+    assert len(fast_am) > 0 and fast_am.equals(slow_am)
+    # integer anchors must agree exactly; the float JSD column agrees
+    # to the 6-dp contract (partial-fold order differs across tiers)
+    assert fast_j[["lang_a", "lang_b", "n_union", "n_common"]].equals(
+        slow_j[["lang_a", "lang_b", "n_union", "n_common"]])
+    assert (np.abs(fast_j.jsd_r6 - slow_j.jsd_r6) <= 1e-6).all()
+
+    # JSD is a metric-like divergence: bounded by ln 2, and the
+    # self-divergence of identical distributions would be 0 — every
+    # cross-lang pair here must be strictly positive
+    assert ((fast_j.jsd_r6 > 0) & (fast_j.jsd_r6 <= np.log(2) + 1e-9)
+            ).all()
+    # Q5: revenue positive, nations within the ASIA region only
+    nat = pd.read_parquet(f"{sf}/nation.parquet")
+    reg = pd.read_parquet(f"{sf}/region.parquet")
+    asia = set(nat.merge(reg, left_on="n_regionkey",
+                         right_on="r_regionkey")
+               .query("r_name == 'ASIA'").n_name)
+    assert set(fast_q5.n_name) <= asia and (fast_q5.revenue > 0).all()
+    # argmin: every brand appears exactly once with the true minimum
+    assert fast_am.p_brand.is_unique
