@@ -1355,6 +1355,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_bigram_jsd": A.lang_bigram_jsd,
         "local_supplier_revenue": A.local_supplier_revenue,
         "cheapest_shipper_per_brand": A.cheapest_shipper_per_brand,
+        # round-4 wave 41: higher moments / sliding distinct /
+        # relational division
+        "grouped_higher_moments": A.grouped_higher_moments,
+        "sliding_distinct_users": A.sliding_distinct_users,
+        "full_quarter_customers": A.full_quarter_customers,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -3683,6 +3688,56 @@ def oracle_sql() -> dict[str, str]:
             " ON links.l_suppkey = s.s_suppkey) "
             "SELECT p_brand, s_suppkey, acctbal_cents FROM r"
             " WHERE rn = 1 ORDER BY p_brand",
+        # grouped skewness / excess kurtosis from power sums; term op
+        # order mirrors the pipeline exactly (min-shifted dollars)
+        "grouped_higher_moments":
+            "WITH c AS (SELECT event_type,"
+            " CAST(ROUND(value*100) AS BIGINT) AS cents FROM events), "
+            "mn AS (SELECT event_type, MIN(cents) AS m0 FROM c"
+            " GROUP BY 1), "
+            "x AS (SELECT c.event_type,"
+            " (c.cents - mn.m0) / 100.0 AS x FROM c JOIN mn"
+            " ON c.event_type = mn.event_type), "
+            "p AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,"
+            " SUM(x) AS s1, SUM(x*x) AS s2, SUM((x*x)*x) AS s3,"
+            " SUM((x*x)*(x*x)) AS s4 FROM x GROUP BY 1), "
+            "m AS (SELECT event_type, n, s1 / n AS mu, s2, s3, s4"
+            " FROM p), "
+            "mm AS (SELECT event_type, n, mu,"
+            " s2 / n - mu * mu AS m2,"
+            " s3 / n - 3 * mu * (s2 / n) + 2 * (mu * mu * mu) AS m3,"
+            " s4 / n - 4 * mu * (s3 / n) + 6 * (mu * mu) * (s2 / n)"
+            " - 3 * (mu * mu * mu * mu) AS m4 FROM m) "
+            "SELECT event_type, n,"
+            " ROUND(m3 / (m2 * sqrt(m2)), 6) AS skew_r6,"
+            " ROUND(m4 / (m2 * m2) - 3.0, 6) AS exkurt_r6"
+            " FROM mm ORDER BY event_type",
+        # sliding exact distinct: trailing-6h users per (type, hour)
+        # via halo expansion of the deduped (type, user, hour) triples
+        "sliding_distinct_users":
+            "WITH tr AS (SELECT DISTINCT event_type, user_id,"
+            " CAST(epoch(date_trunc('hour', ts)) AS BIGINT) / 3600"
+            " AS h FROM events), "
+            "b AS (SELECT MAX(h) AS hi FROM tr), "
+            "x AS (SELECT DISTINCT event_type, user_id,"
+            " h + t.o AS target FROM tr CROSS JOIN b"
+            " CROSS JOIN range(0, 6) t(o) WHERE h + t.o <= b.hi) "
+            "SELECT event_type, CAST(target * 3600 AS BIGINT)"
+            " AS hour_epoch, CAST(COUNT(DISTINCT user_id) AS BIGINT)"
+            " AS n_users FROM x GROUP BY 1, 2 ORDER BY 1, 2",
+        # relational division (FOR ALL): customers ordering in every
+        # quarter of 1997, per nation
+        "full_quarter_customers":
+            "WITH q AS (SELECT DISTINCT o_custkey,"
+            " quarter(o_orderdate) AS q FROM orders"
+            " WHERE o_orderdate >= TIMESTAMP '1997-01-01'"
+            " AND o_orderdate < TIMESTAMP '1998-01-01'), "
+            "w AS (SELECT o_custkey FROM q GROUP BY 1"
+            " HAVING COUNT(*) = 4) "
+            "SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_customers"
+            " FROM w JOIN customer c ON w.o_custkey = c.c_custkey"
+            " JOIN nation n ON c.c_nationkey = n.n_nationkey"
+            " GROUP BY 1 ORDER BY 1",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

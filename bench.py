@@ -239,7 +239,10 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "kmv_type_jaccard", "repeat_purchase_pairs",
                "strict_funnel_users",
                "lang_bigram_jsd", "local_supplier_revenue",
-               "cheapest_shipper_per_brand"]
+               "cheapest_shipper_per_brand",
+               "grouped_higher_moments",
+               "sliding_distinct_users",
+               "full_quarter_customers"]
 
 
 def run_queries() -> dict[str, float]:

@@ -10154,3 +10154,227 @@ def cheapest_shipper_per_brand(sf_dir: str):
     out["acctbal_cents"] = out.acctbal_cents.astype(np.int64)
     return (out[["p_brand", "s_suppkey", "acctbal_cents"]]
             .sort_values("p_brand").reset_index(drop=True))
+
+
+def grouped_higher_moments(sf_dir: str):
+    """Grouped 3rd/4th-moment statistics — population skewness and
+    excess kurtosis of ``value`` per event type — from ASSOCIATIVE
+    power-sum partials (n, Σx, Σx², Σx³, Σx⁴), the same
+    moment-partial shape as the distributed PCA.  Conditioning: x is
+    shifted by the exact per-type integer cent MINIMUM (a tiny exact
+    pre-pass) and scaled to dollars, so every x⁴ stays below 2⁵³ and
+    each element's powers are bit-identical on the pipeline and the
+    DuckDB oracle (powers composed as (x·x)·(x·x) on both sides);
+    only the final fold order differs, absorbed by the 6-dp
+    contract."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def min_partial(b: pa.Table) -> pa.Table:
+        cents = _cents_away(b["value"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({
+            "event_type": pd.Series(b["event_type"].to_pandas())
+            .to_numpy(dtype=object), "mn": cents})
+        return pa.Table.from_pandas(
+            df.groupby("event_type", as_index=False)["mn"].min(),
+            preserve_index=False)
+
+    mins = (_parts_pandas(ds.map_batches(min_partial,
+                                         batch_format="pyarrow"),
+                          {"event_type": object, "mn": np.int64})
+            .groupby("event_type", as_index=False)["mn"].min())
+    mmap = dict(zip(mins.event_type, mins.mn.astype(np.int64)))
+    import ray as _ray
+
+    mm_ref = _ray.put(mmap)
+
+    def pow_partial(b: pa.Table) -> pa.Table:
+        mm = _ray.get(mm_ref)
+        cents = _cents_away(b["value"].to_numpy(zero_copy_only=False))
+        et = pd.Series(b["event_type"].to_pandas()) \
+            .to_numpy(dtype=object)
+        shift = np.fromiter((mm[t] for t in et), dtype=np.int64,
+                            count=len(et))
+        x = (cents - shift) / 100.0
+        x2 = x * x
+        x4 = x2 * x2
+        df = pd.DataFrame({"event_type": et, "n": np.int64(1),
+                           "s1": x, "s2": x2, "s3": x2 * x, "s4": x4})
+        agg = (df.groupby("event_type", as_index=False)
+               .agg(n=("n", "sum"), s1=("s1", "sum"), s2=("s2", "sum"),
+                    s3=("s3", "sum"), s4=("s4", "sum")))
+        agg["n"] = agg.n.astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts = _parts_pandas(
+        ds.map_batches(pow_partial, batch_format="pyarrow"),
+        {"event_type": object, "n": np.int64, "s1": np.float64,
+         "s2": np.float64, "s3": np.float64, "s4": np.float64})
+    agg = (parts.groupby("event_type", as_index=False)
+           [["n", "s1", "s2", "s3", "s4"]].sum())
+    n = agg.n.to_numpy(np.float64)
+    mu = agg.s1 / n
+    # explicit multiply chains, mirrored verbatim in the SQL oracle so
+    # each term is the same IEEE op sequence; only fold order differs
+    m2 = agg.s2 / n - mu * mu
+    m3 = agg.s3 / n - 3 * mu * (agg.s2 / n) + 2 * (mu * mu * mu)
+    m4 = (agg.s4 / n - 4 * mu * (agg.s3 / n)
+          + 6 * (mu * mu) * (agg.s2 / n) - 3 * (mu * mu * mu * mu))
+    out = pd.DataFrame({
+        "event_type": agg.event_type,
+        "n": agg.n.astype(np.int64),
+        "skew_r6": (m3 / (m2 * np.sqrt(m2))).round(6),
+        "exkurt_r6": (m4 / (m2 * m2) - 3.0).round(6)})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def sliding_distinct_users(sf_dir: str, window_hours: int = 6):
+    """SLIDING exact distinct (vs the tumbling `windowed_distinct_
+    users`): per (event_type, hour) on the dense hour grid, the
+    distinct users seen in the TRAILING ``window_hours`` hours.  Halo
+    expansion makes it shuffle-native: each block-deduped (type,
+    user, hour) triple replicates to its ≤ W target hours, then the
+    same two chained native groupbys as every exact-distinct op
+    (cluster-wide dedup of (type, target, user), then count per
+    window).  The expansion factor is the window length — bounded and
+    chosen, not data-driven."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "user_id"])
+    span = _read(sf_dir, "events", columns=["ts"])
+
+    def ts_bounds(b: pa.Table) -> pa.Table:
+        t = (b["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+             .to_numpy(zero_copy_only=False)) // 3_600_000_000
+        return pa.table({"lo": pa.array([int(t.min())], pa.int64()),
+                         "hi": pa.array([int(t.max())], pa.int64())})
+
+    bounds = _parts_pandas(span.map_batches(ts_bounds,
+                                            batch_format="pyarrow"),
+                           {"lo": np.int64, "hi": np.int64})
+    lo_h, hi_h = int(bounds.lo.min()), int(bounds.hi.max())
+    w = int(window_hours)
+
+    def halo_partial(b: pa.Table) -> pa.Table:
+        t = (b["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+             .to_numpy(zero_copy_only=False)) // 3_600_000_000
+        df = pd.DataFrame({
+            "event_type": pd.Series(b["event_type"].to_pandas())
+            .to_numpy(dtype=object),
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+            "h": t}).drop_duplicates()
+        rep = df.loc[df.index.repeat(w)].reset_index(drop=True)
+        rep["target"] = (rep.h.to_numpy(np.int64)
+                         + np.tile(np.arange(w, dtype=np.int64),
+                                   len(df)))
+        rep = rep[rep.target <= hi_h]
+        out = (rep[["event_type", "user_id", "target"]]
+               .drop_duplicates())
+        out["target"] = out.target.astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts_ds = ds.map_batches(halo_partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        trip = (_parts_pandas(parts_ds, {"event_type": object,
+                                         "user_id": np.int64,
+                                         "target": np.int64})
+                .drop_duplicates())
+        agg = (trip.groupby(["event_type", "target"], as_index=False)
+               .agg(n_users=("user_id", "size")))
+    else:
+        dedup = (parts_ds.groupby(["event_type", "target", "user_id"])
+                 .aggregate(Count(alias_name="_c")))
+        agg = (dedup.groupby(["event_type", "target"])
+               .aggregate(Count(alias_name="n_users")).to_pandas())
+    agg = agg.rename(columns={"target": "hour_epoch"})
+    agg["hour_epoch"] = agg.hour_epoch.astype(np.int64) * 3600
+    agg["n_users"] = agg.n_users.astype(np.int64)
+    return (agg.sort_values(["event_type", "hour_epoch"])
+            .reset_index(drop=True))
+
+
+def full_quarter_customers(sf_dir: str, year: int = 1997):
+    """RELATIONAL DIVISION (the FOR-ALL operator): customers who
+    ordered in EVERY quarter of ``year``, counted per nation.  Plan:
+    in-year orders block-dedupe to (custkey, quarter) links (≤ 4 per
+    customer per block), a native dedup groupby makes them cluster-
+    wide distinct, a second rollup counts quarters per customer, the
+    ==4 survivors attach their nation from the customer table
+    (broadcast probe below the gate, hash join above), and the
+    nation rollup is dimension-sized."""
+    import ray
+
+    from biobloom_ray.io import hash_join
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    lo = np.datetime64(f"{year}-01-01", "us").astype(np.int64)
+    hi = np.datetime64(f"{year + 1}-01-01", "us").astype(np.int64)
+
+    def link_partial(b: pa.Table) -> pa.Table:
+        ts = (b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        m = (ts >= lo) & (ts < hi)
+        month = (ts[m].astype("datetime64[us]")
+                 .astype("datetime64[M]").astype(np.int64) % 12)
+        df = pd.DataFrame({
+            "ck": b["o_custkey"].to_numpy(zero_copy_only=False)[m],
+            "q": (month // 3 + 1).astype(np.int64)}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    links = orders.map_batches(link_partial, batch_format="pyarrow")
+    n_ord = _cheap_count(orders)
+    if n_ord is not None and n_ord <= ANTI_BROADCAST_MAX_ROWS:
+        ln = (_parts_pandas(links, {"ck": np.int64, "q": np.int64})
+              .drop_duplicates())
+        qc = ln.groupby("ck", as_index=False).agg(nq=("q", "size"))
+        winners = np.sort(qc[qc.nq == 4].ck.to_numpy(np.int64))
+        w_ref = ray.put(winners)
+
+        def nat_partial(b: pa.Table) -> pa.Table:
+            keys = ray.get(w_ref)
+            ck = b["c_custkey"].to_numpy(zero_copy_only=False)
+            if len(keys) == 0:
+                sub = b.slice(0, 0)
+            else:
+                pos = np.searchsorted(keys, ck)
+                pos[pos >= len(keys)] = 0
+                sub = b.filter(pa.array(keys[pos] == ck))
+            df = pd.DataFrame({"nk": sub["c_nationkey"]
+                               .to_numpy(zero_copy_only=False)
+                               .astype(np.int64)})
+            agg = (df.groupby("nk", as_index=False)
+                   .size().rename(columns={"size": "n_customers"}))
+            agg["n_customers"] = agg.n_customers.astype(np.int64)
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+        parts = cust.map_batches(nat_partial, batch_format="pyarrow")
+    else:
+        dedup = (links.groupby(["ck", "q"])
+                 .aggregate(Count(alias_name="_c")))
+        qc = dedup.groupby("ck").aggregate(Count(alias_name="nq"))
+
+        def keep4(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b["nq"], 4)).select(["ck"])
+
+        winners_ds = qc.map_batches(keep4, batch_format="pyarrow")
+        joined = hash_join(winners_ds, cust, on=("ck",),
+                           right_on=("c_custkey",))
+
+        def nat_partial2(b: pa.Table) -> pa.Table:
+            df = pd.DataFrame({"nk": b["c_nationkey"]
+                               .to_numpy(zero_copy_only=False)
+                               .astype(np.int64)})
+            agg = (df.groupby("nk", as_index=False)
+                   .size().rename(columns={"size": "n_customers"}))
+            agg["n_customers"] = agg.n_customers.astype(np.int64)
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+        parts = joined.map_batches(nat_partial2, batch_format="pyarrow")
+    agg = (_parts_pandas(parts, {"nk": np.int64,
+                                 "n_customers": np.int64})
+           .groupby("nk", as_index=False)["n_customers"].sum())
+    names = _read(sf_dir, "nation",
+                  columns=["n_nationkey", "n_name"]).to_pandas()
+    out = agg.merge(names, left_on="nk",
+                    right_on="n_nationkey")[["n_name", "n_customers"]]
+    out["n_customers"] = out.n_customers.astype(np.int64)
+    return out.sort_values("n_name").reset_index(drop=True)

@@ -124,6 +124,8 @@ SQL_CHECKED = [
     "kmv_type_jaccard", "repeat_purchase_pairs",
     "strict_funnel_users", "lang_bigram_jsd",
     "local_supplier_revenue", "cheapest_shipper_per_brand",
+    "grouped_higher_moments", "sliding_distinct_users",
+    "full_quarter_customers",
 ]
 
 

@@ -2124,3 +2124,53 @@ def test_round4_wave40_tiers_agree(ray_session, monkeypatch):
     assert set(fast_q5.n_name) <= asia and (fast_q5.revenue > 0).all()
     # argmin: every brand appears exactly once with the true minimum
     assert fast_am.p_brand.is_unique
+
+
+def test_round4_wave41_tiers_agree(ray_session, monkeypatch):
+    """grouped_higher_moments (gate-free associative power sums —
+    pinned against scipy-style direct formulas), sliding_distinct_users
+    (driver dedup vs chained native dedup groupbys),
+    full_quarter_customers (broadcast winner probe vs hash join)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_m = A.grouped_higher_moments(sf)
+    fast_s = A.sliding_distinct_users(sf)
+    fast_d = A.full_quarter_customers(sf)
+
+    monkeypatch.setattr(A, "EVENTS_DRIVER_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "ANTI_BROADCAST_MAX_ROWS", 0)
+    slow_s = A.sliding_distinct_users(sf)[list(fast_s.columns)]
+    slow_d = A.full_quarter_customers(sf)[list(fast_d.columns)]
+    assert len(fast_s) > 0 and fast_s.equals(slow_s)
+    assert len(fast_d) > 0 and fast_d.equals(slow_d)
+
+    # moments agree with a direct centered computation per type
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_type", "value"])
+    for _, r in fast_m.iterrows():
+        v = ev[ev.event_type == r.event_type].value.to_numpy()
+        cents = (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5))
+        x = (cents - cents.min()) / 100.0
+        d = x - x.mean()
+        m2, m3, m4 = (d ** 2).mean(), (d ** 3).mean(), (d ** 4).mean()
+        assert abs(r.skew_r6 - m3 / m2 ** 1.5) < 1e-5
+        assert abs(r.exkurt_r6 - (m4 / m2 ** 2 - 3)) < 1e-5
+        assert r.n == len(v)
+
+    # sliding >= tumbling-hour distinct at every (type, hour)
+    tumbling = (ev := pd.read_parquet(
+        f"{sf}/events.parquet",
+        columns=["event_type", "ts", "user_id"]))
+    tumbling["hour_epoch"] = (
+        tumbling.ts.astype("datetime64[us]").astype(np.int64)
+        // 3_600_000_000) * 3600
+    t1 = (tumbling.drop_duplicates(
+        ["event_type", "hour_epoch", "user_id"])
+        .groupby(["event_type", "hour_epoch"], as_index=False)
+        .agg(n1=("user_id", "size")))
+    m = fast_s.merge(t1, on=["event_type", "hour_epoch"])
+    assert len(m) == len(t1)
+    assert (m.n_users >= m.n1).all()
+    # relational division: winners' per-nation tallies are positive
+    assert (fast_d.n_customers > 0).all()
