@@ -1360,6 +1360,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_higher_moments": A.grouped_higher_moments,
         "sliding_distinct_users": A.sliding_distinct_users,
         "full_quarter_customers": A.full_quarter_customers,
+        # round-4 wave 42: adaptive selection / temporal negation /
+        # interpolated quantiles
+        "exact_median_bisect": A.exact_median_bisect,
+        "clean_conversion_users": A.clean_conversion_users,
+        "acctbal_cont_quantiles": A.acctbal_cont_quantiles,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -3738,6 +3743,35 @@ def oracle_sql() -> dict[str, str]:
             " FROM w JOIN customer c ON w.o_custkey = c.c_custkey"
             " JOIN nation n ON c.c_nationkey = n.n_nationkey"
             " GROUP BY 1 ORDER BY 1",
+        # adaptive multi-pass selection: exact lower median in cents
+        "exact_median_bisect":
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n,"
+            " CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY"
+            " CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)"
+            " AS median_cents FROM events",
+        # temporal negation: view -> purchase within 2h with NO error
+        # strictly between
+        "clean_conversion_users":
+            "SELECT CAST(COUNT(DISTINCT v.user_id) AS BIGINT)"
+            " AS n_users FROM events v"
+            " JOIN events p ON p.user_id = v.user_id"
+            " AND p.event_type = 'purchase' AND p.ts > v.ts"
+            " AND p.ts <= v.ts + INTERVAL 2 HOUR"
+            " WHERE v.event_type = 'view' AND NOT EXISTS"
+            " (SELECT 1 FROM events e WHERE e.user_id = v.user_id"
+            " AND e.event_type = 'error' AND e.ts > v.ts"
+            " AND e.ts < p.ts)",
+        # PERCENTILE_CONT: interpolated per-nation balance quantiles
+        "acctbal_cont_quantiles":
+            "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,"
+            " CAST(COUNT(*) AS BIGINT) AS n_customers,"
+            " ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY"
+            " CAST(ROUND(c_acctbal*100) AS BIGINT)), 6)"
+            " AS p50_cents_r6,"
+            " ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY"
+            " CAST(ROUND(c_acctbal*100) AS BIGINT)), 6)"
+            " AS p90_cents_r6"
+            " FROM customer GROUP BY 1 ORDER BY 1",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

@@ -242,7 +242,9 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "cheapest_shipper_per_brand",
                "grouped_higher_moments",
                "sliding_distinct_users",
-               "full_quarter_customers"]
+               "full_quarter_customers",
+               "exact_median_bisect", "clean_conversion_users",
+               "acctbal_cont_quantiles"]
 
 
 def run_queries() -> dict[str, float]:

@@ -10378,3 +10378,168 @@ def full_quarter_customers(sf_dir: str, year: int = 1997):
                     right_on="n_nationkey")[["n_name", "n_customers"]]
     out["n_customers"] = out.n_customers.astype(np.int64)
     return out.sort_values("n_name").reset_index(drop=True)
+
+
+def exact_median_bisect(sf_dir: str, n_buckets: int = 1024):
+    """EXACT global median by ADAPTIVE MULTI-PASS SELECTION — the
+    distributed k-th-element algorithm for domains too wide for one
+    count table: each pass histograms the surviving [lo, hi] cent
+    range into ``n_buckets`` sub-ranges (a map-only partial + a tiny
+    driver fold), the bucket holding the target rank becomes the next
+    range, and the loop exits when the range collapses to one cent —
+    ⌈log_B(domain)⌉ passes total (2 here), never materializing a
+    value-cardinality table.  Lower-median contract
+    (PERCENTILE_DISC(0.5)): the smallest value whose cumulative count
+    reaches ⌈n/2⌉."""
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def minmax(b: pa.Table) -> pa.Table:
+        c = _cents_away(b["value"].to_numpy(zero_copy_only=False))
+        return pa.table({"lo": pa.array([int(c.min())], pa.int64()),
+                         "hi": pa.array([int(c.max())], pa.int64()),
+                         "n": pa.array([len(c)], pa.int64())})
+
+    mm = _parts_pandas(ds.map_batches(minmax, batch_format="pyarrow"),
+                       {"lo": np.int64, "hi": np.int64, "n": np.int64})
+    lo, hi, n = int(mm.lo.min()), int(mm.hi.max()), int(mm.n.sum())
+    k = (n + 1) // 2  # 1-based target rank (lower median)
+    below = 0  # values strictly below current lo
+    while hi > lo:
+        edges = np.unique(np.linspace(lo, hi + 1, n_buckets + 1)
+                          .astype(np.int64))
+
+        def hist(b: pa.Table, e=edges, l=lo, h=hi) -> pa.Table:
+            c = _cents_away(b["value"].to_numpy(zero_copy_only=False))
+            c = c[(c >= l) & (c <= h)]
+            cnt = np.zeros(len(e) - 1, dtype=np.int64)
+            if len(c):
+                idx = np.searchsorted(e, c, side="right") - 1
+                np.add.at(cnt, idx, 1)
+            return pa.table({"b": pa.array(
+                np.arange(len(cnt), dtype=np.int64)),
+                "cnt": pa.array(cnt)})
+
+        h = (_parts_pandas(ds.map_batches(hist, batch_format="pyarrow"),
+                           {"b": np.int64, "cnt": np.int64})
+             .groupby("b")["cnt"].sum().sort_index().to_numpy())
+        cum = below + np.cumsum(h)
+        j = int(np.searchsorted(cum, k))
+        below = int(below + (np.cumsum(h)[j - 1] if j else 0))
+        lo, hi = int(edges[j]), int(edges[j + 1]) - 1
+    return pd.DataFrame({"n": np.asarray([n], np.int64),
+                         "median_cents": np.asarray([lo], np.int64)})
+
+
+def clean_conversion_users(sf_dir: str, window_hours: int = 2):
+    """Temporal NEGATION pattern (match A→B with NO intervening C):
+    users with a view → purchase pair within ``window_hours`` and no
+    'error' event strictly between them.  Per-user witness argument:
+    for each purchase, only the LATEST in-window view need be checked
+    — any earlier view's interval is a superset, so an error spoiling
+    the latest view spoils them all.  Kernel: two searchsorteds
+    (latest view, error count in the open interval via rank
+    difference).  Single-row exact output; per-user map_groups above
+    the gate."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    w_us = int(window_hours) * 3_600_000_000
+
+    def user_clean(tp: np.ndarray, ts: np.ndarray) -> bool:
+        v = np.sort(ts[tp == "view"])
+        p = np.sort(ts[tp == "purchase"])
+        e = np.sort(ts[tp == "error"])
+        if not (len(v) and len(p)):
+            return False
+        iv = np.searchsorted(v, p, side="left") - 1  # latest view < p
+        ok = (iv >= 0)
+        if not ok.any():
+            return False
+        vv, pp = v[iv[ok]], p[ok]
+        ok2 = pp - vv <= w_us
+        if not ok2.any():
+            return False
+        vv, pp = vv[ok2], pp[ok2]
+        n_err = (np.searchsorted(e, pp, side="left")
+                 - np.searchsorted(e, vv, side="right"))
+        return bool((n_err == 0).any())
+
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        df = ds.to_pandas().sort_values("user_id")
+        ts = df.ts.astype("datetime64[us]").astype(np.int64).to_numpy()
+        tp = df.event_type.to_numpy(dtype=object)
+        uid = df.user_id.to_numpy()
+        cuts = np.nonzero(np.r_[True, uid[1:] != uid[:-1]])[0]
+        n = sum(user_clean(tp[lo:hi], ts[lo:hi])
+                for lo, hi in zip(cuts, np.append(cuts[1:], len(uid))))
+    else:
+        def per_user(g: pd.DataFrame) -> pd.DataFrame:
+            ts = (g.ts.astype("datetime64[us]").astype(np.int64)
+                  .to_numpy())
+            c = user_clean(g.event_type.to_numpy(dtype=object), ts)
+            return pd.DataFrame({"c": np.asarray([int(c)], np.int64)})
+
+        parts = (ds.groupby("user_id")
+                 .map_groups(per_user, batch_format="pandas"))
+
+        def total(b: pa.Table) -> pa.Table:
+            return pa.table({"c": pa.array(
+                [int(b["c"].to_numpy(zero_copy_only=False).sum())],
+                pa.int64())})
+
+        n = int(parts.map_batches(total, batch_format="pyarrow")
+                .to_pandas().c.sum())
+    return pd.DataFrame({"n_users": np.asarray([n], np.int64)})
+
+
+def acctbal_cont_quantiles(sf_dir: str, qs: tuple = (0.5, 0.9)):
+    """PERCENTILE_CONT — the INTERPOLATED quantile semantic (the
+    existing per-nation percentiles are PERCENTILE_DISC): per nation,
+    linearly interpolated p50/p90 of customer balances, exact from
+    the (nation, cents, count) table.  The standard formula
+    h = (n−1)·q, v = v⌊h⌋ + (h−⌊h⌋)·(v⌈h⌉ − v⌊h⌋) evaluates on the
+    duplicate-inclusive sorted multiset via cumulative-count
+    searchsorteds (no expansion).  Count-table partials combine
+    tiered; the interpolation walk runs per nation on the
+    value-cardinality table."""
+    ds = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "nk": b["c_nationkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "cents": _cents_away(
+                b["c_acctbal"].to_numpy(zero_copy_only=False))})
+        agg = (df.groupby(["nk", "cents"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        agg["n"] = agg.n.astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= RANK_DRIVER_MAX_ROWS:
+        ct = (_parts_pandas(parts_ds, {"nk": np.int64,
+                                       "cents": np.int64,
+                                       "n": np.int64})
+              .groupby(["nk", "cents"], as_index=False)["n"].sum())
+    else:
+        ct = (parts_ds.groupby(["nk", "cents"])
+              .aggregate(Sum("n", alias_name="n")).to_pandas())
+    rows = []
+    for nk, g in ct.groupby("nk", sort=True):
+        g = g.sort_values("cents")
+        v = g.cents.to_numpy(np.int64).astype(np.float64)
+        cum = g.n.to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        vals = []
+        for q in qs:
+            hpos = (n - 1) * q
+            lo_i, hi_i = int(np.floor(hpos)), int(np.ceil(hpos))
+            vlo = v[np.searchsorted(cum, lo_i + 1)]
+            vhi = v[np.searchsorted(cum, hi_i + 1)]
+            vals.append(round(vlo + (hpos - lo_i) * (vhi - vlo), 6))
+        rows.append((int(nk), np.int64(n), *vals))
+    out = pd.DataFrame(rows, columns=["c_nationkey", "n_customers",
+                                      "p50_cents_r6", "p90_cents_r6"])
+    out["c_nationkey"] = out.c_nationkey.astype(np.int64)
+    out["n_customers"] = out.n_customers.astype(np.int64)
+    return out.sort_values("c_nationkey").reset_index(drop=True)

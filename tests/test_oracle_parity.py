@@ -125,7 +125,8 @@ SQL_CHECKED = [
     "strict_funnel_users", "lang_bigram_jsd",
     "local_supplier_revenue", "cheapest_shipper_per_brand",
     "grouped_higher_moments", "sliding_distinct_users",
-    "full_quarter_customers",
+    "full_quarter_customers", "exact_median_bisect",
+    "clean_conversion_users", "acctbal_cont_quantiles",
 ]
 
 
