@@ -1365,6 +1365,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_median_bisect": A.exact_median_bisect,
         "clean_conversion_users": A.clean_conversion_users,
         "acctbal_cont_quantiles": A.acctbal_cont_quantiles,
+        # round-4 wave 43: exact KS test / robust trimmed means /
+        # Markov conditional entropy
+        "value_ks_matrix": A.value_ks_matrix,
+        "acctbal_trimmed_stats": A.acctbal_trimmed_stats,
+        "transition_cond_entropy": A.transition_cond_entropy,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -3772,6 +3777,69 @@ def oracle_sql() -> dict[str, str]:
             " CAST(ROUND(c_acctbal*100) AS BIGINT)), 6)"
             " AS p90_cents_r6"
             " FROM customer GROUP BY 1 ORDER BY 1",
+        # exact two-sample KS: integer cross-multiplied CDF supremum
+        "value_ks_matrix":
+            "WITH c AS (SELECT event_type AS t,"
+            " CAST(ROUND(value*100) AS BIGINT) AS v,"
+            " CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+            "tot AS (SELECT t, SUM(n) AS s FROM c GROUP BY 1), "
+            "pr AS (SELECT a.t AS ta, b.t AS tb, a.s AS sa, b.s AS sb"
+            " FROM tot a JOIN tot b ON a.t < b.t), "
+            "grid AS (SELECT pr.ta, pr.tb, pr.sa, pr.sb, c.v,"
+            " SUM(CASE WHEN c.t = pr.ta THEN c.n ELSE 0 END) AS na,"
+            " SUM(CASE WHEN c.t = pr.tb THEN c.n ELSE 0 END) AS nb"
+            " FROM pr JOIN c ON c.t = pr.ta OR c.t = pr.tb"
+            " GROUP BY 1, 2, 3, 4, 5), "
+            "cum AS (SELECT ta, tb, sa, sb, v,"
+            " SUM(na) OVER (PARTITION BY ta, tb ORDER BY v) AS ca,"
+            " SUM(nb) OVER (PARTITION BY ta, tb ORDER BY v) AS cb"
+            " FROM grid) "
+            "SELECT ta AS type_a, tb AS type_b,"
+            " CAST(MAX(ABS(sb * ca - sa * cb)) AS BIGINT) AS ks_num,"
+            " CAST(ANY_VALUE(sa) * ANY_VALUE(sb) AS BIGINT) AS ks_den,"
+            " ROUND(CAST(MAX(ABS(sb * ca - sa * cb)) AS DOUBLE)"
+            " / (ANY_VALUE(sa) * ANY_VALUE(sb)), 6) AS ks_r6"
+            " FROM cum GROUP BY 1, 2 ORDER BY 1, 2",
+        # robust trimmed / winsorized means: rank-range selection (tie
+        # order is mean-neutral, so ROW_NUMBER suffices)
+        "acctbal_trimmed_stats":
+            "WITH x AS (SELECT CAST(c_nationkey AS BIGINT) AS nk,"
+            " CAST(ROUND(c_acctbal*100) AS BIGINT) AS v,"
+            " ROW_NUMBER() OVER (PARTITION BY c_nationkey"
+            " ORDER BY CAST(ROUND(c_acctbal*100) AS BIGINT)) AS rn,"
+            " COUNT(*) OVER (PARTITION BY c_nationkey) AS n"
+            " FROM customer), "
+            "k AS (SELECT nk, n, CAST(FLOOR(0.1 * n) AS BIGINT) AS k"
+            " FROM x GROUP BY 1, 2), "
+            "b AS (SELECT x.nk,"
+            " MAX(CASE WHEN x.rn = k.k + 1 THEN x.v END) AS lo,"
+            " MAX(CASE WHEN x.rn = k.n - k.k THEN x.v END) AS hi"
+            " FROM x JOIN k ON x.nk = k.nk GROUP BY 1) "
+            "SELECT x.nk AS c_nationkey,"
+            " CAST(ANY_VALUE(k.n) AS BIGINT) AS n_customers,"
+            " ROUND(CAST(SUM(CASE WHEN x.rn > k.k AND x.rn <= k.n - k.k"
+            " THEN x.v END) AS DOUBLE)"
+            " / (ANY_VALUE(k.n) - 2 * ANY_VALUE(k.k)), 6)"
+            " AS trim_mean_r6,"
+            " ROUND(CAST(SUM(LEAST(GREATEST(x.v, b.lo), b.hi))"
+            " AS DOUBLE) / ANY_VALUE(k.n), 6) AS winsor_mean_r6"
+            " FROM x JOIN k ON x.nk = k.nk JOIN b ON x.nk = b.nk"
+            " GROUP BY 1 ORDER BY 1",
+        # conditional entropy of the transition chain (nats, 6 dp)
+        "transition_cond_entropy":
+            "WITH s AS (SELECT user_id, event_type,"
+            " LAG(event_type) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id) AS prev FROM events), "
+            "tc AS (SELECT prev AS cur, event_type AS nxt,"
+            " CAST(COUNT(*) AS BIGINT) AS n FROM s"
+            " WHERE prev IS NOT NULL GROUP BY 1, 2), "
+            "tt AS (SELECT cur, SUM(n) AS tot FROM tc GROUP BY 1) "
+            "SELECT tc.cur AS cur_type,"
+            " CAST(ANY_VALUE(tt.tot) AS BIGINT) AS n_out,"
+            " ROUND(SUM(-(CAST(tc.n AS DOUBLE) / tt.tot)"
+            " * ln(CAST(tc.n AS DOUBLE) / tt.tot)), 6) AS h_r6"
+            " FROM tc JOIN tt ON tc.cur = tt.cur"
+            " GROUP BY 1 ORDER BY 1",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

@@ -244,7 +244,9 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "sliding_distinct_users",
                "full_quarter_customers",
                "exact_median_bisect", "clean_conversion_users",
-               "acctbal_cont_quantiles"]
+               "acctbal_cont_quantiles",
+               "value_ks_matrix", "acctbal_trimmed_stats",
+               "transition_cond_entropy"]
 
 
 def run_queries() -> dict[str, float]:

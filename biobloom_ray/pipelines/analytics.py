@@ -10543,3 +10543,159 @@ def acctbal_cont_quantiles(sf_dir: str, qs: tuple = (0.5, 0.9)):
     out["c_nationkey"] = out.c_nationkey.astype(np.int64)
     out["n_customers"] = out.n_customers.astype(np.int64)
     return out.sort_values("c_nationkey").reset_index(drop=True)
+
+
+def value_ks_matrix(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov statistic between the ``value``
+    distributions of every event-type pair — EXACT-INTEGER rational
+    form: D = max|n_b·F_a(v) − n_a·F_b(v)| / (n_a·n_b), evaluated on
+    the merged cent count tables, so the supremum is an int64
+    cross-multiplication with no float CDF anywhere (the float column
+    is one final division, 6-dp contract).  The count table combines
+    tiered (native Sum groupby above the gate); the per-pair CDF walk
+    runs on the value-cardinality table — the same driver scale as
+    every robust-stats operator."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "t": pd.Series(b["event_type"].to_pandas())
+            .to_numpy(dtype=object),
+            "v": _cents_away(b["value"].to_numpy(zero_copy_only=False))})
+        agg = (df.groupby(["t", "v"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        agg["n"] = agg.n.astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        ct = (_parts_pandas(parts_ds, {"t": object, "v": np.int64,
+                                       "n": np.int64})
+              .groupby(["t", "v"], as_index=False)["n"].sum())
+    else:
+        ct = (parts_ds.groupby(["t", "v"])
+              .aggregate(Sum("n", alias_name="n")).to_pandas())
+    types = sorted(ct.t.unique())
+    series = {t: g.sort_values("v") for t, g in ct.groupby("t")}
+    rows = []
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            ga, gb = series[ta], series[tb]
+            na = int(ga.n.sum())
+            nb = int(gb.n.sum())
+            grid = np.union1d(ga.v.to_numpy(np.int64),
+                              gb.v.to_numpy(np.int64))
+            ca = np.zeros(len(grid), np.int64)
+            cb = np.zeros(len(grid), np.int64)
+            ia = np.searchsorted(grid, ga.v.to_numpy(np.int64))
+            ib = np.searchsorted(grid, gb.v.to_numpy(np.int64))
+            ca[ia] = ga.n.to_numpy(np.int64)
+            cb[ib] = gb.n.to_numpy(np.int64)
+            ca, cb = np.cumsum(ca), np.cumsum(cb)
+            num = int(np.abs(nb * ca - na * cb).max())
+            rows.append((ta, tb, num, na * nb,
+                         round(num / (na * nb), 6)))
+    out = pd.DataFrame(rows, columns=["type_a", "type_b", "ks_num",
+                                      "ks_den", "ks_r6"])
+    out["ks_num"] = out.ks_num.astype(np.int64)
+    out["ks_den"] = out.ks_den.astype(np.int64)
+    return (out.sort_values(["type_a", "type_b"])
+            .reset_index(drop=True))
+
+
+def acctbal_trimmed_stats(sf_dir: str, trim: float = 0.1):
+    """Robust TRIMMED and WINSORIZED means per nation, exact from the
+    cent count table: with k = ⌊trim·n⌋, the trimmed mean averages
+    ranks (k, n−k] (partial multiplicities of the boundary values
+    resolved by cumulative-count arithmetic — no row expansion), and
+    the winsorized mean clamps to the rank-(k+1) / rank-(n−k) values.
+    Integer sums throughout; the only float is the final division
+    (6-dp contract).  Count-table partials combine tiered."""
+    ds = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "nk": b["c_nationkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "v": _cents_away(
+                b["c_acctbal"].to_numpy(zero_copy_only=False))})
+        agg = (df.groupby(["nk", "v"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        agg["n"] = agg.n.astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= RANK_DRIVER_MAX_ROWS:
+        ct = (_parts_pandas(parts_ds, {"nk": np.int64, "v": np.int64,
+                                       "n": np.int64})
+              .groupby(["nk", "v"], as_index=False)["n"].sum())
+    else:
+        ct = (parts_ds.groupby(["nk", "v"])
+              .aggregate(Sum("n", alias_name="n")).to_pandas())
+    rows = []
+    for nk, g in ct.groupby("nk", sort=True):
+        g = g.sort_values("v")
+        v = g.v.to_numpy(np.int64)
+        n_ = g.n.to_numpy(np.int64)
+        cum = np.cumsum(n_)
+        n = int(cum[-1])
+        k = int(np.floor(trim * n))
+
+        def rank_value(r):  # cents value at 1-based rank r
+            return int(v[np.searchsorted(cum, r)])
+
+        # sum of the k smallest (partial multiplicity on the boundary)
+        def head_sum(k_):
+            if k_ <= 0:
+                return 0
+            j = int(np.searchsorted(cum, k_))
+            full = int((v[:j] * n_[:j]).sum())
+            return full + int(v[j]) * (k_ - int(cum[j - 1]) if j else k_)
+
+        total = int((v * n_).sum())
+        rev_v, rev_n = v[::-1], n_[::-1]
+        rcum = np.cumsum(rev_n)
+
+        def tail_sum(k_):
+            if k_ <= 0:
+                return 0
+            j = int(np.searchsorted(rcum, k_))
+            full = int((rev_v[:j] * rev_n[:j]).sum())
+            return full + int(rev_v[j]) * (k_ - int(rcum[j - 1])
+                                           if j else k_)
+
+        mid_sum = total - head_sum(k) - tail_sum(k)
+        mid_n = n - 2 * k
+        lo_v, hi_v = rank_value(k + 1), rank_value(n - k)
+        win_sum = mid_sum + k * lo_v + k * hi_v
+        rows.append((int(nk), np.int64(n),
+                     round(mid_sum / mid_n, 6),
+                     round(win_sum / n, 6)))
+    out = pd.DataFrame(rows, columns=["c_nationkey", "n_customers",
+                                      "trim_mean_r6", "winsor_mean_r6"])
+    out["c_nationkey"] = out.c_nationkey.astype(np.int64)
+    out["n_customers"] = out.n_customers.astype(np.int64)
+    return out.sort_values("c_nationkey").reset_index(drop=True)
+
+
+def transition_cond_entropy(sf_dir: str):
+    """Conditional entropy H(next type | current type) of the per-user
+    event-type Markov chain — the predictability screen COMPOSED on
+    top of ``event_transitions`` (which owns the exact (ts, event_id)
+    LAG semantics and the salt-by-time-range cluster plan): per
+    current type, the Shannon entropy (nats) of its next-type
+    distribution over the |types|²-cell transition table, with the
+    exact n_out integer anchor."""
+    tc = event_transitions(sf_dir)
+    rows = []
+    for cur, g in tc.groupby("prev_type", sort=True):
+        n = g.n.to_numpy(np.int64)
+        tot = int(n.sum())
+        p = n / tot
+        rows.append((cur, np.int64(tot),
+                     round(float(-(p * np.log(p)).sum()), 6)))
+    out = pd.DataFrame(rows, columns=["cur_type", "n_out", "h_r6"])
+    out["n_out"] = out.n_out.astype(np.int64)
+    return out.sort_values("cur_type").reset_index(drop=True)

@@ -127,6 +127,8 @@ SQL_CHECKED = [
     "grouped_higher_moments", "sliding_distinct_users",
     "full_quarter_customers", "exact_median_bisect",
     "clean_conversion_users", "acctbal_cont_quantiles",
+    "value_ks_matrix", "acctbal_trimmed_stats",
+    "transition_cond_entropy",
 ]
 
 

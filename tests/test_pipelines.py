@@ -2223,3 +2223,55 @@ def test_round4_wave42_tiers_agree(ray_session, monkeypatch):
     assert ((mm.p50_cents_r6 >= mm["min"]) & (mm.p50_cents_r6
                                               <= mm["max"])).all()
     assert (mm.p90_cents_r6 >= mm.p50_cents_r6).all()
+
+
+def test_round4_wave43_tiers_agree(ray_session, monkeypatch):
+    """value_ks_matrix + acctbal_trimmed_stats (driver combine vs
+    native count-table Sum groupby), transition_cond_entropy
+    (inherits event_transitions' tiering)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_ks = A.value_ks_matrix(sf)
+    fast_tm = A.acctbal_trimmed_stats(sf)
+    fast_ce = A.transition_cond_entropy(sf)
+
+    monkeypatch.setattr(A, "EVENTS_DRIVER_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "RANK_DRIVER_MAX_ROWS", 0)
+    slow_ks = A.value_ks_matrix(sf)[list(fast_ks.columns)]
+    slow_tm = A.acctbal_trimmed_stats(sf)[list(fast_tm.columns)]
+    slow_ce = A.transition_cond_entropy(sf)[list(fast_ce.columns)]
+    assert len(fast_ks) == 10 and fast_ks.equals(slow_ks)
+    assert len(fast_tm) == 25 and fast_tm.equals(slow_tm)
+    assert len(fast_ce) > 0 and fast_ce.equals(slow_ce)
+
+    # KS vs scipy-style direct two-sample computation for one pair
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_type", "value"])
+    cents = (np.sign(ev.value)
+             * np.floor(np.abs(ev.value) * 100 + 0.5)).astype(np.int64)
+    a = np.sort(cents[ev.event_type == "click"].to_numpy())
+    b = np.sort(cents[ev.event_type == "view"].to_numpy())
+    grid = np.union1d(a, b)
+    fa = np.searchsorted(a, grid, side="right") / len(a)
+    fb = np.searchsorted(b, grid, side="right") / len(b)
+    d = np.abs(fa - fb).max()
+    row = fast_ks[(fast_ks.type_a == "click")
+                  & (fast_ks.type_b == "view")].iloc[0]
+    assert abs(row.ks_r6 - d) < 1e-6
+    # trimmed mean sits between min and untrimmed mean bounds, and
+    # the winsorized mean is between trimmed-window extremes
+    cust = pd.read_parquet(f"{sf}/customer.parquet",
+                           columns=["c_nationkey", "c_acctbal"])
+    cust["cents"] = (np.sign(cust.c_acctbal) * np.floor(
+        np.abs(cust.c_acctbal) * 100 + 0.5)).astype(np.int64)
+    g = cust.groupby("c_nationkey").cents
+    mm = fast_tm.merge(g.agg(["min", "max"]), left_on="c_nationkey",
+                       right_index=True)
+    assert ((mm.trim_mean_r6 >= mm["min"])
+            & (mm.trim_mean_r6 <= mm["max"])).all()
+    assert ((mm.winsor_mean_r6 >= mm["min"])
+            & (mm.winsor_mean_r6 <= mm["max"])).all()
+    # conditional entropy bounded by ln(|types|)
+    assert (fast_ce.h_r6 <= np.log(5) + 1e-9).all()
+    assert (fast_ce.h_r6 >= 0).all()
