@@ -1370,6 +1370,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_ks_matrix": A.value_ks_matrix,
         "acctbal_trimmed_stats": A.acctbal_trimmed_stats,
         "transition_cond_entropy": A.transition_cond_entropy,
+        # round-4 wave 44: hierarchy shares / reconciliation audit /
+        # Haar pyramid
+        "region_share_rollup": A.region_share_rollup,
+        "order_price_reconciliation": A.order_price_reconciliation,
+        "daily_revenue_haar": A.daily_revenue_haar,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -3840,6 +3845,79 @@ def oracle_sql() -> dict[str, str]:
             " * ln(CAST(tc.n AS DOUBLE) / tt.tot)), 6) AS h_r6"
             " FROM tc JOIN tt ON tc.cur = tt.cur"
             " GROUP BY 1 ORDER BY 1",
+        # percent-of-parent hierarchy: nation share of region, region
+        # share of global (exact cent sums, one division each)
+        "region_share_rollup":
+            "WITH leaf AS (SELECT c_nationkey AS nk,"
+            " CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT)"
+            " AS s, CAST(COUNT(*) AS BIGINT) AS n FROM customer"
+            " GROUP BY 1), "
+            "j AS (SELECT r.r_name, nt.n_name, leaf.n, leaf.s"
+            " FROM leaf JOIN nation nt ON leaf.nk = nt.n_nationkey"
+            " JOIN region r ON nt.n_regionkey = r.r_regionkey), "
+            "rt AS (SELECT r_name, SUM(s) AS rs FROM j GROUP BY 1), "
+            "gt AS (SELECT SUM(s) AS gs FROM j) "
+            "SELECT j.r_name, j.n_name, j.n AS n_customers,"
+            " j.s AS sum_cents,"
+            " ROUND(CAST(j.s AS DOUBLE) / rt.rs, 6) AS nation_share_r6,"
+            " ROUND(CAST(rt.rs AS DOUBLE) / gt.gs, 6)"
+            " AS region_share_r6"
+            " FROM j JOIN rt ON j.r_name = rt.r_name CROSS JOIN gt"
+            " ORDER BY j.r_name, j.n_name",
+        # cross-table reconciliation: o_totalprice vs lineitem sum
+        "order_price_reconciliation":
+            "WITH ls AS (SELECT l_orderkey,"
+            " CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))"
+            " AS BIGINT) AS s FROM lineitem GROUP BY 1), "
+            "j AS (SELECT o.o_orderstatus,"
+            " CAST(ROUND(o.o_totalprice*100) AS BIGINT) AS tc, ls.s"
+            " FROM orders o LEFT JOIN ls"
+            " ON o.o_orderkey = ls.l_orderkey) "
+            "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,"
+            " CAST(COALESCE(SUM(CASE WHEN s IS NULL THEN 1 END), 0)"
+            " AS BIGINT) AS n_no_lines,"
+            " CAST(COALESCE(SUM(CASE WHEN s IS NOT NULL"
+            " AND tc - s = 0 THEN 1 END), 0) AS BIGINT) AS n_exact,"
+            " CAST(COALESCE(MAX(CASE WHEN s IS NOT NULL"
+            " THEN ABS(tc - s) END), 0) AS BIGINT)"
+            " AS max_abs_diff_cents"
+            " FROM j GROUP BY 1 ORDER BY 1",
+        # unnormalized Haar pyramid over each type's daily revenue
+        # (dense padded grid; bit-length slot arithmetic, no float
+        # log; the 4096-slot oracle cap covers the fixture span only)
+        "daily_revenue_haar":
+            "WITH d AS (SELECT event_type,"
+            " CAST(epoch(date_trunc('day', ts)) AS BIGINT)//86400"
+            " AS day, CAST(SUM(CAST(ROUND(value*100) AS BIGINT))"
+            " AS BIGINT) AS rev FROM events GROUP BY 1, 2), "
+            "b AS (SELECT MIN(day) AS d0, MAX(day) - MIN(day) + 1"
+            " AS span FROM d), "
+            "p AS (SELECT CASE WHEN span > 1 THEN"
+            " LENGTH(BIN(span - 1)) ELSE 0 END AS levels FROM b), "
+            "o AS (SELECT d.event_type, d.day - b.d0 AS o, d.rev"
+            " FROM d CROSS JOIN b), "
+            "lv AS (SELECT CAST(t.l AS BIGINT) AS l"
+            " FROM range(1, 64) t(l), p WHERE t.l <= p.levels), "
+            "grid AS (SELECT et.event_type, lv.l AS level,"
+            " CAST(t2.pos AS BIGINT) AS pos"
+            " FROM (SELECT DISTINCT event_type FROM d) et"
+            " CROSS JOIN lv CROSS JOIN range(0, 4096) t2(pos)"
+            " CROSS JOIN p WHERE t2.pos < (1 << (p.levels - lv.l))), "
+            "det AS (SELECT o.event_type, lv.l AS level,"
+            " CAST(o.o >> lv.l AS BIGINT) AS pos,"
+            " CAST(SUM(o.rev * (1 - 2 * ((o.o >> (lv.l - 1)) & 1)))"
+            " AS BIGINT) AS c FROM o CROSS JOIN lv GROUP BY 1, 2, 3), "
+            "dd AS (SELECT grid.event_type, grid.level, grid.pos,"
+            " CAST(COALESCE(det.c, 0) AS BIGINT) AS coeff_cents"
+            " FROM grid LEFT JOIN det ON grid.event_type ="
+            " det.event_type AND grid.level = det.level"
+            " AND grid.pos = det.pos), "
+            "ap AS (SELECT o.event_type, CAST(p.levels + 1 AS BIGINT)"
+            " AS level, CAST(0 AS BIGINT) AS pos,"
+            " CAST(SUM(o.rev) AS BIGINT) AS coeff_cents FROM o"
+            " CROSS JOIN p GROUP BY 1, p.levels) "
+            "SELECT * FROM dd UNION ALL SELECT * FROM ap"
+            " ORDER BY event_type, level, pos",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

@@ -246,7 +246,10 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "exact_median_bisect", "clean_conversion_users",
                "acctbal_cont_quantiles",
                "value_ks_matrix", "acctbal_trimmed_stats",
-               "transition_cond_entropy"]
+               "transition_cond_entropy",
+               "region_share_rollup",
+               "order_price_reconciliation",
+               "daily_revenue_haar"]
 
 
 def run_queries() -> dict[str, float]:

@@ -10699,3 +10699,217 @@ def transition_cond_entropy(sf_dir: str):
     out = pd.DataFrame(rows, columns=["cur_type", "n_out", "h_r6"])
     out["n_out"] = out.n_out.astype(np.int64)
     return out.sort_values("cur_type").reset_index(drop=True)
+
+
+def region_share_rollup(sf_dir: str):
+    """Hierarchical PERCENT-OF-PARENT rollup (ratio-to-parent across
+    two dimension levels): each nation's share of its region's
+    customer balance mass, and each region's share of the global
+    mass — exact integer cent sums at the leaf rollup, shares as one
+    final division each (6-dp contract).  The fact scan pre-reduces
+    per block to (nationkey, sum, n); nation→region is a dimension
+    map applied on the output-scale table."""
+    ds = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = _cents_away(b["c_acctbal"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({
+            "nk": b["c_nationkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64), "s": cents})
+        agg = (df.groupby("nk", as_index=False)
+               .agg(s=("s", "sum"), n=("s", "size")))
+        agg["n"] = agg.n.astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    leaf = (_parts_pandas(ds.map_batches(partial, batch_format="pyarrow"),
+                          {"nk": np.int64, "s": np.int64, "n": np.int64})
+            .groupby("nk", as_index=False)[["s", "n"]].sum())
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name", "n_regionkey"]) \
+        .to_pandas()
+    reg = _read(sf_dir, "region",
+                columns=["r_regionkey", "r_name"]).to_pandas()
+    j = (leaf.merge(nat, left_on="nk", right_on="n_nationkey")
+         .merge(reg, left_on="n_regionkey", right_on="r_regionkey"))
+    rtot = j.groupby("r_name", as_index=False).s.sum() \
+        .rename(columns={"s": "rs"})
+    gtot = int(j.s.sum())
+    out = j.merge(rtot, on="r_name")
+    out["nation_share_r6"] = (out.s / out.rs).round(6)
+    out["region_share_r6"] = (out.rs / gtot).round(6)
+    out = out.rename(columns={"s": "sum_cents", "n": "n_customers"})
+    out["sum_cents"] = out.sum_cents.astype(np.int64)
+    out["n_customers"] = out.n_customers.astype(np.int64)
+    return (out[["r_name", "n_name", "n_customers", "sum_cents",
+                 "nation_share_r6", "region_share_r6"]]
+            .sort_values(["r_name", "n_name"]).reset_index(drop=True))
+
+
+def order_price_reconciliation(sf_dir: str):
+    """Cross-table RECONCILIATION audit (fact-vs-rollup drift): per
+    order status, how far ``o_totalprice`` sits from the order's
+    lineitem extended-price sum — exact integer cent differences,
+    plus the orders with no lineitems at all (a left join's null
+    side, counted separately rather than silently dropped).  The
+    lineitem rollup pre-reduces per block and combines tiered; order
+    attributes attach by hash join above the gate / driver merge
+    below."""
+    from biobloom_ray.io import hash_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderstatus",
+                            "o_totalprice"])
+
+    def sum_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "ok": b["l_orderkey"].to_numpy(zero_copy_only=False),
+            "s": _cents_away(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False))})
+        agg = df.groupby("ok", as_index=False)["s"].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = li.map_batches(sum_partial, batch_format="pyarrow")
+    n_li = _cheap_count(li)
+
+    def finish(j: pd.DataFrame) -> pd.DataFrame:
+        j["diff"] = np.where(
+            j.s.notna(),
+            (_cents_away(j.o_totalprice.to_numpy())
+             - j.s.fillna(0).to_numpy(np.int64)), 0).astype(np.int64)
+        j["has"] = j.s.notna()
+        g = (j.groupby("o_orderstatus", as_index=False)
+             .agg(n_orders=("has", "size"),
+                  n_no_lines=("has", lambda x: int((~x).sum())),
+                  n_exact=("diff", lambda d: 0),
+                  max_abs_diff_cents=("diff", lambda d: 0)))
+        # exact/max over the WITH-lines subset only
+        sub = j[j.has]
+        stats = (sub.assign(ad=sub["diff"].abs())
+                 .groupby("o_orderstatus", as_index=False)
+                 .agg(n_exact=("ad", lambda a: int((a == 0).sum())),
+                      max_abs_diff_cents=("ad", "max")))
+        g = (g.drop(columns=["n_exact", "max_abs_diff_cents"])
+             .merge(stats, on="o_orderstatus", how="left"))
+        g["n_exact"] = g.n_exact.fillna(0).astype(np.int64)
+        g["max_abs_diff_cents"] = (g.max_abs_diff_cents.fillna(0)
+                                   .astype(np.int64))
+        g["n_orders"] = g.n_orders.astype(np.int64)
+        g["n_no_lines"] = g.n_no_lines.astype(np.int64)
+        return (g.sort_values("o_orderstatus").reset_index(drop=True)
+                [["o_orderstatus", "n_orders", "n_no_lines", "n_exact",
+                  "max_abs_diff_cents"]])
+
+    if n_li is not None and n_li <= LINEITEM_DRIVER_MAX_ROWS:
+        sums = (_parts_pandas(parts_ds, {"ok": np.int64, "s": np.int64})
+                .groupby("ok", as_index=False)["s"].sum())
+        od = orders.to_pandas()
+        return finish(od.merge(sums, left_on="o_orderkey",
+                               right_on="ok", how="left"))
+    sums_ds = parts_ds.groupby("ok").aggregate(Sum("s", alias_name="s"))
+    joined = hash_join(orders, sums_ds, on=("o_orderkey",),
+                       right_on=("ok",), join_type="left_outer")
+
+    def audit_partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        tc = _cents_away(df.o_totalprice.to_numpy())
+        has = df.s.notna().to_numpy()
+        ad = np.abs(tc - df.s.fillna(0).to_numpy(np.int64))
+        out = pd.DataFrame({"o_orderstatus": df.o_orderstatus
+                            .to_numpy(dtype=object),
+                            "has": has, "ad": ad})
+        g = (out.groupby("o_orderstatus", as_index=False)
+             .agg(n_orders=("has", "size"),
+                  n_no_lines=("has", lambda x: int((~x).sum())),
+                  n_exact=("ad", lambda a: 0),
+                  max_abs_diff_cents=("ad", "max")))
+        sub = out[out.has]
+        ne = (sub.groupby("o_orderstatus", as_index=False)
+              .agg(n_exact=("ad", lambda a: int((a == 0).sum()))))
+        g = (g.drop(columns=["n_exact"])
+             .merge(ne, on="o_orderstatus", how="left"))
+        g["n_exact"] = g.n_exact.fillna(0).astype(np.int64)
+        for c in ["n_orders", "n_no_lines", "max_abs_diff_cents"]:
+            g[c] = g[c].astype(np.int64)
+        return pa.Table.from_pandas(
+            g[["o_orderstatus", "n_orders", "n_no_lines", "n_exact",
+               "max_abs_diff_cents"]], preserve_index=False)
+
+    parts = _parts_pandas(
+        joined.map_batches(audit_partial, batch_format="pyarrow"),
+        {"o_orderstatus": object, "n_orders": np.int64,
+         "n_no_lines": np.int64, "n_exact": np.int64,
+         "max_abs_diff_cents": np.int64})
+    agg = (parts.groupby("o_orderstatus", as_index=False)
+           .agg(n_orders=("n_orders", "sum"),
+                n_no_lines=("n_no_lines", "sum"),
+                n_exact=("n_exact", "sum"),
+                max_abs_diff_cents=("max_abs_diff_cents", "max")))
+    for c in ["n_orders", "n_no_lines", "n_exact",
+              "max_abs_diff_cents"]:
+        agg[c] = agg[c].astype(np.int64)
+    return agg.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+def daily_revenue_haar(sf_dir: str):
+    """Multi-resolution HIERARCHICAL aggregate — an unnormalized Haar
+    pyramid over each event type's daily revenue series (the shape
+    time-series stores use for pre-aggregated zoom levels): the day
+    grid pads to the next power of two from the GLOBAL span (exact
+    bit-length arithmetic, no float log), detail coefficient (level
+    l, pos i) = Σ rev(day)·sign where sign flips on bit l−1 of the
+    day offset, plus the full-span approximation at the top.  All
+    coefficients are exact int64 cents; the daily rollup combines
+    tiered and the transform runs on the padded output-scale grid."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def day_partial(b: pa.Table) -> pa.Table:
+        ts = (b["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        day = ts // 86_400_000_000
+        cents = _cents_away(b["value"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({
+            "event_type": pd.Series(b["event_type"].to_pandas())
+            .to_numpy(dtype=object), "day": day, "rev": cents})
+        agg = (df.groupby(["event_type", "day"], as_index=False)
+               ["rev"].sum())
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(day_partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        daily = (_parts_pandas(parts_ds, {"event_type": object,
+                                          "day": np.int64,
+                                          "rev": np.int64})
+                 .groupby(["event_type", "day"], as_index=False)
+                 ["rev"].sum())
+    else:
+        daily = (parts_ds.groupby(["event_type", "day"])
+                 .aggregate(Sum("rev", alias_name="rev")).to_pandas())
+    d0 = int(daily.day.min())
+    span = int(daily.day.max()) - d0 + 1
+    slots = 1 << (span - 1).bit_length() if span > 1 else 1
+    levels = slots.bit_length() - 1
+    rows = []
+    for et, g in daily.groupby("event_type", sort=True):
+        series = np.zeros(slots, dtype=np.int64)
+        series[(g.day.to_numpy(np.int64) - d0)] = \
+            g.rev.to_numpy(np.int64)
+        o = np.arange(slots, dtype=np.int64)
+        for l in range(1, levels + 1):
+            sign = 1 - 2 * ((o >> (l - 1)) & 1)
+            block = o >> l
+            coef = np.zeros(slots >> l, dtype=np.int64)
+            np.add.at(coef, block, sign * series)
+            for i, c in enumerate(coef):
+                rows.append((et, np.int64(l), np.int64(i),
+                             np.int64(c)))
+        rows.append((et, np.int64(levels + 1), np.int64(0),
+                     np.int64(series.sum())))
+    out = pd.DataFrame(rows, columns=["event_type", "level", "pos",
+                                      "coeff_cents"])
+    for c in ["level", "pos", "coeff_cents"]:
+        out[c] = out[c].astype(np.int64)
+    return (out.sort_values(["event_type", "level", "pos"])
+            .reset_index(drop=True))

@@ -128,7 +128,8 @@ SQL_CHECKED = [
     "full_quarter_customers", "exact_median_bisect",
     "clean_conversion_users", "acctbal_cont_quantiles",
     "value_ks_matrix", "acctbal_trimmed_stats",
-    "transition_cond_entropy",
+    "transition_cond_entropy", "region_share_rollup",
+    "order_price_reconciliation", "daily_revenue_haar",
 ]
 
 

@@ -2275,3 +2275,46 @@ def test_round4_wave43_tiers_agree(ray_session, monkeypatch):
     # conditional entropy bounded by ln(|types|)
     assert (fast_ce.h_r6 <= np.log(5) + 1e-9).all()
     assert (fast_ce.h_r6 >= 0).all()
+
+
+def test_round4_wave44_tiers_agree(ray_session, monkeypatch):
+    """region_share_rollup (gate-free leaf partials — shares sum to 1
+    within each parent), order_price_reconciliation (driver merge vs
+    left-outer hash join + audit partials), daily_revenue_haar
+    (tiered daily rollup; pyramid invariants: level sums reconstruct
+    the approximation)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_sh = A.region_share_rollup(sf)
+    fast_rc = A.order_price_reconciliation(sf)
+    fast_hr = A.daily_revenue_haar(sf)
+
+    monkeypatch.setattr(A, "LINEITEM_DRIVER_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "EVENTS_DRIVER_MAX_ROWS", 0)
+    slow_rc = A.order_price_reconciliation(sf)[list(fast_rc.columns)]
+    slow_hr = A.daily_revenue_haar(sf)[list(fast_hr.columns)]
+    assert len(fast_rc) > 0 and fast_rc.equals(slow_rc)
+    assert len(fast_hr) > 0 and fast_hr.equals(slow_hr)
+
+    # shares: nation shares sum to 1 within each region (6-dp), and
+    # region shares are consistent across the region's rows
+    for _, g in fast_sh.groupby("r_name"):
+        assert abs(g.nation_share_r6.sum() - 1.0) < 1e-4
+        assert g.region_share_r6.nunique() == 1
+    # reconciliation: no-lines + with-lines partition the orders
+    od = pd.read_parquet(f"{sf}/orders.parquet",
+                         columns=["o_orderkey"])
+    assert fast_rc.n_orders.sum() == len(od)
+    assert (fast_rc.n_no_lines <= fast_rc.n_orders).all()
+    # Haar: top approximation equals the exact total revenue, and
+    # each type's level-1 detail count is half the padded grid
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_type", "value"])
+    cents = (np.sign(ev.value)
+             * np.floor(np.abs(ev.value) * 100 + 0.5)).astype(np.int64)
+    tot = pd.DataFrame({"event_type": ev.event_type, "c": cents}) \
+        .groupby("event_type").c.sum()
+    top = fast_hr[fast_hr.level == fast_hr.level.max()]
+    for _, r in top.iterrows():
+        assert r.coeff_cents == tot[r.event_type]
