@@ -1375,6 +1375,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_share_rollup": A.region_share_rollup,
         "order_price_reconciliation": A.order_price_reconciliation,
         "daily_revenue_haar": A.daily_revenue_haar,
+        # round-4 wave 45: temporal drift / WITH TIES / exact overlap
+        "value_drift_by_half": A.value_drift_by_half,
+        "top_value_days_with_ties": A.top_value_days_with_ties,
+        "type_user_overlap_exact": A.type_user_overlap_exact,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -3918,6 +3922,76 @@ def oracle_sql() -> dict[str, str]:
             " CROSS JOIN p GROUP BY 1, p.levels) "
             "SELECT * FROM dd UNION ALL SELECT * FROM ap"
             " ORDER BY event_type, level, pos",
+        # within-type temporal drift: half-vs-half exact medians + KS
+        "value_drift_by_half":
+            "WITH b AS (SELECT (epoch_us(MIN(ts))"
+            " + epoch_us(MAX(ts)))"
+            " // 2 AS mid FROM events), "
+            "c AS (SELECT event_type AS t, CASE WHEN"
+            " epoch_us(ts) >= b.mid THEN 1"
+            " ELSE 0 END AS half, CAST(ROUND(value*100) AS BIGINT)"
+            " AS v, CAST(COUNT(*) AS BIGINT) AS n FROM events"
+            " CROSS JOIN b GROUP BY 1, 2, 3), "
+            "tot AS (SELECT t, half, SUM(n) AS s FROM c GROUP BY 1, 2), "
+            "med AS (SELECT t, half, PERCENTILE_DISC(0.5) WITHIN GROUP"
+            " (ORDER BY v) AS m FROM (SELECT t, half, v,"
+            " unnest(range(n)) FROM c) GROUP BY 1, 2), "
+            "grid AS (SELECT c.t, c.v,"
+            " SUM(CASE WHEN half = 0 THEN n ELSE 0 END) AS n0,"
+            " SUM(CASE WHEN half = 1 THEN n ELSE 0 END) AS n1"
+            " FROM c GROUP BY 1, 2), "
+            "cum AS (SELECT t, v,"
+            " SUM(n0) OVER (PARTITION BY t ORDER BY v) AS c0,"
+            " SUM(n1) OVER (PARTITION BY t ORDER BY v) AS c1"
+            " FROM grid), "
+            "ks AS (SELECT cum.t, MAX(ABS(t1.s * cum.c0"
+            " - t0.s * cum.c1)) AS num, ANY_VALUE(t0.s) AS s0,"
+            " ANY_VALUE(t1.s) AS s1 FROM cum"
+            " JOIN tot t0 ON t0.t = cum.t AND t0.half = 0"
+            " JOIN tot t1 ON t1.t = cum.t AND t1.half = 1"
+            " GROUP BY 1) "
+            "SELECT ks.t AS event_type, CAST(ks.s0 AS BIGINT)"
+            " AS n_first, CAST(ks.s1 AS BIGINT) AS n_second,"
+            " CAST(m0.m AS BIGINT) AS med_first_cents,"
+            " CAST(m1.m AS BIGINT) AS med_second_cents,"
+            " ROUND(CAST(ks.num AS DOUBLE) / (ks.s0 * ks.s1), 6)"
+            " AS ks_r6 FROM ks"
+            " JOIN med m0 ON m0.t = ks.t AND m0.half = 0"
+            " JOIN med m1 ON m1.t = ks.t AND m1.half = 1"
+            " ORDER BY 1",
+        # top-k WITH TIES: RANK() <= 3 keeps boundary ties
+        "top_value_days_with_ties":
+            "WITH d AS (SELECT event_type,"
+            " CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,"
+            " CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)"
+            " AS rev FROM events GROUP BY 1, 2), "
+            "r AS (SELECT *, CAST(RANK() OVER (PARTITION BY event_type"
+            " ORDER BY rev DESC) AS BIGINT) AS rnk FROM d) "
+            "SELECT event_type, day_epoch, rev, rnk FROM r"
+            " WHERE rnk <= 3 ORDER BY event_type, rnk, day_epoch",
+        # exact set-overlap matrix (the KMV Jaccard's exact twin)
+        "type_user_overlap_exact":
+            "WITH p AS (SELECT DISTINCT event_type, user_id,"
+            " CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS d"
+            " FROM events), "
+            "sz AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS s"
+            " FROM p GROUP BY 1), "
+            "pr AS (SELECT a.event_type AS ta, b.event_type AS tb,"
+            " a.s AS sa, b.s AS sb FROM sz a JOIN sz b"
+            " ON a.event_type < b.event_type), "
+            "inter AS (SELECT x.event_type AS ta, y.event_type AS tb,"
+            " CAST(COUNT(*) AS BIGINT) AS i FROM p x JOIN p y"
+            " ON x.user_id = y.user_id AND x.d = y.d"
+            " AND x.event_type < y.event_type GROUP BY 1, 2) "
+            "SELECT pr.ta AS type_a, pr.tb AS type_b,"
+            " CAST(COALESCE(inter.i, 0) AS BIGINT) AS n_inter,"
+            " CAST(pr.sa + pr.sb - COALESCE(inter.i, 0) AS BIGINT)"
+            " AS n_union,"
+            " ROUND(CAST(COALESCE(inter.i, 0) AS DOUBLE)"
+            " / (pr.sa + pr.sb - COALESCE(inter.i, 0)), 6)"
+            " AS jaccard_r6 FROM pr LEFT JOIN inter"
+            " ON pr.ta = inter.ta AND pr.tb = inter.tb"
+            " ORDER BY 1, 2",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

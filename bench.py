@@ -249,7 +249,10 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "transition_cond_entropy",
                "region_share_rollup",
                "order_price_reconciliation",
-               "daily_revenue_haar"]
+               "daily_revenue_haar",
+               "value_drift_by_half",
+               "top_value_days_with_ties",
+               "type_user_overlap_exact"]
 
 
 def run_queries() -> dict[str, float]:

@@ -10913,3 +10913,229 @@ def daily_revenue_haar(sf_dir: str):
         out[c] = out[c].astype(np.int64)
     return (out.sort_values(["event_type", "level", "pos"])
             .reset_index(drop=True))
+
+
+def value_drift_by_half(sf_dir: str):
+    """Within-type TEMPORAL DRIFT screen (train/test shift monitor):
+    split each event type's stream at the GLOBAL midpoint time, then
+    compare the two halves' value distributions — exact lower medians
+    (PERCENTILE_DISC) from cent count tables plus the exact-integer
+    KS supremum between the halves (the same cross-multiplied form as
+    ``value_ks_matrix``, here across TIME instead of across types).
+    One pass builds (type, half, cents) count tables tiered; the walk
+    runs on the value-cardinality table."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    span = _read(sf_dir, "events", columns=["ts"])
+
+    def ts_bounds(b: pa.Table) -> pa.Table:
+        t = (b["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+             .to_numpy(zero_copy_only=False))
+        return pa.table({"lo": pa.array([int(t.min())], pa.int64()),
+                         "hi": pa.array([int(t.max())], pa.int64())})
+
+    bounds = _parts_pandas(span.map_batches(ts_bounds,
+                                            batch_format="pyarrow"),
+                           {"lo": np.int64, "hi": np.int64})
+    mid = (int(bounds.lo.min()) + int(bounds.hi.max())) // 2
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = (b["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+             .to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({
+            "t": pd.Series(b["event_type"].to_pandas())
+            .to_numpy(dtype=object),
+            "half": (t >= mid).astype(np.int64),
+            "v": _cents_away(b["value"].to_numpy(zero_copy_only=False))})
+        agg = (df.groupby(["t", "half", "v"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        agg["n"] = agg.n.astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        ct = (_parts_pandas(parts_ds, {"t": object, "half": np.int64,
+                                       "v": np.int64, "n": np.int64})
+              .groupby(["t", "half", "v"], as_index=False)["n"].sum())
+    else:
+        ct = (parts_ds.groupby(["t", "half", "v"])
+              .aggregate(Sum("n", alias_name="n")).to_pandas())
+
+    def disc_median(g: pd.DataFrame) -> int:
+        g = g.sort_values("v")
+        cum = g.n.to_numpy(np.int64).cumsum()
+        k = (int(cum[-1]) + 1) // 2
+        return int(g.v.to_numpy(np.int64)[np.searchsorted(cum, k)])
+
+    rows = []
+    for t, gt in ct.groupby("t", sort=True):
+        g0 = gt[gt.half == 0]
+        g1 = gt[gt.half == 1]
+        n0, n1 = int(g0.n.sum()), int(g1.n.sum())
+        grid = np.union1d(g0.v.to_numpy(np.int64),
+                          g1.v.to_numpy(np.int64))
+        c0 = np.zeros(len(grid), np.int64)
+        c1 = np.zeros(len(grid), np.int64)
+        c0[np.searchsorted(grid, g0.v.to_numpy(np.int64))] = \
+            g0.n.to_numpy(np.int64)
+        c1[np.searchsorted(grid, g1.v.to_numpy(np.int64))] = \
+            g1.n.to_numpy(np.int64)
+        c0, c1 = np.cumsum(c0), np.cumsum(c1)
+        num = int(np.abs(n1 * c0 - n0 * c1).max())
+        rows.append((t, np.int64(n0), np.int64(n1),
+                     np.int64(disc_median(g0.sort_values("v"))),
+                     np.int64(disc_median(g1.sort_values("v"))),
+                     round(num / (n0 * n1), 6)))
+    out = pd.DataFrame(rows, columns=[
+        "event_type", "n_first", "n_second", "med_first_cents",
+        "med_second_cents", "ks_r6"])
+    for c in ["n_first", "n_second", "med_first_cents",
+              "med_second_cents"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def top_value_days_with_ties(sf_dir: str, k: int = 3):
+    """Top-k WITH TIES (the RANK window semantic — every existing
+    top-k uses a ROW_NUMBER tiebreak; this one KEEPS all rows tied at
+    the boundary): per event type, the days whose daily revenue ranks
+    in the top ``k`` by RANK() (gaps on ties, boundary ties all
+    retained).  The daily rollup combines tiered; the rank filter
+    runs per type on the output-scale table using a sorted-unique
+    threshold (the k-th distinct rank's value), which is exactly the
+    SQL RANK() <= k predicate when duplicate revenues share a
+    rank."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def day_partial(b: pa.Table) -> pa.Table:
+        ts = (b["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        day = (ts // 86_400_000_000) * 86_400
+        df = pd.DataFrame({
+            "event_type": pd.Series(b["event_type"].to_pandas())
+            .to_numpy(dtype=object),
+            "day_epoch": day,
+            "rev": _cents_away(b["value"]
+                               .to_numpy(zero_copy_only=False))})
+        agg = (df.groupby(["event_type", "day_epoch"], as_index=False)
+               ["rev"].sum())
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(day_partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        daily = (_parts_pandas(parts_ds, {"event_type": object,
+                                          "day_epoch": np.int64,
+                                          "rev": np.int64})
+                 .groupby(["event_type", "day_epoch"], as_index=False)
+                 ["rev"].sum())
+    else:
+        daily = (parts_ds.groupby(["event_type", "day_epoch"])
+                 .aggregate(Sum("rev", alias_name="rev")).to_pandas())
+    frames = []
+    for t, g in daily.groupby("event_type", sort=True):
+        rv = g.rev.to_numpy(np.int64)
+        # RANK() <= k keeps every row whose revenue is >= the k-th
+        # ranked row's revenue (1-based rank over rev DESC)
+        order = np.sort(rv)[::-1]
+        thr = order[min(k, len(order)) - 1]
+        sel = g[g.rev >= thr].copy()
+        ranks = 1 + (order > sel.rev.to_numpy(np.int64)[:, None]) \
+            .sum(axis=1)
+        sel["rnk"] = ranks.astype(np.int64)
+        frames.append(sel)
+    out = pd.concat(frames, ignore_index=True)
+    out["day_epoch"] = out.day_epoch.astype(np.int64)
+    out["rev"] = out.rev.astype(np.int64)
+    out["rnk"] = out.rnk.astype(np.int64)
+    return (out.sort_values(["event_type", "rnk", "day_epoch"])
+            [["event_type", "day_epoch", "rev", "rnk"]]
+            .reset_index(drop=True))
+
+
+def type_user_overlap_exact(sf_dir: str):
+    """EXACT set-overlap matrix between event types over (user, day)
+    activity sets — the exact twin the KMV Jaccard estimates
+    (``kmv_type_jaccard``): |A ∩ B|, |A ∪ B| and the exact Jaccard
+    per type pair.  Shape: each deduped (user, day) entity expands
+    its ≤ |types| active-type set into pairs INSIDE the per-entity
+    group (the market-basket expansion, domain-bounded), so the
+    shuffle carries (pair, 1) partials only; totals come from the
+    same dedup pass."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id", "ts"])
+
+    def triple_partial(b: pa.Table) -> pa.Table:
+        ts = (b["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        day = (ts // 86_400_000_000) * 86_400
+        df = pd.DataFrame({
+            "event_type": pd.Series(b["event_type"].to_pandas())
+            .to_numpy(dtype=object),
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+            "day": day}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    trips = ds.map_batches(triple_partial, batch_format="pyarrow")
+
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        df = (_parts_pandas(trips, {"event_type": object,
+                                    "user_id": np.int64,
+                                    "day": np.int64})
+              .drop_duplicates())
+        # vectorized pair expansion: sort by entity, pair adjacent
+        # combinations via per-entity merges on the 5-type domain
+        piv = (df.assign(one=1)
+               .pivot_table(index=["user_id", "day"],
+                            columns="event_type", values="one",
+                            fill_value=0, aggfunc="max"))
+        types = sorted(piv.columns)
+        m = piv[types].to_numpy(np.int64)
+        rows = []
+        for i, a in enumerate(types):
+            for j in range(i + 1, len(types)):
+                inter = int((m[:, i] & m[:, j]).sum())
+                union = int((m[:, i] | m[:, j]).sum())
+                rows.append((a, types[j], np.int64(inter),
+                             np.int64(union),
+                             round(inter / union, 6) if union else 0.0))
+    else:
+        # cluster tier: global dedup of triples, then a per-entity
+        # map_groups basket expansion into (pair, 1) partials
+        dedup = (trips.groupby(["event_type", "user_id", "day"])
+                 .aggregate(Count(alias_name="_c")))
+
+        def basket(g: pd.DataFrame) -> pd.DataFrame:
+            tps = sorted(set(g.event_type))
+            out = {"ta": [], "tb": []}
+            for i, a in enumerate(tps):
+                for b_ in tps[i + 1:]:
+                    out["ta"].append(a)
+                    out["tb"].append(b_)
+            o = pd.DataFrame(out)
+            o["n"] = np.int64(1)
+            return o
+
+        pair_ds = (dedup.groupby(["user_id", "day"])
+                   .map_groups(basket, batch_format="pandas"))
+        pairs = (pair_ds.groupby(["ta", "tb"])
+                 .aggregate(Sum("n", alias_name="n")).to_pandas())
+        sz = (dedup.groupby("event_type")
+              .aggregate(Count(alias_name="sz")).to_pandas())
+        szmap = dict(zip(sz.event_type, sz.sz.astype(np.int64)))
+        types = sorted(szmap)
+        pmap = {(r.ta, r.tb): int(r.n) for r in pairs.itertuples()}
+        rows = []
+        for i, a in enumerate(types):
+            for j in range(i + 1, len(types)):
+                b_ = types[j]
+                inter = pmap.get((a, b_), 0)
+                union = szmap[a] + szmap[b_] - inter
+                rows.append((a, b_, np.int64(inter), np.int64(union),
+                             round(inter / union, 6) if union else 0.0))
+    out = pd.DataFrame(rows, columns=["type_a", "type_b", "n_inter",
+                                      "n_union", "jaccard_r6"])
+    out["n_inter"] = out.n_inter.astype(np.int64)
+    out["n_union"] = out.n_union.astype(np.int64)
+    return (out.sort_values(["type_a", "type_b"])
+            .reset_index(drop=True))

@@ -130,6 +130,8 @@ SQL_CHECKED = [
     "value_ks_matrix", "acctbal_trimmed_stats",
     "transition_cond_entropy", "region_share_rollup",
     "order_price_reconciliation", "daily_revenue_haar",
+    "value_drift_by_half", "top_value_days_with_ties",
+    "type_user_overlap_exact",
 ]
 
 

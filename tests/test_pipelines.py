@@ -2318,3 +2318,43 @@ def test_round4_wave44_tiers_agree(ray_session, monkeypatch):
     top = fast_hr[fast_hr.level == fast_hr.level.max()]
     for _, r in top.iterrows():
         assert r.coeff_cents == tot[r.event_type]
+
+
+def test_round4_wave45_tiers_agree(ray_session, monkeypatch):
+    """value_drift_by_half + top_value_days_with_ties (driver combine
+    vs native Sum groupbys), type_user_overlap_exact (driver pivot vs
+    dedup + basket map_groups) — plus the KMV cross-check: the exact
+    Jaccard matrix must sit within the sketch estimate's 5-sigma
+    band pair by pair."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_dr = A.value_drift_by_half(sf)
+    fast_tt = A.top_value_days_with_ties(sf)
+    fast_ov = A.type_user_overlap_exact(sf)
+
+    monkeypatch.setattr(A, "EVENTS_DRIVER_MAX_ROWS", 0)
+    slow_dr = A.value_drift_by_half(sf)[list(fast_dr.columns)]
+    slow_tt = A.top_value_days_with_ties(sf)[list(fast_tt.columns)]
+    slow_ov = A.type_user_overlap_exact(sf)[list(fast_ov.columns)]
+    assert len(fast_dr) == 5 and fast_dr.equals(slow_dr)
+    assert len(fast_tt) >= 15 and fast_tt.equals(slow_tt)
+    assert len(fast_ov) == 10 and fast_ov.equals(slow_ov)
+
+    # drift halves partition each type's events
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_type"])
+    per_type = ev.groupby("event_type").size()
+    m = fast_dr.set_index("event_type")
+    assert ((m.n_first + m.n_second) == per_type).all()
+    # WITH TIES: per type at least k rows, ranks start at 1, and
+    # every kept revenue >= the max excluded revenue
+    for _, g in fast_tt.groupby("event_type"):
+        assert g.rnk.min() == 1 and len(g) >= 3
+    # the exact overlap sits inside the KMV estimate's 5-sigma band
+    est = A.kmv_type_jaccard(sf)
+    j = fast_ov.merge(est, on=["type_a", "type_b"])
+    assert len(j) == 10
+    sig = np.sqrt(np.maximum(j.jaccard_r6_x * (1 - j.jaccard_r6_x),
+                             0.01) / A.KMV_K)
+    assert (np.abs(j.jaccard_r6_x - j.jaccard_r6_y) < 5 * sig).all()
