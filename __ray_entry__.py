@@ -1379,6 +1379,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_drift_by_half": A.value_drift_by_half,
         "top_value_days_with_ties": A.top_value_days_with_ties,
         "type_user_overlap_exact": A.type_user_overlap_exact,
+        # round-4 wave 46: session attribution / multiplicative means
+        "view_attribution_credit": A.view_attribution_credit,
+        "acctbal_mean_family": A.acctbal_mean_family,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -3992,6 +3995,44 @@ def oracle_sql() -> dict[str, str]:
             " AS jaccard_r6 FROM pr LEFT JOIN inter"
             " ON pr.ta = inter.ta AND pr.tb = inter.tb"
             " ORDER BY 1, 2",
+        # session attribution coverage: purchase cents split into
+        # attributed (session has >= 1 view) vs orphan mass
+        "view_attribution_credit":
+            "WITH x2 AS (SELECT user_id, event_type, ts, event_id,"
+            " CAST(ROUND(value*100) AS BIGINT) AS cents,"
+            " CASE WHEN LAG(ts) OVER w IS NULL OR ts - LAG(ts) OVER w"
+            " > INTERVAL 24 HOUR THEN 1 ELSE 0 END AS new_s"
+            " FROM events WINDOW w AS (PARTITION BY user_id"
+            " ORDER BY ts, event_id)), "
+            "y AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id) AS sid FROM x2), "
+            "s AS (SELECT user_id, sid,"
+            " SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)"
+            " AS nv, SUM(CASE WHEN event_type = 'purchase' THEN cents"
+            " ELSE 0 END) AS pv FROM y GROUP BY 1, 2) "
+            "SELECT CAST(user_id AS BIGINT) AS user_id,"
+            " CAST(COUNT(*) AS BIGINT) AS n_sessions,"
+            " CAST(COALESCE(SUM(CASE WHEN nv > 0 THEN pv END), 0)"
+            " AS BIGINT) AS attributed_cents,"
+            " CAST(COALESCE(SUM(CASE WHEN nv = 0 THEN pv END), 0)"
+            " AS BIGINT) AS orphan_cents"
+            " FROM s GROUP BY 1 ORDER BY 1",
+        # multiplicative aggregate family: arithmetic / geometric /
+        # harmonic means of positive balances (log- and reciprocal-
+        # sum partials; exact integer anchors)
+        "acctbal_mean_family":
+            "WITH v AS (SELECT CAST(c_nationkey AS BIGINT) AS nk,"
+            " CAST(ROUND(c_acctbal*100) AS BIGINT) AS cents"
+            " FROM customer"
+            " WHERE CAST(ROUND(c_acctbal*100) AS BIGINT) > 0) "
+            "SELECT nk AS c_nationkey, CAST(COUNT(*) AS BIGINT)"
+            " AS n_pos, CAST(SUM(cents) AS BIGINT) AS sum_cents,"
+            " ROUND(CAST(SUM(cents) AS DOUBLE) / COUNT(*), 6)"
+            " AS arith_r6,"
+            " ROUND(exp(SUM(ln(CAST(cents AS DOUBLE))) / COUNT(*)), 6)"
+            " AS geo_r6,"
+            " ROUND(COUNT(*) / SUM(1.0 / cents), 6) AS harm_r6"
+            " FROM v GROUP BY 1 ORDER BY 1",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

@@ -252,7 +252,9 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "daily_revenue_haar",
                "value_drift_by_half",
                "top_value_days_with_ties",
-               "type_user_overlap_exact"]
+               "type_user_overlap_exact",
+               "view_attribution_credit",
+               "acctbal_mean_family"]
 
 
 def run_queries() -> dict[str, float]:

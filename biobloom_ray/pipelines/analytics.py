@@ -11139,3 +11139,117 @@ def type_user_overlap_exact(sf_dir: str):
     out["n_union"] = out.n_union.astype(np.int64)
     return (out.sort_values(["type_a", "type_b"])
             .reset_index(drop=True))
+
+
+def view_attribution_credit(sf_dir: str, gap_hours: int = 24):
+    """Session ATTRIBUTION coverage (the ads last-mile audit): split
+    each user's stream into sessions (gap > ``gap_hours``, exact
+    (ts, event_id) LAG ordering), then split every session's purchase
+    cents into ATTRIBUTED (the session contains ≥ 1 view to credit)
+    vs ORPHAN mass — all exact int64 cents, no fractional credit ever
+    materialized (within one user the per-view fractions always
+    re-sum to the session total, so the rollup stays integral).
+    Per-user map_groups above the gate; sorted slice walk below."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "ts",
+                        "value"])
+    gap_us = int(gap_hours) * 3_600_000_000
+
+    def user_fold(tp, ts, cents):
+        """(ts, event_id)-ordered arrays of ONE user → (n_sessions,
+        attributed, orphan)."""
+        new = np.ones(len(ts), dtype=bool)
+        if len(ts) > 1:
+            new[1:] = np.diff(ts) > gap_us
+        sid = np.cumsum(new) - 1
+        ns = int(sid[-1]) + 1
+        is_v = tp == "view"
+        is_p = tp == "purchase"
+        nv = np.zeros(ns, np.int64)
+        pv = np.zeros(ns, np.int64)
+        np.add.at(nv, sid[is_v], 1)
+        np.add.at(pv, sid[is_p], cents[is_p])
+        att = int(pv[nv > 0].sum())
+        return ns, att, int(pv.sum()) - att
+
+    def prep(df: pd.DataFrame):
+        df = df.sort_values(["ts", "event_id"])
+        ts = df.ts.astype("datetime64[us]").astype(np.int64).to_numpy()
+        cents = _cents_away(df.value.to_numpy())
+        return df.event_type.to_numpy(dtype=object), ts, cents
+
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        df = ds.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        ts = df.ts.astype("datetime64[us]").astype(np.int64).to_numpy()
+        cents = _cents_away(df.value.to_numpy())
+        tp = df.event_type.to_numpy(dtype=object)
+        uid = df.user_id.to_numpy()
+        cuts = np.nonzero(np.r_[True, uid[1:] != uid[:-1]])[0]
+        rows = []
+        for lo, hi in zip(cuts, np.append(cuts[1:], len(uid))):
+            ns, att, orp = user_fold(tp[lo:hi], ts[lo:hi],
+                                     cents[lo:hi])
+            rows.append((int(uid[lo]), ns, att, orp))
+        out = pd.DataFrame(rows, columns=["user_id", "n_sessions",
+                                          "attributed_cents",
+                                          "orphan_cents"])
+    else:
+        def per_user(g: pd.DataFrame) -> pd.DataFrame:
+            tp, ts, cents = prep(g)
+            ns, att, orp = user_fold(tp, ts, cents)
+            return pd.DataFrame({
+                "user_id": np.asarray([g.user_id.iloc[0]], np.int64),
+                "n_sessions": np.asarray([ns], np.int64),
+                "attributed_cents": np.asarray([att], np.int64),
+                "orphan_cents": np.asarray([orp], np.int64)})
+
+        out = (ds.groupby("user_id")
+               .map_groups(per_user, batch_format="pandas")
+               .to_pandas())
+    for c in ["user_id", "n_sessions", "attributed_cents",
+              "orphan_cents"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def acctbal_mean_family(sf_dir: str):
+    """The MULTIPLICATIVE aggregate family: arithmetic, GEOMETRIC and
+    HARMONIC means of positive customer balances per nation, from one
+    pass of associative partials (n, Σcents, Σln cents, Σ1/cents) —
+    the log-sum and reciprocal-sum shapes no other operator carries.
+    Per-element ln/reciprocal are IEEE-deterministic; only the fold
+    order differs between tiers and oracle (6-dp contract); n and the
+    cent sum stay exact int64 anchors."""
+    ds = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = _cents_away(b["c_acctbal"].to_numpy(zero_copy_only=False))
+        nk = (b["c_nationkey"].to_numpy(zero_copy_only=False)
+              .astype(np.int64))
+        m = cents > 0
+        x = cents[m].astype(np.float64)
+        df = pd.DataFrame({"nk": nk[m], "s": cents[m],
+                           "ln": np.log(x), "rc": 1.0 / x})
+        df["one"] = np.int64(1)
+        agg = (df.groupby("nk", as_index=False)
+               .agg(n=("one", "sum"), s=("s", "sum"),
+                    ln=("ln", "sum"), rc=("rc", "sum")))
+        agg["n"] = agg.n.astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts = _parts_pandas(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        {"nk": np.int64, "n": np.int64, "s": np.int64,
+         "ln": np.float64, "rc": np.float64})
+    agg = (parts.groupby("nk", as_index=False)
+           [["n", "s", "ln", "rc"]].sum())
+    n = agg.n.to_numpy(np.float64)
+    out = pd.DataFrame({
+        "c_nationkey": agg.nk.astype(np.int64),
+        "n_pos": agg.n.astype(np.int64),
+        "sum_cents": agg.s.astype(np.int64),
+        "arith_r6": (agg.s / n).round(6),
+        "geo_r6": np.exp(agg.ln / n).round(6),
+        "harm_r6": (n / agg.rc).round(6)})
+    return out.sort_values("c_nationkey").reset_index(drop=True)

@@ -131,7 +131,8 @@ SQL_CHECKED = [
     "transition_cond_entropy", "region_share_rollup",
     "order_price_reconciliation", "daily_revenue_haar",
     "value_drift_by_half", "top_value_days_with_ties",
-    "type_user_overlap_exact",
+    "type_user_overlap_exact", "view_attribution_credit",
+    "acctbal_mean_family",
 ]
 
 

@@ -2358,3 +2358,34 @@ def test_round4_wave45_tiers_agree(ray_session, monkeypatch):
     sig = np.sqrt(np.maximum(j.jaccard_r6_x * (1 - j.jaccard_r6_x),
                              0.01) / A.KMV_K)
     assert (np.abs(j.jaccard_r6_x - j.jaccard_r6_y) < 5 * sig).all()
+
+
+def test_round4_wave46_tiers_agree(ray_session, monkeypatch):
+    """view_attribution_credit (driver slice walk vs per-user
+    map_groups session fold), acctbal_mean_family (gate-free
+    associative log/reciprocal sums — AM >= GM >= HM pinned)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_at = A.view_attribution_credit(sf)
+    fast_mf = A.acctbal_mean_family(sf)
+
+    monkeypatch.setattr(A, "EVENTS_DRIVER_MAX_ROWS", 0)
+    slow_at = A.view_attribution_credit(sf)[list(fast_at.columns)]
+    assert len(fast_at) > 0 and fast_at.equals(slow_at)
+
+    # attributed + orphan mass equals the exact purchase total
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_type", "value"])
+    cents = (np.sign(ev.value)
+             * np.floor(np.abs(ev.value) * 100 + 0.5)).astype(np.int64)
+    total = int(cents[ev.event_type == "purchase"].sum())
+    assert (fast_at.attributed_cents.sum()
+            + fast_at.orphan_cents.sum()) == total
+    assert (fast_at.n_sessions > 0).all()
+    # the classical mean inequality chain holds per nation
+    assert (fast_mf.arith_r6 >= fast_mf.geo_r6 - 1e-6).all()
+    assert (fast_mf.geo_r6 >= fast_mf.harm_r6 - 1e-6).all()
+    # arithmetic anchor is the exact integer ratio
+    assert np.allclose(fast_mf.arith_r6,
+                       (fast_mf.sum_cents / fast_mf.n_pos).round(6))
