@@ -1382,6 +1382,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 wave 46: session attribution / multiplicative means
         "view_attribution_credit": A.view_attribution_credit,
         "acctbal_mean_family": A.acctbal_mean_family,
+        # round-4 wave 47: TPC-H Q4 / Q6 / Q17 shapes
+        "discounted_smallqty_revenue": A.discounted_smallqty_revenue,
+        "late_line_orders_by_priority": A.late_line_orders_by_priority,
+        "smallqty_brand_revenue": A.smallqty_brand_revenue,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -4033,6 +4037,43 @@ def oracle_sql() -> dict[str, str]:
             " AS geo_r6,"
             " ROUND(COUNT(*) / SUM(1.0 / cents), 6) AS harm_r6"
             " FROM v GROUP BY 1 ORDER BY 1",
+        # TPC-H Q6 shape: map-only predicate aggregate, 10^-4-dollar
+        # exact integer revenue term
+        "discounted_smallqty_revenue":
+            "SELECT CAST(COALESCE(SUM("
+            "CAST(ROUND(l_extendedprice*100) AS BIGINT)"
+            " * CAST(ROUND(l_discount*100) AS BIGINT)), 0) AS BIGINT)"
+            " AS revenue_e4, CAST(COUNT(*) AS BIGINT) AS n_items"
+            " FROM lineitem"
+            " WHERE l_shipdate >= TIMESTAMP '1996-01-01'"
+            " AND l_shipdate < TIMESTAMP '1997-01-01'"
+            " AND CAST(ROUND(l_discount*100) AS BIGINT) BETWEEN 5 AND 7"
+            " AND CAST(ROUND(l_quantity) AS BIGINT) < 24",
+        # TPC-H Q4 shape: EXISTS decorrelated via per-order Max
+        "late_line_orders_by_priority":
+            "SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT)"
+            " AS n_orders FROM orders o"
+            " WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'"
+            " AND o.o_orderdate < TIMESTAMP '1996-07-01'"
+            " AND EXISTS (SELECT 1 FROM lineitem l"
+            " WHERE l.l_orderkey = o.o_orderkey"
+            " AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)"
+            " GROUP BY 1 ORDER BY 1",
+        # TPC-H Q17 shape: correlated-average gate by exact-integer
+        # cross-multiplication (2*qty*n < sum_qty per part)
+        "smallqty_brand_revenue":
+            "WITH pq AS (SELECT l_partkey,"
+            " CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)"
+            " AS s, CAST(COUNT(*) AS BIGINT) AS c FROM lineitem"
+            " GROUP BY 1) "
+            "SELECT p.p_brand,"
+            " CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT))"
+            " AS BIGINT) AS revenue_cents,"
+            " CAST(COUNT(*) AS BIGINT) AS n_items"
+            " FROM lineitem l JOIN pq ON l.l_partkey = pq.l_partkey"
+            " JOIN part p ON l.l_partkey = p.p_partkey"
+            " WHERE 2 * CAST(ROUND(l.l_quantity) AS BIGINT) * pq.c"
+            " < pq.s GROUP BY 1 ORDER BY 1",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

@@ -254,7 +254,10 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "top_value_days_with_ties",
                "type_user_overlap_exact",
                "view_attribution_credit",
-               "acctbal_mean_family"]
+               "acctbal_mean_family",
+               "discounted_smallqty_revenue",
+               "late_line_orders_by_priority",
+               "smallqty_brand_revenue"]
 
 
 def run_queries() -> dict[str, float]:

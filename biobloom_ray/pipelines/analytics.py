@@ -11253,3 +11253,237 @@ def acctbal_mean_family(sf_dir: str):
         "geo_r6": np.exp(agg.ln / n).round(6),
         "harm_r6": (n / agg.rc).round(6)})
     return out.sort_values("c_nationkey").reset_index(drop=True)
+
+
+def discounted_smallqty_revenue(sf_dir: str, year: int = 1996,
+                                disc_lo: int = 5, disc_hi: int = 7,
+                                max_qty: int = 24):
+    """TPC-H Q6 shape — the pure MAP-ONLY predicate aggregate (the
+    scan-efficiency baseline every optimizer paper quotes): potential
+    revenue increase from discounted small-quantity lines shipped in
+    one year.  Exact integers: the revenue term extprice·discount is
+    kept in cents×cents (10⁻⁴-dollar) units; the discount band and
+    quantity gate compare rounded int64 cents/units on both sides.
+    One pass, no shuffle at any scale — partials are a single
+    (sum, count) row per block."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_shipdate", "l_discount", "l_quantity",
+                        "l_extendedprice"])
+    lo = np.datetime64(f"{year}-01-01", "us").astype(np.int64)
+    hi = np.datetime64(f"{year + 1}-01-01", "us").astype(np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ship = (b["l_shipdate"].cast(pa.timestamp("us"))
+                .cast(pa.int64()).to_numpy(zero_copy_only=False))
+        disc = _cents_away(b["l_discount"].to_numpy(zero_copy_only=False))
+        qty = np.floor(np.abs(b["l_quantity"]
+                              .to_numpy(zero_copy_only=False)) + 0.5) \
+            .astype(np.int64)
+        ext = _cents_away(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False))
+        m = ((ship >= lo) & (ship < hi) & (disc >= disc_lo)
+             & (disc <= disc_hi) & (qty < max_qty))
+        return pa.table({
+            "revenue_e4": pa.array([int((ext[m] * disc[m]).sum())],
+                                   pa.int64()),
+            "n_items": pa.array([int(m.sum())], pa.int64())})
+
+    parts = _parts_pandas(li.map_batches(partial,
+                                         batch_format="pyarrow"),
+                          {"revenue_e4": np.int64, "n_items": np.int64})
+    return pd.DataFrame({
+        "revenue_e4": np.asarray([int(parts.revenue_e4.sum())],
+                                 np.int64),
+        "n_items": np.asarray([int(parts.n_items.sum())], np.int64)})
+
+
+def late_line_orders_by_priority(sf_dir: str, late_days: int = 60,
+                                 lo: str = "1996-01-01",
+                                 hi: str = "1996-07-01"):
+    """TPC-H Q4 shape — EXISTS semi-join counted per group: in-window
+    orders with at least one line shipped > ``late_days`` after the
+    order date, per priority.  The EXISTS decorrelates into ONE
+    per-order Max(shipdate) rollup (any-late ⇔ max-late, the same
+    reduction Q21 uses), joined to the date-filtered orders; below
+    the gate the order (date, priority) map broadcasts and the
+    comparison is map-side."""
+    import ray
+
+    from biobloom_ray.io import hash_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate",
+                            "o_orderpriority"])
+    tlo = np.datetime64(lo, "us").astype(np.int64)
+    thi = np.datetime64(hi, "us").astype(np.int64)
+    late_us = int(late_days) * 86_400_000_000
+
+    def mx_partial(b: pa.Table) -> pa.Table:
+        ship = (b["l_shipdate"].cast(pa.timestamp("us"))
+                .cast(pa.int64()).to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({
+            "ok": b["l_orderkey"].to_numpy(zero_copy_only=False),
+            "mx": ship})
+        agg = df.groupby("ok", as_index=False)["mx"].max()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = li.map_batches(mx_partial, batch_format="pyarrow")
+
+    def sel_orders(b: pa.Table) -> pa.Table:
+        od = (b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        keep = (od >= tlo) & (od < thi)
+        sub = b.filter(pa.array(keep))
+        return pa.table({
+            "ok2": sub["o_orderkey"].cast(pa.int64()),
+            "od": pa.array(od[keep]),
+            "pr": sub["o_orderpriority"]})
+
+    ords = orders.map_batches(sel_orders, batch_format="pyarrow")
+    n_li = _cheap_count(li)
+    if n_li is not None and n_li <= LINEITEM_DRIVER_MAX_ROWS:
+        mx = (_parts_pandas(parts_ds, {"ok": np.int64, "mx": np.int64})
+              .groupby("ok", as_index=False)["mx"].max())
+        od = ords.to_pandas()
+        j = od.merge(mx, left_on="ok2", right_on="ok", how="inner")
+        late = j[j.mx > j.od + late_us]
+        counts = (late.groupby("pr", as_index=False)
+                  .size().rename(columns={"size": "n_orders",
+                                          "pr": "o_orderpriority"}))
+    else:
+        mx_ds = (parts_ds.groupby("ok")
+                 .aggregate(Max("mx", alias_name="mx")))
+        joined = hash_join(ords, mx_ds, on=("ok2",), right_on=("ok",))
+
+        def late_partial(b: pa.Table) -> pa.Table:
+            m = (b["mx"].to_numpy(zero_copy_only=False)
+                 > b["od"].to_numpy(zero_copy_only=False) + late_us)
+            vc = (pd.Series(b.filter(pa.array(m))["pr"].to_pandas())
+                  .value_counts().sort_index())
+            return pa.table({
+                "o_orderpriority": pa.array(
+                    vc.index.to_numpy(dtype=object), pa.string()),
+                "n_orders": pa.array(vc.to_numpy(np.int64))})
+
+        counts = (_parts_pandas(
+            joined.map_batches(late_partial, batch_format="pyarrow"),
+            {"o_orderpriority": object, "n_orders": np.int64})
+            .groupby("o_orderpriority", as_index=False)
+            ["n_orders"].sum())
+    counts["n_orders"] = counts.n_orders.astype(np.int64)
+    return (counts.sort_values("o_orderpriority")
+            .reset_index(drop=True))
+
+
+def smallqty_brand_revenue(sf_dir: str):
+    """TPC-H Q17 shape — a CORRELATED AVERAGE gate decorrelated: the
+    revenue of lines whose quantity is below HALF their part's average
+    quantity, per brand.  The gate is the exact-integer
+    cross-multiplication 2·qty·n_part < sum_qty_part (no float
+    average anywhere).  Plan: per-part (Σqty, n) rollup (tiered),
+    broadcast below the part gate / hash join above; the fact scan
+    re-reads with the gate applied map-side and pre-reduces per
+    brand."""
+    import ray
+
+    from biobloom_ray.io import hash_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice"])
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+
+    def pq_partial(b: pa.Table) -> pa.Table:
+        qty = np.floor(np.abs(b["l_quantity"]
+                              .to_numpy(zero_copy_only=False)) + 0.5) \
+            .astype(np.int64)
+        df = pd.DataFrame({
+            "pk": b["l_partkey"].to_numpy(zero_copy_only=False),
+            "q": qty})
+        agg = (df.groupby("pk", as_index=False)
+               .agg(s=("q", "sum"), c=("q", "size")))
+        agg["c"] = agg.c.astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = li.map_batches(pq_partial, batch_format="pyarrow")
+    n_li = _cheap_count(li)
+    driver = n_li is not None and n_li <= PART_DRIVER_MAX_ROWS
+    if driver:
+        pq = (_parts_pandas(parts_ds, {"pk": np.int64, "s": np.int64,
+                                       "c": np.int64})
+              .groupby("pk", as_index=False)[["s", "c"]].sum())
+        pb = part.to_pandas()
+        pq = pq.merge(pb, left_on="pk", right_on="p_partkey")
+        keys = np.sort(pq.pk.to_numpy(np.int64))
+        order = np.argsort(pq.pk.to_numpy(np.int64))
+        s_arr = pq.s.to_numpy(np.int64)[order]
+        c_arr = pq.c.to_numpy(np.int64)[order]
+        br_arr = pq.p_brand.to_numpy(dtype=object)[order]
+        ref = ray.put((keys, s_arr, c_arr, br_arr))
+
+        def gate(b: pa.Table) -> pa.Table:
+            kk, ss, cc, bb = ray.get(ref)
+            pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(kk, pk)
+            pos[pos >= len(kk)] = 0
+            qty = np.floor(np.abs(b["l_quantity"]
+                                  .to_numpy(zero_copy_only=False))
+                           + 0.5).astype(np.int64)
+            keep = (kk[pos] == pk) & (2 * qty * cc[pos] < ss[pos])
+            ext = _cents_away(b["l_extendedprice"]
+                              .to_numpy(zero_copy_only=False))
+            df = pd.DataFrame({"p_brand": bb[pos[keep]],
+                               "rev": ext[keep], "one": np.int64(1)})
+            agg = (df.groupby("p_brand", as_index=False)
+                   .agg(revenue_cents=("rev", "sum"),
+                        n_items=("one", "sum")))
+            agg["n_items"] = agg.n_items.astype(np.int64)
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+        parts = li.map_batches(gate, batch_format="pyarrow")
+    else:
+        pq_ds = (parts_ds.groupby("pk")
+                 .aggregate(Sum("s", alias_name="s"),
+                            Sum("c", alias_name="c")))
+        pq_br = hash_join(pq_ds, part, on=("pk",),
+                          right_on=("p_partkey",))
+
+        def li_pre(b: pa.Table) -> pa.Table:
+            qty = np.floor(np.abs(b["l_quantity"]
+                                  .to_numpy(zero_copy_only=False))
+                           + 0.5).astype(np.int64)
+            return pa.table({
+                "pk2": b["l_partkey"].cast(pa.int64()),
+                "q": pa.array(qty),
+                "ext": pa.array(_cents_away(
+                    b["l_extendedprice"]
+                    .to_numpy(zero_copy_only=False)))})
+
+        fact = li.map_batches(li_pre, batch_format="pyarrow")
+        joined = hash_join(fact, pq_br, on=("pk2",), right_on=("pk",))
+
+        def gate2(b: pa.Table) -> pa.Table:
+            keep = (2 * b["q"].to_numpy(zero_copy_only=False)
+                    * b["c"].to_numpy(zero_copy_only=False)
+                    < b["s"].to_numpy(zero_copy_only=False))
+            sub = b.filter(pa.array(keep))
+            df = pd.DataFrame({
+                "p_brand": pd.Series(sub["p_brand"].to_pandas())
+                .to_numpy(dtype=object),
+                "rev": sub["ext"].to_numpy(zero_copy_only=False),
+                "one": np.int64(1)})
+            agg = (df.groupby("p_brand", as_index=False)
+                   .agg(revenue_cents=("rev", "sum"),
+                        n_items=("one", "sum")))
+            agg["n_items"] = agg.n_items.astype(np.int64)
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+        parts = joined.map_batches(gate2, batch_format="pyarrow")
+    out = (_parts_pandas(parts, {"p_brand": object,
+                                 "revenue_cents": np.int64,
+                                 "n_items": np.int64})
+           .groupby("p_brand", as_index=False)
+           [["revenue_cents", "n_items"]].sum())
+    out["revenue_cents"] = out.revenue_cents.astype(np.int64)
+    out["n_items"] = out.n_items.astype(np.int64)
+    return out.sort_values("p_brand").reset_index(drop=True)

@@ -132,7 +132,8 @@ SQL_CHECKED = [
     "order_price_reconciliation", "daily_revenue_haar",
     "value_drift_by_half", "top_value_days_with_ties",
     "type_user_overlap_exact", "view_attribution_credit",
-    "acctbal_mean_family",
+    "acctbal_mean_family", "discounted_smallqty_revenue",
+    "late_line_orders_by_priority", "smallqty_brand_revenue",
 ]
 
 

@@ -2389,3 +2389,51 @@ def test_round4_wave46_tiers_agree(ray_session, monkeypatch):
     # arithmetic anchor is the exact integer ratio
     assert np.allclose(fast_mf.arith_r6,
                        (fast_mf.sum_cents / fast_mf.n_pos).round(6))
+
+
+def test_round4_wave47_tiers_agree(ray_session, monkeypatch):
+    """discounted_smallqty_revenue (gate-free map-only),
+    late_line_orders_by_priority + smallqty_brand_revenue (driver
+    broadcast vs hash-join chains)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_q6 = A.discounted_smallqty_revenue(sf)
+    fast_q4 = A.late_line_orders_by_priority(sf)
+    fast_q17 = A.smallqty_brand_revenue(sf)
+
+    monkeypatch.setattr(A, "LINEITEM_DRIVER_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "PART_DRIVER_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "CUST_BROADCAST_MAX_ROWS", 0)
+    slow_q4 = A.late_line_orders_by_priority(sf)[list(fast_q4.columns)]
+    slow_q17 = A.smallqty_brand_revenue(sf)[list(fast_q17.columns)]
+    assert len(fast_q4) == 5 and fast_q4.equals(slow_q4)
+    assert len(fast_q17) == 25 and fast_q17.equals(slow_q17)
+
+    # Q6 equals a direct pandas evaluation
+    li = pd.read_parquet(f"{sf}/lineitem.parquet",
+                         columns=["l_shipdate", "l_discount",
+                                  "l_quantity", "l_extendedprice"])
+    ship = li.l_shipdate.astype("datetime64[us]").astype(np.int64)
+    lo = np.datetime64("1996-01-01", "us").astype(np.int64)
+    hi = np.datetime64("1997-01-01", "us").astype(np.int64)
+    disc = (np.sign(li.l_discount)
+            * np.floor(np.abs(li.l_discount) * 100 + 0.5)) \
+        .astype(np.int64)
+    qty = np.floor(np.abs(li.l_quantity) + 0.5).astype(np.int64)
+    ext = (np.sign(li.l_extendedprice)
+           * np.floor(np.abs(li.l_extendedprice) * 100 + 0.5)) \
+        .astype(np.int64)
+    m = ((ship >= lo) & (ship < hi) & (disc >= 5) & (disc <= 7)
+         & (qty < 24))
+    assert fast_q6.revenue_e4.iloc[0] == int((ext[m] * disc[m]).sum())
+    assert fast_q6.n_items.iloc[0] == int(m.sum())
+    # Q4 totals bounded by in-window order count
+    od = pd.read_parquet(f"{sf}/orders.parquet",
+                         columns=["o_orderdate"])
+    win = ((od.o_orderdate >= "1996-01-01")
+           & (od.o_orderdate < "1996-07-01")).sum()
+    assert 0 < fast_q4.n_orders.sum() <= win
+    # Q17: every brand row has positive revenue and item counts
+    assert (fast_q17.revenue_cents > 0).all()
+    assert (fast_q17.n_items > 0).all()
