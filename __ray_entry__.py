@@ -1386,6 +1386,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "discounted_smallqty_revenue": A.discounted_smallqty_revenue,
         "late_line_orders_by_priority": A.late_line_orders_by_priority,
         "smallqty_brand_revenue": A.smallqty_brand_revenue,
+        # round-4 wave 48: TPC-H Q8 / Q15 / Q12 shapes
+        "nation_market_share": A.nation_market_share,
+        "top_supplier_revenue_with_ties":
+            A.top_supplier_revenue_with_ties,
+        "late_urgent_mix_by_status": A.late_urgent_mix_by_status,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -4074,6 +4079,57 @@ def oracle_sql() -> dict[str, str]:
             " JOIN part p ON l.l_partkey = p.p_partkey"
             " WHERE 2 * CAST(ROUND(l.l_quantity) AS BIGINT) * pq.c"
             " < pq.s GROUP BY 1 ORDER BY 1",
+        # TPC-H Q8 shape: market share by year, exact integer
+        # numerator/denominator
+        "nation_market_share":
+            "SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,"
+            " CAST(SUM(CASE WHEN sn.n_name = 'NATION_2' THEN"
+            " CAST(ROUND(l.l_extendedprice*100) AS BIGINT) *"
+            " (100 - CAST(ROUND(l.l_discount*100) AS BIGINT))"
+            " ELSE 0 END) AS BIGINT) AS num_rev,"
+            " CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT) *"
+            " (100 - CAST(ROUND(l.l_discount*100) AS BIGINT)))"
+            " AS BIGINT) AS den_rev,"
+            " ROUND(CAST(SUM(CASE WHEN sn.n_name = 'NATION_2' THEN"
+            " CAST(ROUND(l.l_extendedprice*100) AS BIGINT) *"
+            " (100 - CAST(ROUND(l.l_discount*100) AS BIGINT))"
+            " ELSE 0 END) AS DOUBLE) /"
+            " SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT) *"
+            " (100 - CAST(ROUND(l.l_discount*100) AS BIGINT))), 6)"
+            " AS share_r6"
+            " FROM lineitem l JOIN orders o"
+            " ON l.l_orderkey = o.o_orderkey"
+            " JOIN customer c ON o.o_custkey = c.c_custkey"
+            " JOIN nation cn ON c.c_nationkey = cn.n_nationkey"
+            " JOIN region r ON cn.n_regionkey = r.r_regionkey"
+            " JOIN supplier s ON l.l_suppkey = s.s_suppkey"
+            " JOIN nation sn ON s.s_nationkey = sn.n_nationkey"
+            " WHERE r.r_name = 'ASIA' GROUP BY 1 ORDER BY 1",
+        # TPC-H Q15 shape: argmax WITH TIES over the revenue view
+        "top_supplier_revenue_with_ties":
+            "WITH sr AS (SELECT l_suppkey,"
+            " CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) *"
+            " (100 - CAST(ROUND(l_discount*100) AS BIGINT)))"
+            " AS BIGINT) AS revenue FROM lineitem"
+            " WHERE l_shipdate >= TIMESTAMP '1996-01-01'"
+            " AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1) "
+            "SELECT s.s_name, sr.revenue FROM sr JOIN supplier s"
+            " ON sr.l_suppkey = s.s_suppkey"
+            " WHERE sr.revenue = (SELECT MAX(revenue) FROM sr)"
+            " ORDER BY s.s_name",
+        # TPC-H Q12 shape: urgent/other mix among late lines
+        "late_urgent_mix_by_status":
+            "SELECT l.l_linestatus,"
+            " CAST(SUM(CASE WHEN o.o_orderpriority IN"
+            " ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_urgent,"
+            " CAST(SUM(CASE WHEN o.o_orderpriority IN"
+            " ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)"
+            " AS n_other"
+            " FROM lineitem l JOIN orders o"
+            " ON l.l_orderkey = o.o_orderkey"
+            " WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY"
+            " GROUP BY 1 ORDER BY 1",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

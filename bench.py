@@ -257,7 +257,10 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "acctbal_mean_family",
                "discounted_smallqty_revenue",
                "late_line_orders_by_priority",
-               "smallqty_brand_revenue"]
+               "smallqty_brand_revenue",
+               "nation_market_share",
+               "top_supplier_revenue_with_ties",
+               "late_urgent_mix_by_status"]
 
 
 def run_queries() -> dict[str, float]:

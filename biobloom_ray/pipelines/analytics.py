@@ -11487,3 +11487,301 @@ def smallqty_brand_revenue(sf_dir: str):
     out["revenue_cents"] = out.revenue_cents.astype(np.int64)
     out["n_items"] = out.n_items.astype(np.int64)
     return out.sort_values("p_brand").reset_index(drop=True)
+
+
+def nation_market_share(sf_dir: str, region: str = "ASIA",
+                        nation: str = "NATION_2"):
+    """TPC-H Q8 shape — MARKET SHARE by year: of all revenue billed
+    to ``region``'s customers, the share shipped by ``nation``'s
+    suppliers, per order year.  Exact integer numerator/denominator
+    (10⁻⁴-dollar units) with one final division (6-dp contract).
+    Plan mirrors the Q5 star: the supplier→is-target flag attaches
+    map-side (dimension broadcast below the gate, hash join above),
+    customers prune to the region BEFORE the orders join, and the two
+    fact sides meet in ONE orderkey hash join of (orderkey, rev,
+    rev_target) partials; the year rollup is output-scale."""
+    import ray
+
+    from biobloom_ray.io import hash_join
+
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name", "n_regionkey"]) \
+        .to_pandas()
+    reg = _read(sf_dir, "region",
+                columns=["r_regionkey", "r_name"]).to_pandas()
+    rkey = int(reg[reg.r_name == region].r_regionkey.iloc[0])
+    nkeys = np.sort(nat[nat.n_regionkey == rkey]
+                    .n_nationkey.to_numpy(np.int64))
+    target_nk = int(nat[nat.n_name == nation].n_nationkey.iloc[0])
+    nk_ref = ray.put(nkeys)
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"])
+
+    def cust_region(b: pa.Table) -> pa.Table:
+        keys = ray.get(nk_ref)
+        v = b["c_nationkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, v)
+        pos[pos >= len(keys)] = 0
+        return (b.filter(pa.array(keys[pos] == v))
+                .select(["c_custkey"]))
+
+    cust_r = cust.map_batches(cust_region, batch_format="pyarrow")
+
+    def li_partial(b: pa.Table, sk, flag) -> pa.Table:
+        v = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(sk, v)
+        pos[pos >= len(sk)] = 0
+        hit = (sk[pos] == v) if len(sk) else np.zeros(len(v), bool)
+        sub = b.filter(pa.array(hit))
+        if sub.num_rows == 0:
+            return pa.table({"ok": pa.array([], pa.int64()),
+                             "rev": pa.array([], pa.int64()),
+                             "rev_t": pa.array([], pa.int64())})
+        cents = _cents_away(
+            sub["l_extendedprice"].to_numpy(zero_copy_only=False))
+        disc = _cents_away(sub["l_discount"].to_numpy(zero_copy_only=False))
+        rev = cents * (100 - disc)
+        tgt = flag[pos[hit]]
+        df = pd.DataFrame({
+            "ok": sub["l_orderkey"].to_numpy(zero_copy_only=False),
+            "rev": rev, "rev_t": rev * tgt})
+        agg = (df.groupby("ok", as_index=False)
+               [["rev", "rev_t"]].sum())
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    n_cust = _cheap_count(cust)
+    broadcast = (n_cust is not None
+                 and n_cust <= CUST_BROADCAST_MAX_ROWS)
+    if broadcast:
+        sp = supp.to_pandas()
+        order = np.argsort(sp.s_suppkey.to_numpy(np.int64))
+        sk = sp.s_suppkey.to_numpy(np.int64)[order]
+        flag = (sp.s_nationkey.to_numpy(np.int64)[order]
+                == target_nk).astype(np.int64)
+        sref = ray.put((sk, flag))
+        li_parts = li.map_batches(
+            lambda b: li_partial(b, *ray.get(sref)),
+            batch_format="pyarrow")
+        cu = np.sort(cust_r.to_pandas().c_custkey.to_numpy(np.int64))
+        cu_ref = ray.put(cu)
+
+        def ord_map(b: pa.Table) -> pa.Table:
+            kk = ray.get(cu_ref)
+            v = b["o_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(kk, v)
+            pos[pos >= len(kk)] = 0
+            hit = (kk[pos] == v) if len(kk) else np.zeros(len(v), bool)
+            sub = b.filter(pa.array(hit))
+            yr = (pd.Series(sub["o_orderdate"].to_pandas())
+                  .dt.year.to_numpy(np.int64))
+            return pa.table({"ok2": sub["o_orderkey"].cast(pa.int64()),
+                             "yr": pa.array(yr)})
+
+        ords = orders.map_batches(ord_map, batch_format="pyarrow")
+    else:
+        def li_pre(b: pa.Table) -> pa.Table:
+            cents = _cents_away(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False))
+            disc = _cents_away(
+                b["l_discount"].to_numpy(zero_copy_only=False))
+            df = pd.DataFrame({
+                "ok": b["l_orderkey"].to_numpy(zero_copy_only=False),
+                "sk": b["l_suppkey"].to_numpy(zero_copy_only=False),
+                "rev": cents * (100 - disc)})
+            agg = (df.groupby(["ok", "sk"], as_index=False)
+                   ["rev"].sum())
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+        li_sup = hash_join(li.map_batches(li_pre,
+                                          batch_format="pyarrow"),
+                           supp, on=("sk",), right_on=("s_suppkey",))
+
+        def li_flag(b: pa.Table) -> pa.Table:
+            tgt = (b["s_nationkey"].to_numpy(zero_copy_only=False)
+                   .astype(np.int64) == target_nk).astype(np.int64)
+            rev = b["rev"].to_numpy(zero_copy_only=False)
+            return pa.table({"ok": b["ok"], "rev": pa.array(rev),
+                             "rev_t": pa.array(rev * tgt)})
+
+        li_parts = li_sup.map_batches(li_flag, batch_format="pyarrow")
+        ords_j = hash_join(orders, cust_r, on=("o_custkey",),
+                           right_on=("c_custkey",))
+
+        def ord_rename(b: pa.Table) -> pa.Table:
+            yr = (pd.Series(b["o_orderdate"].to_pandas())
+                  .dt.year.to_numpy(np.int64))
+            return pa.table({"ok2": b["o_orderkey"].cast(pa.int64()),
+                             "yr": pa.array(yr)})
+
+        ords = ords_j.map_batches(ord_rename, batch_format="pyarrow")
+    joined = hash_join(li_parts, ords, on=("ok",), right_on=("ok2",))
+
+    def year_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "yr": b["yr"].to_numpy(zero_copy_only=False),
+            "den": b["rev"].to_numpy(zero_copy_only=False),
+            "num": b["rev_t"].to_numpy(zero_copy_only=False)})
+        agg = df.groupby("yr", as_index=False)[["num", "den"]].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    agg = (_parts_pandas(
+        joined.map_batches(year_partial, batch_format="pyarrow"),
+        {"yr": np.int64, "num": np.int64, "den": np.int64})
+        .groupby("yr", as_index=False)[["num", "den"]].sum())
+    out = pd.DataFrame({
+        "o_year": agg.yr.astype(np.int64),
+        "num_rev": agg.num.astype(np.int64),
+        "den_rev": agg.den.astype(np.int64),
+        "share_r6": (agg.num / agg.den).round(6)})
+    return out.sort_values("o_year").reset_index(drop=True)
+
+
+def top_supplier_revenue_with_ties(sf_dir: str, lo: str = "1996-01-01",
+                                   hi: str = "1996-04-01"):
+    """TPC-H Q15 shape — ARGMAX WITH TIES over a computed revenue
+    view: the supplier(s) with the maximum in-window revenue (every
+    tie kept, matching the reference query's `= (SELECT MAX ...)`
+    semantics).  The per-supplier rollup pre-reduces per block and
+    combines tiered; the max and its ties resolve from per-block
+    (max, rows-at-max) partials — associative; names attach to the
+    tie-set only."""
+    import ray
+
+    from biobloom_ray.io import hash_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                        "l_extendedprice", "l_discount"])
+    tlo = np.datetime64(lo, "us").astype(np.int64)
+    thi = np.datetime64(hi, "us").astype(np.int64)
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        ship = (b["l_shipdate"].cast(pa.timestamp("us"))
+                .cast(pa.int64()).to_numpy(zero_copy_only=False))
+        m = (ship >= tlo) & (ship < thi)
+        sub = b.filter(pa.array(m))
+        if sub.num_rows == 0:
+            return pa.table({"sk": pa.array([], pa.int64()),
+                             "rev": pa.array([], pa.int64())})
+        cents = _cents_away(
+            sub["l_extendedprice"].to_numpy(zero_copy_only=False))
+        disc = _cents_away(sub["l_discount"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({
+            "sk": sub["l_suppkey"].to_numpy(zero_copy_only=False),
+            "rev": cents * (100 - disc)})
+        agg = df.groupby("sk", as_index=False)["rev"].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = li.map_batches(rev_partial, batch_format="pyarrow")
+    n_li = _cheap_count(li)
+    if n_li is not None and n_li <= LINEITEM_DRIVER_MAX_ROWS:
+        sr = (_parts_pandas(parts_ds, {"sk": np.int64, "rev": np.int64})
+              .groupby("sk", as_index=False)["rev"].sum())
+    else:
+        sr = (parts_ds.groupby("sk")
+              .aggregate(Sum("rev", alias_name="rev")).to_pandas())
+    if len(sr) == 0:
+        return pd.DataFrame({"s_name": pd.Series([], dtype=object),
+                             "revenue": pd.Series([], dtype=np.int64)})
+    mx = int(sr.rev.max())
+    ties = sr[sr.rev == mx]
+    names = _read(sf_dir, "supplier",
+                  columns=["s_suppkey", "s_name"]).to_pandas()
+    out = (ties.merge(names, left_on="sk", right_on="s_suppkey")
+           .rename(columns={"rev": "revenue"}))
+    out["revenue"] = out.revenue.astype(np.int64)
+    return (out[["s_name", "revenue"]].sort_values("s_name")
+            .reset_index(drop=True))
+
+
+def late_urgent_mix_by_status(sf_dir: str, late_days: int = 60):
+    """TPC-H Q12 shape — CONDITIONAL two-way counts after a fact⋈fact
+    join: among lines shipped > ``late_days`` after their order date,
+    the urgent-priority vs other mix per line status.  The order
+    (date, urgent-flag) map broadcasts below the gate (searchsorted
+    attach) and hash-joins above; per-block partials carry the two
+    conditional tallies so the final rollup is |statuses| rows."""
+    import ray
+
+    from biobloom_ray.io import hash_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_shipdate", "l_linestatus"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate",
+                            "o_orderpriority"])
+    late_us = int(late_days) * 86_400_000_000
+    urgent = {"1-URGENT", "2-HIGH"}
+
+    def mix_frame(status, is_urgent) -> pa.Table:
+        df = pd.DataFrame({"l_linestatus": status,
+                           "n_urgent": is_urgent.astype(np.int64),
+                           "n_other": (~is_urgent).astype(np.int64)})
+        agg = (df.groupby("l_linestatus", as_index=False)
+               [["n_urgent", "n_other"]].sum())
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    n_ord = _cheap_count(orders)
+    if n_ord is not None and n_ord <= LINEITEM_DRIVER_MAX_ROWS:
+        od = orders.to_pandas()
+        order = np.argsort(od.o_orderkey.to_numpy(np.int64))
+        okeys = od.o_orderkey.to_numpy(np.int64)[order]
+        odate = (od.o_orderdate.astype("datetime64[us]")
+                 .astype(np.int64).to_numpy()[order])
+        uflag = (od.o_orderpriority.isin(urgent).to_numpy()[order])
+        ref = ray.put((okeys, odate, uflag))
+
+        def probe(b: pa.Table) -> pa.Table:
+            kk, dd, uu = ray.get(ref)
+            ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+            ship = (b["l_shipdate"].cast(pa.timestamp("us"))
+                    .cast(pa.int64()).to_numpy(zero_copy_only=False))
+            pos = np.searchsorted(kk, ok)
+            pos[pos >= len(kk)] = 0
+            hit = (kk[pos] == ok) & (ship > dd[pos] + late_us)
+            return mix_frame(
+                pd.Series(b.filter(pa.array(hit))["l_linestatus"]
+                          .to_pandas()).to_numpy(dtype=object),
+                uu[pos[hit]])
+
+        parts = li.map_batches(probe, batch_format="pyarrow")
+    else:
+        def li_pre(b: pa.Table) -> pa.Table:
+            ship = (b["l_shipdate"].cast(pa.timestamp("us"))
+                    .cast(pa.int64()).to_numpy(zero_copy_only=False))
+            return pa.table({"ok": b["l_orderkey"].cast(pa.int64()),
+                             "ship": pa.array(ship),
+                             "l_linestatus": b["l_linestatus"]})
+
+        joined = hash_join(li.map_batches(li_pre,
+                                          batch_format="pyarrow"),
+                           orders, on=("ok",),
+                           right_on=("o_orderkey",))
+
+        def mix_partial(b: pa.Table) -> pa.Table:
+            od = (b["o_orderdate"].cast(pa.timestamp("us"))
+                  .cast(pa.int64()).to_numpy(zero_copy_only=False))
+            late = (b["ship"].to_numpy(zero_copy_only=False)
+                    > od + late_us)
+            sub = b.filter(pa.array(late))
+            uf = (pd.Series(sub["o_orderpriority"].to_pandas())
+                  .isin(urgent).to_numpy())
+            return mix_frame(
+                pd.Series(sub["l_linestatus"].to_pandas())
+                .to_numpy(dtype=object), uf)
+
+        parts = joined.map_batches(mix_partial, batch_format="pyarrow")
+    agg = (_parts_pandas(parts, {"l_linestatus": object,
+                                 "n_urgent": np.int64,
+                                 "n_other": np.int64})
+           .groupby("l_linestatus", as_index=False)
+           [["n_urgent", "n_other"]].sum())
+    agg["n_urgent"] = agg.n_urgent.astype(np.int64)
+    agg["n_other"] = agg.n_other.astype(np.int64)
+    return agg.sort_values("l_linestatus").reset_index(drop=True)

@@ -134,6 +134,8 @@ SQL_CHECKED = [
     "type_user_overlap_exact", "view_attribution_credit",
     "acctbal_mean_family", "discounted_smallqty_revenue",
     "late_line_orders_by_priority", "smallqty_brand_revenue",
+    "nation_market_share", "top_supplier_revenue_with_ties",
+    "late_urgent_mix_by_status",
 ]
 
 

@@ -2437,3 +2437,42 @@ def test_round4_wave47_tiers_agree(ray_session, monkeypatch):
     # Q17: every brand row has positive revenue and item counts
     assert (fast_q17.revenue_cents > 0).all()
     assert (fast_q17.n_items > 0).all()
+
+
+def test_round4_wave48_tiers_agree(ray_session, monkeypatch):
+    """nation_market_share (dimension broadcasts vs hash-join chain),
+    top_supplier_revenue_with_ties + late_urgent_mix_by_status
+    (driver combine/broadcast vs native rollup + hash join)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_q8 = A.nation_market_share(sf)
+    fast_q15 = A.top_supplier_revenue_with_ties(sf)
+    fast_q12 = A.late_urgent_mix_by_status(sf)
+
+    monkeypatch.setattr(A, "CUST_BROADCAST_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "LINEITEM_DRIVER_MAX_ROWS", 0)
+    slow_q8 = A.nation_market_share(sf)[list(fast_q8.columns)]
+    slow_q15 = (A.top_supplier_revenue_with_ties(sf)
+                [list(fast_q15.columns)])
+    slow_q12 = A.late_urgent_mix_by_status(sf)[list(fast_q12.columns)]
+    assert len(fast_q8) > 0 and fast_q8.equals(slow_q8)
+    assert len(fast_q15) >= 1 and fast_q15.equals(slow_q15)
+    assert len(fast_q12) > 0 and fast_q12.equals(slow_q12)
+
+    # shares are valid fractions and num <= den
+    assert ((fast_q8.num_rev >= 0) & (fast_q8.num_rev
+                                      <= fast_q8.den_rev)).all()
+    assert ((fast_q8.share_r6 >= 0) & (fast_q8.share_r6 <= 1)).all()
+    # the tie set all carries the same (maximal) revenue
+    assert fast_q15.revenue.nunique() == 1
+    # urgent + other equals the direct late-line count
+    li = pd.read_parquet(f"{sf}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+    od = pd.read_parquet(f"{sf}/orders.parquet",
+                         columns=["o_orderkey", "o_orderdate"])
+    j = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    late = ((j.l_shipdate.astype("datetime64[us]").astype(np.int64)
+             - j.o_orderdate.astype("datetime64[us]").astype(np.int64))
+            > 60 * 86_400_000_000).sum()
+    assert (fast_q12.n_urgent.sum() + fast_q12.n_other.sum()) == late
