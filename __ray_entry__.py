@@ -1391,6 +1391,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_supplier_revenue_with_ties":
             A.top_supplier_revenue_with_ties,
         "late_urgent_mix_by_status": A.late_urgent_mix_by_status,
+        # round-4 wave 49: autocorrelation / reciprocity / HHI
+        "daily_revenue_autocorr": A.daily_revenue_autocorr,
+        "transition_reciprocity": A.transition_reciprocity,
+        "supplier_hhi_by_nation": A.supplier_hhi_by_nation,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -4130,6 +4134,78 @@ def oracle_sql() -> dict[str, str]:
             " ON l.l_orderkey = o.o_orderkey"
             " WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY"
             " GROUP BY 1 ORDER BY 1",
+        # lagged autocorrelation of daily revenue (observed-day pairs,
+        # Pearson from double sums, term op order mirrored)
+        "daily_revenue_autocorr":
+            "WITH d AS (SELECT event_type,"
+            " CAST(epoch(date_trunc('day', ts)) AS BIGINT)//86400"
+            " AS day, CAST(SUM(CAST(ROUND(value*100) AS BIGINT))"
+            " AS BIGINT) AS rev FROM events GROUP BY 1, 2), "
+            "l1 AS (SELECT a.event_type, CAST(a.rev AS DOUBLE) AS x,"
+            " CAST(b.rev AS DOUBLE) AS y FROM d a JOIN d b"
+            " ON a.event_type = b.event_type AND b.day = a.day + 1), "
+            "s1 AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,"
+            " SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx,"
+            " SUM(y*y) AS syy, SUM(x*y) AS sxy FROM l1 GROUP BY 1), "
+            "l7 AS (SELECT a.event_type, CAST(a.rev AS DOUBLE) AS x,"
+            " CAST(b.rev AS DOUBLE) AS y FROM d a JOIN d b"
+            " ON a.event_type = b.event_type AND b.day = a.day + 7), "
+            "s7 AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,"
+            " SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx,"
+            " SUM(y*y) AS syy, SUM(x*y) AS sxy FROM l7 GROUP BY 1) "
+            "SELECT s1.event_type, s1.n AS n_lag1,"
+            " ROUND((s1.sxy - s1.sx*s1.sy/s1.n) / sqrt("
+            "(s1.sxx - s1.sx*s1.sx/s1.n) * (s1.syy - s1.sy*s1.sy/s1.n)"
+            "), 6) AS r_lag1_r6,"
+            " s7.n AS n_lag7,"
+            " ROUND((s7.sxy - s7.sx*s7.sy/s7.n) / sqrt("
+            "(s7.sxx - s7.sx*s7.sx/s7.n) * (s7.syy - s7.sy*s7.sy/s7.n)"
+            "), 6) AS r_lag7_r6"
+            " FROM s1 JOIN s7 ON s1.event_type = s7.event_type"
+            " ORDER BY 1",
+        # Markov-graph reciprocity per unordered type pair
+        "transition_reciprocity":
+            "WITH s AS (SELECT user_id, event_type,"
+            " LAG(event_type) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id) AS prev FROM events), "
+            "tc AS (SELECT prev AS a, event_type AS b,"
+            " CAST(COUNT(*) AS BIGINT) AS n FROM s"
+            " WHERE prev IS NOT NULL AND prev <> event_type"
+            " GROUP BY 1, 2), "
+            "ty AS (SELECT a AS t FROM tc UNION SELECT b FROM tc), "
+            "pr AS (SELECT x.t AS ta, y.t AS tb FROM ty x JOIN ty y"
+            " ON x.t < y.t) "
+            "SELECT pr.ta AS type_a, pr.tb AS type_b,"
+            " CAST(COALESCE(f.n, 0) AS BIGINT) AS n_ab,"
+            " CAST(COALESCE(r.n, 0) AS BIGINT) AS n_ba,"
+            " CASE WHEN GREATEST(COALESCE(f.n, 0), COALESCE(r.n, 0))"
+            " = 0 THEN 0.0 ELSE ROUND(CAST(LEAST(COALESCE(f.n, 0),"
+            " COALESCE(r.n, 0)) AS DOUBLE) /"
+            " GREATEST(COALESCE(f.n, 0), COALESCE(r.n, 0)), 6) END"
+            " AS reciprocity_r6,"
+            " CAST(COALESCE(f.n, 0) - COALESCE(r.n, 0) AS BIGINT)"
+            " AS net_flow FROM pr"
+            " LEFT JOIN tc f ON f.a = pr.ta AND f.b = pr.tb"
+            " LEFT JOIN tc r ON r.a = pr.tb AND r.b = pr.ta"
+            " ORDER BY 1, 2",
+        # Herfindahl concentration of supplier revenue per nation
+        "supplier_hhi_by_nation":
+            "WITH sr AS (SELECT l_suppkey,"
+            " CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) *"
+            " (100 - CAST(ROUND(l_discount*100) AS BIGINT)))"
+            " AS BIGINT) AS rev FROM lineitem GROUP BY 1), "
+            "j AS (SELECT s.s_nationkey, sr.rev FROM sr"
+            " JOIN supplier s ON sr.l_suppkey = s.s_suppkey), "
+            "tot AS (SELECT s_nationkey, CAST(SUM(rev) AS BIGINT)"
+            " AS total, CAST(COUNT(*) AS BIGINT) AS n FROM j"
+            " GROUP BY 1) "
+            "SELECT nt.n_name, tot.n AS n_suppliers,"
+            " tot.total AS total_rev,"
+            " ROUND(SUM((CAST(j.rev AS DOUBLE) / tot.total) *"
+            " (CAST(j.rev AS DOUBLE) / tot.total)), 6) AS hhi_r6"
+            " FROM j JOIN tot ON j.s_nationkey = tot.s_nationkey"
+            " JOIN nation nt ON j.s_nationkey = nt.n_nationkey"
+            " GROUP BY 1, 2, 3 ORDER BY 1",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

@@ -260,7 +260,10 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "smallqty_brand_revenue",
                "nation_market_share",
                "top_supplier_revenue_with_ties",
-               "late_urgent_mix_by_status"]
+               "late_urgent_mix_by_status",
+               "daily_revenue_autocorr",
+               "transition_reciprocity",
+               "supplier_hhi_by_nation"]
 
 
 def run_queries() -> dict[str, float]:

@@ -11785,3 +11785,194 @@ def late_urgent_mix_by_status(sf_dir: str, late_days: int = 60):
     agg["n_urgent"] = agg.n_urgent.astype(np.int64)
     agg["n_other"] = agg.n_other.astype(np.int64)
     return agg.sort_values("l_linestatus").reset_index(drop=True)
+
+
+def daily_revenue_autocorr(sf_dir: str, lags: tuple = (1, 7)):
+    """Lagged AUTOCORRELATION of each type's daily revenue — the
+    seasonality detector (lag-1 momentum, lag-7 weekly cycle) —
+    computed as Pearson r over the pairs of OBSERVED days exactly
+    ``lag`` calendar days apart.  The daily rollup combines tiered;
+    the lag self-join and the moment formula run on the output-scale
+    (type, day) table with the same explicit op-order discipline as
+    ``grouped_higher_moments`` (the oracle mirrors each term)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def day_partial(b: pa.Table) -> pa.Table:
+        ts = (b["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        day = ts // 86_400_000_000
+        df = pd.DataFrame({
+            "event_type": pd.Series(b["event_type"].to_pandas())
+            .to_numpy(dtype=object), "day": day,
+            "rev": _cents_away(b["value"]
+                               .to_numpy(zero_copy_only=False))})
+        agg = (df.groupby(["event_type", "day"], as_index=False)
+               ["rev"].sum())
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(day_partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        daily = (_parts_pandas(parts_ds, {"event_type": object,
+                                          "day": np.int64,
+                                          "rev": np.int64})
+                 .groupby(["event_type", "day"], as_index=False)
+                 ["rev"].sum())
+    else:
+        daily = (parts_ds.groupby(["event_type", "day"])
+                 .aggregate(Sum("rev", alias_name="rev")).to_pandas())
+    rows = []
+    for t, g in daily.groupby("event_type", sort=True):
+        g = g.sort_values("day")
+        d = g.day.to_numpy(np.int64)
+        r = g.rev.to_numpy(np.int64).astype(np.float64)
+        vals = [t]
+        for lag in lags:
+            pos = np.searchsorted(d, d + lag)
+            pos_c = np.minimum(pos, len(d) - 1)
+            hit = d[pos_c] == d + lag
+            x, y = r[hit], r[pos_c[hit]]
+            n = float(len(x))
+            if n < 2:
+                vals.extend([np.int64(len(x)), float("nan")])
+                continue
+            sx, sy = x.sum(), y.sum()
+            sxx, syy, sxy = (x * x).sum(), (y * y).sum(), (x * y).sum()
+            num = sxy - sx * sy / n
+            den = np.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+            vals.extend([np.int64(len(x)), round(num / den, 6)])
+        rows.append(tuple(vals))
+    cols = ["event_type"]
+    for lag in lags:
+        cols += [f"n_lag{lag}", f"r_lag{lag}_r6"]
+    out = pd.DataFrame(rows, columns=cols)
+    for lag in lags:
+        out[f"n_lag{lag}"] = out[f"n_lag{lag}"].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def transition_reciprocity(sf_dir: str):
+    """Markov-graph RECIPROCITY — for each unordered type pair, how
+    symmetric the two directed transition flows are: n_ab, n_ba, the
+    reciprocity min/max ratio, and the net-flow imbalance — composed
+    over ``event_transitions``' exact LAG semantics (the |types|²
+    table folds anywhere)."""
+    tc = event_transitions(sf_dir)
+    tc = tc[tc.prev_type != tc.next_type]
+    m = {(r.prev_type, r.next_type): int(r.n) for r in tc.itertuples()}
+    types = sorted(set(tc.prev_type) | set(tc.next_type))
+    rows = []
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            ab, ba = m.get((a, b), 0), m.get((b, a), 0)
+            hi = max(ab, ba)
+            rows.append((a, b, np.int64(ab), np.int64(ba),
+                         round(min(ab, ba) / hi, 6) if hi else 0.0,
+                         np.int64(ab - ba)))
+    out = pd.DataFrame(rows, columns=["type_a", "type_b", "n_ab",
+                                      "n_ba", "reciprocity_r6",
+                                      "net_flow"])
+    for c in ["n_ab", "n_ba", "net_flow"]:
+        out[c] = out[c].astype(np.int64)
+    return (out.sort_values(["type_a", "type_b"])
+            .reset_index(drop=True))
+
+
+def supplier_hhi_by_nation(sf_dir: str):
+    """Market-CONCENTRATION index (Herfindahl–Hirschman) of supplier
+    revenue within each supplier nation: HHI = Σ(share_i)² over the
+    COMPLETED per-supplier revenue rollup — the sum-of-squared-shares
+    shape needs each supplier's total finalized before squaring, so
+    the plan is rollup → broadcast nation totals → per-block squared-
+    share partials (three native stages, nothing supplier-scale on
+    the driver above the gate).  Exact int64 anchors (supplier count,
+    total revenue); shares square in double with per-element identical
+    ops (6-dp contract)."""
+    import ray
+
+    from biobloom_ray.io import hash_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_extendedprice", "l_discount"])
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        cents = _cents_away(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False))
+        disc = _cents_away(b["l_discount"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({
+            "sk": b["l_suppkey"].to_numpy(zero_copy_only=False),
+            "rev": cents * (100 - disc)})
+        agg = df.groupby("sk", as_index=False)["rev"].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = li.map_batches(rev_partial, batch_format="pyarrow")
+    n_li = _cheap_count(li)
+    driver = n_li is not None and n_li <= LINEITEM_DRIVER_MAX_ROWS
+    if driver:
+        sr = (_parts_pandas(parts_ds, {"sk": np.int64, "rev": np.int64})
+              .groupby("sk", as_index=False)["rev"].sum())
+        sp = supp.to_pandas()
+        sr = sr.merge(sp, left_on="sk", right_on="s_suppkey")
+        tot = (sr.groupby("s_nationkey", as_index=False)
+               .agg(total=("rev", "sum"), n=("rev", "size")))
+        j = sr.merge(tot, on="s_nationkey")
+        sh = j.rev / j.total
+        j["sq"] = sh * sh
+        agg = (j.groupby("s_nationkey", as_index=False)
+               .agg(hhi=("sq", "sum")))
+        agg = agg.merge(tot, on="s_nationkey")
+    else:
+        sr_ds = (parts_ds.groupby("sk")
+                 .aggregate(Sum("rev", alias_name="rev")))
+        joined = hash_join(sr_ds, supp, on=("sk",),
+                           right_on=("s_suppkey",)).materialize()
+
+        def tot_partial(b: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "s_nationkey": b["s_nationkey"]
+                .to_numpy(zero_copy_only=False).astype(np.int64),
+                "rev": b["rev"].to_numpy(zero_copy_only=False)})
+            agg_ = (df.groupby("s_nationkey", as_index=False)
+                    .agg(total=("rev", "sum"), n=("rev", "size")))
+            agg_["n"] = agg_.n.astype(np.int64)
+            return pa.Table.from_pandas(agg_, preserve_index=False)
+
+        tot = (_parts_pandas(
+            joined.map_batches(tot_partial, batch_format="pyarrow"),
+            {"s_nationkey": np.int64, "total": np.int64,
+             "n": np.int64})
+            .groupby("s_nationkey", as_index=False)
+            [["total", "n"]].sum())
+        tref = ray.put(dict(zip(tot.s_nationkey.astype(int),
+                                tot.total.astype(int))))
+
+        def sq_partial(b: pa.Table) -> pa.Table:
+            tm = ray.get(tref)
+            nk = (b["s_nationkey"].to_numpy(zero_copy_only=False)
+                  .astype(np.int64))
+            rev = b["rev"].to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            tt = np.fromiter((tm[int(k)] for k in nk), dtype=np.float64,
+                             count=len(nk))
+            sh = rev / tt
+            df = pd.DataFrame({"s_nationkey": nk, "sq": sh * sh})
+            agg_ = df.groupby("s_nationkey", as_index=False)["sq"].sum()
+            return pa.Table.from_pandas(agg_, preserve_index=False)
+
+        hh = (_parts_pandas(
+            joined.map_batches(sq_partial, batch_format="pyarrow"),
+            {"s_nationkey": np.int64, "sq": np.float64})
+            .groupby("s_nationkey", as_index=False)["sq"].sum()
+            .rename(columns={"sq": "hhi"}))
+        agg = hh.merge(tot, on="s_nationkey")
+    names = _read(sf_dir, "nation",
+                  columns=["n_nationkey", "n_name"]).to_pandas()
+    out = agg.merge(names, left_on="s_nationkey",
+                    right_on="n_nationkey")
+    out = pd.DataFrame({
+        "n_name": out.n_name,
+        "n_suppliers": out.n.astype(np.int64),
+        "total_rev": out.total.astype(np.int64),
+        "hhi_r6": out.hhi.round(6)})
+    return out.sort_values("n_name").reset_index(drop=True)

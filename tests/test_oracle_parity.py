@@ -135,7 +135,8 @@ SQL_CHECKED = [
     "acctbal_mean_family", "discounted_smallqty_revenue",
     "late_line_orders_by_priority", "smallqty_brand_revenue",
     "nation_market_share", "top_supplier_revenue_with_ties",
-    "late_urgent_mix_by_status",
+    "late_urgent_mix_by_status", "daily_revenue_autocorr",
+    "transition_reciprocity", "supplier_hhi_by_nation",
 ]
 
 

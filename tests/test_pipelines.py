@@ -2476,3 +2476,37 @@ def test_round4_wave48_tiers_agree(ray_session, monkeypatch):
              - j.o_orderdate.astype("datetime64[us]").astype(np.int64))
             > 60 * 86_400_000_000).sum()
     assert (fast_q12.n_urgent.sum() + fast_q12.n_other.sum()) == late
+
+
+def test_round4_wave49_tiers_agree(ray_session, monkeypatch):
+    """daily_revenue_autocorr (tiered daily rollup; |r| <= 1),
+    transition_reciprocity (inherits event_transitions' tiering;
+    flow conservation), supplier_hhi_by_nation (driver merge vs
+    rollup + broadcast-totals squared-share partials; HHI bounds)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_ac = A.daily_revenue_autocorr(sf)
+    fast_rc = A.transition_reciprocity(sf)
+    fast_hh = A.supplier_hhi_by_nation(sf)
+
+    monkeypatch.setattr(A, "EVENTS_DRIVER_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "LINEITEM_DRIVER_MAX_ROWS", 0)
+    slow_ac = A.daily_revenue_autocorr(sf)[list(fast_ac.columns)]
+    slow_rc = A.transition_reciprocity(sf)[list(fast_rc.columns)]
+    slow_hh = A.supplier_hhi_by_nation(sf)[list(fast_hh.columns)]
+    assert len(fast_ac) == 5 and fast_ac.equals(slow_ac)
+    assert len(fast_rc) == 10 and fast_rc.equals(slow_rc)
+    assert len(fast_hh) > 0 and fast_hh.equals(slow_hh)
+
+    # correlation coefficients live in [-1, 1]
+    assert (fast_ac.r_lag1_r6.abs() <= 1 + 1e-9).all()
+    assert (fast_ac.r_lag7_r6.abs() <= 1 + 1e-9).all()
+    # reciprocity in [0, 1]; net flow consistent with the counts
+    assert ((fast_rc.reciprocity_r6 >= 0)
+            & (fast_rc.reciprocity_r6 <= 1)).all()
+    assert (fast_rc.net_flow == fast_rc.n_ab - fast_rc.n_ba).all()
+    # HHI bounds: 1/n <= HHI <= 1 for each nation
+    assert ((fast_hh.hhi_r6 <= 1 + 1e-9)
+            & (fast_hh.hhi_r6 >= 1.0 / fast_hh.n_suppliers - 1e-6)
+            ).all()
