@@ -1395,6 +1395,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_revenue_autocorr": A.daily_revenue_autocorr,
         "transition_reciprocity": A.transition_reciprocity,
         "supplier_hhi_by_nation": A.supplier_hhi_by_nation,
+        # round-4 wave 50: Q20 share gate / keyset page / running
+        # distinct
+        "dominant_supplier_parts": A.dominant_supplier_parts,
+        "parts_keyset_page": A.parts_keyset_page,
+        "cumulative_parts_catalog": A.cumulative_parts_catalog,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -4206,6 +4211,36 @@ def oracle_sql() -> dict[str, str]:
             " FROM j JOIN tot ON j.s_nationkey = tot.s_nationkey"
             " JOIN nation nt ON j.s_nationkey = nt.n_nationkey"
             " GROUP BY 1, 2, 3 ORDER BY 1",
+        # Q20-style pair-level share gate (8*q_ps > q_p, exact ints)
+        "dominant_supplier_parts":
+            "WITH ps AS (SELECT l_partkey, l_suppkey,"
+            " CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)"
+            " AS q FROM lineitem GROUP BY 1, 2), "
+            "pt AS (SELECT l_partkey, CAST(SUM(q) AS BIGINT) AS tq"
+            " FROM ps GROUP BY 1) "
+            "SELECT ps.l_suppkey AS s_suppkey,"
+            " CAST(COUNT(*) AS BIGINT) AS n_parts"
+            " FROM ps JOIN pt USING (l_partkey)"
+            " WHERE 8 * ps.q > pt.tq GROUP BY 1 ORDER BY 1",
+        # keyset pagination: next 20 after the compound cursor
+        "parts_keyset_page":
+            "SELECT p_partkey,"
+            " CAST(ROUND(p_retailprice*100) AS BIGINT) AS price_cents"
+            " FROM part"
+            " WHERE CAST(ROUND(p_retailprice*100) AS BIGINT) > 90000"
+            " OR (CAST(ROUND(p_retailprice*100) AS BIGINT) = 90000"
+            " AND p_partkey > 0)"
+            " ORDER BY price_cents, p_partkey LIMIT 20",
+        # running distinct via first appearance (min ship day)
+        "cumulative_parts_catalog":
+            "WITH f AS (SELECT l_partkey,"
+            " CAST(MIN(epoch(date_trunc('day', l_shipdate)))"
+            " AS BIGINT) AS d0 FROM lineitem GROUP BY 1), "
+            "c AS (SELECT d0 AS day_epoch, CAST(COUNT(*) AS BIGINT)"
+            " AS n_new FROM f GROUP BY 1) "
+            "SELECT day_epoch, n_new, CAST(SUM(n_new) OVER"
+            " (ORDER BY day_epoch) AS BIGINT) AS n_cum"
+            " FROM c ORDER BY day_epoch",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

@@ -263,7 +263,10 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "late_urgent_mix_by_status",
                "daily_revenue_autocorr",
                "transition_reciprocity",
-               "supplier_hhi_by_nation"]
+               "supplier_hhi_by_nation",
+               "dominant_supplier_parts",
+               "parts_keyset_page",
+               "cumulative_parts_catalog"]
 
 
 def run_queries() -> dict[str, float]:

@@ -11976,3 +11976,160 @@ def supplier_hhi_by_nation(sf_dir: str):
         "total_rev": out.total.astype(np.int64),
         "hhi_r6": out.hhi.round(6)})
     return out.sort_values("n_name").reset_index(drop=True)
+
+
+def dominant_supplier_parts(sf_dir: str, share_denom: int = 8):
+    """TPC-H Q20 shape — a SHARE-OF-PARENT gate at the PAIR level:
+    (part, supplier) links where the supplier shipped more than
+    1/``share_denom`` of the part's total quantity, counted per
+    supplier.  Exact-integer cross-multiplication
+    ``share_denom·q_ps > q_p`` (no float share); the pair rollup and
+    the parent rollup are the same tiered native Sums, the gate joins
+    pair → parent (broadcast below the gate, hash join above) and the
+    final per-supplier count is supplier-scale."""
+    import ray
+
+    from biobloom_ray.io import hash_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_quantity"])
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        qty = np.floor(np.abs(b["l_quantity"]
+                              .to_numpy(zero_copy_only=False)) + 0.5) \
+            .astype(np.int64)
+        df = pd.DataFrame({
+            "pk": b["l_partkey"].to_numpy(zero_copy_only=False),
+            "sk": b["l_suppkey"].to_numpy(zero_copy_only=False),
+            "q": qty})
+        agg = df.groupby(["pk", "sk"], as_index=False)["q"].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = li.map_batches(pair_partial, batch_format="pyarrow")
+    n_li = _cheap_count(li)
+    if n_li is not None and n_li <= LINEITEM_DRIVER_MAX_ROWS:
+        ps = (_parts_pandas(parts_ds, {"pk": np.int64, "sk": np.int64,
+                                       "q": np.int64})
+              .groupby(["pk", "sk"], as_index=False)["q"].sum())
+        pt = ps.groupby("pk", as_index=False).q.sum() \
+            .rename(columns={"q": "tq"})
+        j = ps.merge(pt, on="pk")
+        dom = j[share_denom * j.q > j.tq]
+        counts = (dom.groupby("sk", as_index=False)
+                  .size().rename(columns={"size": "n_parts",
+                                          "sk": "s_suppkey"}))
+    else:
+        ps_ds = (parts_ds.groupby(["pk", "sk"])
+                 .aggregate(Sum("q", alias_name="q")).materialize())
+
+        def pt_partial(b: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "pk": b["pk"].to_numpy(zero_copy_only=False),
+                "tq": b["q"].to_numpy(zero_copy_only=False)})
+            agg = df.groupby("pk", as_index=False)["tq"].sum()
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+        pt_ds = (ps_ds.map_batches(pt_partial, batch_format="pyarrow")
+                 .groupby("pk").aggregate(Sum("tq", alias_name="tq")))
+        joined = hash_join(ps_ds, pt_ds, on=("pk",))
+
+        def dom_partial(b: pa.Table) -> pa.Table:
+            keep = (share_denom * b["q"].to_numpy(zero_copy_only=False)
+                    > b["tq"].to_numpy(zero_copy_only=False))
+            sk = b.filter(pa.array(keep))["sk"] \
+                .to_numpy(zero_copy_only=False)
+            vc = pd.Series(sk).value_counts().sort_index()
+            return pa.table({
+                "s_suppkey": pa.array(vc.index.to_numpy(np.int64)),
+                "n_parts": pa.array(vc.to_numpy(np.int64))})
+
+        counts = (_parts_pandas(
+            joined.map_batches(dom_partial, batch_format="pyarrow"),
+            {"s_suppkey": np.int64, "n_parts": np.int64})
+            .groupby("s_suppkey", as_index=False)["n_parts"].sum())
+    counts["s_suppkey"] = counts.s_suppkey.astype(np.int64)
+    counts["n_parts"] = counts.n_parts.astype(np.int64)
+    return counts.sort_values("s_suppkey").reset_index(drop=True)
+
+
+def parts_keyset_page(sf_dir: str, cursor_cents: int = 90_000,
+                      cursor_key: int = 0, page: int = 20):
+    """KEYSET PAGINATION (the engine feature OFFSET can't scale to):
+    the next ``page`` parts strictly after the compound cursor
+    (price_cents, partkey) in (price ASC, key ASC) order — the
+    predicate (price > c) OR (price = c AND key > k) applies map-side
+    and per-block exact top-``page`` partials resolve on the driver
+    (the block top-k pattern; no global sort, no offset scan)."""
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_retailprice"])
+
+    def page_partial(b: pa.Table) -> pa.Table:
+        cents = _cents_away(
+            b["p_retailprice"].to_numpy(zero_copy_only=False))
+        key = b["p_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = (cents > cursor_cents) | ((cents == cursor_cents)
+                                         & (key > cursor_key))
+        df = pd.DataFrame({"p_partkey": key[keep],
+                           "price_cents": cents[keep]})
+        return pa.Table.from_pandas(
+            df.sort_values(["price_cents", "p_partkey"]).head(page),
+            preserve_index=False)
+
+    parts = _parts_pandas(
+        ds.map_batches(page_partial, batch_format="pyarrow"),
+        {"p_partkey": np.int64, "price_cents": np.int64})
+    out = (parts.sort_values(["price_cents", "p_partkey"]).head(page)
+           [["p_partkey", "price_cents"]].reset_index(drop=True))
+    out["p_partkey"] = out.p_partkey.astype(np.int64)
+    out["price_cents"] = out.price_cents.astype(np.int64)
+    return out
+
+
+def cumulative_parts_catalog(sf_dir: str):
+    """RUNNING DISTINCT via the first-appearance trick: the
+    distinct-parts-shipped-so-far curve needs no running set — a part
+    enters the cumulative count exactly once, on its MIN ship day, so
+    one per-part Min rollup + a day count + one output-scale prefix
+    sum reproduce the whole curve (the same decomposition
+    ``pack_documents`` uses for its global scan)."""
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_shipdate"])
+
+    def min_partial(b: pa.Table) -> pa.Table:
+        ship = (b["l_shipdate"].cast(pa.timestamp("us"))
+                .cast(pa.int64()).to_numpy(zero_copy_only=False))
+        day = (ship // 86_400_000_000) * 86_400
+        df = pd.DataFrame({
+            "pk": b["l_partkey"].to_numpy(zero_copy_only=False),
+            "d0": day})
+        agg = df.groupby("pk", as_index=False)["d0"].min()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = li.map_batches(min_partial, batch_format="pyarrow")
+    n_li = _cheap_count(li)
+    if n_li is not None and n_li <= LINEITEM_DRIVER_MAX_ROWS:
+        firsts = (_parts_pandas(parts_ds, {"pk": np.int64,
+                                           "d0": np.int64})
+                  .groupby("pk", as_index=False)["d0"].min())
+        daily = (firsts.groupby("d0", as_index=False)
+                 .size().rename(columns={"size": "n_new",
+                                         "d0": "day_epoch"}))
+    else:
+        firsts_ds = (parts_ds.groupby("pk")
+                     .aggregate(Min("d0", alias_name="d0")))
+
+        def day_count(b: pa.Table) -> pa.Table:
+            vc = (pd.Series(b["d0"].to_numpy(zero_copy_only=False))
+                  .value_counts().sort_index())
+            return pa.table({
+                "day_epoch": pa.array(vc.index.to_numpy(np.int64)),
+                "n_new": pa.array(vc.to_numpy(np.int64))})
+
+        daily = (_parts_pandas(
+            firsts_ds.map_batches(day_count, batch_format="pyarrow"),
+            {"day_epoch": np.int64, "n_new": np.int64})
+            .groupby("day_epoch", as_index=False)["n_new"].sum())
+    daily = daily.sort_values("day_epoch").reset_index(drop=True)
+    daily["n_cum"] = daily.n_new.cumsum().astype(np.int64)
+    daily["day_epoch"] = daily.day_epoch.astype(np.int64)
+    daily["n_new"] = daily.n_new.astype(np.int64)
+    return daily[["day_epoch", "n_new", "n_cum"]]

@@ -137,6 +137,8 @@ SQL_CHECKED = [
     "nation_market_share", "top_supplier_revenue_with_ties",
     "late_urgent_mix_by_status", "daily_revenue_autocorr",
     "transition_reciprocity", "supplier_hhi_by_nation",
+    "dominant_supplier_parts", "parts_keyset_page",
+    "cumulative_parts_catalog",
 ]
 
 

@@ -2510,3 +2510,36 @@ def test_round4_wave49_tiers_agree(ray_session, monkeypatch):
     assert ((fast_hh.hhi_r6 <= 1 + 1e-9)
             & (fast_hh.hhi_r6 >= 1.0 / fast_hh.n_suppliers - 1e-6)
             ).all()
+
+
+def test_round4_wave50_tiers_agree(ray_session, monkeypatch):
+    """dominant_supplier_parts + cumulative_parts_catalog (driver
+    combine vs native rollup chains), parts_keyset_page (gate-free
+    block top-k; page contract: sorted, contiguous after cursor)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_dm = A.dominant_supplier_parts(sf)
+    fast_kp = A.parts_keyset_page(sf)
+    fast_cc = A.cumulative_parts_catalog(sf)
+
+    monkeypatch.setattr(A, "LINEITEM_DRIVER_MAX_ROWS", 0)
+    slow_dm = A.dominant_supplier_parts(sf)[list(fast_dm.columns)]
+    slow_cc = A.cumulative_parts_catalog(sf)[list(fast_cc.columns)]
+    assert len(fast_dm) > 0 and fast_dm.equals(slow_dm)
+    assert len(fast_cc) > 0 and fast_cc.equals(slow_cc)
+
+    # keyset page: exactly `page` rows, strictly increasing compound
+    # key, every row strictly after the cursor
+    assert len(fast_kp) == 20
+    keys = list(zip(fast_kp.price_cents, fast_kp.p_partkey))
+    assert keys == sorted(keys) and len(set(keys)) == 20
+    assert all(k > (90_000, 0) for k in keys)
+    # running distinct: final cumulative equals the distinct part
+    # count, and the curve is the cumsum of the news
+    li = pd.read_parquet(f"{sf}/lineitem.parquet",
+                         columns=["l_partkey"])
+    assert fast_cc.n_cum.iloc[-1] == li.l_partkey.nunique()
+    assert (fast_cc.n_cum == fast_cc.n_new.cumsum()).all()
+    # dominance: every counted supplier ships > 1/8 of some part
+    assert (fast_dm.n_parts > 0).all()
