@@ -1400,6 +1400,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dominant_supplier_parts": A.dominant_supplier_parts,
         "parts_keyset_page": A.parts_keyset_page,
         "cumulative_parts_catalog": A.cumulative_parts_catalog,
+        # round-4 wave 51: text curation (prefix dedup / token-length
+        # profile / Heaps-law vocab growth)
+        "prefix_dup_groups": A.prefix_dup_groups,
+        "token_len_histogram": A.token_len_histogram,
+        "vocab_growth_by_docs": A.vocab_growth_by_docs,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -4241,6 +4246,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT day_epoch, n_new, CAST(SUM(n_new) OVER"
             " (ORDER BY day_epoch) AS BIGINT) AS n_cum"
             " FROM c ORDER BY day_epoch",
+        # C4-style prefix dedup groups (first-64-char collisions)
+        "prefix_dup_groups":
+            "WITH p AS (SELECT doc_id, substr(text, 1, 64) AS pref"
+            " FROM documents), "
+            "g AS (SELECT pref, CAST(COUNT(*) AS BIGINT)"
+            " AS group_size, CAST(MIN(doc_id) AS BIGINT)"
+            " AS winner_doc FROM p GROUP BY 1 HAVING COUNT(*) >= 2) "
+            "SELECT p.doc_id, g.group_size, g.winner_doc"
+            " FROM p JOIN g USING (pref) ORDER BY p.doc_id",
+        # token character-length profile per language
+        "token_len_histogram":
+            "WITH tok AS (SELECT lang, unnest(regexp_extract_all("
+            "text, '\\S+')) AS token FROM documents) "
+            "SELECT lang, CAST(length(token) AS BIGINT) AS tok_len,"
+            " CAST(COUNT(*) AS BIGINT) AS n FROM tok"
+            " GROUP BY 1, 2 ORDER BY 1, 2",
+        # Heaps-law vocabulary growth via first appearance
+        "vocab_growth_by_docs":
+            "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all("
+            "text, '\\S+')) AS token FROM documents), "
+            "f AS (SELECT token, CAST(MIN(doc_id) AS BIGINT) AS d0"
+            " FROM tok GROUP BY 1), "
+            "c AS (SELECT d0 // 1 AS doc_bucket,"
+            " CAST(COUNT(*) AS BIGINT) AS n_new FROM f GROUP BY 1) "
+            "SELECT CAST(doc_bucket AS BIGINT) AS doc_bucket, n_new,"
+            " CAST(SUM(n_new) OVER (ORDER BY doc_bucket) AS BIGINT)"
+            " AS n_cum FROM c ORDER BY doc_bucket",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

@@ -266,7 +266,9 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "supplier_hhi_by_nation",
                "dominant_supplier_parts",
                "parts_keyset_page",
-               "cumulative_parts_catalog"]
+               "cumulative_parts_catalog",
+               "prefix_dup_groups", "token_len_histogram",
+               "vocab_growth_by_docs"]
 
 
 def run_queries() -> dict[str, float]:

@@ -12133,3 +12133,128 @@ def cumulative_parts_catalog(sf_dir: str):
     daily["day_epoch"] = daily.day_epoch.astype(np.int64)
     daily["n_new"] = daily.n_new.astype(np.int64)
     return daily[["day_epoch", "n_new", "n_cum"]]
+
+
+def prefix_dup_groups(sf_dir: str, n_chars: int = 64):
+    """C4-style PREFIX dedup signal: groups of documents sharing an
+    identical first-``n_chars`` prefix (boilerplate headers, mirrored
+    pages) — per group: size and the winner (min doc_id), plus every
+    member's id, limited to groups of ≥ 2.  Map-side prefix slice
+    (``pc.utf8_slice_codeunits`` — no Python string loop), then the
+    standard exact-dedup rollup keyed on the prefix; the group table
+    is duplicate-scale."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        pref = pc.utf8_slice_codeunits(b["text"], 0, n_chars)
+        return pa.table({"doc_id": b["doc_id"], "pref": pref})
+
+    prefs = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= RANK_DRIVER_MAX_ROWS:
+        df = prefs.to_pandas()
+        g = (df.groupby("pref", as_index=False)
+             .agg(group_size=("doc_id", "size"),
+                  winner_doc=("doc_id", "min")))
+        g = g[g.group_size >= 2]
+        out = df.merge(g, on="pref")
+    else:
+        counts = (prefs.groupby("pref")
+                  .aggregate(Count(alias_name="group_size"),
+                             Min("doc_id", alias_name="winner_doc")))
+
+        def keep_dups(b: pa.Table) -> pa.Table:
+            return b.filter(pc.greater_equal(b["group_size"], 2))
+
+        from biobloom_ray.io import hash_join
+
+        dups = counts.map_batches(keep_dups, batch_format="pyarrow")
+        out = hash_join(prefs, dups, on=("pref",)).to_pandas()
+    out = out[["doc_id", "group_size", "winner_doc"]]
+    out["group_size"] = out.group_size.astype(np.int64)
+    out["winner_doc"] = out.winner_doc.astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def token_len_histogram(sf_dir: str):
+    """Token-LENGTH profile per language (the tokenizer-budget view:
+    how many BPE pieces a word will shatter into correlates with
+    length): exact counts per (lang, token character length), factorized
+    per block with the shared ``_token_arrays`` kernel (no Python
+    loop), tiered combine."""
+    from biobloom_ray.stages.textstats import _token_arrays
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, _lens, row_of = _token_arrays(b)
+        if len(flat) == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "tok_len": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        lg = b["lang"].to_pandas().to_numpy(dtype=object)
+        ln = pd.Series(flat, dtype=object).str.len() \
+            .to_numpy(np.int64)
+        df = pd.DataFrame({"lang": lg[row_of], "tok_len": ln})
+        agg = (df.groupby(["lang", "tok_len"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        agg["n"] = agg.n.astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= RANK_DRIVER_MAX_ROWS:
+        agg = (_parts_pandas(parts_ds, {"lang": object,
+                                        "tok_len": np.int64,
+                                        "n": np.int64})
+               .groupby(["lang", "tok_len"], as_index=False)["n"].sum())
+    else:
+        agg = (parts_ds.groupby(["lang", "tok_len"])
+               .aggregate(Sum("n", alias_name="n")).to_pandas())
+    agg["tok_len"] = agg.tok_len.astype(np.int64)
+    agg["n"] = agg.n.astype(np.int64)
+    return (agg.sort_values(["lang", "tok_len"])
+            .reset_index(drop=True))
+
+
+def vocab_growth_by_docs(sf_dir: str, bucket: int = 1):
+    """HEAPS'-LAW vocabulary growth: distinct tokens seen so far as
+    the corpus is consumed in doc_id order, sampled every ``bucket``
+    documents — running distinct via the FIRST-APPEARANCE trick (a
+    token enters the curve at its MIN doc_id; one per-token Min
+    rollup + an output-scale prefix sum — no running set, the same
+    decomposition as ``cumulative_parts_catalog``)."""
+    from biobloom_ray.stages.textstats import _token_arrays
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, _lens, row_of = _token_arrays(b)
+        if len(flat) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "d0": pa.array([], pa.int64())})
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"token": pd.Series(flat, dtype=object),
+                           "d0": ids[row_of]})
+        agg = df.groupby("token", as_index=False)["d0"].min()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= RANK_DRIVER_MAX_ROWS:
+        firsts = (_parts_pandas(parts_ds, {"token": object,
+                                           "d0": np.int64})
+                  .groupby("token", as_index=False)["d0"].min())
+    else:
+        firsts = (parts_ds.groupby("token")
+                  .aggregate(Min("d0", alias_name="d0")).to_pandas())
+    firsts["b"] = (firsts.d0.to_numpy(np.int64)
+                   // bucket).astype(np.int64)
+    daily = (firsts.groupby("b", as_index=False)
+             .size().rename(columns={"size": "n_new",
+                                     "b": "doc_bucket"}))
+    daily = daily.sort_values("doc_bucket").reset_index(drop=True)
+    daily["n_cum"] = daily.n_new.cumsum().astype(np.int64)
+    daily["doc_bucket"] = daily.doc_bucket.astype(np.int64)
+    daily["n_new"] = daily.n_new.astype(np.int64)
+    return daily[["doc_bucket", "n_new", "n_cum"]]

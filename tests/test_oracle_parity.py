@@ -138,7 +138,8 @@ SQL_CHECKED = [
     "late_urgent_mix_by_status", "daily_revenue_autocorr",
     "transition_reciprocity", "supplier_hhi_by_nation",
     "dominant_supplier_parts", "parts_keyset_page",
-    "cumulative_parts_catalog",
+    "cumulative_parts_catalog", "prefix_dup_groups",
+    "token_len_histogram", "vocab_growth_by_docs",
 ]
 
 

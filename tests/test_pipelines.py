@@ -2543,3 +2543,37 @@ def test_round4_wave50_tiers_agree(ray_session, monkeypatch):
     assert (fast_cc.n_cum == fast_cc.n_new.cumsum()).all()
     # dominance: every counted supplier ships > 1/8 of some part
     assert (fast_dm.n_parts > 0).all()
+
+
+def test_round4_wave51_tiers_agree(ray_session, monkeypatch):
+    """prefix_dup_groups + token_len_histogram + vocab_growth_by_docs
+    (driver combine vs native rollup / hash-join paths)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_pd = A.prefix_dup_groups(sf)
+    fast_tl = A.token_len_histogram(sf)
+    fast_vg = A.vocab_growth_by_docs(sf)
+
+    monkeypatch.setattr(A, "RANK_DRIVER_MAX_ROWS", 0)
+    slow_pd = A.prefix_dup_groups(sf)[list(fast_pd.columns)]
+    slow_tl = A.token_len_histogram(sf)[list(fast_tl.columns)]
+    slow_vg = A.vocab_growth_by_docs(sf)[list(fast_vg.columns)]
+    assert len(fast_pd) > 0 and fast_pd.equals(slow_pd)
+    assert len(fast_tl) > 0 and fast_tl.equals(slow_tl)
+    assert len(fast_vg) > 0 and fast_vg.equals(slow_vg)
+
+    # every prefix group has >= 2 members and the winner is a member
+    assert (fast_pd.group_size >= 2).all()
+    assert fast_pd.winner_doc.isin(fast_pd.doc_id).all()
+    # token length counts cover every token exactly once
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["text"])
+    n_tok = docs.text.str.split().str.len().sum()
+    assert fast_tl.n.sum() == n_tok
+    # Heaps curve ends at the exact distinct-token count
+    vocab = set()
+    for t in docs.text:
+        vocab.update(t.split())
+    assert fast_vg.n_cum.iloc[-1] == len(vocab)
+    assert (fast_vg.n_cum == fast_vg.n_new.cumsum()).all()
