@@ -282,7 +282,9 @@ def run_queries() -> dict[str, float]:
     ordered = list(QUERIES)
     # NOT benched: spaced_seed_distinct_exact — the verification-only
     # exact twin of the HLL query (COUNT DISTINCT over every frame is an
-    # inherent all-to-all; the HLL sketch IS the production path)
+    # inherent all-to-all; the HLL sketch IS the production path) — and
+    # categorize_labels, the per-row golden-label dump whose pipeline is
+    # already timed via categorize_summary (same bank build + classify)
     for name in ordered:
         if name in qs:
             out[name] = _timed(qs[name], SF_DIR)
