@@ -1405,6 +1405,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_dup_groups": A.prefix_dup_groups,
         "token_len_histogram": A.token_len_histogram,
         "vocab_growth_by_docs": A.vocab_growth_by_docs,
+        # round-4 wave 52: FD discovery / bipartite degree profile
+        "fd_violation_audit": A.fd_violation_audit,
+        "bipartite_degree_dist": A.bipartite_degree_dist,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -4273,6 +4276,43 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(doc_bucket AS BIGINT) AS doc_bucket, n_new,"
             " CAST(SUM(n_new) OVER (ORDER BY doc_bucket) AS BIGINT)"
             " AS n_cum FROM c ORDER BY doc_bucket",
+        # functional-dependency discovery audit (n_violating == 0
+        # means the FD holds)
+        "fd_violation_audit":
+            "WITH c1 AS (SELECT 'c_custkey->c_nationkey' AS fd,"
+            " CAST(COUNT(*) AS BIGINT) AS n_keys,"
+            " CAST(COALESCE(SUM(CASE WHEN d > 1 THEN 1 END), 0)"
+            " AS BIGINT) AS n_violating_keys,"
+            " CAST(MAX(d) AS BIGINT) AS max_distinct_dep FROM"
+            " (SELECT c_custkey, COUNT(DISTINCT c_nationkey) AS d"
+            " FROM customer GROUP BY 1)), "
+            "c2 AS (SELECT 'p_brand->p_size',"
+            " CAST(COUNT(*) AS BIGINT),"
+            " CAST(COALESCE(SUM(CASE WHEN d > 1 THEN 1 END), 0)"
+            " AS BIGINT), CAST(MAX(d) AS BIGINT) FROM"
+            " (SELECT p_brand, COUNT(DISTINCT p_size) AS d"
+            " FROM part GROUP BY 1)), "
+            "c3 AS (SELECT 'o_custkey->o_orderpriority',"
+            " CAST(COUNT(*) AS BIGINT),"
+            " CAST(COALESCE(SUM(CASE WHEN d > 1 THEN 1 END), 0)"
+            " AS BIGINT), CAST(MAX(d) AS BIGINT) FROM"
+            " (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS d"
+            " FROM orders GROUP BY 1)) "
+            "SELECT * FROM c1 UNION ALL SELECT * FROM c2"
+            " UNION ALL SELECT * FROM c3 ORDER BY fd",
+        # bipartite degree distributions (part and supplier sides)
+        "bipartite_degree_dist":
+            "WITH e AS (SELECT DISTINCT l_partkey, l_suppkey"
+            " FROM lineitem), "
+            "dp AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT)"
+            " AS degree FROM e GROUP BY 1), "
+            "ds AS (SELECT l_suppkey AS k, CAST(COUNT(*) AS BIGINT)"
+            " AS degree FROM e GROUP BY 1) "
+            "SELECT 'part' AS side, degree, CAST(COUNT(*) AS BIGINT)"
+            " AS n_nodes FROM dp GROUP BY 2"
+            " UNION ALL SELECT 'supplier', degree,"
+            " CAST(COUNT(*) AS BIGINT) FROM ds GROUP BY 2"
+            " ORDER BY side, degree",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

@@ -268,7 +268,8 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "parts_keyset_page",
                "cumulative_parts_catalog",
                "prefix_dup_groups", "token_len_histogram",
-               "vocab_growth_by_docs"]
+               "vocab_growth_by_docs",
+               "fd_violation_audit", "bipartite_degree_dist"]
 
 
 def run_queries() -> dict[str, float]:

@@ -12258,3 +12258,111 @@ def vocab_growth_by_docs(sf_dir: str, bucket: int = 1):
     daily["doc_bucket"] = daily.doc_bucket.astype(np.int64)
     daily["n_new"] = daily.n_new.astype(np.int64)
     return daily[["doc_bucket", "n_new", "n_cum"]]
+
+
+def fd_violation_audit(sf_dir: str):
+    """FUNCTIONAL-DEPENDENCY discovery audit — the profiling twin of
+    the FK orphan check: for each candidate determinant → dependent
+    pair, how many determinant values map to MORE than one dependent
+    value (a holding FD has zero).  Each candidate is two chained
+    dedup rollups (block-dedup pairs → cluster-wide distinct → per-key
+    count), the same shape every exact-distinct operator uses; the
+    verdict table is one row per candidate."""
+    cands = [
+        ("customer", "c_custkey->c_nationkey",
+         "c_custkey", "c_nationkey"),
+        ("part", "p_brand->p_size", "p_brand", "p_size"),
+        ("orders", "o_custkey->o_orderpriority",
+         "o_custkey", "o_orderpriority"),
+    ]
+    rows = []
+    for table, name, det, dep in cands:
+        ds = _read(sf_dir, table, columns=[det, dep])
+
+        def pair_partial(b: pa.Table, d=det, p=dep) -> pa.Table:
+            df = pd.DataFrame({
+                "k": pd.Series(b[d].to_pandas())
+                .to_numpy(dtype=object),
+                "v": pd.Series(b[p].to_pandas())
+                .to_numpy(dtype=object)}).drop_duplicates()
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        pairs_ds = ds.map_batches(pair_partial, batch_format="pyarrow")
+        n_rows = _cheap_count(ds)
+        if n_rows is not None and n_rows <= RANK_DRIVER_MAX_ROWS:
+            kp = (_parts_pandas(pairs_ds, {"k": object, "v": object})
+                  .drop_duplicates())
+            per_k = kp.groupby("k").size()
+        else:
+            dedup = (pairs_ds.groupby(["k", "v"])
+                     .aggregate(Count(alias_name="_c")))
+            per_k = (dedup.groupby("k")
+                     .aggregate(Count(alias_name="nv")).to_pandas()
+                     .set_index("k").nv)
+        rows.append((name, np.int64(len(per_k)),
+                     np.int64(int((per_k > 1).sum())),
+                     np.int64(int(per_k.max()))))
+    out = pd.DataFrame(rows, columns=["fd", "n_keys",
+                                      "n_violating_keys",
+                                      "max_distinct_dep"])
+    for c in ["n_keys", "n_violating_keys", "max_distinct_dep"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("fd").reset_index(drop=True)
+
+
+def bipartite_degree_dist(sf_dir: str):
+    """DEGREE DISTRIBUTION of the part↔supplier bipartite link graph,
+    both sides — the graph-health histogram (skew here predicts
+    shuffle skew in every join over the link table): counts-of-counts
+    on the deduped edge set, once per side.  Block-deduped edges →
+    cluster-wide dedup → per-node degree → output-scale degree
+    histogram."""
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def edge_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "pk": b["l_partkey"].to_numpy(zero_copy_only=False),
+            "sk": b["l_suppkey"].to_numpy(zero_copy_only=False)}) \
+            .drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    edges_ds = li.map_batches(edge_partial, batch_format="pyarrow")
+    n_li = _cheap_count(li)
+    if n_li is not None and n_li <= LINEITEM_DRIVER_MAX_ROWS:
+        e = (_parts_pandas(edges_ds, {"pk": np.int64, "sk": np.int64})
+             .drop_duplicates())
+        frames = []
+        for side, col in [("part", "pk"), ("supplier", "sk")]:
+            deg = e.groupby(col).size()
+            h = (deg.value_counts().sort_index()
+                 .rename_axis("degree").reset_index(name="n_nodes"))
+            h["side"] = side
+            frames.append(h)
+        out = pd.concat(frames, ignore_index=True)
+    else:
+        dedup = (edges_ds.groupby(["pk", "sk"])
+                 .aggregate(Count(alias_name="_c")).materialize())
+        frames = []
+        for side, col in [("part", "pk"), ("supplier", "sk")]:
+            deg = (dedup.groupby(col)
+                   .aggregate(Count(alias_name="degree")))
+
+            def hist_partial(b: pa.Table) -> pa.Table:
+                vc = (pd.Series(b["degree"]
+                                .to_numpy(zero_copy_only=False))
+                      .value_counts().sort_index())
+                return pa.table({
+                    "degree": pa.array(vc.index.to_numpy(np.int64)),
+                    "n_nodes": pa.array(vc.to_numpy(np.int64))})
+
+            h = (_parts_pandas(
+                deg.map_batches(hist_partial, batch_format="pyarrow"),
+                {"degree": np.int64, "n_nodes": np.int64})
+                .groupby("degree", as_index=False)["n_nodes"].sum())
+            h["side"] = side
+            frames.append(h)
+        out = pd.concat(frames, ignore_index=True)
+    out["degree"] = out.degree.astype(np.int64)
+    out["n_nodes"] = out.n_nodes.astype(np.int64)
+    return (out[["side", "degree", "n_nodes"]]
+            .sort_values(["side", "degree"]).reset_index(drop=True))

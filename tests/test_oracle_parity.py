@@ -140,6 +140,7 @@ SQL_CHECKED = [
     "dominant_supplier_parts", "parts_keyset_page",
     "cumulative_parts_catalog", "prefix_dup_groups",
     "token_len_histogram", "vocab_growth_by_docs",
+    "fd_violation_audit", "bipartite_degree_dist",
 ]
 
 

@@ -2577,3 +2577,38 @@ def test_round4_wave51_tiers_agree(ray_session, monkeypatch):
         vocab.update(t.split())
     assert fast_vg.n_cum.iloc[-1] == len(vocab)
     assert (fast_vg.n_cum == fast_vg.n_new.cumsum()).all()
+
+
+def test_round4_wave52_tiers_agree(ray_session, monkeypatch):
+    """fd_violation_audit + bipartite_degree_dist (driver dedup vs
+    chained native dedup rollups)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_fd = A.fd_violation_audit(sf)
+    fast_dd = A.bipartite_degree_dist(sf)
+
+    monkeypatch.setattr(A, "RANK_DRIVER_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "LINEITEM_DRIVER_MAX_ROWS", 0)
+    slow_fd = A.fd_violation_audit(sf)[list(fast_fd.columns)]
+    slow_dd = A.bipartite_degree_dist(sf)[list(fast_dd.columns)]
+    assert len(fast_fd) == 3 and fast_fd.equals(slow_fd)
+    assert len(fast_dd) > 0 and fast_dd.equals(slow_dd)
+
+    # the key FD holds (0 violations), the brand FD is violated
+    row = fast_fd.set_index("fd")
+    assert row.loc["c_custkey->c_nationkey"].n_violating_keys == 0
+    assert row.loc["p_brand->p_size"].n_violating_keys > 0
+    # degree mass equals the node count per side, and the edge total
+    # is consistent from both sides
+    li = pd.read_parquet(f"{sf}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"])
+    e = li.drop_duplicates()
+    per = fast_dd.groupby("side")
+    assert per.apply(lambda g: (g.degree * g.n_nodes).sum(),
+                     include_groups=False).nunique() == 1
+    assert (per.apply(lambda g: (g.degree * g.n_nodes).sum(),
+                      include_groups=False).iloc[0] == len(e))
+    sides = dict(per.n_nodes.sum())
+    assert sides["part"] == e.l_partkey.nunique()
+    assert sides["supplier"] == e.l_suppkey.nunique()
