@@ -1408,6 +1408,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 wave 52: FD discovery / bipartite degree profile
         "fd_violation_audit": A.fd_violation_audit,
         "bipartite_degree_dist": A.bipartite_degree_dist,
+        # round-4 wave 53: monotone runs / goodness-of-fit chi2
+        "revenue_up_run_lengths": A.revenue_up_run_lengths,
+        "weekday_uniformity_chi2": A.weekday_uniformity_chi2,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -4313,6 +4316,45 @@ def oracle_sql() -> dict[str, str]:
             " UNION ALL SELECT 'supplier', degree,"
             " CAST(COUNT(*) AS BIGINT) FROM ds GROUP BY 2"
             " ORDER BY side, degree",
+        # monotone increasing runs on the daily revenue series
+        "revenue_up_run_lengths":
+            "WITH d AS (SELECT event_type,"
+            " CAST(epoch(date_trunc('day', ts)) AS BIGINT)//86400"
+            " AS day, CAST(SUM(CAST(ROUND(value*100) AS BIGINT))"
+            " AS BIGINT) AS rev FROM events GROUP BY 1, 2), "
+            "s AS (SELECT event_type, day, rev, LAG(rev) OVER"
+            " (PARTITION BY event_type ORDER BY day) AS pr FROM d), "
+            "u AS (SELECT event_type, day, CASE WHEN rev > pr THEN 1"
+            " ELSE 0 END AS up FROM s WHERE pr IS NOT NULL), "
+            "g AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY"
+            " event_type ORDER BY day) - ROW_NUMBER() OVER"
+            " (PARTITION BY event_type, up ORDER BY day) AS grp"
+            " FROM u), "
+            "r AS (SELECT event_type, grp, COUNT(*) AS len FROM g"
+            " WHERE up = 1 GROUP BY 1, 2) "
+            "SELECT d0.event_type,"
+            " CAST(COALESCE(MAX(r.len), 0) AS BIGINT)"
+            " AS longest_up_run,"
+            " CAST(COUNT(r.len) AS BIGINT) AS n_up_runs"
+            " FROM (SELECT DISTINCT event_type FROM d) d0"
+            " LEFT JOIN r ON d0.event_type = r.event_type"
+            " GROUP BY 1 ORDER BY 1",
+        # goodness-of-fit chi2 vs uniform weekdays (missing-day cells
+        # contribute e each; permutation-invariant so the dow
+        # convention cancels)
+        "weekday_uniformity_chi2":
+            "WITH c AS (SELECT o_orderpriority AS pr,"
+            " isodow(o_orderdate) AS dow,"
+            " CAST(COUNT(*) AS BIGINT) AS n FROM orders"
+            " GROUP BY 1, 2), "
+            "t AS (SELECT pr, SUM(n) AS tot, COUNT(*) AS k FROM c"
+            " GROUP BY 1) "
+            "SELECT t.pr AS o_orderpriority,"
+            " CAST(t.tot AS BIGINT) AS n_orders,"
+            " ROUND(SUM(((c.n - t.tot / 7.0) * (c.n - t.tot / 7.0))"
+            " / (t.tot / 7.0)) + (7 - ANY_VALUE(t.k))"
+            " * (ANY_VALUE(t.tot) / 7.0), 6) AS chi2_r6"
+            " FROM c JOIN t ON c.pr = t.pr GROUP BY 1, 2 ORDER BY 1",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

@@ -269,7 +269,9 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "cumulative_parts_catalog",
                "prefix_dup_groups", "token_len_histogram",
                "vocab_growth_by_docs",
-               "fd_violation_audit", "bipartite_degree_dist"]
+               "fd_violation_audit", "bipartite_degree_dist",
+               "revenue_up_run_lengths",
+               "weekday_uniformity_chi2"]
 
 
 def run_queries() -> dict[str, float]:

@@ -12366,3 +12366,102 @@ def bipartite_degree_dist(sf_dir: str):
     out["n_nodes"] = out.n_nodes.astype(np.int64)
     return (out[["side", "degree", "n_nodes"]]
             .sort_values(["side", "degree"]).reset_index(drop=True))
+
+
+def revenue_up_run_lengths(sf_dir: str):
+    """MONOTONE-RUN analysis on each type's daily revenue series (the
+    momentum screen): the longest strictly-increasing run of
+    consecutive OBSERVED days and the number of maximal increasing
+    runs.  The daily rollup combines tiered; the run walk is one
+    vectorized diff/island pass on the output-scale series (the
+    gaps-and-islands kernel, applied to a sign sequence)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def day_partial(b: pa.Table) -> pa.Table:
+        ts = (b["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        day = ts // 86_400_000_000
+        df = pd.DataFrame({
+            "event_type": pd.Series(b["event_type"].to_pandas())
+            .to_numpy(dtype=object), "day": day,
+            "rev": _cents_away(b["value"]
+                               .to_numpy(zero_copy_only=False))})
+        agg = (df.groupby(["event_type", "day"], as_index=False)
+               ["rev"].sum())
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(day_partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        daily = (_parts_pandas(parts_ds, {"event_type": object,
+                                          "day": np.int64,
+                                          "rev": np.int64})
+                 .groupby(["event_type", "day"], as_index=False)
+                 ["rev"].sum())
+    else:
+        daily = (parts_ds.groupby(["event_type", "day"])
+                 .aggregate(Sum("rev", alias_name="rev")).to_pandas())
+    rows = []
+    for t, g in daily.groupby("event_type", sort=True):
+        g = g.sort_values("day")
+        up = (np.diff(g.rev.to_numpy(np.int64)) > 0)
+        if len(up) == 0:
+            rows.append((t, np.int64(0), np.int64(0)))
+            continue
+        # island walk over the boolean up-steps: run length = longest
+        # stretch of consecutive True
+        changes = np.nonzero(np.diff(np.r_[False, up, False]))[0]
+        starts, ends = changes[::2], changes[1::2]
+        lens = ends - starts
+        rows.append((t,
+                     np.int64(int(lens.max()) if len(lens) else 0),
+                     np.int64(len(lens))))
+    out = pd.DataFrame(rows, columns=["event_type",
+                                      "longest_up_run",
+                                      "n_up_runs"])
+    out["longest_up_run"] = out.longest_up_run.astype(np.int64)
+    out["n_up_runs"] = out.n_up_runs.astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def weekday_uniformity_chi2(sf_dir: str):
+    """GOODNESS-OF-FIT chi² (the one-sample twin of the existing
+    independence test): are order placements uniform across the seven
+    weekdays, per order priority?  Exact integer observed counts per
+    (priority, ISO weekday); the statistic Σ(o − n/7)²/(n/7) is one
+    mirrored float expression per row (6-dp contract)."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderpriority", "o_orderdate"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        dow = (pd.Series(b["o_orderdate"].to_pandas())
+               .dt.dayofweek.to_numpy(np.int64))
+        df = pd.DataFrame({
+            "pr": pd.Series(b["o_orderpriority"].to_pandas())
+            .to_numpy(dtype=object), "dow": dow})
+        agg = (df.groupby(["pr", "dow"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        agg["n"] = agg.n.astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        ct = (_parts_pandas(parts_ds, {"pr": object, "dow": np.int64,
+                                       "n": np.int64})
+              .groupby(["pr", "dow"], as_index=False)["n"].sum())
+    else:
+        ct = (parts_ds.groupby(["pr", "dow"])
+              .aggregate(Sum("n", alias_name="n")).to_pandas())
+    rows = []
+    for pr, g in ct.groupby("pr", sort=True):
+        obs = np.zeros(7, dtype=np.int64)
+        obs[g.dow.to_numpy(np.int64)] = g.n.to_numpy(np.int64)
+        n = int(obs.sum())
+        exp = n / 7.0
+        chi2 = float((((obs - exp) * (obs - exp)) / exp).sum())
+        rows.append((pr, np.int64(n), round(chi2, 6)))
+    out = pd.DataFrame(rows, columns=["o_orderpriority", "n_orders",
+                                      "chi2_r6"])
+    out["n_orders"] = out.n_orders.astype(np.int64)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)

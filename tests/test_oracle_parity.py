@@ -141,6 +141,7 @@ SQL_CHECKED = [
     "cumulative_parts_catalog", "prefix_dup_groups",
     "token_len_histogram", "vocab_growth_by_docs",
     "fd_violation_audit", "bipartite_degree_dist",
+    "revenue_up_run_lengths", "weekday_uniformity_chi2",
 ]
 
 

@@ -2612,3 +2612,41 @@ def test_round4_wave52_tiers_agree(ray_session, monkeypatch):
     sides = dict(per.n_nodes.sum())
     assert sides["part"] == e.l_partkey.nunique()
     assert sides["supplier"] == e.l_suppkey.nunique()
+
+
+def test_round4_wave53_tiers_agree(ray_session, monkeypatch):
+    """revenue_up_run_lengths + weekday_uniformity_chi2 (driver
+    combine vs native Sum groupbys; invariants pinned)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_ru = A.revenue_up_run_lengths(sf)
+    fast_ch = A.weekday_uniformity_chi2(sf)
+
+    monkeypatch.setattr(A, "EVENTS_DRIVER_MAX_ROWS", 0)
+    slow_ru = A.revenue_up_run_lengths(sf)[list(fast_ru.columns)]
+    slow_ch = A.weekday_uniformity_chi2(sf)[list(fast_ch.columns)]
+    assert len(fast_ru) == 5 and fast_ru.equals(slow_ru)
+    assert len(fast_ch) == 5 and fast_ch.equals(slow_ch)
+
+    # a longest run needs at least one run to exist, and chi2 >= 0
+    assert ((fast_ru.longest_up_run > 0) == (fast_ru.n_up_runs > 0)) \
+        .all()
+    assert (fast_ch.chi2_r6 >= 0).all()
+    # direct per-type run check for one type
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    ev = ev[ev.event_type == "click"]
+    ev["day"] = (ev.ts.astype("datetime64[us]").astype(np.int64)
+                 // 86_400_000_000)
+    cents = (np.sign(ev.value)
+             * np.floor(np.abs(ev.value) * 100 + 0.5)).astype(np.int64)
+    daily = (pd.DataFrame({"day": ev.day, "rev": cents})
+             .groupby("day").rev.sum().sort_index().to_numpy())
+    up = np.diff(daily) > 0
+    best = cur = 0
+    for u in up:
+        cur = cur + 1 if u else 0
+        best = max(best, cur)
+    assert fast_ru.set_index("event_type").loc["click"] \
+        .longest_up_run == best
