@@ -1411,6 +1411,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 wave 53: monotone runs / goodness-of-fit chi2
         "revenue_up_run_lengths": A.revenue_up_run_lengths,
         "weekday_uniformity_chi2": A.weekday_uniformity_chi2,
+        # round-4 wave 54: time-weighted average (step integral)
+        "value_twap_by_type": A.value_twap_by_type,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "mibf_classify": _mibf_classify,
@@ -4355,6 +4357,20 @@ def oracle_sql() -> dict[str, str]:
             " / (t.tot / 7.0)) + (7 - ANY_VALUE(t.k))"
             " * (ANY_VALUE(t.tot) / 7.0), 6) AS chi2_r6"
             " FROM c JOIN t ON c.pr = t.pr GROUP BY 1, 2 ORDER BY 1",
+        # time-weighted average: step integral with whole-second gap
+        # weights (exact integer numerator/denominator)
+        "value_twap_by_type":
+            "WITH s AS (SELECT event_type,"
+            " CAST(ROUND(value*100) AS BIGINT) AS v, epoch_us(ts)"
+            " AS cur, LEAD(epoch_us(ts)) OVER (PARTITION BY event_type"
+            " ORDER BY ts, event_id) AS nxt FROM events) "
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,"
+            " CAST(SUM(v * ((nxt - cur) // 1000000)) AS BIGINT)"
+            " AS sum_vw,"
+            " CAST(SUM((nxt - cur) // 1000000) AS BIGINT) AS sum_w,"
+            " ROUND(CAST(SUM(v * ((nxt - cur) // 1000000)) AS DOUBLE)"
+            " / SUM((nxt - cur) // 1000000), 6) AS twap_r6"
+            " FROM s WHERE nxt IS NOT NULL GROUP BY 1 ORDER BY 1",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

@@ -271,7 +271,8 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "vocab_growth_by_docs",
                "fd_violation_audit", "bipartite_degree_dist",
                "revenue_up_run_lengths",
-               "weekday_uniformity_chi2"]
+               "weekday_uniformity_chi2",
+               "value_twap_by_type"]
 
 
 def run_queries() -> dict[str, float]:

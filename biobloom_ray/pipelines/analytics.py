@@ -12465,3 +12465,63 @@ def weekday_uniformity_chi2(sf_dir: str):
                                       "chi2_r6"])
     out["n_orders"] = out.n_orders.astype(np.int64)
     return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def value_twap_by_type(sf_dir: str):
+    """TIME-WEIGHTED average value per event type (the TWAP / step-
+    function integral no row-weighted mean can reproduce): each
+    event's value holds until the NEXT event of its type, weighted by
+    that gap in whole seconds — exact int64 numerator Σ v·w and
+    denominator Σ w (whole-second weights keep every product exact;
+    the contract is documented and mirrored in the oracle), one final
+    division (6-dp).  Per-type ordered LEAD walk: driver slice pass
+    below the gate, per-type map_groups above (types are few; each
+    group's walk is one vectorized diff)."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "ts", "value"])
+
+    def type_fold(ts_us: np.ndarray, cents: np.ndarray):
+        """(ts, event_id)-ordered arrays of ONE type → (n_gaps,
+        Σ v·w, Σ w) with whole-second gap weights."""
+        if len(ts_us) < 2:
+            return 0, 0, 0
+        w = np.diff(ts_us) // 1_000_000
+        v = cents[:-1]
+        return len(w), int((v * w).sum()), int(w.sum())
+
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        df = ds.to_pandas().sort_values(["event_type", "ts",
+                                         "event_id"])
+        ts = df.ts.astype("datetime64[us]").astype(np.int64).to_numpy()
+        cents = _cents_away(df.value.to_numpy())
+        tp = df.event_type.to_numpy(dtype=object)
+        cuts = np.nonzero(np.r_[True, tp[1:] != tp[:-1]])[0]
+        rows = []
+        for lo, hi in zip(cuts, np.append(cuts[1:], len(tp))):
+            n, vw, w = type_fold(ts[lo:hi], cents[lo:hi])
+            rows.append((tp[lo], n, vw, w))
+    else:
+        def per_type(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["ts", "event_id"])
+            ts = (g.ts.astype("datetime64[us]").astype(np.int64)
+                  .to_numpy())
+            cents = _cents_away(g.value.to_numpy())
+            n, vw, w = type_fold(ts, cents)
+            return pd.DataFrame({
+                "event_type": [g.event_type.iloc[0]],
+                "n": np.asarray([n], np.int64),
+                "vw": np.asarray([vw], np.int64),
+                "w": np.asarray([w], np.int64)})
+
+        parts = (ds.groupby("event_type")
+                 .map_groups(per_type, batch_format="pandas")
+                 .to_pandas())
+        rows = [(r.event_type, int(r.n), int(r.vw), int(r.w))
+                for r in parts.itertuples()]
+    out = pd.DataFrame(rows, columns=["event_type", "n_gaps",
+                                      "sum_vw", "sum_w"])
+    out["twap_r6"] = (out.sum_vw / out.sum_w).round(6)
+    for c in ["n_gaps", "sum_vw", "sum_w"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)

@@ -2650,3 +2650,25 @@ def test_round4_wave53_tiers_agree(ray_session, monkeypatch):
         best = max(best, cur)
     assert fast_ru.set_index("event_type").loc["click"] \
         .longest_up_run == best
+
+
+def test_round4_wave54_tiers_agree(ray_session, monkeypatch):
+    """value_twap_by_type (driver slice walk vs per-type map_groups
+    LEAD walk); the TWAP sits inside the per-type value range."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast = A.value_twap_by_type(sf)
+    monkeypatch.setattr(A, "EVENTS_DRIVER_MAX_ROWS", 0)
+    slow = A.value_twap_by_type(sf)[list(fast.columns)]
+    assert len(fast) == 5 and fast.equals(slow)
+
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_type", "value"])
+    cents = (np.sign(ev.value)
+             * np.floor(np.abs(ev.value) * 100 + 0.5)).astype(np.int64)
+    rng = (pd.DataFrame({"t": ev.event_type, "c": cents})
+           .groupby("t").c.agg(["min", "max"]))
+    m = fast.merge(rng, left_on="event_type", right_index=True)
+    assert ((m.twap_r6 >= m["min"]) & (m.twap_r6 <= m["max"])).all()
+    assert (m.sum_w > 0).all() and (m.n_gaps > 0).all()
