@@ -1415,6 +1415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_twap_by_type": A.value_twap_by_type,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
+        "doc_compression_ratio": A.doc_compression_ratio,
         "mibf_classify": _mibf_classify,
         "mibf_classify_paired": _mibf_classify_paired,
         "categorize_length": _categorize_length,

@@ -272,7 +272,8 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "fd_violation_audit", "bipartite_degree_dist",
                "revenue_up_run_lengths",
                "weekday_uniformity_chi2",
-               "value_twap_by_type"]
+               "value_twap_by_type",
+               "doc_compression_ratio"]
 
 
 def run_queries() -> dict[str, float]:

@@ -12525,3 +12525,62 @@ def value_twap_by_type(sf_dir: str):
     for c in ["n_gaps", "sum_vw", "sum_w"]:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def doc_compression_ratio(sf_dir: str, level: int = 6):
+    """Compression-ratio quality signal (the classic repetitive-junk
+    detector: highly compressible text is boilerplate or spam): per
+    language, exact byte totals (raw UTF-8 vs zlib level-``level``)
+    and the corpus-level ratio, plus counts in fixed ratio buckets
+    (<0.3 suspicious, 0.3-0.6 typical, >0.6 high-entropy).  zlib is
+    bit-deterministic for a fixed level, so the pytest twin recomputes
+    byte-identically; no SQL oracle can exist (the driver records the
+    rows-only check).  Per-doc compression is inherently per-item
+    (same class as the md5/codec loops); everything around it is one
+    tiered (lang, bucket) count rollup."""
+    import zlib
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        lg = b["lang"].to_pandas().to_numpy(dtype=object)
+        tx = b["text"].to_pylist()
+        raw = np.fromiter((len(t.encode("utf-8")) for t in tx),
+                          dtype=np.int64, count=len(tx))
+        comp = np.fromiter(
+            (len(zlib.compress(t.encode("utf-8"), level)) for t in tx),
+            dtype=np.int64, count=len(tx))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(raw > 0, comp / np.maximum(raw, 1), 1.0)
+        bucket = np.where(ratio < 0.3, 0,
+                          np.where(ratio <= 0.6, 1, 2)).astype(np.int64)
+        df = pd.DataFrame({"lang": lg, "bucket": bucket, "raw": raw,
+                           "comp": comp})
+        agg = (df.groupby(["lang", "bucket"], as_index=False)
+               .agg(n=("raw", "size"), raw_bytes=("raw", "sum"),
+                    comp_bytes=("comp", "sum")))
+        agg["n"] = agg.n.astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= RANK_DRIVER_MAX_ROWS:
+        agg = (_parts_pandas(parts_ds, {"lang": object,
+                                        "bucket": np.int64,
+                                        "n": np.int64,
+                                        "raw_bytes": np.int64,
+                                        "comp_bytes": np.int64})
+               .groupby(["lang", "bucket"], as_index=False)
+               [["n", "raw_bytes", "comp_bytes"]].sum())
+    else:
+        agg = (parts_ds.groupby(["lang", "bucket"])
+               .aggregate(Sum("n", alias_name="n"),
+                          Sum("raw_bytes", alias_name="raw_bytes"),
+                          Sum("comp_bytes", alias_name="comp_bytes"))
+               .to_pandas())
+    agg["ratio_r6"] = (agg.comp_bytes / agg.raw_bytes).round(6)
+    for c in ["bucket", "n", "raw_bytes", "comp_bytes"]:
+        agg[c] = agg[c].astype(np.int64)
+    return (agg.sort_values(["lang", "bucket"])
+            [["lang", "bucket", "n", "raw_bytes", "comp_bytes",
+              "ratio_r6"]].reset_index(drop=True))

@@ -2672,3 +2672,36 @@ def test_round4_wave54_tiers_agree(ray_session, monkeypatch):
     m = fast.merge(rng, left_on="event_type", right_index=True)
     assert ((m.twap_r6 >= m["min"]) & (m.twap_r6 <= m["max"])).all()
     assert (m.sum_w > 0).all() and (m.n_gaps > 0).all()
+
+
+def test_round4_wave55_tiers_agree(ray_session, monkeypatch):
+    """doc_compression_ratio: tier parity plus a BIT-EXACT direct
+    zlib recomputation (no SQL twin can exist; this is the oracle)."""
+    import zlib
+
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast = A.doc_compression_ratio(sf)
+    monkeypatch.setattr(A, "RANK_DRIVER_MAX_ROWS", 0)
+    slow = A.doc_compression_ratio(sf)[list(fast.columns)]
+    assert len(fast) > 0 and fast.equals(slow)
+
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["lang", "text"])
+    raw = docs.text.map(lambda t: len(t.encode("utf-8")))
+    comp = docs.text.map(lambda t: len(zlib.compress(
+        t.encode("utf-8"), 6)))
+    ratio = comp / raw
+    bucket = np.where(ratio < 0.3, 0,
+                      np.where(ratio <= 0.6, 1, 2))
+    ref = (pd.DataFrame({"lang": docs.lang, "bucket": bucket,
+                         "raw": raw, "comp": comp})
+           .groupby(["lang", "bucket"], as_index=False)
+           .agg(n=("raw", "size"), raw_bytes=("raw", "sum"),
+                comp_bytes=("comp", "sum")))
+    m = fast.merge(ref, on=["lang", "bucket"])
+    assert len(m) == len(fast) == len(ref)
+    assert (m.n_x == m.n_y).all()
+    assert (m.raw_bytes_x == m.raw_bytes_y).all()
+    assert (m.comp_bytes_x == m.comp_bytes_y).all()
