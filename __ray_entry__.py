@@ -1413,6 +1413,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekday_uniformity_chi2": A.weekday_uniformity_chi2,
         # round-4 wave 54: time-weighted average (step integral)
         "value_twap_by_type": A.value_twap_by_type,
+        # round-4 wave 56: STL-lite seasonal decomposition
+        "revenue_seasonal_decomposition":
+            A.revenue_seasonal_decomposition,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "doc_compression_ratio": A.doc_compression_ratio,
@@ -4372,6 +4375,43 @@ def oracle_sql() -> dict[str, str]:
             " ROUND(CAST(SUM(v * ((nxt - cur) // 1000000)) AS DOUBLE)"
             " / SUM((nxt - cur) // 1000000), 6) AS twap_r6"
             " FROM s WHERE nxt IS NOT NULL GROUP BY 1 ORDER BY 1",
+        # STL-lite decomposition: centered MA-7 trend over observed
+        # rows, per-weekday seasonal means of the detrended series,
+        # remainder CV — normalized O(1) floats (6-dp contract)
+        "revenue_seasonal_decomposition":
+            "WITH d AS (SELECT event_type,"
+            " CAST(epoch(date_trunc('day', ts)) AS BIGINT)//86400"
+            " AS day, CAST(SUM(CAST(ROUND(value*100) AS BIGINT))"
+            " AS BIGINT) AS rev FROM events GROUP BY 1, 2), "
+            "w AS (SELECT event_type, day, rev,"
+            " SUM(rev) OVER (PARTITION BY event_type ORDER BY day"
+            " ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) / 7.0"
+            " AS trend, ROW_NUMBER() OVER (PARTITION BY event_type"
+            " ORDER BY day) AS rn, COUNT(*) OVER (PARTITION BY"
+            " event_type) AS nn FROM d), "
+            "m AS (SELECT event_type,"
+            " SUM(rev) / COUNT(*) AS mean_all FROM d GROUP BY 1), "
+            "det AS (SELECT event_type, (day + 4) % 7 AS dow,"
+            " rev - trend AS det FROM w"
+            " WHERE rn >= 4 AND rn <= nn - 3), "
+            "seas AS (SELECT event_type, dow,"
+            " CAST(COUNT(*) AS BIGINT) AS n_days,"
+            " SUM(det) / COUNT(*) AS s FROM det GROUP BY 1, 2), "
+            "rem AS (SELECT det.event_type,"
+            " det.det - seas.s AS rem FROM det JOIN seas"
+            " ON det.event_type = seas.event_type"
+            " AND det.dow = seas.dow), "
+            "v AS (SELECT event_type, SUM(rem * rem) / COUNT(*)"
+            " - (SUM(rem) / COUNT(*)) * (SUM(rem) / COUNT(*)) AS var"
+            " FROM rem GROUP BY 1) "
+            "SELECT seas.event_type, CAST(seas.dow AS BIGINT) AS dow,"
+            " seas.n_days,"
+            " ROUND(seas.s / m.mean_all, 6) AS seasonal_rel_r6,"
+            " ROUND(sqrt(GREATEST(v.var, 0.0)) / m.mean_all, 6)"
+            " AS rem_cv_r6 FROM seas"
+            " JOIN m ON seas.event_type = m.event_type"
+            " JOIN v ON seas.event_type = v.event_type"
+            " ORDER BY 1, 2",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

@@ -273,7 +273,8 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "revenue_up_run_lengths",
                "weekday_uniformity_chi2",
                "value_twap_by_type",
-               "doc_compression_ratio"]
+               "doc_compression_ratio",
+               "revenue_seasonal_decomposition"]
 
 
 def run_queries() -> dict[str, float]:

@@ -12584,3 +12584,78 @@ def doc_compression_ratio(sf_dir: str, level: int = 6):
     return (agg.sort_values(["lang", "bucket"])
             [["lang", "bucket", "n", "raw_bytes", "comp_bytes",
               "ratio_r6"]].reset_index(drop=True))
+
+
+def revenue_seasonal_decomposition(sf_dir: str):
+    """STL-lite SEASONAL DECOMPOSITION of each type's daily revenue —
+    trend = centered 7-day moving average (full windows only),
+    seasonal = per-weekday mean of the detrended series, remainder =
+    detrended − seasonal: the additive decomposition every monitoring
+    stack runs before alerting.  Output per (type, weekday): the
+    seasonal component plus the type's remainder variance — float
+    columns follow the 6-dp contract with mirrored op order; the day
+    count is the exact integer anchor.  The daily rollup combines
+    tiered; the decomposition runs on the output-scale series."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def day_partial(b: pa.Table) -> pa.Table:
+        ts = (b["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        day = ts // 86_400_000_000
+        df = pd.DataFrame({
+            "event_type": pd.Series(b["event_type"].to_pandas())
+            .to_numpy(dtype=object), "day": day,
+            "rev": _cents_away(b["value"]
+                               .to_numpy(zero_copy_only=False))})
+        agg = (df.groupby(["event_type", "day"], as_index=False)
+               ["rev"].sum())
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(day_partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        daily = (_parts_pandas(parts_ds, {"event_type": object,
+                                          "day": np.int64,
+                                          "rev": np.int64})
+                 .groupby(["event_type", "day"], as_index=False)
+                 ["rev"].sum())
+    else:
+        daily = (parts_ds.groupby(["event_type", "day"])
+                 .aggregate(Sum("rev", alias_name="rev")).to_pandas())
+    rows = []
+    for t, g in daily.groupby("event_type", sort=True):
+        g = g.sort_values("day")
+        d = g.day.to_numpy(np.int64)
+        r = g.rev.to_numpy(np.int64).astype(np.float64)
+        if len(r) < 7:
+            continue
+        # centered MA-7 over OBSERVED rows (full windows only):
+        # positions 3 .. n-4
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        trend = sliding_window_view(r, 7).sum(axis=1) / 7.0
+        mid = slice(3, len(r) - 3)
+        det = r[mid] - trend
+        dow = ((d[mid] + 4) % 7).astype(np.int64)  # 1970-01-01 = Thu
+        seas = pd.DataFrame({"dow": dow, "det": det}) \
+            .groupby("dow").det.agg(["mean", "size"])
+        smap = seas["mean"].to_dict()
+        rem = det - np.fromiter((smap[x] for x in dow),
+                                dtype=np.float64, count=len(dow))
+        n = float(len(rem))
+        rem_var = ((rem * rem).sum() / n
+                   - (rem.sum() / n) * (rem.sum() / n))
+        mean_all = r.sum() / len(r)  # normalizer: O(1) outputs keep
+        # the 6-dp contract safely above double noise
+        for dw in sorted(smap):
+            rows.append((t, np.int64(dw),
+                         np.int64(int(seas["size"].loc[dw])),
+                         round(float(smap[dw]) / mean_all, 6),
+                         round(float(np.sqrt(max(rem_var, 0.0)))
+                               / mean_all, 6)))
+    out = pd.DataFrame(rows, columns=["event_type", "dow", "n_days",
+                                      "seasonal_rel_r6", "rem_cv_r6"])
+    out["dow"] = out.dow.astype(np.int64)
+    out["n_days"] = out.n_days.astype(np.int64)
+    return (out.sort_values(["event_type", "dow"])
+            .reset_index(drop=True))

@@ -142,7 +142,7 @@ SQL_CHECKED = [
     "token_len_histogram", "vocab_growth_by_docs",
     "fd_violation_audit", "bipartite_degree_dist",
     "revenue_up_run_lengths", "weekday_uniformity_chi2",
-    "value_twap_by_type",
+    "value_twap_by_type", "revenue_seasonal_decomposition",
 ]
 
 

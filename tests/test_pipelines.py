@@ -2705,3 +2705,26 @@ def test_round4_wave55_tiers_agree(ray_session, monkeypatch):
     assert (m.n_x == m.n_y).all()
     assert (m.raw_bytes_x == m.raw_bytes_y).all()
     assert (m.comp_bytes_x == m.comp_bytes_y).all()
+
+
+def test_round4_wave56_tiers_agree(ray_session, monkeypatch):
+    """revenue_seasonal_decomposition: tier parity + decomposition
+    invariants (weekday seasonal components of a detrended series
+    average ~0 when weighted by day counts; CV constant per type)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast = A.revenue_seasonal_decomposition(sf)
+    monkeypatch.setattr(A, "EVENTS_DRIVER_MAX_ROWS", 0)
+    slow = A.revenue_seasonal_decomposition(sf)[list(fast.columns)]
+    assert len(fast) > 0 and fast.equals(slow)
+
+    for t, g in fast.groupby("event_type"):
+        assert len(g) == 7  # every weekday present on the fixture
+        wmean = (g.seasonal_rel_r6 * g.n_days).sum() / g.n_days.sum()
+        # the count-weighted seasonal mean equals the normalized mean
+        # of the detrended series — small (MA trend tracks the level)
+        # but not exactly zero
+        assert abs(wmean) < 0.05
+        assert g.rem_cv_r6.nunique() == 1
+        assert (g.rem_cv_r6 >= 0).all()
