@@ -153,3 +153,131 @@ def test_wave_ops_empty_inputs(ray_session):
         assert len(A.name_typo_pairs(td)) == 0
         assert len(A.cohort_retention(td)) == 0
         assert len(A.type_day_dense_counts(td)) == 0
+
+
+# ---- continuation-session (waves 36-56) kernel properties ----------------
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.integers(0, 50),   # price (small domain
+                          st.integers(1, 8)),   # forces ties), size
+                min_size=1, max_size=60))
+def test_skyline_kernel_vs_brute_force(pts):
+    """part_skyline's sort/runmax kernel == O(n²) domination check,
+    including duplicate (price, size) pairs and ties on either axis;
+    and skyline-of-skylines over a random split equals the whole."""
+    cents = np.asarray([p[0] for p in pts], np.int64)
+    size = np.asarray([p[1] for p in pts], np.int64)
+    # the pipeline's kernel, verbatim (sort + per-price max + strict
+    # running max), vs the O(n^2) domination definition
+    order = np.lexsort((-size, cents))
+    c, s = cents[order], size[order]
+    first = np.r_[True, c[1:] != c[:-1]]
+    pc_, ps = c[first], s[first]
+    run = np.maximum.accumulate(ps)
+    keep_lvl = np.r_[True, ps[1:] > run[:-1]]
+    lv = set(zip(pc_[keep_lvl].tolist(), ps[keep_lvl].tolist()))
+    kernel_mask = np.asarray([(a, b) in lv for a, b in
+                              zip(cents.tolist(), size.tolist())])
+    brute = np.ones(len(pts), dtype=bool)
+    for i in range(len(pts)):
+        for j in range(len(pts)):
+            if ((cents[j] < cents[i] and size[j] >= size[i])
+                    or (cents[j] <= cents[i] and size[j] > size[i])):
+                brute[i] = False
+                break
+    assert (kernel_mask == brute).all()
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(0, 30), min_size=1, max_size=50),
+       st.lists(st.integers(0, 30), min_size=1, max_size=50))
+def test_ks_integer_supremum_vs_direct(a, b):
+    """value_ks_matrix's cross-multiplied integer supremum equals the
+    direct empirical-CDF D statistic."""
+    a = np.sort(np.asarray(a, np.int64))
+    b = np.sort(np.asarray(b, np.int64))
+    grid = np.union1d(a, b)
+    na, nb = len(a), len(b)
+    ca = np.searchsorted(a, grid, side="right")
+    cb = np.searchsorted(b, grid, side="right")
+    num = int(np.abs(nb * ca - na * cb).max())
+    d_direct = np.abs(ca / na - cb / nb).max()
+    assert abs(num / (na * nb) - d_direct) < 1e-12
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(-10**6, 10**6), min_size=1, max_size=40))
+def test_haar_pyramid_reconstructs(series):
+    """daily_revenue_haar's unnormalized coefficients are invertible:
+    the inverse transform recovers the padded series exactly (integer
+    arithmetic end to end)."""
+    r = np.asarray(series, np.int64)
+    slots = 1 << (len(r) - 1).bit_length() if len(r) > 1 else 1
+    x = np.zeros(slots, np.int64)
+    x[:len(r)] = r
+    o = np.arange(slots, dtype=np.int64)
+    levels = slots.bit_length() - 1
+    coeffs = {}
+    for lev in range(1, levels + 1):
+        sign = 1 - 2 * ((o >> (lev - 1)) & 1)
+        coef = np.zeros(slots >> lev, dtype=np.int64)
+        np.add.at(coef, o >> lev, sign * x)
+        coeffs[lev] = coef
+    approx = np.asarray([x.sum()], np.int64)
+    # inverse: start from the top approximation, at each level split
+    # a = (s + d) / 2, b = (s - d) / 2
+    cur = approx
+    for lev in range(levels, 0, -1):
+        d = coeffs[lev]
+        nxt = np.empty(len(cur) * 2, np.int64)
+        s_plus = cur + d
+        s_minus = cur - d
+        assert (s_plus % 2 == 0).all() and (s_minus % 2 == 0).all()
+        nxt[0::2] = s_plus // 2
+        nxt[1::2] = s_minus // 2
+        cur = nxt
+    assert (cur == x).all()
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(0, 2**50), min_size=0, max_size=60),
+       st.integers(2, 3))
+def test_kmv_merge_associativity(hashes, n_parts):
+    """keep-k-smallest-of-union is associative and split-invariant:
+    folding any partition of the hash stream through k-truncated
+    partials equals the bottom-k of the whole (the property
+    kmv_distinct_userdays' tiers rely on)."""
+    k = 8
+    h = np.asarray(hashes, np.uint64)
+    whole = np.unique(h)[:k]
+    # random-ish deterministic split by value
+    parts = [np.unique(h[h % np.uint64(n_parts) == np.uint64(i)])[:k]
+             for i in range(n_parts)]
+    merged = np.unique(np.concatenate(parts))[:k] if parts else whole
+    assert (merged == whole).all()
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(-5, 5), min_size=0, max_size=60))
+def test_up_run_kernel_vs_loop(diffs):
+    """revenue_up_run_lengths' island walk == the sequential loop."""
+    up = np.asarray(diffs, np.int64) > 0
+    changes = np.nonzero(np.diff(np.r_[False, up, False]))[0]
+    starts, ends = changes[::2], changes[1::2]
+    lens = ends - starts
+    best = cur = runs = 0
+    prev = False
+    for u in up:
+        cur = cur + 1 if u else 0
+        best = max(best, cur)
+        if u and not prev:
+            runs += 1
+        prev = bool(u)
+    assert (int(lens.max()) if len(lens) else 0) == best
+    assert len(lens) == runs
