@@ -1416,6 +1416,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 wave 56: STL-lite seasonal decomposition
         "revenue_seasonal_decomposition":
             A.revenue_seasonal_decomposition,
+        # round-4 wave 57: Q9-shape profit / incremental dedup /
+        # temperature mix
+        "nation_year_profit": A.nation_year_profit,
+        "incremental_dedup_report": A.incremental_dedup_report,
+        "lang_temperature_mix": A.lang_temperature_mix,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "doc_compression_ratio": A.doc_compression_ratio,
@@ -4412,6 +4417,63 @@ def oracle_sql() -> dict[str, str]:
             " JOIN m ON seas.event_type = m.event_type"
             " JOIN v ON seas.event_type = v.event_type"
             " ORDER BY 1, 2",
+        # TPC-H Q9 shape (adapted: no partsupp table in the fixture
+        # set — unit cost = the part's retail price): profit by
+        # supplier nation and order year over name-filtered parts;
+        # exact integer cent·percent amounts
+        "nation_year_profit":
+            "WITH pr AS (SELECT p_partkey,"
+            " CAST(ROUND(p_retailprice*100) AS BIGINT) AS rc"
+            " FROM part WHERE p_name LIKE '%red%'), "
+            "l AS (SELECT li.l_orderkey AS ok,"
+            " s.s_nationkey AS snat,"
+            " CAST(ROUND(li.l_extendedprice*100) AS BIGINT)"
+            " * (100 - CAST(ROUND(li.l_discount*100) AS BIGINT))"
+            " - CAST(li.l_quantity AS BIGINT) * pr.rc * 100 AS amount"
+            " FROM lineitem li JOIN pr ON li.l_partkey = pr.p_partkey"
+            " JOIN supplier s ON li.l_suppkey = s.s_suppkey) "
+            "SELECT n.n_name,"
+            " CAST(year(o.o_orderdate) AS BIGINT) AS o_year,"
+            " CAST(SUM(l.amount) AS BIGINT) AS profit,"
+            " CAST(COUNT(*) AS BIGINT) AS n_items"
+            " FROM l JOIN orders o ON l.ok = o.o_orderkey"
+            " JOIN nation n ON l.snat = n.n_nationkey"
+            " GROUP BY 1, 2 ORDER BY 1, 2",
+        # incremental ingestion dedup report: day 1 = even doc_ids,
+        # day 2 = odd; C4-style 64-char-prefix fingerprint (same key
+        # as prefix_dup_groups); each day-2 doc is dup_day1 /
+        # dup_within (smaller odd id owns the prefix) / new
+        "incremental_dedup_report":
+            "WITH f AS (SELECT doc_id, lang, substr(text, 1, 64)"
+            " AS fp, (doc_id % 2 = 1) AS odd FROM documents), "
+            "r AS (SELECT fp,"
+            " MAX(CASE WHEN odd THEN 0 ELSE 1 END) AS has1,"
+            " MIN(CASE WHEN odd THEN doc_id"
+            " ELSE 4611686018427387904 END) AS modd"
+            " FROM f GROUP BY fp) "
+            "SELECT f.lang, CAST(COUNT(*) AS BIGINT) AS n_day2,"
+            " CAST(SUM(CASE WHEN r.has1 > 0 THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_dup_day1,"
+            " CAST(SUM(CASE WHEN r.has1 = 0 AND f.doc_id > r.modd"
+            " THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_within,"
+            " CAST(SUM(CASE WHEN r.has1 = 0 AND f.doc_id <= r.modd"
+            " THEN 1 ELSE 0 END) AS BIGINT) AS n_new"
+            " FROM f JOIN r ON f.fp = r.fp WHERE f.odd"
+            " GROUP BY 1 ORDER BY 1",
+        # temperature-scaled mixing weights per language (p ∝ n^α,
+        # α=0.5): weight = n^α / Σ n^α, boost = weight / (n/N);
+        # mirrored op order under the 6-dp contract
+        "lang_temperature_mix":
+            "WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT)"
+            " AS n_docs FROM documents GROUP BY 1), "
+            "t AS (SELECT SUM(POW(CAST(n_docs AS DOUBLE), 0.5))"
+            " AS tw, SUM(CAST(n_docs AS DOUBLE)) AS tn FROM c) "
+            "SELECT c.lang, c.n_docs,"
+            " ROUND(POW(CAST(c.n_docs AS DOUBLE), 0.5) / t.tw, 6)"
+            " AS weight_r6,"
+            " ROUND((POW(CAST(c.n_docs AS DOUBLE), 0.5) / t.tw)"
+            " / (CAST(c.n_docs AS DOUBLE) / t.tn), 6) AS boost_r6"
+            " FROM c, t ORDER BY c.lang",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

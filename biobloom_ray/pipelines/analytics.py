@@ -12659,3 +12659,344 @@ def revenue_seasonal_decomposition(sf_dir: str):
     out["n_days"] = out.n_days.astype(np.int64)
     return (out.sort_values(["event_type", "dow"])
             .reset_index(drop=True))
+
+
+def nation_year_profit(sf_dir: str, name_token: str = "red"):
+    """TPC-H Q9 shape (adapted: this fixture set has no partsupp
+    table, so unit cost is the part's retail price) — PROFIT by
+    supplier nation and order YEAR over parts whose name contains a
+    token: the one Q-census shape grouping by attributes from TWO
+    different dimension branches (supplier→nation, orders→year) of the
+    same fact scan.  amount = extprice·(1−discount) − qty·retailprice
+    in exact integer cent·percent units.  Plan: the part filter
+    resolves to a (sorted partkey, retail-cents) pair that attaches
+    MAP-SIDE below the gate (hash join above); supplier→nation rides
+    the same tier; matching lineitem rows pre-reduce per block to
+    (orderkey, nation, amount, n) so the year attach — broadcast
+    (orderkey→year) below `CUST_BROADCAST_MAX_ROWS`, hash join above —
+    moves partial rows only; the final (nation, year) rollup is
+    output-scale (|nations|×|years|)."""
+    import ray
+
+    from biobloom_ray.io import hash_join
+
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name"]).to_pandas()
+    names = dict(zip(nat.n_nationkey.to_numpy(np.int64),
+                     nat.n_name.to_numpy(dtype=object)))
+
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_name", "p_retailprice"])
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_quantity", "l_extendedprice", "l_discount"])
+
+    def part_sel(b: pa.Table) -> pa.Table:
+        hit = pc.match_substring(b["p_name"], name_token)
+        sub = b.filter(hit)
+        return pa.table({
+            "pk": sub["p_partkey"].cast(pa.int64()),
+            "retail_cents": pa.array(_cents_away(
+                sub["p_retailprice"].to_numpy(zero_copy_only=False)))})
+
+    psel = part.map_batches(part_sel, batch_format="pyarrow")
+    n_part = _cheap_count(part)
+    broadcast = n_part is not None and n_part <= PART_DRIVER_MAX_ROWS
+
+    def ord_year(b: pa.Table) -> pa.Table:
+        yr = pc.year(b["o_orderdate"]).cast(pa.int64())
+        return pa.table({"ok2": b["o_orderkey"].cast(pa.int64()),
+                         "o_year": yr})
+
+    if broadcast:
+        pp = _parts_pandas(psel, {"pk": np.int64,
+                                  "retail_cents": np.int64})
+        order = np.argsort(pp.pk.to_numpy(np.int64))
+        pk = pp.pk.to_numpy(np.int64)[order]
+        retail = pp.retail_cents.to_numpy(np.int64)[order]
+        sp = supp.to_pandas()
+        so = np.argsort(sp.s_suppkey.to_numpy(np.int64))
+        sk = sp.s_suppkey.to_numpy(np.int64)[so]
+        sn = sp.s_nationkey.to_numpy(np.int64)[so]
+        dim_ref = ray.put((pk, retail, sk, sn))
+
+        def li_partial(b: pa.Table) -> pa.Table:
+            kp, rt, ks, ns = ray.get(dim_ref)
+            v = b["l_partkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(kp, v)
+            pos[pos >= len(kp)] = 0
+            hit = (kp[pos] == v) if len(kp) else np.zeros(len(v), bool)
+            sub = b.filter(pa.array(hit))
+            if sub.num_rows == 0:
+                return pa.table({"ok": pa.array([], pa.int64()),
+                                 "snat": pa.array([], pa.int64()),
+                                 "amount": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64())})
+            rc = rt[pos[hit]]
+            sv = sub["l_suppkey"].to_numpy(zero_copy_only=False)
+            sp_ = np.searchsorted(ks, sv)
+            sp_[sp_ >= len(ks)] = 0
+            snat = ns[sp_]
+            cents = _cents_away(
+                sub["l_extendedprice"].to_numpy(zero_copy_only=False))
+            disc = _cents_away(
+                sub["l_discount"].to_numpy(zero_copy_only=False))
+            qty = sub["l_quantity"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            amount = cents * (100 - disc) - qty * rc * 100
+            df = pd.DataFrame({
+                "ok": sub["l_orderkey"].to_numpy(zero_copy_only=False),
+                "snat": snat, "amount": amount})
+            agg = (df.groupby(["ok", "snat"], as_index=False)
+                   .agg(amount=("amount", "sum"),
+                        n=("amount", "size")))
+            agg["n"] = agg.n.astype(np.int64)
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+        li_parts = li.map_batches(li_partial, batch_format="pyarrow")
+    else:
+        # cluster tier: (ok, sk, pk) block pre-reduce of (rev, qty, n),
+        # then part and supplier attaches as hash joins
+        def li_pre(b: pa.Table) -> pa.Table:
+            cents = _cents_away(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False))
+            disc = _cents_away(
+                b["l_discount"].to_numpy(zero_copy_only=False))
+            qty = b["l_quantity"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            df = pd.DataFrame({
+                "ok": b["l_orderkey"].to_numpy(zero_copy_only=False),
+                "sk": b["l_suppkey"].to_numpy(zero_copy_only=False),
+                "pk": b["l_partkey"].to_numpy(zero_copy_only=False),
+                "rev": cents * (100 - disc), "qty": qty})
+            agg = (df.groupby(["ok", "sk", "pk"], as_index=False)
+                   .agg(rev=("rev", "sum"), qty=("qty", "sum"),
+                        n=("rev", "size")))
+            agg["n"] = agg.n.astype(np.int64)
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+        li_p = hash_join(li.map_batches(li_pre, batch_format="pyarrow"),
+                         psel, on=("pk",))
+        li_s = hash_join(li_p, supp, on=("sk",), right_on=("s_suppkey",))
+
+        def li_amount(b: pa.Table) -> pa.Table:
+            rev = b["rev"].to_numpy(zero_copy_only=False)
+            qty = b["qty"].to_numpy(zero_copy_only=False)
+            rc = b["retail_cents"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "ok": b["ok"],
+                "snat": b["s_nationkey"].cast(pa.int64()),
+                "amount": pa.array(rev - qty * rc * 100),
+                "n": b["n"]})
+
+        li_parts = li_s.map_batches(li_amount, batch_format="pyarrow")
+
+    n_ord = _cheap_count(orders)
+    if n_ord is not None and n_ord <= CUST_BROADCAST_MAX_ROWS:
+        op = orders.map_batches(ord_year, batch_format="pyarrow") \
+            .to_pandas()
+        oo = np.argsort(op.ok2.to_numpy(np.int64))
+        ok = op.ok2.to_numpy(np.int64)[oo]
+        oy = op.o_year.to_numpy(np.int64)[oo]
+        oy_ref = ray.put((ok, oy))
+
+        def year_attach(b: pa.Table) -> pa.Table:
+            kk, yy = ray.get(oy_ref)
+            v = b["ok"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(kk, v)
+            pos[pos >= len(kk)] = 0
+            df = pd.DataFrame({
+                "snat": b["snat"].to_numpy(zero_copy_only=False),
+                "o_year": yy[pos],
+                "amount": b["amount"].to_numpy(zero_copy_only=False),
+                "n": b["n"].to_numpy(zero_copy_only=False)})
+            agg = (df.groupby(["snat", "o_year"], as_index=False)
+                   [["amount", "n"]].sum())
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+        parts_ds = li_parts.map_batches(year_attach,
+                                        batch_format="pyarrow")
+    else:
+        joined = hash_join(
+            li_parts, orders.map_batches(ord_year,
+                                         batch_format="pyarrow"),
+            on=("ok",), right_on=("ok2",))
+
+        def grp_partial(b: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "snat": b["snat"].to_numpy(zero_copy_only=False),
+                "o_year": b["o_year"].to_numpy(zero_copy_only=False),
+                "amount": b["amount"].to_numpy(zero_copy_only=False),
+                "n": b["n"].to_numpy(zero_copy_only=False)})
+            agg = (df.groupby(["snat", "o_year"], as_index=False)
+                   [["amount", "n"]].sum())
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+        parts_ds = joined.map_batches(grp_partial,
+                                      batch_format="pyarrow")
+
+    parts = _parts_pandas(parts_ds, {"snat": np.int64,
+                                     "o_year": np.int64,
+                                     "amount": np.int64, "n": np.int64})
+    agg = (parts.groupby(["snat", "o_year"], as_index=False)
+           [["amount", "n"]].sum())
+    agg["n_name"] = agg.snat.map(names)
+    out = agg.rename(columns={"amount": "profit", "n": "n_items"}) \
+        [["n_name", "o_year", "profit", "n_items"]] \
+        .sort_values(["n_name", "o_year"]).reset_index(drop=True)
+    out["o_year"] = out.o_year.astype(np.int64)
+    out["profit"] = out.profit.astype(np.int64)
+    out["n_items"] = out.n_items.astype(np.int64)
+    return out
+
+
+def incremental_dedup_report(sf_dir: str, n_chars: int = 64):
+    """INCREMENTAL INGESTION dedup report — the day-2 batch classified
+    against the day-1 snapshot, the shape every continuously-crawled
+    corpus runs nightly.  Day 1 = even doc_ids, day 2 = odd (a
+    deterministic split of the fixture); the dedup key is the C4-style
+    ``n_chars``-prefix fingerprint (same key as `prefix_dup_groups`,
+    which the fixture exercises with real collisions).  Each day-2 doc
+    is exactly one of: `dup_day1` (prefix already in the snapshot),
+    `dup_within` (new prefix but a smaller-id day-2 doc already has
+    it), `new`.  Plan: ONE fingerprint rollup over all docs — per-fp
+    (seen-in-day-1 flag, min odd id) pre-reduced per block — then
+    day-2 rows classify map-side (rollup broadcast below
+    `RANK_DRIVER_MAX_ROWS` input rows, hash join above) and the
+    per-lang counts are output-scale.  No text moves in any shuffle:
+    the rollup carries 32-hex digests of the prefix."""
+    import ray
+
+    from biobloom_ray.io import hash_join
+    from biobloom_ray.textnorm import content_md5_batch
+
+    SENTINEL = np.int64(2**62)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def _pfp(b: pa.Table) -> pa.Table:
+        pref = pc.utf8_slice_codeunits(b["text"], 0, n_chars)
+        return b.append_column("fp_md5", pa.array(
+            content_md5_batch(pref), type=pa.large_string()))
+
+    def fp_partial(b: pa.Table) -> pa.Table:
+        h = _pfp(b)
+        did = h["doc_id"].to_numpy(zero_copy_only=False)
+        odd = did % 2 == 1
+        df = pd.DataFrame({
+            "fp": h["fp_md5"].to_pandas().to_numpy(dtype=object),
+            "has1": (~odd).astype(np.int64),
+            "modd": np.where(odd, did, SENTINEL)})
+        agg = (df.groupby("fp", as_index=False)
+               .agg(has1=("has1", "max"), modd=("modd", "min")))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def day2_rows(b: pa.Table) -> pa.Table:
+        h = _pfp(b)
+        odd = pc.equal(pc.bit_wise_and(h["doc_id"], 1), 1)
+        sub = h.filter(odd)
+        return pa.table({"doc_id": sub["doc_id"].cast(pa.int64()),
+                         "lang": sub["lang"],
+                         "fp2": sub["fp_md5"].cast(pa.string())})
+
+    def classify(doc_id, lang, has1, modd) -> pa.Table:
+        cls = np.where(has1 > 0, 0, np.where(doc_id > modd, 1, 2))
+        df = pd.DataFrame({"lang": lang,
+                           "n_day2": np.ones(len(cls), np.int64),
+                           "n_dup_day1": (cls == 0).astype(np.int64),
+                           "n_dup_within": (cls == 1).astype(np.int64),
+                           "n_new": (cls == 2).astype(np.int64)})
+        agg = df.groupby("lang", as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(fp_partial, batch_format="pyarrow")
+    cols = ["n_day2", "n_dup_day1", "n_dup_within", "n_new"]
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= RANK_DRIVER_MAX_ROWS:
+        r = _parts_pandas(parts_ds, {"fp": object, "has1": np.int64,
+                                     "modd": np.int64})
+        r = (r.groupby("fp", as_index=False)
+             .agg(has1=("has1", "max"), modd=("modd", "min")))
+        order = np.argsort(r.fp.to_numpy(dtype=object))
+        fps = r.fp.to_numpy(dtype=object)[order]
+        has1 = r.has1.to_numpy(np.int64)[order]
+        modd = r.modd.to_numpy(np.int64)[order]
+        roll_ref = ray.put((fps, has1, modd))
+
+        def cls_map(b: pa.Table) -> pa.Table:
+            ff, hh, mm = ray.get(roll_ref)
+            d2 = day2_rows(b)
+            f2 = d2["fp2"].to_pandas().to_numpy(dtype=object)
+            pos = np.searchsorted(ff, f2)  # every fp present
+            return classify(
+                d2["doc_id"].to_numpy(zero_copy_only=False),
+                d2["lang"].to_pandas().to_numpy(dtype=object),
+                hh[pos], mm[pos])
+
+        cparts = ds.map_batches(cls_map, batch_format="pyarrow")
+        p = _parts_pandas(cparts, {"lang": object,
+                                   **{c: np.int64 for c in cols}})
+        out = p.groupby("lang", as_index=False)[cols].sum()
+    else:
+        rollup = (parts_ds.groupby("fp")
+                  .aggregate(Max("has1", alias_name="has1"),
+                             Min("modd", alias_name="modd")))
+        d2 = ds.map_batches(day2_rows, batch_format="pyarrow")
+        joined = hash_join(d2, rollup, on=("fp2",), right_on=("fp",))
+
+        def cls_join(b: pa.Table) -> pa.Table:
+            return classify(
+                b["doc_id"].to_numpy(zero_copy_only=False),
+                b["lang"].to_pandas().to_numpy(dtype=object),
+                b["has1"].to_numpy(zero_copy_only=False),
+                b["modd"].to_numpy(zero_copy_only=False))
+
+        cparts = joined.map_batches(cls_join, batch_format="pyarrow")
+        out = (cparts.groupby("lang")
+               .aggregate(*[Sum(c, alias_name=c) for c in cols])
+               .to_pandas())
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def lang_temperature_mix(sf_dir: str, alpha: float = 0.5,
+                         col: str = "lang"):
+    """TEMPERATURE-SCALED mixing weights — the multinomial
+    p_g ∝ n_g^α reweighting (α<1 up-samples small groups) every
+    multilingual / multi-source training mix applies before sampling
+    (the mBERT/XLM-R low-resource-language up-sampling trick; also
+    works per ``source``).  Map-only per-block (group, n) partials,
+    tiered combine, then the weight math runs on the output-scale
+    (≤ |groups|) table: weight = n^α / Σ n^α and boost =
+    weight / (n / N) — the factor by which the group is
+    over/under-sampled vs natural frequency.  Float outputs follow
+    the 6-dp contract with mirrored op order."""
+    ds = _read(sf_dir, "documents", columns=[col])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            col: b[col].to_pandas().to_numpy(dtype=object)})
+        agg = df.groupby(col, as_index=False).agg(
+            n_docs=(col, "size"))
+        agg["n_docs"] = agg.n_docs.astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= RANK_DRIVER_MAX_ROWS:
+        c = (_parts_pandas(parts_ds, {col: object,
+                                      "n_docs": np.int64})
+             .groupby(col, as_index=False).n_docs.sum())
+    else:
+        c = (parts_ds.groupby(col)
+             .aggregate(Sum("n_docs", alias_name="n_docs")).to_pandas())
+    c = c.sort_values(col).reset_index(drop=True)
+    n = c.n_docs.to_numpy(np.int64).astype(np.float64)
+    w = np.power(n, alpha)
+    tw, tn = w.sum(), n.sum()
+    c["n_docs"] = c.n_docs.astype(np.int64)
+    c["weight_r6"] = np.round(w / tw, 6)
+    c["boost_r6"] = np.round((w / tw) / (n / tn), 6)
+    return c

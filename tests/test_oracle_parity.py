@@ -143,6 +143,8 @@ SQL_CHECKED = [
     "fd_violation_audit", "bipartite_degree_dist",
     "revenue_up_run_lengths", "weekday_uniformity_chi2",
     "value_twap_by_type", "revenue_seasonal_decomposition",
+    "nation_year_profit", "incremental_dedup_report",
+    "lang_temperature_mix",
 ]
 
 

@@ -2728,3 +2728,59 @@ def test_round4_wave56_tiers_agree(ray_session, monkeypatch):
         assert abs(wmean) < 0.05
         assert g.rem_cv_r6.nunique() == 1
         assert (g.rem_cv_r6 >= 0).all()
+
+
+def test_round4_wave57_tiers_agree(ray_session, monkeypatch):
+    """nation_year_profit + incremental_dedup_report +
+    lang_temperature_mix: broadcast/driver tiers vs hash-join/native
+    rollup cluster tiers, plus per-operator invariants."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_pr = A.nation_year_profit(sf)
+    fast_in = A.incremental_dedup_report(sf)
+    fast_tm = A.lang_temperature_mix(sf)
+
+    monkeypatch.setattr(A, "PART_DRIVER_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "CUST_BROADCAST_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "RANK_DRIVER_MAX_ROWS", 0)
+    slow_pr = A.nation_year_profit(sf)[list(fast_pr.columns)]
+    slow_in = A.incremental_dedup_report(sf)[list(fast_in.columns)]
+    slow_tm = A.lang_temperature_mix(sf)[list(fast_tm.columns)]
+    assert len(fast_pr) > 0 and fast_pr.equals(slow_pr)
+    assert len(fast_in) > 0 and fast_in.equals(slow_in)
+    assert len(fast_tm) > 0 and fast_tm.equals(slow_tm)
+
+    # Q9 shape: every (nation, year) present once; n_items totals the
+    # name-filtered lineitem match count
+    assert not fast_pr.duplicated(["n_name", "o_year"]).any()
+    part = pd.read_parquet(f"{sf}/part.parquet",
+                           columns=["p_partkey", "p_name"])
+    li = pd.read_parquet(f"{sf}/lineitem.parquet", columns=["l_partkey"])
+    hot = set(part.p_partkey[part.p_name.str.contains("red")])
+    assert fast_pr.n_items.sum() == li.l_partkey.isin(hot).sum()
+
+    # incremental report: day-2 classes partition the odd-id docs and
+    # the fixture exercises all three classes
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "lang", "text"])
+    odd = docs[docs.doc_id % 2 == 1]
+    assert fast_in.n_day2.sum() == len(odd)
+    assert (fast_in.n_day2 == fast_in.n_dup_day1 + fast_in.n_dup_within
+            + fast_in.n_new).all()
+    assert fast_in.n_dup_day1.sum() > 0 and fast_in.n_new.sum() > 0
+    # cross-check dup_day1 directly: odd docs whose 64-char prefix
+    # appears among even docs
+    even_pref = set(docs.text[docs.doc_id % 2 == 0].str[:64])
+    assert (fast_in.n_dup_day1.sum()
+            == odd.text.str[:64].isin(even_pref).sum())
+
+    # temperature mix: weights sum to 1, alpha<1 boosts small langs
+    # above natural share and shrinks the largest
+    assert abs(fast_tm.weight_r6.sum() - 1.0) < 1e-4
+    big = fast_tm.loc[fast_tm.n_docs.idxmax()]
+    small = fast_tm.loc[fast_tm.n_docs.idxmin()]
+    assert big.boost_r6 < 1.0 < small.boost_r6
+    # alpha=1 is the natural distribution (boost == 1 everywhere)
+    nat = A.lang_temperature_mix(sf, alpha=1.0)
+    assert (nat.boost_r6 == 1.0).all()
