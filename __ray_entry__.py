@@ -1421,6 +1421,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_year_profit": A.nation_year_profit,
         "incremental_dedup_report": A.incremental_dedup_report,
         "lang_temperature_mix": A.lang_temperature_mix,
+        # round-4 wave 58: Q3-shape top-k / time-in-state / exact
+        # weighted median
+        "segment_unshipped_topk": A.segment_unshipped_topk,
+        "state_dwell_times": A.state_dwell_times,
+        "weighted_median_quantity": A.weighted_median_quantity,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "doc_compression_ratio": A.doc_compression_ratio,
@@ -4474,6 +4479,52 @@ def oracle_sql() -> dict[str, str]:
             " ROUND((POW(CAST(c.n_docs AS DOUBLE), 0.5) / t.tw)"
             " / (CAST(c.n_docs AS DOUBLE) / t.tn), 6) AS boost_r6"
             " FROM c, t ORDER BY c.lang",
+        # TPC-H Q3 shape: segment customers' pre-cutoff orders, revenue
+        # of post-cutoff-shipped lineitems, top-10 by revenue
+        "segment_unshipped_topk":
+            "WITH o AS (SELECT o_orderkey, o_orderdate,"
+            " o_orderpriority FROM orders"
+            " JOIN customer ON o_custkey = c_custkey"
+            " WHERE c_mktsegment = 'BUILDING'"
+            " AND o_orderdate < TIMESTAMP '1998-07-01'), "
+            "l AS (SELECT l_orderkey,"
+            " SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)"
+            " * (100 - CAST(ROUND(l_discount*100) AS BIGINT)))"
+            " AS revenue, CAST(COUNT(*) AS BIGINT) AS n_items"
+            " FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-07-01'"
+            " GROUP BY 1) "
+            "SELECT o.o_orderkey AS l_orderkey,"
+            " CAST(l.revenue AS BIGINT) AS revenue, l.n_items,"
+            " o.o_orderdate, o.o_orderpriority"
+            " FROM l JOIN o ON l.l_orderkey = o.o_orderkey"
+            " ORDER BY l.revenue DESC, o.o_orderkey LIMIT 10",
+        # time-in-state: whole-second gap to the user's next event
+        # (per-gap floor), attributed to the opening event's type
+        "state_dwell_times":
+            "WITH s AS (SELECT event_type, epoch_us(ts) AS cur,"
+            " LEAD(epoch_us(ts)) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id) AS nxt FROM events) "
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,"
+            " CAST(SUM((nxt - cur) // 1000000) AS BIGINT)"
+            " AS total_dwell_s,"
+            " ROUND(CAST(SUM((nxt - cur) // 1000000) AS DOUBLE)"
+            " / COUNT(*), 6) AS mean_dwell_r6"
+            " FROM s WHERE nxt IS NOT NULL GROUP BY 1 ORDER BY 1",
+        # exact weighted median: smallest qty whose cumulative revenue
+        # weight reaches half the flag's total (pure integer ranks)
+        "weighted_median_quantity":
+            "WITH c AS (SELECT l_returnflag AS rf,"
+            " CAST(l_quantity AS BIGINT) AS qty,"
+            " SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS w"
+            " FROM lineitem GROUP BY 1, 2), "
+            "t AS (SELECT rf, SUM(w) AS tw FROM c GROUP BY 1), "
+            "cum AS (SELECT c.rf, c.qty, SUM(c.w) OVER ("
+            "PARTITION BY c.rf ORDER BY c.qty) AS cw, t.tw AS tw"
+            " FROM c JOIN t ON c.rf = t.rf) "
+            "SELECT rf AS l_returnflag,"
+            " CAST(MIN(CASE WHEN 2*cw >= tw THEN qty END) AS BIGINT)"
+            " AS wmedian_qty, CAST(MIN(tw) AS BIGINT) AS total_w"
+            " FROM cum GROUP BY rf ORDER BY rf",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

@@ -13000,3 +13000,298 @@ def lang_temperature_mix(sf_dir: str, alpha: float = 0.5,
     c["weight_r6"] = np.round(w / tw, 6)
     c["boost_r6"] = np.round((w / tw) / (n / tn), 6)
     return c
+
+
+def segment_unshipped_topk(sf_dir: str, segment: str = "BUILDING",
+                           cutoff: str = "1998-07-01", k: int = 10):
+    """TPC-H Q3 shape — SHIPPING-PRIORITY top-k: among orders placed
+    by customers of one market segment BEFORE the cutoff date, the
+    top-k orders by revenue of their lineitems shipped AFTER the
+    cutoff (the "booked but unshipped at date" report; the fixture
+    set has no o_shippriority so the order's priority attaches in its
+    place).  Exact integer cent·percent revenue.  Plan: the segment's
+    custkeys prune date-filtered orders (broadcast sorted-array
+    membership below `ANTI_BROADCAST_MAX_ROWS` customers, hash join
+    above); lineitems filter map-side on shipdate and pre-reduce per
+    block to (orderkey, rev, n) partials; the per-order rollup is a
+    driver combine below the orders gate and a native Sum groupby
+    above, with a per-block exact top-k on the disjoint-key
+    post-groupby blocks; order attrs attach on the ≤k·#blocks
+    candidate table."""
+    import ray
+
+    from biobloom_ray.io import hash_join
+
+    cut = np.datetime64(cutoff, "us").astype(np.int64)
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_orderpriority"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_shipdate", "l_extendedprice",
+                        "l_discount"])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        sd = (b["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        m = sd > cut
+        lk = b["l_orderkey"].to_numpy(zero_copy_only=False)[m]
+        cents = _cents_away(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False))[m]
+        disc = _cents_away(
+            b["l_discount"].to_numpy(zero_copy_only=False))[m]
+        df = pd.DataFrame({"l_orderkey": lk,
+                           "rev": cents * (100 - disc)})
+        agg = (df.groupby("l_orderkey", as_index=False)
+               .agg(rev=("rev", "sum"), n_items=("rev", "size")))
+        agg["n_items"] = agg.n_items.astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def ord_sel(b: pa.Table) -> pa.Table:
+        od = (b["o_orderdate"].cast(pa.timestamp("us"))
+              .cast(pa.int64()).to_numpy(zero_copy_only=False))
+        sub = b.filter(pa.array(od < cut))
+        return pa.table({
+            "ok": sub["o_orderkey"].cast(pa.int64()),
+            "ck": sub["o_custkey"].cast(pa.int64()),
+            "o_orderdate": sub["o_orderdate"],
+            "o_orderpriority": sub["o_orderpriority"]})
+
+    osel = orders.map_batches(ord_sel, batch_format="pyarrow")
+    n_cust = _cheap_count(cust)
+    if n_cust is not None and n_cust <= ANTI_BROADCAST_MAX_ROWS:
+        cp = cust.to_pandas()
+        keys = np.sort(cp.c_custkey[cp.c_mktsegment == segment]
+                       .to_numpy(np.int64))
+        keys_ref = ray.put(keys)
+
+        def seg_filter(b: pa.Table) -> pa.Table:
+            kk = ray.get(keys_ref)
+            v = b["ck"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(kk, v)
+            pos[pos >= len(kk)] = 0
+            hit = (kk[pos] == v) if len(kk) else np.zeros(len(v), bool)
+            return b.filter(pa.array(hit))
+
+        osel = osel.map_batches(seg_filter, batch_format="pyarrow")
+    else:
+        def seg_keys(b: pa.Table) -> pa.Table:
+            sub = b.filter(pc.equal(b["c_mktsegment"], segment))
+            return pa.table({"ck2": sub["c_custkey"].cast(pa.int64())})
+
+        osel = hash_join(osel, cust.map_batches(
+            seg_keys, batch_format="pyarrow"), on=("ck",),
+            right_on=("ck2",))
+
+    parts_ds = li.map_batches(li_partial, batch_format="pyarrow")
+    n_ord = _cheap_count(orders)
+    if n_ord is not None and n_ord <= CUST_BROADCAST_MAX_ROWS:
+        op = osel.to_pandas()
+        parts = _parts_pandas(parts_ds, {"l_orderkey": np.int64,
+                                         "rev": np.int64,
+                                         "n_items": np.int64})
+        agg = (parts.groupby("l_orderkey", as_index=False)
+               [["rev", "n_items"]].sum())
+        cand = agg.merge(op, left_on="l_orderkey", right_on="ok")
+    else:
+        rolled = (parts_ds.groupby("l_orderkey")
+                  .aggregate(Sum("rev", alias_name="rev"),
+                             Sum("n_items", alias_name="n_items")))
+        joined = hash_join(rolled, osel, on=("l_orderkey",),
+                           right_on=("ok",))
+
+        def local_topk(b: pa.Table) -> pa.Table:
+            rv = b["rev"].to_numpy(zero_copy_only=False)
+            lk = b["l_orderkey"].to_numpy(zero_copy_only=False)
+            idx = np.lexsort((lk, -rv))[:k]
+            return b.take(pa.array(idx))
+
+        cand = (joined.map_batches(local_topk, batch_format="pyarrow")
+                .to_pandas())
+    out = (cand.sort_values(["rev", "l_orderkey"],
+                            ascending=[False, True]).head(k)
+           [["l_orderkey", "rev", "n_items", "o_orderdate",
+             "o_orderpriority"]]
+           .rename(columns={"rev": "revenue"})
+           .reset_index(drop=True))
+    out["l_orderkey"] = out.l_orderkey.astype(np.int64)
+    out["revenue"] = out.revenue.astype(np.int64)
+    out["n_items"] = out.n_items.astype(np.int64)
+    out["o_orderdate"] = out.o_orderdate.astype("datetime64[us]")
+    return out
+
+
+def state_dwell_times(sf_dir: str):
+    """TIME-IN-STATE per event type: each event opens a "state" that
+    lasts until the user's NEXT event (any type); dwell = that gap in
+    whole seconds (per-gap floor, mirrored in the oracle), attributed
+    to the OPENING event's type — the session-less engagement metric
+    (how long users sit in search vs checkout).  Exact int64 gap sums
+    + one final 6-dp division.  Below the gate: one driver
+    sort + segment diff.  Above: the salt-by-time-range plan (same as
+    `event_transitions`): (user, hour-bucket) map_groups emit
+    within-bucket (type, n, sum_s) partials plus one boundary row,
+    a second user-scale groupby stitches the cross-bucket gaps, and
+    the final rollup is ≤ |types| rows per block."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+    n_rows = _cheap_count(ds)
+
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        df = ds.to_pandas()
+        df["ts_us"] = df["ts"].astype("datetime64[us]").astype(np.int64)
+        df = df.sort_values(["user_id", "ts_us", "event_id"])
+        uid = df.user_id.to_numpy()
+        ts = df.ts_us.to_numpy()
+        et = df.event_type.to_numpy(dtype=object)
+        nxt_same = np.r_[uid[1:] == uid[:-1], False]
+        gaps = np.empty(len(ts), np.int64)
+        gaps[:-1] = (ts[1:] - ts[:-1]) // 1_000_000
+        rows = pd.DataFrame({"event_type": et[nxt_same],
+                             "dwell": gaps[nxt_same]})
+        agg = (rows.groupby("event_type", as_index=False)
+               .agg(n_gaps=("dwell", "size"),
+                    total_dwell_s=("dwell", "sum")))
+    else:
+        span_us = np.int64(ASOF_SALT_SPAN_S) * np.int64(1_000_000)
+
+        def bucketize(b: pa.Table) -> pa.Table:
+            ts_us = b["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            return pa.table({
+                "user_id": b["user_id"], "event_id": b["event_id"],
+                "ts_us": ts_us, "event_type": b["event_type"],
+                "bucket": pc.divide(ts_us, span_us)})
+
+        def local_dwell(g: pa.Table) -> pa.Table:
+            """kind 0 = within-bucket (type, n, s) partials; kind 1 =
+            boundary row (first ts / last ts+type of the bucket)."""
+            ts = g["ts_us"].to_numpy(zero_copy_only=False)
+            eid = g["event_id"].to_numpy(zero_copy_only=False)
+            et = g["event_type"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((eid, ts))
+            ts, et = ts[order], et[order]
+            uid = g["user_id"][0].as_py()
+            bkt = int(g["bucket"][0].as_py())
+            parts = []
+            if len(ts) > 1:
+                d = pd.DataFrame({
+                    "t": et[:-1],
+                    "s": (ts[1:] - ts[:-1]) // 1_000_000})
+                agg = (d.groupby("t", as_index=False)
+                       .agg(n=("s", "size"), s=("s", "sum")))
+                parts.append(pa.table({
+                    "kind": pa.array(np.zeros(len(agg), np.int64)),
+                    "user_id": pa.array(
+                        np.full(len(agg), uid, np.int64)),
+                    "bucket": pa.array(
+                        np.full(len(agg), bkt, np.int64)),
+                    "t": pa.array(agg.t.to_numpy(dtype=object),
+                                  pa.string()),
+                    "n": pa.array(agg.n.to_numpy(np.int64)),
+                    "s": pa.array(agg.s.to_numpy(np.int64)),
+                    "first_ts": pa.array([0] * len(agg), pa.int64()),
+                    "last_ts": pa.array([0] * len(agg), pa.int64())}))
+            parts.append(pa.table({
+                "kind": pa.array([1], pa.int64()),
+                "user_id": pa.array([uid], pa.int64()),
+                "bucket": pa.array([bkt], pa.int64()),
+                "t": pa.array([str(et[-1])], pa.string()),
+                "n": pa.array([0], pa.int64()),
+                "s": pa.array([0], pa.int64()),
+                "first_ts": pa.array([int(ts[0])], pa.int64()),
+                "last_ts": pa.array([int(ts[-1])], pa.int64())}))
+            return pa.concat_tables(parts)
+
+        def stitch(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values("bucket")
+            ft = g.first_ts.to_numpy(np.int64)
+            lt = g.last_ts.to_numpy(np.int64)
+            tp = g.t.to_numpy(dtype=object)
+            if len(g) < 2:
+                return pd.DataFrame(
+                    {"t": [], "n": [], "s": []}).astype(
+                        {"t": object, "n": np.int64, "s": np.int64})
+            d = pd.DataFrame({
+                "t": tp[:-1], "s": (ft[1:] - lt[:-1]) // 1_000_000})
+            agg = (d.groupby("t", as_index=False)
+                   .agg(n=("s", "size"), s=("s", "sum")))
+            agg["n"] = agg.n.astype(np.int64)
+            agg["s"] = agg.s.astype(np.int64)
+            return agg
+
+        shards = (ds.map_batches(bucketize, batch_format="pyarrow")
+                  .groupby(["user_id", "bucket"])
+                  .map_groups(local_dwell, batch_format="pyarrow"))
+        shards = shards.materialize()
+        within = shards.filter(lambda r: r["kind"] == 0)
+        bound = (shards.filter(lambda r: r["kind"] == 1)
+                 .groupby("user_id")
+                 .map_groups(stitch, batch_format="pandas"))
+
+        def w_rollup(b: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "t": b["t"].to_pandas().to_numpy(dtype=object),
+                "n": b["n"].to_numpy(zero_copy_only=False),
+                "s": b["s"].to_numpy(zero_copy_only=False)})
+            agg = df.groupby("t", as_index=False)[["n", "s"]].sum()
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+        w1 = within.map_batches(w_rollup, batch_format="pyarrow") \
+            .to_pandas()
+        w2 = bound.map_batches(w_rollup, batch_format="pyarrow") \
+            .to_pandas()
+        agg = (pd.concat([w1, w2], ignore_index=True)
+               .groupby("t", as_index=False)[["n", "s"]].sum()
+               .rename(columns={"t": "event_type", "n": "n_gaps",
+                                "s": "total_dwell_s"}))
+    agg["mean_dwell_r6"] = (agg.total_dwell_s / agg.n_gaps).round(6)
+    agg["n_gaps"] = agg.n_gaps.astype(np.int64)
+    agg["total_dwell_s"] = agg.total_dwell_s.astype(np.int64)
+    return agg.sort_values("event_type").reset_index(drop=True)
+
+
+def weighted_median_quantity(sf_dir: str):
+    """EXACT WEIGHTED MEDIAN — quantity weighted by revenue cents per
+    return flag (the "median unit size by dollar volume" report no
+    unweighted percentile reproduces).  The corpus reduces to a
+    ((flag, qty) → Σw) weight-cardinality table — same move as the
+    exact-percentile family but accumulating integer WEIGHT instead of
+    count — then the median pass walks the output-scale table
+    (bounded by the qty domain) picking the smallest qty with
+    2·cumw ≥ totw: pure int64 comparisons, no float boundary."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "rf": b["l_returnflag"].to_pandas().to_numpy(dtype=object),
+            "qty": b["l_quantity"].to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "w": _cents_away(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False))})
+        agg = df.groupby(["rf", "qty"], as_index=False).w.sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = li.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(li)
+    if n_rows is not None and n_rows <= LINEITEM_DRIVER_MAX_ROWS:
+        c = (_parts_pandas(parts_ds, {"rf": object, "qty": np.int64,
+                                      "w": np.int64})
+             .groupby(["rf", "qty"], as_index=False).w.sum())
+    else:
+        c = (parts_ds.groupby(["rf", "qty"])
+             .aggregate(Sum("w", alias_name="w")).to_pandas())
+    c = c.sort_values(["rf", "qty"]).reset_index(drop=True)
+    rows = []
+    for rf, g in c.groupby("rf", sort=True):
+        w = g.w.to_numpy(np.int64)
+        cw = np.cumsum(w)
+        tot = int(cw[-1])
+        pick = int(np.argmax(2 * cw >= tot))
+        rows.append((rf, int(g.qty.to_numpy(np.int64)[pick]), tot))
+    out = pd.DataFrame(rows, columns=["l_returnflag", "wmedian_qty",
+                                      "total_w"])
+    out["wmedian_qty"] = out.wmedian_qty.astype(np.int64)
+    out["total_w"] = out.total_w.astype(np.int64)
+    return out.sort_values("l_returnflag").reset_index(drop=True)

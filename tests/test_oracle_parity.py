@@ -144,7 +144,8 @@ SQL_CHECKED = [
     "revenue_up_run_lengths", "weekday_uniformity_chi2",
     "value_twap_by_type", "revenue_seasonal_decomposition",
     "nation_year_profit", "incremental_dedup_report",
-    "lang_temperature_mix",
+    "lang_temperature_mix", "segment_unshipped_topk",
+    "state_dwell_times", "weighted_median_quantity",
 ]
 
 

@@ -2784,3 +2784,66 @@ def test_round4_wave57_tiers_agree(ray_session, monkeypatch):
     # alpha=1 is the natural distribution (boost == 1 everywhere)
     nat = A.lang_temperature_mix(sf, alpha=1.0)
     assert (nat.boost_r6 == 1.0).all()
+
+
+def test_round4_wave58_tiers_agree(ray_session, monkeypatch):
+    """segment_unshipped_topk + state_dwell_times +
+    weighted_median_quantity: driver/broadcast tiers vs salted /
+    hash-join / native-rollup cluster tiers, plus invariants."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_q3 = A.segment_unshipped_topk(sf)
+    fast_dw = A.state_dwell_times(sf)
+    fast_wm = A.weighted_median_quantity(sf)
+
+    monkeypatch.setattr(A, "ANTI_BROADCAST_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "CUST_BROADCAST_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "EVENTS_DRIVER_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "LINEITEM_DRIVER_MAX_ROWS", 0)
+    slow_q3 = A.segment_unshipped_topk(sf)[list(fast_q3.columns)]
+    slow_dw = A.state_dwell_times(sf)[list(fast_dw.columns)]
+    slow_wm = A.weighted_median_quantity(sf)[list(fast_wm.columns)]
+    assert len(fast_q3) == 10 and fast_q3.equals(slow_q3)
+    assert len(fast_dw) == 5 and fast_dw.equals(slow_dw)
+    assert len(fast_wm) == 3 and fast_wm.equals(slow_wm)
+
+    # Q3: candidates obey both date predicates and the revenue order
+    assert (fast_q3.o_orderdate
+            < np.datetime64("1998-07-01", "us")).all()
+    assert (fast_q3.revenue.to_numpy()
+            == np.sort(fast_q3.revenue.to_numpy())[::-1]).all()
+
+    # dwell: total event gaps = total events - #users (one open state
+    # per user never closes)
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    assert fast_dw.n_gaps.sum() == len(ev) - ev.user_id.nunique()
+    # direct recomputation of one type's total dwell
+    s = ev.sort_values(["user_id", "ts"])
+    gap = (s.ts.astype("datetime64[us]").astype(np.int64).diff(-1)
+           .mul(-1) // 1_000_000)
+    same = s.user_id.to_numpy()[1:] == s.user_id.to_numpy()[:-1]
+    mask = np.r_[same, False]
+    byt = (pd.DataFrame({"t": s.event_type.to_numpy()[mask],
+                         "g": gap.to_numpy()[mask]})
+           .groupby("t").g.sum())
+    m = fast_dw.set_index("event_type").total_dwell_s
+    assert (m == byt).all()
+
+    # weighted median: cumulative weight at the pick reaches half the
+    # total, and the pick is inside the qty domain
+    li = pd.read_parquet(f"{sf}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity",
+                                  "l_extendedprice"])
+    cents = (np.sign(li.l_extendedprice)
+             * np.floor(np.abs(li.l_extendedprice) * 100 + 0.5)
+             ).astype(np.int64)
+    for rf, g in li.assign(w=cents).groupby("l_returnflag"):
+        pick = int(fast_wm.set_index("l_returnflag")
+                   .wmedian_qty[rf])
+        tot = int(fast_wm.set_index("l_returnflag").total_w[rf])
+        assert tot == g.w.sum()
+        below = g.w[g.l_quantity < pick].sum()
+        upto = g.w[g.l_quantity <= pick].sum()
+        assert 2 * below < tot <= 2 * upto
