@@ -1426,9 +1426,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_unshipped_topk": A.segment_unshipped_topk,
         "state_dwell_times": A.state_dwell_times,
         "weighted_median_quantity": A.weighted_median_quantity,
+        # round-4 wave 59: nucleus vocab coverage / fulfillment
+        # latency (the sketch-side bloom_fpr_report is registered in
+        # the no-SQL-oracle section below)
+        "vocab_coverage_topp": A.vocab_coverage_topp,
+        "order_fulfillment_latency": A.order_fulfillment_latency,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "doc_compression_ratio": A.doc_compression_ratio,
+        "bloom_fpr_report": A.bloom_fpr_report,
         "mibf_classify": _mibf_classify,
         "mibf_classify_paired": _mibf_classify_paired,
         "categorize_length": _categorize_length,
@@ -4525,6 +4531,53 @@ def oracle_sql() -> dict[str, str]:
             " CAST(MIN(CASE WHEN 2*cw >= tw THEN qty END) AS BIGINT)"
             " AS wmedian_qty, CAST(MIN(tw) AS BIGINT) AS total_w"
             " FROM cum GROUP BY rf ORDER BY rf",
+        # nucleus (top-90%) vocabulary coverage: minimal distinct-token
+        # prefix (ordered by cnt desc) reaching 90% of the lang's token
+        # mass; integer threshold 100·cum >= 90·tot == cum >= ceil
+        "vocab_coverage_topp":
+            "WITH tok AS (SELECT lang, unnest(regexp_extract_all("
+            "text, '\\S+')) AS token FROM documents), "
+            "f AS (SELECT lang, token, COUNT(*) AS cnt FROM tok"
+            " GROUP BY 1, 2), "
+            "t AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_vocab,"
+            " CAST(SUM(cnt) AS BIGINT) AS total_tokens FROM f"
+            " GROUP BY 1), "
+            "r AS (SELECT f.lang, SUM(f.cnt) OVER (PARTITION BY f.lang"
+            " ORDER BY f.cnt DESC, f.token) AS cum,"
+            " ROW_NUMBER() OVER (PARTITION BY f.lang"
+            " ORDER BY f.cnt DESC, f.token) AS rn,"
+            " t.total_tokens AS tot FROM f JOIN t"
+            " ON f.lang = t.lang), "
+            "m AS (SELECT lang, MIN(CASE WHEN 100*cum >= 90*tot"
+            " THEN rn END) AS n_cover FROM r GROUP BY 1) "
+            "SELECT t.lang, t.n_vocab, t.total_tokens,"
+            " CAST(m.n_cover AS BIGINT) AS n_cover FROM t"
+            " JOIN m ON t.lang = m.lang ORDER BY 1",
+        # fulfillment latency: whole days from order date to the LAST
+        # lineitem ship date; exact lower median from the count table
+        "order_fulfillment_latency":
+            "WITH lm AS (SELECT l_orderkey,"
+            " MAX(epoch_us(l_shipdate)) AS ms FROM lineitem"
+            " GROUP BY 1), "
+            "g AS (SELECT o.o_orderpriority AS pr,"
+            " (lm.ms - epoch_us(o.o_orderdate)) // 86400000000"
+            " AS days FROM orders o JOIN lm"
+            " ON o.o_orderkey = lm.l_orderkey), "
+            "c AS (SELECT pr, days, CAST(COUNT(*) AS BIGINT) AS n"
+            " FROM g GROUP BY 1, 2), "
+            "t AS (SELECT pr, SUM(n) AS tot, SUM(days*n) AS sd,"
+            " MAX(days) AS mx FROM c GROUP BY 1), "
+            "cum AS (SELECT c.pr, c.days, SUM(c.n) OVER ("
+            "PARTITION BY c.pr ORDER BY c.days) AS cw, t.tot AS tot"
+            " FROM c JOIN t ON c.pr = t.pr), "
+            "med AS (SELECT pr, MIN(CASE WHEN 2*cw >= tot"
+            " THEN days END) AS md FROM cum GROUP BY 1) "
+            "SELECT t.pr AS o_orderpriority,"
+            " CAST(t.tot AS BIGINT) AS n_orders,"
+            " CAST(t.mx AS BIGINT) AS max_days,"
+            " CAST(med.md AS BIGINT) AS median_days,"
+            " ROUND(CAST(t.sd AS DOUBLE) / t.tot, 6) AS mean_days_r6"
+            " FROM t JOIN med ON t.pr = med.pr ORDER BY 1",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

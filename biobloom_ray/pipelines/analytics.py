@@ -13295,3 +13295,266 @@ def weighted_median_quantity(sf_dir: str):
     out["wmedian_qty"] = out.wmedian_qty.astype(np.int64)
     out["total_w"] = out.total_w.astype(np.int64)
     return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def vocab_coverage_topp(sf_dir: str, pct: int = 90):
+    """NUCLEUS (top-p) VOCABULARY COVERAGE per language: the minimal
+    number of distinct tokens whose summed frequency reaches ``pct``%
+    of the language's token mass (the "how small can the tokenizer
+    vocab be" curve; Zipf makes it tiny).  Exact integers end-to-end:
+    the inherent (lang, token) vocabulary shuffle (narrow rows) below
+    — driver combine under `RANK_DRIVER_MAX_ROWS` input rows, native
+    Sum groupby above — reduces to a per-lang COUNTS-OF-COUNTS table
+    (≤ #distinct frequencies rows, log-scale under Zipf), and the
+    crossing walk picks full count-buckets plus the exact partial take
+    ceil((thr − cum)/cnt); ties inside a bucket are interchangeable so
+    the minimum is exact."""
+    from biobloom_ray.stages.textstats import _token_arrays
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def lt_partial(b: pa.Table) -> pa.Table:
+        flat, lens, _ = _token_arrays(b)
+        lg = np.repeat(
+            b["lang"].to_pandas().to_numpy(dtype=object), lens)
+        if not len(flat):
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "token": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        df = pd.DataFrame({"lang": lg, "token": flat})
+        agg = (df.groupby(["lang", "token"], as_index=False)
+               .size().rename(columns={"size": "cnt"}))
+        agg["cnt"] = agg.cnt.astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(lt_partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= RANK_DRIVER_MAX_ROWS:
+        vocab = (_parts_pandas(parts_ds, {"lang": object,
+                                          "token": object,
+                                          "cnt": np.int64})
+                 .groupby(["lang", "token"], as_index=False).cnt.sum())
+        cc = (vocab.groupby(["lang", "cnt"], as_index=False)
+              .size().rename(columns={"size": "k"}))
+    else:
+        vocab = (parts_ds.groupby(["lang", "token"])
+                 .aggregate(Sum("cnt", alias_name="cnt")))
+
+        def cc_partial(b: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "lang": b["lang"].to_pandas().to_numpy(dtype=object),
+                "cnt": b["cnt"].to_numpy(zero_copy_only=False)})
+            agg = (df.groupby(["lang", "cnt"], as_index=False)
+                   .size().rename(columns={"size": "k"}))
+            agg["k"] = agg.k.astype(np.int64)
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+        cc = (_parts_pandas(
+            vocab.map_batches(cc_partial, batch_format="pyarrow"),
+            {"lang": object, "cnt": np.int64, "k": np.int64})
+            .groupby(["lang", "cnt"], as_index=False).k.sum())
+    rows = []
+    for lang, g in cc.groupby("lang", sort=True):
+        g = g.sort_values("cnt", ascending=False)
+        cnt = g.cnt.to_numpy(np.int64)
+        k = g.k.to_numpy(np.int64)
+        mass = cnt * k
+        tot = int(mass.sum())
+        n_vocab = int(k.sum())
+        thr = -(-pct * tot // 100)  # ceil(pct·tot/100), exact
+        cum = np.cumsum(mass)
+        j = int(np.argmax(cum >= thr))
+        before = int(cum[j - 1]) if j else 0
+        need = thr - before
+        n_cover = int(k[:j].sum()) + int(-(-need // cnt[j]))
+        rows.append((lang, n_vocab, tot, n_cover))
+    out = pd.DataFrame(rows, columns=["lang", "n_vocab",
+                                      "total_tokens", "n_cover"])
+    for c in ["n_vocab", "total_tokens", "n_cover"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def order_fulfillment_latency(sf_dir: str):
+    """ORDER FULFILLMENT LATENCY per priority: whole days from order
+    date to the LAST lineitem ship date (the complete-shipment lag).
+    Exact integers: per-block (orderkey, max shipdate) partials →
+    native Max groupby above `LINEITEM_DRIVER_MAX_ROWS` (driver
+    combine below) → order date attach (broadcast sorted arrays below
+    `CUST_BROADCAST_MAX_ROWS` orders, hash join above) → a (priority,
+    days) count table whose per-priority walk yields n / max / exact
+    lower-median days; the mean is one final 6-dp division."""
+    import ray
+
+    from biobloom_ray.io import hash_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate",
+                            "o_orderpriority"])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "ok": b["l_orderkey"].to_numpy(zero_copy_only=False),
+            "ship_us": b["l_shipdate"].cast(pa.timestamp("us"))
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)})
+        agg = df.groupby("ok", as_index=False).ship_us.max()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = li.map_batches(li_partial, batch_format="pyarrow")
+    DAY_US = np.int64(86_400_000_000)
+    n_li = _cheap_count(li)
+    n_ord = _cheap_count(orders)
+    if n_li is not None and n_li <= LINEITEM_DRIVER_MAX_ROWS:
+        ms = (_parts_pandas(parts_ds, {"ok": np.int64,
+                                       "ship_us": np.int64})
+              .groupby("ok", as_index=False).ship_us.max())
+        op = orders.to_pandas()
+        op["od_us"] = op.o_orderdate.astype(
+            "datetime64[us]").astype(np.int64)
+        m = ms.merge(op, left_on="ok", right_on="o_orderkey")
+        days = (m.ship_us.to_numpy(np.int64)
+                - m.od_us.to_numpy(np.int64)) // DAY_US
+        c = (pd.DataFrame({"pr": m.o_orderpriority
+                           .to_numpy(dtype=object), "days": days})
+             .groupby(["pr", "days"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+    else:
+        maxed = (parts_ds.groupby("ok")
+                 .aggregate(Max("ship_us", alias_name="ship_us")))
+
+        def ord_proj(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "ok2": b["o_orderkey"].cast(pa.int64()),
+                "od_us": b["o_orderdate"].cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+                "pr": b["o_orderpriority"]})
+
+        oproj = orders.map_batches(ord_proj, batch_format="pyarrow")
+        if n_ord is not None and n_ord <= CUST_BROADCAST_MAX_ROWS:
+            od = oproj.to_pandas()
+            oo = np.argsort(od.ok2.to_numpy(np.int64))
+            okeys = od.ok2.to_numpy(np.int64)[oo]
+            ods = od.od_us.to_numpy(np.int64)[oo]
+            prs = od.pr.to_numpy(dtype=object)[oo]
+            oref = ray.put((okeys, ods, prs))
+
+            def attach(b: pa.Table) -> pa.Table:
+                kk, dd, pp = ray.get(oref)
+                v = b["ok"].to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(kk, v)
+                pos[pos >= len(kk)] = 0
+                days = (b["ship_us"].to_numpy(zero_copy_only=False)
+                        - dd[pos]) // DAY_US
+                df = pd.DataFrame({"pr": pp[pos], "days": days})
+                agg = (df.groupby(["pr", "days"], as_index=False)
+                       .size().rename(columns={"size": "n"}))
+                agg["n"] = agg.n.astype(np.int64)
+                return pa.Table.from_pandas(agg, preserve_index=False)
+
+            cparts = maxed.map_batches(attach, batch_format="pyarrow")
+        else:
+            joined = hash_join(maxed, oproj, on=("ok",),
+                               right_on=("ok2",))
+
+            def jdays(b: pa.Table) -> pa.Table:
+                days = (b["ship_us"].to_numpy(zero_copy_only=False)
+                        - b["od_us"].to_numpy(zero_copy_only=False)
+                        ) // DAY_US
+                df = pd.DataFrame({
+                    "pr": b["pr"].to_pandas().to_numpy(dtype=object),
+                    "days": days})
+                agg = (df.groupby(["pr", "days"], as_index=False)
+                       .size().rename(columns={"size": "n"}))
+                agg["n"] = agg.n.astype(np.int64)
+                return pa.Table.from_pandas(agg, preserve_index=False)
+
+            cparts = joined.map_batches(jdays, batch_format="pyarrow")
+        c = (_parts_pandas(cparts, {"pr": object, "days": np.int64,
+                                    "n": np.int64})
+             .groupby(["pr", "days"], as_index=False).n.sum())
+    rows = []
+    for pr, g in c.groupby("pr", sort=True):
+        g = g.sort_values("days")
+        n = g.n.to_numpy(np.int64)
+        d = g.days.to_numpy(np.int64)
+        cw = np.cumsum(n)
+        tot = int(cw[-1])
+        med = int(d[np.argmax(2 * cw >= tot)])
+        rows.append((pr, tot, int(d[-1]), med,
+                     round(float((d * n).sum()) / tot, 6)))
+    out = pd.DataFrame(rows, columns=["o_orderpriority", "n_orders",
+                                      "max_days", "median_days",
+                                      "mean_days_r6"])
+    for col in ["n_orders", "max_days", "median_days"]:
+        out[col] = out[col].astype(np.int64)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def bloom_fpr_report(sf_dir: str, n_probes: int = 200_000):
+    """OBSERVED vs CONFIGURED Bloom FPR — the BASELINE acceptance
+    metric ("observed FPR ≤ configured bound at the chosen m/n and k
+    hash functions") as a first-class report.  Builds the per-lang
+    filter bank (distributed partial-OR build), then probes each
+    filter with ``n_probes`` deterministic uniform hash pairs
+    (splitmix64 of a counter — exactly the unseen-key distribution the
+    FPR formula assumes): hit rate = observed FPR.  Probes stream as a
+    `ray.data.range` → `map_batches` against the broadcast bank with
+    per-block hit-count partials (#filters rows per block), so the
+    probe count scales without driver involvement.  No SQL oracle can
+    exist (sketch internals); the pytest twin pins binomial agreement
+    with the occupancy-derived FPR and the configured bound."""
+    import ray
+    import ray.data
+
+    from biobloom_ray.config import BuildConfig
+    from biobloom_ray.hashing import splitmix64
+    from biobloom_ray.pipelines import build_filters
+
+    desired = 0.0078125
+    docs = _read(sf_dir, "documents", columns=["text", "lang"])
+    built = build_filters(docs, text_col="text", label_col="lang",
+                          cfg=BuildConfig(kmer_size=8,
+                                          desired_fpr=desired,
+                                          batch_size=1024),
+                          with_hll=False)
+    fids = sorted(built)
+    bank_ref = ray.put({f: built[f]["filter"].serialize()
+                        for f in fids})
+
+    def probe(b: pa.Table) -> pa.Table:
+        from biobloom_ray.sketches.bloom import BloomFilter
+
+        ids = b["id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h1 = splitmix64(ids)
+        h2 = splitmix64(ids + np.uint64(0x9E3779B97F4A7C15))
+        blobs = ray.get(bank_ref)
+        hits = []
+        for f in fids:
+            bf = BloomFilter.deserialize(blobs[f])
+            hits.append(int(bf.contains(h1, h2).sum()))
+        return pa.table({"filter_id": pa.array(fids, pa.string()),
+                         "n_hits": pa.array(hits, pa.int64()),
+                         "n_probes": pa.array(
+                             [len(ids)] * len(fids), pa.int64())})
+
+    parts = (ray.data.range(n_probes, override_num_blocks=8)
+             .map_batches(probe, batch_format="pyarrow"))
+    agg = (_parts_pandas(parts, {"filter_id": object,
+                                 "n_hits": np.int64,
+                                 "n_probes": np.int64})
+           .groupby("filter_id", as_index=False)
+           [["n_hits", "n_probes"]].sum())
+    meta = []
+    for f in fids:
+        bf = built[f]["filter"]
+        meta.append((f, bf.m, bf.hash_num, bf.n_distinct,
+                     desired, round(bf.fpr_realized(), 6)))
+    md = pd.DataFrame(meta, columns=["filter_id", "m", "hash_num",
+                                     "n_distinct", "configured_fpr",
+                                     "occupancy_fpr_r6"])
+    out = md.merge(agg, on="filter_id")
+    out["observed_fpr_r6"] = (out.n_hits / out.n_probes).round(6)
+    for c in ["m", "hash_num", "n_distinct", "n_hits", "n_probes"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("filter_id").reset_index(drop=True)

@@ -146,6 +146,7 @@ SQL_CHECKED = [
     "nation_year_profit", "incremental_dedup_report",
     "lang_temperature_mix", "segment_unshipped_topk",
     "state_dwell_times", "weighted_median_quantity",
+    "vocab_coverage_topp", "order_fulfillment_latency",
 ]
 
 

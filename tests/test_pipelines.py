@@ -2847,3 +2847,59 @@ def test_round4_wave58_tiers_agree(ray_session, monkeypatch):
         below = g.w[g.l_quantity < pick].sum()
         upto = g.w[g.l_quantity <= pick].sum()
         assert 2 * below < tot <= 2 * upto
+
+
+def test_round4_wave59_tiers_agree(ray_session, monkeypatch):
+    """vocab_coverage_topp + order_fulfillment_latency tier parity
+    and invariants; bloom_fpr_report's binomial twin (observed FPR
+    agrees with the occupancy-derived FPR and respects the configured
+    bound — the BASELINE acceptance metric)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_vc = A.vocab_coverage_topp(sf)
+    fast_fl = A.order_fulfillment_latency(sf)
+    rep = A.bloom_fpr_report(sf, n_probes=100_000)
+
+    monkeypatch.setattr(A, "RANK_DRIVER_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "LINEITEM_DRIVER_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "CUST_BROADCAST_MAX_ROWS", 0)
+    slow_vc = A.vocab_coverage_topp(sf)[list(fast_vc.columns)]
+    slow_fl = A.order_fulfillment_latency(sf)[list(fast_fl.columns)]
+    assert len(fast_vc) == 5 and fast_vc.equals(slow_vc)
+    assert len(fast_fl) == 5 and fast_fl.equals(slow_fl)
+
+    # coverage: direct recomputation for one language
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["lang", "text"])
+    en = docs[docs.lang == "en"]
+    cnt = pd.Series(np.concatenate(
+        en.text.str.findall(r"\S+").to_numpy())).value_counts()
+    tot = int(cnt.sum())
+    cum = cnt.sort_values(ascending=False).cumsum().to_numpy()
+    thr = -(-90 * tot // 100)
+    want = int(np.argmax(cum >= thr)) + 1
+    row = fast_vc.set_index("lang").loc["en"]
+    assert (row.n_vocab, row.total_tokens, row.n_cover) \
+        == (len(cnt), tot, want)
+    assert (fast_vc.n_cover <= fast_vc.n_vocab).all()
+
+    # latency: medians sit inside [0, max] and n totals all orders
+    # that have lineitems
+    li = pd.read_parquet(f"{sf}/lineitem.parquet",
+                         columns=["l_orderkey"])
+    assert fast_fl.n_orders.sum() == li.l_orderkey.nunique()
+    assert ((fast_fl.median_days >= 0)
+            & (fast_fl.median_days <= fast_fl.max_days)).all()
+
+    # bloom FPR: observed within 5-sigma binomial of the
+    # occupancy-derived rate, and within the configured bound plus
+    # the same noise allowance (the bank is oversized on the tiny
+    # fixture so both hold with huge margin)
+    for r in rep.itertuples():
+        p = r.occupancy_fpr_r6
+        sig = np.sqrt(max(p * (1 - p), 1e-12) / r.n_probes)
+        obs = r.n_hits / r.n_probes
+        assert obs <= max(p + 5 * sig, 10 / r.n_probes)
+        assert obs <= r.configured_fpr + 5 * sig + 10 / r.n_probes
+    assert (rep.n_probes == 100_000).all()
