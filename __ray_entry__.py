@@ -1431,6 +1431,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the no-SQL-oracle section below)
         "vocab_coverage_topp": A.vocab_coverage_topp,
         "order_fulfillment_latency": A.order_fulfillment_latency,
+        # round-4 wave 60: RFM cube / kNN label-vote eval
+        "rfm_segments": A.rfm_segments,
+        "knn_label_accuracy": A.knn_label_accuracy,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "doc_compression_ratio": A.doc_compression_ratio,
@@ -4578,6 +4581,61 @@ def oracle_sql() -> dict[str, str]:
             " CAST(med.md AS BIGINT) AS median_days,"
             " ROUND(CAST(t.sd AS DOUBLE) / t.tot, 6) AS mean_days_r6"
             " FROM t JOIN med ON t.pr = med.pr ORDER BY 1",
+        # RFM cube: per-customer recency/frequency/monetary, exact
+        # value-threshold quartiles (PERCENTILE_DISC semantics — same
+        # rank rule as the pipeline's 4·cum >= j·tot walk)
+        "rfm_segments":
+            "WITH c AS (SELECT o_custkey AS ck,"
+            " CAST(COUNT(*) AS BIGINT) AS f,"
+            " SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS m,"
+            " MAX(epoch_us(o_orderdate)) AS last_us FROM orders"
+            " GROUP BY 1), "
+            "g AS (SELECT MAX(last_us) AS mx FROM c), "
+            "b AS (SELECT ck, f, m,"
+            " (g.mx - c.last_us) // 86400000000 AS r FROM c, g), "
+            "t AS (SELECT"
+            " PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY r) AS r1,"
+            " PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY r) AS r2,"
+            " PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY r) AS r3,"
+            " PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY f) AS f1,"
+            " PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY f) AS f2,"
+            " PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY f) AS f3,"
+            " PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY m) AS m1,"
+            " PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY m) AS m2,"
+            " PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY m) AS m3"
+            " FROM b) "
+            "SELECT CAST(1 + CAST(r > t.r1 AS INT)"
+            " + CAST(r > t.r2 AS INT) + CAST(r > t.r3 AS INT)"
+            " AS BIGINT) AS r_q,"
+            " CAST(1 + CAST(f > t.f1 AS INT) + CAST(f > t.f2 AS INT)"
+            " + CAST(f > t.f3 AS INT) AS BIGINT) AS f_q,"
+            " CAST(1 + CAST(m > t.m1 AS INT) + CAST(m > t.m2 AS INT)"
+            " + CAST(m > t.m3 AS INT) AS BIGINT) AS m_q,"
+            " CAST(COUNT(*) AS BIGINT) AS n_customers"
+            " FROM b, t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3",
+        # kNN label-vote accuracy: ranks over the 6-dp ROUNDED cosine
+        # (tie → neighbour id) so a last-ulp engine difference cannot
+        # flip a rank — same contract as the retrieval oracles
+        "knn_label_accuracy":
+            "WITH p AS (SELECT q.vec_id AS qid, e.vec_id AS nid,"
+            " e.label AS nl, q.label AS ql,"
+            " ROUND(list_cosine_similarity(q.embedding, e.embedding),"
+            " 6) AS s FROM embeddings q, embeddings e"
+            " WHERE q.vec_id < 500 AND e.vec_id != q.vec_id), "
+            "r AS (SELECT qid, nl, ql, ROW_NUMBER() OVER ("
+            "PARTITION BY qid ORDER BY s DESC, nid) AS rn FROM p), "
+            "topk AS (SELECT qid, nl, ql FROM r WHERE rn <= 5), "
+            "v AS (SELECT qid, nl, MIN(ql) AS ql,"
+            " COUNT(*) AS c FROM topk GROUP BY qid, nl), "
+            "w AS (SELECT qid, nl, ql, ROW_NUMBER() OVER ("
+            "PARTITION BY qid ORDER BY c DESC, nl) AS rw FROM v) "
+            "SELECT ql AS true_label,"
+            " CAST(COUNT(*) AS BIGINT) AS n_eval,"
+            " CAST(SUM(CASE WHEN nl = ql THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_correct,"
+            " ROUND(CAST(SUM(CASE WHEN nl = ql THEN 1 ELSE 0 END)"
+            " AS DOUBLE) / COUNT(*), 6) AS accuracy_r6"
+            " FROM w WHERE rw = 1 GROUP BY 1 ORDER BY 1",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

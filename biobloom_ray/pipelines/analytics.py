@@ -13558,3 +13558,138 @@ def bloom_fpr_report(sf_dir: str, n_probes: int = 200_000):
     for c in ["m", "hash_num", "n_distinct", "n_hits", "n_probes"]:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("filter_id").reset_index(drop=True)
+
+
+def rfm_segments(sf_dir: str):
+    """RFM SEGMENTATION — the classic customer-value cube: per
+    customer Recency (whole days from last order to the corpus max
+    order date), Frequency (#orders) and Monetary (total cents), each
+    bucketed 1-4 by EXACT value-threshold quartiles (t_j = smallest v
+    with 4·cum ≥ j·tot — PERCENTILE_DISC semantics; value-based so
+    ties share a bucket deterministically), then the output-scale
+    (≤4³ rows) segment census.  Plan: per-block (custkey, n, cents,
+    max date) partials → tiered combine (native multi-agg groupby
+    above `CUST_BROADCAST_MAX_ROWS`) → three count-table threshold
+    walks (value-cardinality scale) → map-side bucket assignment →
+    segment rollup.  Everything integer-exact."""
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_totalprice", "o_orderdate"])
+    DAY_US = np.int64(86_400_000_000)
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "ck": b["o_custkey"].to_numpy(zero_copy_only=False),
+            "cents": _cents_away(
+                b["o_totalprice"].to_numpy(zero_copy_only=False)),
+            "od_us": b["o_orderdate"].cast(pa.timestamp("us"))
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)})
+        agg = (df.groupby("ck", as_index=False)
+               .agg(f=("cents", "size"), m=("cents", "sum"),
+                    last_us=("od_us", "max")))
+        agg["f"] = agg.f.astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = orders.map_batches(partial, batch_format="pyarrow")
+    n_ord = _cheap_count(orders)
+    if n_ord is not None and n_ord <= CUST_BROADCAST_MAX_ROWS:
+        cust = (_parts_pandas(parts_ds, {"ck": np.int64, "f": np.int64,
+                                         "m": np.int64,
+                                         "last_us": np.int64})
+                .groupby("ck", as_index=False)
+                .agg(f=("f", "sum"), m=("m", "sum"),
+                     last_us=("last_us", "max")))
+    else:
+        cust = (parts_ds.groupby("ck")
+                .aggregate(Sum("f", alias_name="f"),
+                           Sum("m", alias_name="m"),
+                           Max("last_us", alias_name="last_us"))
+                .to_pandas())
+    mx = int(cust.last_us.max())
+    cust["r"] = (mx - cust.last_us.to_numpy(np.int64)) // DAY_US
+
+    def quartiles(v: np.ndarray) -> np.ndarray:
+        """Exact t_1..t_3: smallest value with 4·cum ≥ j·tot."""
+        vals, cnt = np.unique(v, return_counts=True)
+        cum = np.cumsum(cnt)
+        tot = int(cum[-1])
+        return np.array([vals[np.argmax(4 * cum >= j * tot)]
+                         for j in (1, 2, 3)], np.int64)
+
+    seg = pd.DataFrame({"ck": cust.ck})
+    for col, name in (("r", "r_q"), ("f", "f_q"), ("m", "m_q")):
+        v = cust[col].to_numpy(np.int64)
+        t = quartiles(v)
+        seg[name] = (1 + (v > t[0]).astype(np.int64)
+                     + (v > t[1]) + (v > t[2]))
+    out = (seg.groupby(["r_q", "f_q", "m_q"], as_index=False)
+           .size().rename(columns={"size": "n_customers"}))
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return (out.sort_values(["r_q", "f_q", "m_q"])
+            .reset_index(drop=True))
+
+
+def knn_label_accuracy(sf_dir: str, k: int = 5, n_eval: int = 500):
+    """k-NN LABEL-VOTE ACCURACY — the standard embedding-quality eval:
+    each of the first ``n_eval`` vectors (by id; the bounded eval
+    sample) retrieves its k nearest corpus neighbours (cosine, self
+    excluded), majority label vote (ties → smallest label), scored
+    against the true label; per-label n / correct / accuracy.  The
+    corpus side STREAMS — one broadcast (q, d) query matrix, one
+    matmul + local top-k per block, per-query k-sized reduce
+    (`brute_force_topk_multi`); only the eval sample is bounded.
+    Neighbour ranks use the 6-dp-rounded similarity (tie → id) so a
+    last-ulp engine difference cannot flip a rank — same contract as
+    the retrieval oracles."""
+    from biobloom_ray.io import hash_join
+    from biobloom_ray.stages.ann import brute_force_topk_multi
+
+    ds = _read(sf_dir, "embeddings",
+               columns=["vec_id", "embedding", "label"])
+    # the eval sample is bounded by construction (map-side id filter);
+    # only these n_eval vectors ever materialize with payloads
+    qdf = (ds.map_batches(
+        lambda b: b.filter(pc.less(b["vec_id"], n_eval)),
+        batch_format="pyarrow").to_pandas().sort_values("vec_id"))
+    Q = np.stack(qdf.embedding.to_numpy())
+    qids = qdf.vec_id.to_numpy(np.int64)
+
+    # fetch a +9 margin beyond self+k so a 6-dp-rounded tie spanning
+    # the raw top-k cut cannot change the rounded-rank selection below
+    cand_ds = brute_force_topk_multi(ds, Q, qids, k=k + 10)
+    labels = ds.select_columns(["vec_id", "label"])
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= RANK_DRIVER_MAX_ROWS:
+        meta = labels.to_pandas()
+        label_of = dict(zip(meta.vec_id.astype(np.int64),
+                            meta.label.astype(np.int64)))
+        cand = cand_ds.to_pandas()
+        cand["nl"] = cand.vec_id.map(label_of).astype(np.int64)
+    else:
+        cand = hash_join(
+            cand_ds, labels.map_batches(
+                lambda b: pa.table({
+                    "vid2": b["vec_id"].cast(pa.int64()),
+                    "nl": b["label"].cast(pa.int64())}),
+                batch_format="pyarrow"),
+            on=("vec_id",), right_on=("vid2",)).to_pandas()
+        label_of = dict(zip(qdf.vec_id.astype(np.int64),
+                            qdf.label.astype(np.int64)))
+    cand = cand[cand.query_id != cand.vec_id]
+    cand["key"] = cand.cos_sim.round(6)
+    cand = (cand.sort_values(["query_id", "key", "vec_id"],
+                             ascending=[True, False, True])
+            .groupby("query_id").head(k))
+    votes = (cand.groupby(["query_id", "nl"], as_index=False)
+             .size().rename(columns={"size": "v"}))
+    votes = (votes.sort_values(["query_id", "v", "nl"],
+                               ascending=[True, False, True])
+             .groupby("query_id").head(1))
+    votes["true_label"] = votes.query_id.map(label_of).astype(np.int64)
+    votes["ok"] = (votes.nl == votes.true_label).astype(np.int64)
+    out = (votes.groupby("true_label", as_index=False)
+           .agg(n_eval=("ok", "size"), n_correct=("ok", "sum")))
+    out["n_eval"] = out.n_eval.astype(np.int64)
+    out["n_correct"] = out.n_correct.astype(np.int64)
+    out["accuracy_r6"] = (out.n_correct / out.n_eval).round(6)
+    return out.sort_values("true_label").reset_index(drop=True)

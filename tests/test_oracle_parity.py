@@ -147,6 +147,7 @@ SQL_CHECKED = [
     "lang_temperature_mix", "segment_unshipped_topk",
     "state_dwell_times", "weighted_median_quantity",
     "vocab_coverage_topp", "order_fulfillment_latency",
+    "rfm_segments", "knn_label_accuracy",
 ]
 
 

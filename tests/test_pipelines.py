@@ -2903,3 +2903,56 @@ def test_round4_wave59_tiers_agree(ray_session, monkeypatch):
         assert obs <= max(p + 5 * sig, 10 / r.n_probes)
         assert obs <= r.configured_fpr + 5 * sig + 10 / r.n_probes
     assert (rep.n_probes == 100_000).all()
+
+
+def test_round4_wave60_tiers_agree(ray_session, monkeypatch):
+    """rfm_segments + knn_label_accuracy: driver/broadcast tiers vs
+    native-rollup / hash-join cluster tiers, plus invariants."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_rfm = A.rfm_segments(sf)
+    fast_knn = A.knn_label_accuracy(sf)
+
+    monkeypatch.setattr(A, "CUST_BROADCAST_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "RANK_DRIVER_MAX_ROWS", 0)
+    slow_rfm = A.rfm_segments(sf)[list(fast_rfm.columns)]
+    slow_knn = A.knn_label_accuracy(sf)[list(fast_knn.columns)]
+    assert len(fast_rfm) > 0 and fast_rfm.equals(slow_rfm)
+    assert len(fast_knn) == 10 and fast_knn.equals(slow_knn)
+
+    # RFM: every customer lands in exactly one segment, codes in 1-4,
+    # and each marginal quartile holds 25% +- the tie slack (value
+    # thresholds put whole tie groups in one bucket)
+    ords = pd.read_parquet(f"{sf}/orders.parquet",
+                           columns=["o_custkey"])
+    n_cust = ords.o_custkey.nunique()
+    assert fast_rfm.n_customers.sum() == n_cust
+    for c in ["r_q", "f_q", "m_q"]:
+        assert fast_rfm[c].between(1, 4).all()
+        marg = fast_rfm.groupby(c).n_customers.sum()
+        assert marg.max() <= n_cust  # sanity; ties can skew shares
+        assert marg.loc[1] >= n_cust // 4 - 1  # q1 holds >= rank floor
+
+    # kNN: per-label eval counts equal the label histogram of the
+    # eval sample, and a direct numpy recomputation of the vote
+    # matches for every query
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    hist = emb[emb.vec_id < 500].label.value_counts()
+    got = fast_knn.set_index("true_label").n_eval
+    assert (got == hist.sort_index()).all()
+    X = np.stack(emb.sort_values("vec_id").embedding.to_numpy())
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sims = np.round(Xn @ Xn.T, 6)
+    labels = emb.sort_values("vec_id").label.to_numpy()
+    correct = np.zeros(10, np.int64)
+    for q in range(500):
+        s = sims[q].copy()
+        s[q] = -np.inf
+        order = np.lexsort((np.arange(len(s)), -s))[:5]
+        votes = np.bincount(labels[order], minlength=10)
+        win = int(np.argmax(votes))  # argmax takes smallest on ties
+        if win == labels[q]:
+            correct[labels[q]] += 1
+    assert (fast_knn.set_index("true_label").n_correct.to_numpy()
+            == correct[fast_knn.true_label.to_numpy()]).all()
