@@ -1434,6 +1434,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 wave 60: RFM cube / kNN label-vote eval
         "rfm_segments": A.rfm_segments,
         "knn_label_accuracy": A.knn_label_accuracy,
+        # round-4 wave 61: value migration / canonical dup docs
+        "customer_value_migration": A.customer_value_migration,
+        "dup_cluster_representatives": A.dup_cluster_representatives,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "doc_compression_ratio": A.doc_compression_ratio,
@@ -4636,6 +4639,38 @@ def oracle_sql() -> dict[str, str]:
             " ROUND(CAST(SUM(CASE WHEN nl = ql THEN 1 ELSE 0 END)"
             " AS DOUBLE) / COUNT(*), 6) AS accuracy_r6"
             " FROM w WHERE rw = 1 GROUP BY 1 ORDER BY 1",
+        # customer value migration: half-over-half spend quartile
+        # transition (mid = (min+max)//2 like value_drift_by_half;
+        # PERCENTILE_DISC over each half's spenders; 0 = no spend)
+        "customer_value_migration":
+            "WITH b AS (SELECT (epoch_us(MIN(o_orderdate))"
+            " + epoch_us(MAX(o_orderdate))) // 2 AS mid FROM orders), "
+            "c AS (SELECT o_custkey AS ck,"
+            " SUM(CASE WHEN epoch_us(o_orderdate) >= b.mid THEN 0"
+            " ELSE CAST(ROUND(o_totalprice*100) AS BIGINT) END)"
+            " AS s0,"
+            " SUM(CASE WHEN epoch_us(o_orderdate) >= b.mid"
+            " THEN CAST(ROUND(o_totalprice*100) AS BIGINT)"
+            " ELSE 0 END) AS s1"
+            " FROM orders CROSS JOIN b GROUP BY 1), "
+            "t0 AS (SELECT"
+            " PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY s0) AS a,"
+            " PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY s0) AS bq,"
+            " PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY s0) AS cq"
+            " FROM c WHERE s0 > 0), "
+            "t1 AS (SELECT"
+            " PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY s1) AS a,"
+            " PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY s1) AS bq,"
+            " PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY s1) AS cq"
+            " FROM c WHERE s1 > 0) "
+            "SELECT CAST(CASE WHEN s0 = 0 THEN 0 ELSE 1"
+            " + CAST(s0 > t0.a AS INT) + CAST(s0 > t0.bq AS INT)"
+            " + CAST(s0 > t0.cq AS INT) END AS BIGINT) AS q_first,"
+            " CAST(CASE WHEN s1 = 0 THEN 0 ELSE 1"
+            " + CAST(s1 > t1.a AS INT) + CAST(s1 > t1.bq AS INT)"
+            " + CAST(s1 > t1.cq AS INT) END AS BIGINT) AS q_second,"
+            " CAST(COUNT(*) AS BIGINT) AS n_customers"
+            " FROM c, t0, t1 GROUP BY 1, 2 ORDER BY 1, 2",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":
@@ -4689,6 +4724,19 @@ def oracle_sql() -> dict[str, str]:
     zterms = " | ".join(
         [f"(((x >> {i}) & 1) << {2 * i})" for i in range(8)]
         + [f"(((y >> {i}) & 1) << {2 * i + 1})" for i in range(8)])
+    # canonical per-cluster doc: composes the dup_clusters recursive
+    # CTE verbatim, attaches n_chars, picks max-n_chars (tie min id)
+    d["dup_cluster_representatives"] = (
+        "WITH dc AS (" + d["dup_clusters"] + "), "
+        "j AS (SELECT dc.cluster_id, dc.cluster_size, dc.doc_id,"
+        " documents.n_chars FROM dc JOIN documents"
+        " ON dc.doc_id = documents.doc_id), "
+        "r AS (SELECT cluster_id, cluster_size, doc_id, n_chars,"
+        " ROW_NUMBER() OVER (PARTITION BY cluster_id"
+        " ORDER BY n_chars DESC, doc_id) AS rn FROM j) "
+        "SELECT cluster_id, cluster_size, doc_id AS rep_doc,"
+        " CAST(n_chars AS BIGINT) AS rep_n_chars FROM r"
+        " WHERE rn = 1 ORDER BY cluster_id")
     d["zorder_bucket_counts"] = (
         "WITH b AS (SELECT user_id & 255 AS x,"
         " (CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600)"

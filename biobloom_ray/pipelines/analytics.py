@@ -13693,3 +13693,112 @@ def knn_label_accuracy(sf_dir: str, k: int = 5, n_eval: int = 500):
     out["n_correct"] = out.n_correct.astype(np.int64)
     out["accuracy_r6"] = (out.n_correct / out.n_eval).round(6)
     return out.sort_values("true_label").reset_index(drop=True)
+
+
+def customer_value_migration(sf_dir: str):
+    """CUSTOMER VALUE MIGRATION matrix — the period-over-period
+    quartile transition every retention team tracks: spend per
+    customer in the first vs second half of the order-date span
+    (same mid = (min+max)//2 convention as `value_drift_by_half`),
+    each half bucketed 0 (no spend) or 1-4 by exact value-threshold
+    quartiles over that half's SPENDERS, then the ≤5×5 census.
+    Plan: one cheap min/max date pre-pass, per-block (custkey, s0,
+    s1) partials → tiered combine (native Sum groupby above
+    `CUST_BROADCAST_MAX_ROWS`) → two count-table quartile walks →
+    map-side bucketing → output-scale rollup.  Integer-exact."""
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_totalprice", "o_orderdate"])
+
+    def ts_minmax(b: pa.Table) -> pa.Table:
+        us = (b["o_orderdate"].cast(pa.timestamp("us"))
+              .cast(pa.int64()).to_numpy(zero_copy_only=False))
+        return pa.table({"lo": pa.array([int(us.min())], pa.int64()),
+                         "hi": pa.array([int(us.max())], pa.int64())})
+
+    mm = _parts_pandas(
+        orders.map_batches(ts_minmax, batch_format="pyarrow"),
+        {"lo": np.int64, "hi": np.int64})
+    mid = (int(mm.lo.min()) + int(mm.hi.max())) // 2
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = (b["o_orderdate"].cast(pa.timestamp("us"))
+              .cast(pa.int64()).to_numpy(zero_copy_only=False))
+        cents = _cents_away(
+            b["o_totalprice"].to_numpy(zero_copy_only=False))
+        h1 = us >= mid
+        df = pd.DataFrame({
+            "ck": b["o_custkey"].to_numpy(zero_copy_only=False),
+            "s0": np.where(h1, 0, cents),
+            "s1": np.where(h1, cents, 0)})
+        agg = df.groupby("ck", as_index=False)[["s0", "s1"]].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = orders.map_batches(partial, batch_format="pyarrow")
+    n_ord = _cheap_count(orders)
+    if n_ord is not None and n_ord <= CUST_BROADCAST_MAX_ROWS:
+        cust = (_parts_pandas(parts_ds, {"ck": np.int64,
+                                         "s0": np.int64,
+                                         "s1": np.int64})
+                .groupby("ck", as_index=False)[["s0", "s1"]].sum())
+    else:
+        cust = (parts_ds.groupby("ck")
+                .aggregate(Sum("s0", alias_name="s0"),
+                           Sum("s1", alias_name="s1")).to_pandas())
+
+    def bucket(v: np.ndarray) -> np.ndarray:
+        pos = np.sort(v[v > 0])
+        if not len(pos):
+            return np.zeros(len(v), np.int64)
+        cum = np.arange(1, len(pos) + 1)
+        t = np.array([pos[np.argmax(4 * cum >= j * len(pos))]
+                      for j in (1, 2, 3)], np.int64)
+        q = 1 + (v > t[0]).astype(np.int64) + (v > t[1]) + (v > t[2])
+        return np.where(v == 0, 0, q)
+
+    s0 = cust.s0.to_numpy(np.int64)
+    s1 = cust.s1.to_numpy(np.int64)
+    out = (pd.DataFrame({"q_first": bucket(s0), "q_second": bucket(s1)})
+           .groupby(["q_first", "q_second"], as_index=False)
+           .size().rename(columns={"size": "n_customers"}))
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return (out.sort_values(["q_first", "q_second"])
+            .reset_index(drop=True))
+
+
+def dup_cluster_representatives(sf_dir: str):
+    """CANONICAL DOCUMENT per near-dup cluster — the keep-decision a
+    dedup pipeline makes after clustering (C4/CCNet keep-the-longest
+    heuristic): for every `dup_clusters` component, the member with
+    max ``n_chars`` (tie → min doc_id) becomes the representative.
+    The cluster table is DUPLICATE-scale, so the pick is a small
+    merge; ``n_chars`` attaches by broadcasting the (sorted) dup-doc
+    ids and filtering the pruned 2-column documents read map-side —
+    no corpus-scale shuffle, no text moves."""
+    import ray
+
+    clusters = dup_clusters(sf_dir)
+    ids = np.sort(clusters.doc_id.to_numpy(np.int64))
+    ids_ref = ray.put(ids)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def pick_members(b: pa.Table) -> pa.Table:
+        kk = ray.get(ids_ref)
+        v = b["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(kk, v)
+        pos[pos >= len(kk)] = 0
+        hit = (kk[pos] == v) if len(kk) else np.zeros(len(v), bool)
+        return b.filter(pa.array(hit))
+
+    nc = docs.map_batches(pick_members,
+                          batch_format="pyarrow").to_pandas()
+    m = clusters.merge(nc, on="doc_id")
+    m = m.sort_values(["cluster_id", "n_chars", "doc_id"],
+                      ascending=[True, False, True])
+    rep = m.groupby("cluster_id", as_index=False).head(1)
+    out = rep.rename(columns={"doc_id": "rep_doc",
+                              "n_chars": "rep_n_chars"})[
+        ["cluster_id", "cluster_size", "rep_doc", "rep_n_chars"]]
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("cluster_id").reset_index(drop=True)

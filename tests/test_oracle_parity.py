@@ -148,6 +148,7 @@ SQL_CHECKED = [
     "state_dwell_times", "weighted_median_quantity",
     "vocab_coverage_topp", "order_fulfillment_latency",
     "rfm_segments", "knn_label_accuracy",
+    "customer_value_migration", "dup_cluster_representatives",
 ]
 
 

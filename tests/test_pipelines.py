@@ -2956,3 +2956,44 @@ def test_round4_wave60_tiers_agree(ray_session, monkeypatch):
             correct[labels[q]] += 1
     assert (fast_knn.set_index("true_label").n_correct.to_numpy()
             == correct[fast_knn.true_label.to_numpy()]).all()
+
+
+def test_round4_wave61_tiers_agree(ray_session, monkeypatch):
+    """customer_value_migration + dup_cluster_representatives: tier
+    parity plus direct invariants."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_mg = A.customer_value_migration(sf)
+    fast_rep = A.dup_cluster_representatives(sf)
+
+    monkeypatch.setattr(A, "CUST_BROADCAST_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "DUPC_DRIVER_MAX_ROWS", 0)
+    slow_mg = A.customer_value_migration(sf)[list(fast_mg.columns)]
+    slow_rep = A.dup_cluster_representatives(sf)[
+        list(fast_rep.columns)]
+    assert len(fast_mg) > 0 and fast_mg.equals(slow_mg)
+    assert len(fast_rep) > 0 and fast_rep.equals(slow_rep)
+
+    # migration: every ordering customer appears exactly once
+    ords = pd.read_parquet(f"{sf}/orders.parquet",
+                           columns=["o_custkey"])
+    assert fast_mg.n_customers.sum() == ords.o_custkey.nunique()
+    assert fast_mg.q_first.between(0, 4).all()
+    assert fast_mg.q_second.between(0, 4).all()
+
+    # representatives: one per cluster; each rep is the longest (tie:
+    # smallest id) member of its cluster per a direct recomputation
+    clusters = A.dup_clusters(sf)
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    m = clusters.merge(docs, on="doc_id")
+    want = (m.sort_values(["cluster_id", "n_chars", "doc_id"],
+                          ascending=[True, False, True])
+            .groupby("cluster_id").head(1))
+    assert len(fast_rep) == clusters.cluster_id.nunique()
+    w = want.set_index("cluster_id")
+    g = fast_rep.set_index("cluster_id")
+    assert (g.rep_doc == w.doc_id).all()
+    assert (g.rep_n_chars == w.n_chars).all()
+    assert (g.cluster_size == w.cluster_size).all()
