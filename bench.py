@@ -274,7 +274,15 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "weekday_uniformity_chi2",
                "value_twap_by_type",
                "doc_compression_ratio",
-               "revenue_seasonal_decomposition"]
+               "revenue_seasonal_decomposition",
+               # round-4 waves 57-61
+               "nation_year_profit", "incremental_dedup_report",
+               "lang_temperature_mix", "segment_unshipped_topk",
+               "state_dwell_times", "weighted_median_quantity",
+               "vocab_coverage_topp", "order_fulfillment_latency",
+               "bloom_fpr_report", "rfm_segments",
+               "knn_label_accuracy", "customer_value_migration",
+               "dup_cluster_representatives"]
 
 
 def run_queries() -> dict[str, float]:
