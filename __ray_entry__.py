@@ -1437,6 +1437,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 wave 61: value migration / canonical dup docs
         "customer_value_migration": A.customer_value_migration,
         "dup_cluster_representatives": A.dup_cluster_representatives,
+        # round-4 wave 62: apportionment / concentration risk
+        "sample_budget_allocation": A.sample_budget_allocation,
+        "nation_whale_share": A.nation_whale_share,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "doc_compression_ratio": A.doc_compression_ratio,
@@ -4671,6 +4674,46 @@ def oracle_sql() -> dict[str, str]:
             " + CAST(s1 > t1.cq AS INT) END AS BIGINT) AS q_second,"
             " CAST(COUNT(*) AS BIGINT) AS n_customers"
             " FROM c, t0, t1 GROUP BY 1, 2 ORDER BY 1, 2",
+        # largest-remainder (Hamilton) apportionment of 997 sample
+        # slots: pure integer quota/remainder; ties -> source asc
+        "sample_budget_allocation":
+            "WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT)"
+            " AS n_docs FROM documents GROUP BY 1), "
+            "t AS (SELECT SUM(n_docs) AS nn FROM c), "
+            "q AS (SELECT c.source, c.n_docs,"
+            " (997*c.n_docs)//t.nn AS fq, (997*c.n_docs)%t.nn AS rem"
+            " FROM c, t), "
+            "s AS (SELECT SUM(fq) AS fsum FROM q), "
+            "r AS (SELECT q.*, ROW_NUMBER() OVER ("
+            "ORDER BY rem DESC, source) AS rn FROM q) "
+            "SELECT r.source, r.n_docs,"
+            " CAST(r.fq + CASE WHEN r.rn <= 997 - s.fsum THEN 1"
+            " ELSE 0 END AS BIGINT) AS alloc,"
+            " CAST(r.fq AS BIGINT) AS floor_quota,"
+            " CAST(r.rem AS BIGINT) AS remainder"
+            " FROM r, s ORDER BY r.source",
+        # whale dependence: max-of-sums customer revenue share per
+        # nation (argmax tie -> smallest custkey)
+        "nation_whale_share":
+            "WITH pc AS (SELECT o_custkey AS ck,"
+            " SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS cents"
+            " FROM orders GROUP BY 1), "
+            "j AS (SELECT pc.ck, pc.cents, c.c_nationkey AS nat"
+            " FROM pc JOIN customer c ON pc.ck = c.c_custkey), "
+            "r AS (SELECT j.*, ROW_NUMBER() OVER (PARTITION BY nat"
+            " ORDER BY cents DESC, ck) AS rn FROM j), "
+            "tot AS (SELECT nat, CAST(COUNT(*) AS BIGINT)"
+            " AS n_customers, SUM(cents) AS total_cents FROM j"
+            " GROUP BY 1) "
+            "SELECT n.n_name, tot.n_customers,"
+            " CAST(tot.total_cents AS BIGINT) AS total_cents,"
+            " CAST(r.ck AS BIGINT) AS top_custkey,"
+            " CAST(r.cents AS BIGINT) AS top_cents,"
+            " ROUND(CAST(r.cents AS DOUBLE) / tot.total_cents, 6)"
+            " AS whale_share_r6"
+            " FROM tot JOIN r ON tot.nat = r.nat AND r.rn = 1"
+            " JOIN nation n ON tot.nat = n.n_nationkey"
+            " ORDER BY n.n_name",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

@@ -282,7 +282,8 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "vocab_coverage_topp", "order_fulfillment_latency",
                "bloom_fpr_report", "rfm_segments",
                "knn_label_accuracy", "customer_value_migration",
-               "dup_cluster_representatives"]
+               "dup_cluster_representatives",
+               "sample_budget_allocation", "nation_whale_share"]
 
 
 def run_queries() -> dict[str, float]:

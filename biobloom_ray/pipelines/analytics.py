@@ -13802,3 +13802,134 @@ def dup_cluster_representatives(sf_dir: str):
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("cluster_id").reset_index(drop=True)
+
+
+def sample_budget_allocation(sf_dir: str, budget: int = 997):
+    """LARGEST-REMAINDER APPORTIONMENT of a fixed sample budget across
+    sources — the exact integer allocation a proportional sampler
+    needs before drawing (Hamilton method: floor quotas, then the
+    leftover slots go to the largest remainders, ties → source asc).
+    Pure integer arithmetic (quota = B·n // N, remainder = B·n % N) so
+    no float can perturb a seat.  Map-only (source, n) partials →
+    tiered combine → the allocation walk on the output-scale
+    (≤ |sources|) table."""
+    ds = _read(sf_dir, "documents", columns=["source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": b["source"].to_pandas().to_numpy(dtype=object)})
+        agg = df.groupby("source", as_index=False).agg(
+            n_docs=("source", "size"))
+        agg["n_docs"] = agg.n_docs.astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= RANK_DRIVER_MAX_ROWS:
+        c = (_parts_pandas(parts_ds, {"source": object,
+                                      "n_docs": np.int64})
+             .groupby("source", as_index=False).n_docs.sum())
+    else:
+        c = (parts_ds.groupby("source")
+             .aggregate(Sum("n_docs", alias_name="n_docs")).to_pandas())
+    c = c.sort_values("source").reset_index(drop=True)
+    n = c.n_docs.to_numpy(np.int64)
+    N = int(n.sum())
+    B = np.int64(budget)
+    quota = (B * n) // N
+    rem = (B * n) % N
+    leftover = int(budget - quota.sum())
+    order = np.lexsort((np.arange(len(c)), -rem))
+    extra = np.zeros(len(c), np.int64)
+    extra[order[:leftover]] = 1
+    c["n_docs"] = c.n_docs.astype(np.int64)
+    c["alloc"] = (quota + extra).astype(np.int64)
+    c["floor_quota"] = quota.astype(np.int64)
+    c["remainder"] = rem.astype(np.int64)
+    return c
+
+
+def nation_whale_share(sf_dir: str):
+    """WHALE DEPENDENCE per nation: the share of a nation's order
+    revenue contributed by its single largest customer (max-of-sums —
+    the concentration-risk flag HHI's sum-of-squares smooths away).
+    Exact cents: per-block (custkey, cents) partials → tiered
+    customer rollup (native Sum groupby above
+    `CUST_BROADCAST_MAX_ROWS`) → nation attach on the customer-scale
+    table (broadcast sorted arrays below `ANTI_BROADCAST_MAX_ROWS`
+    customers, hash join above) → per-nation (Σ, max, argmax-with-
+    min-id) fold; one final 6-dp division."""
+    import ray
+
+    from biobloom_ray.io import hash_join
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation",
+                   columns=["n_nationkey", "n_name"]).to_pandas()
+    names = dict(zip(nation.n_nationkey.to_numpy(np.int64),
+                     nation.n_name.to_numpy(dtype=object)))
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "ck": b["o_custkey"].to_numpy(zero_copy_only=False),
+            "cents": _cents_away(
+                b["o_totalprice"].to_numpy(zero_copy_only=False))})
+        agg = df.groupby("ck", as_index=False).cents.sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = orders.map_batches(partial, batch_format="pyarrow")
+    n_ord = _cheap_count(orders)
+    if n_ord is not None and n_ord <= CUST_BROADCAST_MAX_ROWS:
+        per_cust = (_parts_pandas(parts_ds, {"ck": np.int64,
+                                             "cents": np.int64})
+                    .groupby("ck", as_index=False).cents.sum())
+        per_cust_ds = None
+    else:
+        per_cust_ds = (parts_ds.groupby("ck")
+                       .aggregate(Sum("cents", alias_name="cents")))
+        per_cust = None
+
+    n_cust = _cheap_count(cust)
+    if per_cust is not None and n_cust is not None \
+            and n_cust <= ANTI_BROADCAST_MAX_ROWS:
+        cp = cust.to_pandas()
+        co = np.argsort(cp.c_custkey.to_numpy(np.int64))
+        keys = cp.c_custkey.to_numpy(np.int64)[co]
+        nats = cp.c_nationkey.to_numpy(np.int64)[co]
+        pos = np.searchsorted(keys, per_cust.ck.to_numpy(np.int64))
+        per_cust["nat"] = nats[pos]
+        joined = per_cust
+    else:
+        if per_cust_ds is None:
+            per_cust_ds = ray.data.from_pandas(per_cust)
+
+        def cproj(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "ck2": b["c_custkey"].cast(pa.int64()),
+                "nat": b["c_nationkey"].cast(pa.int64())})
+
+        joined = _parts_pandas(
+            hash_join(per_cust_ds,
+                      cust.map_batches(cproj, batch_format="pyarrow"),
+                      on=("ck",), right_on=("ck2",)),
+            {"ck": np.int64, "cents": np.int64, "nat": np.int64})
+    # per-nation fold on the customer-scale table: total, max, and the
+    # smallest custkey attaining the max
+    j = joined.sort_values(["nat", "cents", "ck"],
+                           ascending=[True, False, True])
+    top = j.groupby("nat", as_index=False).head(1) \
+        .rename(columns={"ck": "top_custkey", "cents": "top_cents"})
+    tot = (joined.groupby("nat", as_index=False)
+           .agg(total_cents=("cents", "sum"),
+                n_customers=("cents", "size")))
+    out = tot.merge(top[["nat", "top_custkey", "top_cents"]], on="nat")
+    out["n_name"] = out.nat.map(names)
+    out["whale_share_r6"] = (out.top_cents / out.total_cents).round(6)
+    out = out[["n_name", "n_customers", "total_cents", "top_custkey",
+               "top_cents", "whale_share_r6"]]
+    for c in ["n_customers", "total_cents", "top_custkey", "top_cents"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("n_name").reset_index(drop=True)

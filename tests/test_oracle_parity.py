@@ -149,6 +149,7 @@ SQL_CHECKED = [
     "vocab_coverage_topp", "order_fulfillment_latency",
     "rfm_segments", "knn_label_accuracy",
     "customer_value_migration", "dup_cluster_representatives",
+    "sample_budget_allocation", "nation_whale_share",
 ]
 
 

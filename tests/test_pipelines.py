@@ -2997,3 +2997,51 @@ def test_round4_wave61_tiers_agree(ray_session, monkeypatch):
     assert (g.rep_doc == w.doc_id).all()
     assert (g.rep_n_chars == w.n_chars).all()
     assert (g.cluster_size == w.cluster_size).all()
+
+
+def test_round4_wave62_tiers_agree(ray_session, monkeypatch):
+    """sample_budget_allocation + nation_whale_share: tier parity +
+    apportionment/dominance invariants."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_al = A.sample_budget_allocation(sf)
+    fast_wh = A.nation_whale_share(sf)
+
+    monkeypatch.setattr(A, "RANK_DRIVER_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "CUST_BROADCAST_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "ANTI_BROADCAST_MAX_ROWS", 0)
+    slow_al = A.sample_budget_allocation(sf)[list(fast_al.columns)]
+    slow_wh = A.nation_whale_share(sf)[list(fast_wh.columns)]
+    assert len(fast_al) > 0 and fast_al.equals(slow_al)
+    assert len(fast_wh) > 0 and fast_wh.equals(slow_wh)
+
+    # apportionment: seats sum exactly to the budget; every alloc is
+    # the floor quota or one more; quota monotone in n_docs
+    assert fast_al.alloc.sum() == 997
+    assert ((fast_al.alloc - fast_al.floor_quota).isin([0, 1])).all()
+    assert (fast_al.alloc > 0).all()
+    # the 997 budget on the balanced fixture forces a real remainder
+    # split (some sources get the extra seat, some do not)
+    assert fast_al.alloc.nunique() >= 2
+
+    # whale: top customer's cents really is the max of per-customer
+    # sums in that nation, and shares are in (0, 1]
+    ords = pd.read_parquet(f"{sf}/orders.parquet",
+                           columns=["o_custkey", "o_totalprice"])
+    cust = pd.read_parquet(f"{sf}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    cents = (np.sign(ords.o_totalprice)
+             * np.floor(np.abs(ords.o_totalprice) * 100 + 0.5)
+             ).astype(np.int64)
+    pc_ = (pd.DataFrame({"ck": ords.o_custkey, "cents": cents})
+           .groupby("ck", as_index=False).cents.sum()
+           .merge(cust, left_on="ck", right_on="c_custkey"))
+    want_max = pc_.groupby("c_nationkey").cents.max()
+    nat_of = pd.read_parquet(f"{sf}/nation.parquet").set_index(
+        "n_name").n_nationkey
+    got = fast_wh.set_index("n_name")
+    assert (got.top_cents.to_numpy()
+            == want_max.loc[nat_of.loc[got.index]].to_numpy()).all()
+    assert ((fast_wh.whale_share_r6 > 0)
+            & (fast_wh.whale_share_r6 <= 1)).all()
