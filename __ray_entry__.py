@@ -1440,10 +1440,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 wave 62: apportionment / concentration risk
         "sample_budget_allocation": A.sample_budget_allocation,
         "nation_whale_share": A.nation_whale_share,
+        # round-4 wave 63: session bounce rate (the quantization
+        # report is registered in the no-SQL-oracle section below)
+        "session_bounce_rate": A.session_bounce_rate,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "doc_compression_ratio": A.doc_compression_ratio,
         "bloom_fpr_report": A.bloom_fpr_report,
+        "embedding_quantization_report": A.embedding_quantization_report,
         "mibf_classify": _mibf_classify,
         "mibf_classify_paired": _mibf_classify_paired,
         "categorize_length": _categorize_length,
@@ -4714,6 +4718,35 @@ def oracle_sql() -> dict[str, str]:
             " FROM tot JOIN r ON tot.nat = r.nat AND r.rn = 1"
             " JOIN nation n ON tot.nat = n.n_nationkey"
             " ORDER BY n.n_name",
+        # bounce rate by session entry type: >30-min-gap sessions
+        # (events_sessionize rule, ties by (ts, event_id)); entry =
+        # first event's type; bounce = single-event session
+        "session_bounce_rate":
+            "WITH s AS (SELECT user_id, ts, event_id, event_type,"
+            " CASE WHEN LAG(ts) OVER w IS NULL"
+            " OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE"
+            " THEN 1 ELSE 0 END AS new_s FROM events"
+            " WINDOW w AS (PARTITION BY user_id"
+            " ORDER BY ts, event_id)), "
+            "g AS (SELECT user_id, ts, event_id, event_type,"
+            " SUM(new_s) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)"
+            " AS sid FROM s), "
+            "per AS (SELECT user_id, sid,"
+            " CAST(COUNT(*) AS BIGINT) AS ne FROM g GROUP BY 1, 2), "
+            "ent AS (SELECT user_id, sid, event_type FROM ("
+            "SELECT user_id, sid, event_type, ROW_NUMBER() OVER ("
+            "PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn"
+            " FROM g) WHERE rn = 1) "
+            "SELECT ent.event_type AS entry_type,"
+            " CAST(COUNT(*) AS BIGINT) AS n_sessions,"
+            " CAST(SUM(CASE WHEN per.ne = 1 THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_bounce,"
+            " CAST(SUM(per.ne) AS BIGINT) AS n_events,"
+            " ROUND(CAST(SUM(CASE WHEN per.ne = 1 THEN 1 ELSE 0 END)"
+            " AS DOUBLE) / COUNT(*), 6) AS bounce_rate_r6"
+            " FROM per JOIN ent USING (user_id, sid)"
+            " GROUP BY 1 ORDER BY 1",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

@@ -283,7 +283,8 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "bloom_fpr_report", "rfm_segments",
                "knn_label_accuracy", "customer_value_migration",
                "dup_cluster_representatives",
-               "sample_budget_allocation", "nation_whale_share"]
+               "sample_budget_allocation", "nation_whale_share",
+               "session_bounce_rate", "embedding_quantization_report"]
 
 
 def run_queries() -> dict[str, float]:

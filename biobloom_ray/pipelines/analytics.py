@@ -13933,3 +13933,126 @@ def nation_whale_share(sf_dir: str):
     for c in ["n_customers", "total_cents", "top_custkey", "top_cents"]:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("n_name").reset_index(drop=True)
+
+
+def session_bounce_rate(sf_dir: str, gap_minutes: int = 30):
+    """BOUNCE RATE by session ENTRY type: sessions split at >30-min
+    gaps (same rule as `events_sessionize`, ties ordered by
+    (ts, event_id)); a session's entry type is its first event's
+    type; bounce = single-event session.  Per entry type: sessions,
+    bounces, total events, 6-dp bounce rate.  Below the gate: one
+    driver sort + vectorized segment walk.  Above: per-user
+    ``map_groups`` emits an (entry_type, n_sessions, n_bounce,
+    n_events) partial — ≤ |types| rows per user — and the final
+    rollup is output-scale."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+    gap_ns = np.int64(gap_minutes) * np.int64(60_000_000_000)
+
+    def fold(uid, ts_ns, et):
+        """(user-major, time-ordered arrays) → per-entry-type partial
+        counts.  Vectorized: session starts where user changes or the
+        in-user gap exceeds gap_ns; session ids by cumsum; bounce =
+        sessions of length 1."""
+        if not len(ts_ns):
+            return pd.DataFrame({"entry_type": [], "n_sessions": [],
+                                 "n_bounce": [], "n_events": []})
+        new_s = np.ones(len(ts_ns), bool)
+        same = uid[1:] == uid[:-1]
+        new_s[1:] = ~same | (ts_ns[1:] - ts_ns[:-1] > gap_ns)
+        sid = np.cumsum(new_s) - 1
+        starts = np.nonzero(new_s)[0]
+        ln = np.diff(np.r_[starts, len(ts_ns)])
+        df = pd.DataFrame({"entry_type": et[starts], "ln": ln})
+        agg = (df.groupby("entry_type", as_index=False)
+               .agg(n_sessions=("ln", "size"),
+                    n_bounce=("ln", lambda s: int((s == 1).sum())),
+                    n_events=("ln", "sum")))
+        return agg
+
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        df = ds.to_pandas()
+        df["ts_ns"] = df.ts.astype("datetime64[ns]").astype(np.int64)
+        df = df.sort_values(["user_id", "ts_ns", "event_id"])
+        agg = fold(df.user_id.to_numpy(), df.ts_ns.to_numpy(),
+                   df.event_type.to_numpy(dtype=object))
+    else:
+        def per_user(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["ts", "event_id"])
+            ts_ns = g.ts.astype("datetime64[ns]").astype(
+                np.int64).to_numpy()
+            return fold(g.user_id.to_numpy(), ts_ns,
+                        g.event_type.to_numpy(dtype=object))
+
+        parts = (ds.groupby("user_id")
+                 .map_groups(per_user, batch_format="pandas"))
+        agg = (_parts_pandas(parts, {"entry_type": object,
+                                     "n_sessions": np.int64,
+                                     "n_bounce": np.int64,
+                                     "n_events": np.int64})
+               .groupby("entry_type", as_index=False)
+               [["n_sessions", "n_bounce", "n_events"]].sum())
+    agg["bounce_rate_r6"] = (agg.n_bounce / agg.n_sessions).round(6)
+    for c in ["n_sessions", "n_bounce", "n_events"]:
+        agg[c] = agg[c].astype(np.int64)
+    return (agg.rename(columns={"entry_type": "entry_type"})
+            .sort_values("entry_type").reset_index(drop=True))
+
+
+def embedding_quantization_report(sf_dir: str):
+    """INT8 SCALAR-QUANTIZATION error report — the memory-planning op
+    for ANN at scale (uint8 codes = 8× less object-store traffic than
+    float64): pass 1 folds per-block per-dim min/max; pass 2
+    quantizes q = round((x−lo)/(hi−lo)·255), dequantizes and folds
+    per-block (Σ err², Σ|err| max, n) partials.  Two map-only passes,
+    #blocks × O(dim) rows to the driver, nothing corpus-scale
+    materializes.  No SQL twin can exist (list-typed column); the
+    pytest twin recomputes in numpy to 1e-9."""
+    import ray
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def minmax(b: pa.Table) -> pa.Table:
+        m = np.stack(b["embedding"].to_pandas().to_numpy())
+        return pa.table({
+            "lo": pa.array([m.min(axis=0).tobytes()], pa.large_binary()),
+            "hi": pa.array([m.max(axis=0).tobytes()], pa.large_binary()),
+            "n": pa.array([m.shape[0]], pa.int64()),
+            "d": pa.array([m.shape[1]], pa.int64())})
+
+    mm = _parts_pandas(ds.map_batches(minmax, batch_format="pyarrow"),
+                       {"lo": object, "hi": object, "n": np.int64,
+                        "d": np.int64})
+    dim = int(mm.d.iloc[0])
+    lo = np.min(np.stack([np.frombuffer(b, np.float32)
+                          for b in mm.lo]), axis=0).astype(np.float64)
+    hi = np.max(np.stack([np.frombuffer(b, np.float32)
+                          for b in mm.hi]), axis=0).astype(np.float64)
+    scale = np.where(hi > lo, (hi - lo) / 255.0, 1.0)
+    ref = ray.put((lo, scale))
+
+    def qerr(b: pa.Table) -> pa.Table:
+        l, s = ray.get(ref)
+        m = np.stack(b["embedding"].to_pandas().to_numpy()) \
+            .astype(np.float64)
+        q = np.clip(np.round((m - l) / s), 0, 255)
+        rec = q * s + l
+        err = rec - m
+        return pa.table({
+            "sse": pa.array([float((err * err).sum())], pa.float64()),
+            "mae_max": pa.array([float(np.abs(err).max())],
+                                pa.float64()),
+            "n": pa.array([m.shape[0]], pa.int64())})
+
+    p = _parts_pandas(ds.map_batches(qerr, batch_format="pyarrow"),
+                      {"sse": np.float64, "mae_max": np.float64,
+                       "n": np.int64})
+    n = int(p.n.sum())
+    out = pd.DataFrame({
+        "n_vecs": np.asarray([n], np.int64),
+        "dim": np.asarray([dim], np.int64),
+        "rmse_r6": [round(float(np.sqrt(p.sse.sum() / (n * dim))), 6)],
+        "max_abs_err_r6": [round(float(p.mae_max.max()), 6)],
+        "bytes_saved_ratio_r6": [round(1.0 - 1.0 / 4.0, 6)]})
+    return out

@@ -3045,3 +3045,57 @@ def test_round4_wave62_tiers_agree(ray_session, monkeypatch):
             == want_max.loc[nat_of.loc[got.index]].to_numpy()).all()
     assert ((fast_wh.whale_share_r6 > 0)
             & (fast_wh.whale_share_r6 <= 1)).all()
+
+
+def test_round4_wave63_tiers_agree(ray_session, monkeypatch):
+    """session_bounce_rate tier parity + direct pandas recomputation;
+    embedding_quantization_report numpy twin (1e-9)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_br = A.session_bounce_rate(sf)
+    rep = A.embedding_quantization_report(sf)
+
+    monkeypatch.setattr(A, "EVENTS_DRIVER_MAX_ROWS", 0)
+    slow_br = A.session_bounce_rate(sf)[list(fast_br.columns)]
+    assert len(fast_br) == 5 and fast_br.equals(slow_br)
+
+    # direct recomputation: sessions from the sorted event stream
+    ev = (pd.read_parquet(f"{sf}/events.parquet",
+                          columns=["event_id", "ts", "user_id",
+                                   "event_type"])
+          .sort_values(["user_id", "ts", "event_id"]))
+    ts = ev.ts.astype("datetime64[ns]").astype(np.int64).to_numpy()
+    uid = ev.user_id.to_numpy()
+    new_s = np.ones(len(ev), bool)
+    new_s[1:] = (uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1]
+                                         > 30 * 60 * 10**9)
+    starts = np.nonzero(new_s)[0]
+    ln = np.diff(np.r_[starts, len(ev)])
+    et = ev.event_type.to_numpy(dtype=object)[starts]
+    want = (pd.DataFrame({"t": et, "ln": ln}).groupby("t")
+            .agg(n_sessions=("ln", "size"),
+                 n_bounce=("ln", lambda s: int((s == 1).sum())),
+                 n_events=("ln", "sum")))
+    g = fast_br.set_index("entry_type")
+    assert (g.n_sessions == want.n_sessions).all()
+    assert (g.n_bounce == want.n_bounce).all()
+    assert (g.n_events == want.n_events).all()
+    assert fast_br.n_events.sum() == len(ev)
+
+    # quantization: numpy recomputation of the exact same scheme
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    m = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    lo = np.stack(emb.embedding.to_numpy()).min(axis=0).astype(
+        np.float64)
+    hi = np.stack(emb.embedding.to_numpy()).max(axis=0).astype(
+        np.float64)
+    scale = np.where(hi > lo, (hi - lo) / 255.0, 1.0)
+    q = np.clip(np.round((m - lo) / scale), 0, 255)
+    err = q * scale + lo - m
+    rmse = float(np.sqrt((err * err).sum() / err.size))
+    assert rep.n_vecs.iloc[0] == len(emb)
+    assert rep.dim.iloc[0] == m.shape[1]
+    assert abs(rep.rmse_r6.iloc[0] - round(rmse, 6)) <= 1e-6
+    assert abs(rep.max_abs_err_r6.iloc[0]
+               - round(float(np.abs(err).max()), 6)) <= 1e-6
