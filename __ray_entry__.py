@@ -1443,6 +1443,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 wave 63: session bounce rate (the quantization
         # report is registered in the no-SQL-oracle section below)
         "session_bounce_rate": A.session_bounce_rate,
+        # round-4 wave 64: gate-tuning threshold sweep
+        "quality_gate_sweep": A.quality_gate_sweep,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "doc_compression_ratio": A.doc_compression_ratio,
@@ -4747,6 +4749,22 @@ def oracle_sql() -> dict[str, str]:
             " AS DOUBLE) / COUNT(*), 6) AS bounce_rate_r6"
             " FROM per JOIN ent USING (user_id, sid)"
             " GROUP BY 1 ORDER BY 1",
+        # gate-tuning sweep: integer cross-multiplied alpha-ratio gate
+        # over a threshold grid, per language
+        "quality_gate_sweep":
+            "WITH d AS (SELECT lang, length(text) AS n_chars,"
+            " length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+            " AS n_alpha FROM documents), "
+            "g AS (SELECT lang, t.thr AS thr,"
+            " CASE WHEN 100*n_alpha >= t.thr*n_chars THEN 1 ELSE 0"
+            " END AS kept FROM d CROSS JOIN"
+            " (SELECT unnest([50, 60, 70, 80, 90]) AS thr) t) "
+            "SELECT lang, CAST(thr AS BIGINT) AS thr,"
+            " CAST(COUNT(*) AS BIGINT) AS n_docs,"
+            " CAST(SUM(kept) AS BIGINT) AS n_kept,"
+            " ROUND(CAST(SUM(kept) AS DOUBLE) / COUNT(*), 6)"
+            " AS keep_rate_r6"
+            " FROM g GROUP BY 1, 2 ORDER BY 1, 2",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

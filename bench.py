@@ -284,7 +284,8 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "knn_label_accuracy", "customer_value_migration",
                "dup_cluster_representatives",
                "sample_budget_allocation", "nation_whale_share",
-               "session_bounce_rate", "embedding_quantization_report"]
+               "session_bounce_rate", "embedding_quantization_report",
+               "quality_gate_sweep"]
 
 
 def run_queries() -> dict[str, float]:

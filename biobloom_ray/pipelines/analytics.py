@@ -14056,3 +14056,51 @@ def embedding_quantization_report(sf_dir: str):
         "max_abs_err_r6": [round(float(p.mae_max.max()), 6)],
         "bytes_saved_ratio_r6": [round(1.0 - 1.0 / 4.0, 6)]})
     return out
+
+
+def quality_gate_sweep(sf_dir: str, thresholds=(50, 60, 70, 80, 90)):
+    """GATE-TUNING SWEEP — the table a curation team reads before
+    picking a quality threshold: for each alpha-ratio gate
+    (keep iff 100·n_alpha ≥ thr·n_chars — exact integer
+    cross-multiplication, no float boundary) and each language, docs
+    kept / total / 6-dp keep rate.  Map-only per-block
+    (lang, thr, kept) partials broadcast over the threshold grid;
+    tiered combine; output-scale |langs|×|thresholds| table."""
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+    thr = np.asarray(thresholds, np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = b["text"].to_pandas()
+        n_chars = s.str.len().fillna(0).astype(np.int64).to_numpy()
+        n_alpha = (s.str.count(r"[A-Za-z]").fillna(0)
+                   .astype(np.int64).to_numpy())
+        lg = b["lang"].to_pandas().to_numpy(dtype=object)
+        kept = (100 * n_alpha[:, None] >= thr[None, :] * n_chars[:, None])
+        df = pd.DataFrame({
+            "lang": np.repeat(lg, len(thr)),
+            "thr": np.tile(thr, len(lg)),
+            "kept": kept.astype(np.int64).ravel(),
+            "one": np.ones(len(lg) * len(thr), np.int64)})
+        agg = (df.groupby(["lang", "thr"], as_index=False)
+               [["one", "kept"]].sum()
+               .rename(columns={"one": "n_docs", "kept": "n_kept"}))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= RANK_DRIVER_MAX_ROWS:
+        out = (_parts_pandas(parts_ds, {"lang": object,
+                                        "thr": np.int64,
+                                        "n_docs": np.int64,
+                                        "n_kept": np.int64})
+               .groupby(["lang", "thr"], as_index=False)
+               [["n_docs", "n_kept"]].sum())
+    else:
+        out = (parts_ds.groupby(["lang", "thr"])
+               .aggregate(Sum("n_docs", alias_name="n_docs"),
+                          Sum("n_kept", alias_name="n_kept"))
+               .to_pandas())
+    out["keep_rate_r6"] = (out.n_kept / out.n_docs).round(6)
+    for c in ["thr", "n_docs", "n_kept"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["lang", "thr"]).reset_index(drop=True)

@@ -150,7 +150,7 @@ SQL_CHECKED = [
     "rfm_segments", "knn_label_accuracy",
     "customer_value_migration", "dup_cluster_representatives",
     "sample_budget_allocation", "nation_whale_share",
-    "session_bounce_rate",
+    "session_bounce_rate", "quality_gate_sweep",
 ]
 
 

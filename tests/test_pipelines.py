@@ -3099,3 +3099,30 @@ def test_round4_wave63_tiers_agree(ray_session, monkeypatch):
     assert abs(rep.rmse_r6.iloc[0] - round(rmse, 6)) <= 1e-6
     assert abs(rep.max_abs_err_r6.iloc[0]
                - round(float(np.abs(err).max()), 6)) <= 1e-6
+
+
+def test_round4_wave64_tiers_agree(ray_session, monkeypatch):
+    """quality_gate_sweep: tier parity, monotonicity in the threshold,
+    and a direct pandas recomputation at one threshold."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast = A.quality_gate_sweep(sf)
+    monkeypatch.setattr(A, "RANK_DRIVER_MAX_ROWS", 0)
+    slow = A.quality_gate_sweep(sf)[list(fast.columns)]
+    assert len(fast) == 25 and fast.equals(slow)
+
+    # keep counts weakly decrease as the gate tightens
+    for _, g in fast.groupby("lang"):
+        ks = g.sort_values("thr").n_kept.to_numpy()
+        assert (np.diff(ks) <= 0).all()
+
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["lang", "text"])
+    nc = docs.text.str.len().astype(np.int64)
+    na = docs.text.str.count(r"[A-Za-z]").astype(np.int64)
+    kept70 = (pd.DataFrame({"lang": docs.lang,
+                            "k": (100 * na >= 70 * nc).astype(int)})
+              .groupby("lang").k.sum())
+    got70 = fast[fast.thr == 70].set_index("lang").n_kept
+    assert (got70 == kept70).all()

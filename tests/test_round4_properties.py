@@ -281,3 +281,96 @@ def test_up_run_kernel_vs_loop(diffs):
         prev = bool(u)
     assert (int(lens.max()) if len(lens) else 0) == best
     assert len(lens) == runs
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(1, 10**6), min_size=1, max_size=40),
+       st.integers(1, 5000))
+def test_hamilton_apportionment_properties(counts, budget):
+    """Largest-remainder allocation: seats sum to the budget, each
+    source gets floor-quota or floor-quota+1, and allocation respects
+    the quota ordering (a source with a strictly larger remainder
+    never gets fewer extra seats; ties resolve by source order)."""
+    n = np.asarray(counts, np.int64)
+    N = int(n.sum())
+    B = budget
+    quota = (B * n) // N
+    rem = (B * n) % N
+    leftover = int(B - quota.sum())
+    order = np.lexsort((np.arange(len(n)), -rem))
+    extra = np.zeros(len(n), np.int64)
+    extra[order[:leftover]] = 1
+    alloc = quota + extra
+    assert alloc.sum() == B
+    assert ((alloc - quota) >= 0).all() and ((alloc - quota) <= 1).all()
+    # remainder dominance: if rem[i] > rem[j] and j got an extra seat,
+    # then i must have one too
+    for i in range(len(n)):
+        for j in range(len(n)):
+            if rem[i] > rem[j] and extra[j] == 1:
+                assert extra[i] == 1
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.integers(1, 50), st.integers(1, 10**6)),
+                min_size=1, max_size=200))
+def test_weighted_median_kernel_vs_expansion(pairs):
+    """The count-table weighted-median walk equals the median of the
+    weight-expanded multiset (lower-median convention)."""
+    df = (pd.DataFrame(pairs, columns=["qty", "w"])
+          .groupby("qty", as_index=False).w.sum()
+          .sort_values("qty"))
+    w = df.w.to_numpy(np.int64)
+    q = df.qty.to_numpy(np.int64)
+    cw = np.cumsum(w)
+    tot = int(cw[-1])
+    pick = int(q[np.argmax(2 * cw >= tot)])
+    # brute force: expand (bounded by strategy sizes via repeats of
+    # the DISTINCT values, using integer arithmetic on ranks instead
+    # of a literal expansion when weights are large)
+    below = int(w[q < pick].sum())
+    upto = int(w[q <= pick].sum())
+    assert 2 * below < tot <= 2 * upto
+    smaller = q[q < pick]
+    if len(smaller):
+        p2 = int(smaller.max())
+        assert 2 * int(w[q <= p2].sum()) < tot
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.integers(1, 3),       # user
+                          st.integers(0, 10**7),   # microsecond offset
+                          st.integers(0, 4)),      # type index
+                min_size=2, max_size=80))
+def test_dwell_kernel_vs_sequential_loop(events):
+    """The vectorized dwell fold equals a per-user sequential loop."""
+    types = np.array(["a", "b", "c", "d", "e"], dtype=object)
+    df = pd.DataFrame({
+        "user_id": [u for u, _, _ in events],
+        "ts_us": [t for _, t, _ in events],
+        "event_id": range(len(events)),
+        "event_type": types[[k for _, _, k in events]]})
+    df = df.sort_values(["user_id", "ts_us", "event_id"])
+    uid = df.user_id.to_numpy()
+    ts = df.ts_us.to_numpy(np.int64)
+    et = df.event_type.to_numpy(dtype=object)
+    # vectorized (state_dwell_times driver-tier kernel)
+    nxt_same = np.r_[uid[1:] == uid[:-1], False]
+    gaps = np.empty(len(ts), np.int64)
+    gaps[:-1] = (ts[1:] - ts[:-1]) // 1_000_000
+    vec = (pd.DataFrame({"t": et[nxt_same], "g": gaps[nxt_same]})
+           .groupby("t").g.agg(["size", "sum"]))
+    # sequential loop
+    from collections import defaultdict
+    n_loop = defaultdict(int)
+    s_loop = defaultdict(int)
+    rows = list(df.itertuples())
+    for a, b in zip(rows, rows[1:]):
+        if a.user_id == b.user_id:
+            n_loop[a.event_type] += 1
+            s_loop[a.event_type] += (b.ts_us - a.ts_us) // 1_000_000
+    assert dict(vec["size"]) == dict(n_loop)
+    assert dict(vec["sum"]) == dict(s_loop)
