@@ -1450,6 +1450,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_compression_ratio": A.doc_compression_ratio,
         "bloom_fpr_report": A.bloom_fpr_report,
         "embedding_quantization_report": A.embedding_quantization_report,
+        "neardup_calibration_report": A.neardup_calibration_report,
+        "hll_error_sweep": A.hll_error_sweep,
         "mibf_classify": _mibf_classify,
         "mibf_classify_paired": _mibf_classify_paired,
         "categorize_length": _categorize_length,

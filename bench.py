@@ -285,7 +285,8 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "dup_cluster_representatives",
                "sample_budget_allocation", "nation_whale_share",
                "session_bounce_rate", "embedding_quantization_report",
-               "quality_gate_sweep"]
+               "quality_gate_sweep",
+               "neardup_calibration_report", "hll_error_sweep"]
 
 
 def run_queries() -> dict[str, float]:

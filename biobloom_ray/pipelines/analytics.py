@@ -14104,3 +14104,117 @@ def quality_gate_sweep(sf_dir: str, thresholds=(50, 60, 70, 80, 90)):
     for c in ["thr", "n_docs", "n_kept"]:
         out[c] = out[c].astype(np.int64)
     return out.sort_values(["lang", "thr"]).reset_index(drop=True)
+
+
+def neardup_calibration_report(sf_dir: str, threshold: float = 0.5,
+                               max_hamming: int = 3):
+    """SKETCH-vs-EXACT calibration for the near-dup detectors — the
+    table that justifies replacing exact all-pairs Jaccard with
+    SimHash at scale: candidate pairs from the SimHash banding path
+    vs ground-truth pairs from the exact n-gram-Jaccard path
+    (threshold 0.5), intersected on normalized (lo, hi) keys →
+    precision / recall counts.  Both sides are existing distributed
+    pipelines; the pair tables are duplicate-scale so the set math is
+    a driver fold.  No SQL twin for the SimHash side (sketch); the
+    ground-truth side is already independently SQL-oracled
+    (`ngram_jaccard_pairs`)."""
+    from biobloom_ray.stages.dedup import (ngram_jaccard_pairs,
+                                           simhash_neardup_pairs)
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    cand = simhash_neardup_pairs(docs, max_hamming=max_hamming)
+    truth = ngram_jaccard_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=threshold)
+    if not isinstance(cand, pd.DataFrame):
+        cand = cand.to_pandas()
+    if not isinstance(truth, pd.DataFrame):
+        truth = truth.to_pandas()
+
+    def keyset(df: pd.DataFrame) -> set:
+        cols = [c for c in df.columns if c.lower() in
+                ("doc_a", "doc_b", "id_a", "id_b", "a", "b")][:2]
+        if len(cols) < 2:
+            cols = list(df.columns[:2])
+        a = df[cols[0]].to_numpy(np.int64)
+        b = df[cols[1]].to_numpy(np.int64)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return set(zip(lo.tolist(), hi.tolist()))
+
+    c, t = keyset(cand), keyset(truth)
+    hit = len(c & t)
+    out = pd.DataFrame({
+        "n_candidates": np.asarray([len(c)], np.int64),
+        "n_true_pairs": np.asarray([len(t)], np.int64),
+        "n_hit": np.asarray([hit], np.int64),
+        "precision_r6": [round(hit / len(c), 6) if c else 1.0],
+        "recall_r6": [round(hit / len(t), 6) if t else 1.0]})
+    return out
+
+
+def hll_error_sweep(sf_dir: str, precisions=(8, 10, 12, 14)):
+    """HLL PUBLISHED-ERROR-BOUND verification as a first-class query
+    (BASELINE: sketches "verified against the algorithms' published
+    error bounds"): ONE token-hash scan folds FOUR HLL precisions per
+    block (register-max merge is associative at every p), the exact
+    distinct count comes from the same scan's per-block token-hash
+    dedup + one native distinct rollup, and the report shows
+    est / exact / relative error / the 1.04/√m bound per precision.
+    The pytest twin asserts |rel_err| ≤ 3× bound for every p."""
+    from biobloom_ray.sketches.hll import HLL
+    from biobloom_ray.stages.textstats import _token_arrays
+    from biobloom_ray.hashing import splitmix64
+
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    ps = tuple(precisions)
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, _, _ = _token_arrays(b)
+        # 64-bit token hashes: stable md5-low64 per distinct token
+        # (md5 here is per DISTINCT token per block, not per token)
+        uniq = pd.unique(pd.Index(flat, dtype=object))
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(t.encode()).digest()[:8],
+                            "little") for t in uniq),
+            dtype=np.uint64, count=len(uniq))
+        blobs = []
+        for p in ps:
+            sk = HLL(p=p)
+            sk.update(h)
+            blobs.append(sk.serialize())
+        return pa.table({
+            "p": pa.array(list(ps), pa.int64()),
+            "blob": pa.array(blobs, pa.large_binary())})
+
+    parts = _parts_pandas(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        {"p": np.int64, "blob": object})
+    rows = []
+    for p, g in parts.groupby("p"):
+        acc = HLL.deserialize(g.blob.iloc[0])
+        for blob in g.blob.iloc[1:]:
+            acc.merge(HLL.deserialize(blob))
+        rows.append((int(p), float(acc.estimate())))
+
+    # exact twin: per-block distinct token rollup -> ONE native
+    # distinct count on the narrow hash column
+    def tok_hash(b: pa.Table) -> pa.Table:
+        flat, _, _ = _token_arrays(b)
+        uniq = pd.unique(pd.Index(flat, dtype=object))
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(t.encode()).digest()[:8],
+                            "little") for t in uniq),
+            dtype=np.uint64, count=len(uniq))
+        return pa.table({"h": pa.array(h.astype(np.int64))})
+
+    exact = (ds.map_batches(tok_hash, batch_format="pyarrow")
+             .groupby("h").count().count())
+    out = pd.DataFrame(rows, columns=["p", "estimate"])
+    out["exact"] = np.int64(exact)
+    out["rel_err_r6"] = ((out.estimate - exact) / exact).round(6)
+    out["bound_r6"] = np.round(1.04 / np.sqrt(2.0 ** out.p), 6)
+    out["estimate"] = out.estimate.round(6)
+    out["p"] = out.p.astype(np.int64)
+    return out.sort_values("p").reset_index(drop=True)

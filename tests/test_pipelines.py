@@ -3126,3 +3126,38 @@ def test_round4_wave64_tiers_agree(ray_session, monkeypatch):
               .groupby("lang").k.sum())
     got70 = fast[fast.thr == 70].set_index("lang").n_kept
     assert (got70 == kept70).all()
+
+
+def test_round4_wave65_reports(ray_session):
+    """neardup_calibration_report consistency with its two source
+    pipelines; hll_error_sweep within 3x the published bound at every
+    precision and exact twin correct."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    rep = A.neardup_calibration_report(sf)
+    r = rep.iloc[0]
+    assert r.n_hit <= min(r.n_candidates, r.n_true_pairs)
+    assert 0 <= r.precision_r6 <= 1 and 0 <= r.recall_r6 <= 1
+    # ground-truth side must agree with the oracled pipeline's count
+    from biobloom_ray.stages.dedup import ngram_jaccard_pairs
+    import biobloom_ray.io as io
+
+    docs = io.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    truth = ngram_jaccard_pairs(docs, threshold=0.5)
+    if not isinstance(truth, pd.DataFrame):
+        truth = truth.to_pandas()
+    assert r.n_true_pairs == len(truth)
+
+    sweep = A.hll_error_sweep(sf)
+    docs_pd = pd.read_parquet(f"{sf}/documents.parquet",
+                              columns=["text"])
+    vocab = set()
+    for t in docs_pd.text:
+        vocab.update(t.split())
+    assert (sweep.exact == len(vocab)).all()
+    assert (sweep.rel_err_r6.abs() <= 3 * sweep.bound_r6).all()
+    # the bound column is the published 1.04/sqrt(m)
+    assert np.allclose(sweep.bound_r6,
+                       np.round(1.04 / np.sqrt(2.0 ** sweep.p), 6))
