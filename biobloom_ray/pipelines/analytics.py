@@ -10003,9 +10003,30 @@ def local_supplier_revenue(sf_dir: str, region: str = "ASIA"):
                 "ok2": sub["o_orderkey"].cast(pa.int64()),
                 "cnat": pa.array(nn[pos[hit]].astype(np.int64))})
 
-        ords = orders.map_batches(ord_map, batch_format="pyarrow")
-        joined = hash_join(li_parts, ords, on=("ok",),
-                           right_on=("ok2",))
+        # the region-filtered (orderkey -> customer-nation) link is
+        # bounded by the SAME orders gate this tier requires, so it
+        # broadcasts as sorted arrays and the attach + co-nationality
+        # predicate run map-side — no orderkey exchange below the
+        # gate (the hash-join plan remains the at-scale else branch)
+        op = (orders.map_batches(ord_map, batch_format="pyarrow")
+              .to_pandas())
+        oo = np.argsort(op.ok2.to_numpy(np.int64))
+        ok_arr = op.ok2.to_numpy(np.int64)[oo]
+        cn_arr = op.cnat.to_numpy(np.int64)[oo]
+        oy_ref = ray.put((ok_arr, cn_arr))
+
+        def cnat_attach(b: pa.Table) -> pa.Table:
+            kk, nn = ray.get(oy_ref)
+            v = b["ok"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(kk, v)
+            pos[pos >= len(kk)] = 0
+            hit = (kk[pos] == v) if len(kk) else np.zeros(len(v), bool)
+            sub = b.filter(pa.array(hit))
+            return sub.append_column(
+                "cnat", pa.array(nn[pos[hit]].astype(np.int64)))
+
+        joined = li_parts.map_batches(cnat_attach,
+                                      batch_format="pyarrow")
     else:
         # cluster tier: both attaches are hash joins; lineitem first
         # pre-reduces per block on (orderkey, suppkey)
@@ -11583,7 +11604,35 @@ def nation_market_share(sf_dir: str, region: str = "ASIA",
             return pa.table({"ok2": sub["o_orderkey"].cast(pa.int64()),
                              "yr": pa.array(yr)})
 
-        ords = orders.map_batches(ord_map, batch_format="pyarrow")
+        # the region-filtered (orderkey -> year) link is bounded by
+        # the SAME orders gate this tier already requires, so it
+        # broadcasts as sorted arrays and the year attach runs
+        # map-side on the lineitem partials — no orderkey exchange
+        # below the gate (the hash-join plan remains the at-scale
+        # path in the else branch)
+        op = (orders.map_batches(ord_map, batch_format="pyarrow")
+              .to_pandas())
+        oo = np.argsort(op.ok2.to_numpy(np.int64))
+        ok_arr = op.ok2.to_numpy(np.int64)[oo]
+        yr_arr = op.yr.to_numpy(np.int64)[oo]
+        oy_ref = ray.put((ok_arr, yr_arr))
+
+        def year_attach(b: pa.Table) -> pa.Table:
+            kk, yy = ray.get(oy_ref)
+            v = b["ok"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(kk, v)
+            pos[pos >= len(kk)] = 0
+            hit = (kk[pos] == v) if len(kk) else np.zeros(len(v), bool)
+            df = pd.DataFrame({
+                "yr": yy[pos[hit]],
+                "den": b["rev"].to_numpy(zero_copy_only=False)[hit],
+                "num": b["rev_t"].to_numpy(zero_copy_only=False)[hit]})
+            agg = (df.groupby("yr", as_index=False)
+                   [["num", "den"]].sum())
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+        parts = li_parts.map_batches(year_attach,
+                                     batch_format="pyarrow")
     else:
         def li_pre(b: pa.Table) -> pa.Table:
             cents = _cents_away(
@@ -11620,18 +11669,22 @@ def nation_market_share(sf_dir: str, region: str = "ASIA",
                              "yr": pa.array(yr)})
 
         ords = ords_j.map_batches(ord_rename, batch_format="pyarrow")
-    joined = hash_join(li_parts, ords, on=("ok",), right_on=("ok2",))
+        joined = hash_join(li_parts, ords, on=("ok",),
+                           right_on=("ok2",))
 
-    def year_partial(b: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "yr": b["yr"].to_numpy(zero_copy_only=False),
-            "den": b["rev"].to_numpy(zero_copy_only=False),
-            "num": b["rev_t"].to_numpy(zero_copy_only=False)})
-        agg = df.groupby("yr", as_index=False)[["num", "den"]].sum()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        def year_partial(b: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "yr": b["yr"].to_numpy(zero_copy_only=False),
+                "den": b["rev"].to_numpy(zero_copy_only=False),
+                "num": b["rev_t"].to_numpy(zero_copy_only=False)})
+            agg = (df.groupby("yr", as_index=False)
+                   [["num", "den"]].sum())
+            return pa.Table.from_pandas(agg, preserve_index=False)
 
+        parts = joined.map_batches(year_partial,
+                                   batch_format="pyarrow")
     agg = (_parts_pandas(
-        joined.map_batches(year_partial, batch_format="pyarrow"),
+        parts,
         {"yr": np.int64, "num": np.int64, "den": np.int64})
         .groupby("yr", as_index=False)[["num", "den"]].sum())
     out = pd.DataFrame({
