@@ -1452,6 +1452,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantization_report": A.embedding_quantization_report,
         "neardup_calibration_report": A.neardup_calibration_report,
         "hll_error_sweep": A.hll_error_sweep,
+        "cms_error_sweep": A.cms_error_sweep,
+        "quantile_sketch_calibration": A.quantile_sketch_calibration,
         "mibf_classify": _mibf_classify,
         "mibf_classify_paired": _mibf_classify_paired,
         "categorize_length": _categorize_length,

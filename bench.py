@@ -286,7 +286,8 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "sample_budget_allocation", "nation_whale_share",
                "session_bounce_rate", "embedding_quantization_report",
                "quality_gate_sweep",
-               "neardup_calibration_report", "hll_error_sweep"]
+               "neardup_calibration_report", "hll_error_sweep",
+               "cms_error_sweep", "quantile_sketch_calibration"]
 
 
 def run_queries() -> dict[str, float]:

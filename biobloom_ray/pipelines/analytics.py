@@ -14271,3 +14271,142 @@ def hll_error_sweep(sf_dir: str, precisions=(8, 10, 12, 14)):
     out["estimate"] = out.estimate.round(6)
     out["p"] = out.p.astype(np.int64)
     return out.sort_values("p").reset_index(drop=True)
+
+
+def cms_error_sweep(sf_dir: str, widths=(256, 1024, 4096), depth: int = 5):
+    """CMS PUBLISHED-BOUND verification as a query (Cormode &
+    Muthukrishnan: overcount ≤ ε·N with ε = e/width, w.p. 1−δ):
+    ONE token scan folds a CMS per width (same depth/seed), the exact
+    counts of the TRUE top tokens come from the count-table rollup,
+    and the report shows per width the max/mean overcount on those
+    tokens against ε·N.  CMS can only overcount, so underestimates
+    flag a real defect.  The pytest twin asserts est ≥ exact for
+    every probe token and max overcount ≤ ε·N."""
+    from biobloom_ray.hashing import hash_strings
+    from biobloom_ray.sketches.cms import CountMinSketch
+    from biobloom_ray.stages.textstats import _token_arrays
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    ws = tuple(widths)
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, _, _ = _token_arrays(b)
+        codes, uniq = pd.factorize(pd.Index(flat, dtype=object))
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        h = hash_strings(uniq.to_numpy(dtype=object))
+        blobs = []
+        for w in ws:
+            sk = CountMinSketch(depth=depth, width=w)
+            sk.update(h, cnt)
+            blobs.append(sk.serialize())
+        return pa.table({"w": pa.array(list(ws), pa.int64()),
+                         "blob": pa.array(blobs, pa.large_binary())})
+
+    parts = _parts_pandas(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        {"w": np.int64, "blob": object})
+
+    # exact counts of every token (vocab-scale count table)
+    def tok_cnt(b: pa.Table) -> pa.Table:
+        flat, _, _ = _token_arrays(b)
+        codes, uniq = pd.factorize(pd.Index(flat, dtype=object))
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table({"token": pa.array(
+            uniq.to_numpy(dtype=object).tolist(), pa.string()),
+            "cnt": pa.array(cnt)})
+
+    vocab = (_parts_pandas(
+        ds.map_batches(tok_cnt, batch_format="pyarrow"),
+        {"token": object, "cnt": np.int64})
+        .groupby("token", as_index=False).cnt.sum())
+    probes = hash_strings(vocab.token.to_numpy(dtype=object))
+    exact = vocab.cnt.to_numpy(np.int64)
+    N = int(exact.sum())
+    rows = []
+    for w, g in parts.groupby("w"):
+        acc = CountMinSketch.deserialize(g.blob.iloc[0])
+        for blob in g.blob.iloc[1:]:
+            acc = acc.merge(CountMinSketch.deserialize(blob))
+        est = acc.query(probes).astype(np.int64)
+        over = est - exact
+        rows.append((int(w), N, int(over.max()),
+                     round(float(over.mean()), 6),
+                     round(np.e / w * N, 6), int((over < 0).sum())))
+    out = pd.DataFrame(rows, columns=["width", "n_tokens",
+                                      "max_overcount",
+                                      "mean_overcount_r6",
+                                      "eps_n_bound_r6",
+                                      "n_underestimates"])
+    for c in ["width", "n_tokens", "max_overcount", "n_underestimates"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("width").reset_index(drop=True)
+
+
+def quantile_sketch_calibration(sf_dir: str,
+                                qs=(0.1, 0.5, 0.9, 0.99)):
+    """KLL vs t-digest vs EXACT quantile calibration on page lengths —
+    the rank-error report the north rule requires for the quantile
+    sketches: per q, both sketch estimates, the exact value (count-
+    table rank walk, PERCENTILE_DISC convention), and each estimate's
+    RANK error (|rank(est) − q·n|/n — the metric KLL's guarantee is
+    stated in).  One scan folds both sketches per block; the exact
+    side is the (n_chars → count) table.  Pytest asserts rank error
+    ≤ 3 % for KLL(k=200) and ≤ 5 % for t-digest at every q."""
+    from biobloom_ray.sketches.kll import KLL
+    from biobloom_ray.sketches.tdigest import TDigest
+
+    ds = _read(sf_dir, "documents", columns=["n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        kll = KLL(k=200)
+        kll.update(v)
+        td = TDigest()
+        td.update(v)
+        return pa.table({
+            "kll": pa.array([kll.serialize()], pa.large_binary()),
+            "td": pa.array([td.serialize()], pa.large_binary())})
+
+    parts = _parts_pandas(ds.map_batches(partial,
+                                         batch_format="pyarrow"),
+                          {"kll": object, "td": object})
+    kll = KLL.deserialize(parts.kll.iloc[0])
+    td = TDigest.deserialize(parts.td.iloc[0])
+    for i in range(1, len(parts)):
+        kll = kll.merge(KLL.deserialize(parts.kll.iloc[i]))
+        td = td.merge(TDigest.deserialize(parts.td.iloc[i]))
+
+    def cpartial(b: pa.Table) -> pa.Table:
+        v, c = np.unique(
+            b["n_chars"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"v": pa.array(v.astype(np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    ct = (_parts_pandas(ds.map_batches(cpartial, batch_format="pyarrow"),
+                        {"v": np.int64, "c": np.int64})
+          .groupby("v", as_index=False).c.sum().sort_values("v"))
+    vals = ct.v.to_numpy(np.int64)
+    cum = np.cumsum(ct.c.to_numpy(np.int64))
+    n = int(cum[-1])
+
+    def rank_of(x: float) -> int:
+        """#values <= x (for rank error in the exact distribution)."""
+        i = np.searchsorted(vals, x, side="right") - 1
+        return int(cum[i]) if i >= 0 else 0
+
+    rows = []
+    for q in qs:
+        target = -(-int(q * 1000) * n // 1000)  # ceil(q·n), q in 1/1000
+        exact = int(vals[np.argmax(cum >= target)])
+        e_kll = float(kll.quantile(q))
+        e_td = float(td.quantile(q))
+        rows.append((q, exact, round(e_kll, 6), round(e_td, 6),
+                     round(abs(rank_of(e_kll) - q * n) / n, 6),
+                     round(abs(rank_of(e_td) - q * n) / n, 6)))
+    out = pd.DataFrame(rows, columns=["q", "exact", "kll_est_r6",
+                                      "tdigest_est_r6",
+                                      "kll_rank_err_r6",
+                                      "tdigest_rank_err_r6"])
+    out["exact"] = out.exact.astype(np.int64)
+    return out

@@ -3161,3 +3161,30 @@ def test_round4_wave65_reports(ray_session):
     # the bound column is the published 1.04/sqrt(m)
     assert np.allclose(sweep.bound_r6,
                        np.round(1.04 / np.sqrt(2.0 ** sweep.p), 6))
+
+
+def test_round4_wave66_sketch_calibration(ray_session):
+    """cms_error_sweep: no underestimates, max overcount within the
+    published eps*N at every width, monotone improvement with width;
+    quantile_sketch_calibration: rank error <= 3% (KLL k=200) and
+    <= 5% (t-digest) at every q, exact column matches a direct
+    PERCENTILE_DISC recomputation."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    sw = A.cms_error_sweep(sf)
+    assert (sw.n_underestimates == 0).all()
+    assert (sw.max_overcount <= sw.eps_n_bound_r6).all()
+    mo = sw.sort_values("width").max_overcount.to_numpy()
+    assert (np.diff(mo) <= 0).all()
+
+    cal = A.quantile_sketch_calibration(sf)
+    assert (cal.kll_rank_err_r6 <= 0.03).all()
+    assert (cal.tdigest_rank_err_r6 <= 0.05).all()
+    nch = np.sort(pd.read_parquet(
+        f"{sf}/documents.parquet", columns=["n_chars"])
+        .n_chars.to_numpy(np.int64))
+    n = len(nch)
+    for r in cal.itertuples():
+        target = -(-int(r.q * 1000) * n // 1000)
+        assert r.exact == nch[target - 1]
