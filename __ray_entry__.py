@@ -1445,6 +1445,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_bounce_rate": A.session_bounce_rate,
         # round-4 wave 64: gate-tuning threshold sweep
         "quality_gate_sweep": A.quality_gate_sweep,
+        # round-4 wave 67: tenure histogram / order-size dispersion
+        "user_tenure_distribution": A.user_tenure_distribution,
+        "order_size_distribution": A.order_size_distribution,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "doc_compression_ratio": A.doc_compression_ratio,
@@ -4769,6 +4772,29 @@ def oracle_sql() -> dict[str, str]:
             " ROUND(CAST(SUM(kept) AS DOUBLE) / COUNT(*), 6)"
             " AS keep_rate_r6"
             " FROM g GROUP BY 1, 2 ORDER BY 1, 2",
+        # tenure: whole weeks between a user's first and last event
+        "user_tenure_distribution":
+            "WITH u AS (SELECT user_id,"
+            " (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 604800000000"
+            " AS w FROM events GROUP BY 1) "
+            "SELECT CAST(w AS BIGINT) AS tenure_weeks,"
+            " CAST(COUNT(*) AS BIGINT) AS n_users FROM u"
+            " GROUP BY 1 ORDER BY 1",
+        # order-size counts-of-counts + overdispersion index
+        # (mirrored op order: skk/n - (sk/n)^2, then /mean, 6-dp)
+        "order_size_distribution":
+            "WITH c AS (SELECT l_orderkey,"
+            " CAST(COUNT(*) AS BIGINT) AS k FROM lineitem"
+            " GROUP BY 1), "
+            "t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,"
+            " CAST(SUM(k) AS DOUBLE) AS sk,"
+            " CAST(SUM(k*k) AS DOUBLE) AS skk FROM c), "
+            "d AS (SELECT ROUND((skk/n - (sk/n)*(sk/n)) / (sk/n), 6)"
+            " AS disp FROM t) "
+            "SELECT CAST(c.k AS BIGINT) AS n_items,"
+            " CAST(COUNT(*) AS BIGINT) AS n_orders,"
+            " ANY_VALUE(d.disp) AS dispersion_r6"
+            " FROM c, d GROUP BY c.k ORDER BY 1",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

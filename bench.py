@@ -287,7 +287,8 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "session_bounce_rate", "embedding_quantization_report",
                "quality_gate_sweep",
                "neardup_calibration_report", "hll_error_sweep",
-               "cms_error_sweep", "quantile_sketch_calibration"]
+               "cms_error_sweep", "quantile_sketch_calibration",
+               "user_tenure_distribution", "order_size_distribution"]
 
 
 def run_queries() -> dict[str, float]:

@@ -14410,3 +14410,82 @@ def quantile_sketch_calibration(sf_dir: str,
                                       "tdigest_rank_err_r6"])
     out["exact"] = out.exact.astype(np.int64)
     return out
+
+
+def user_tenure_distribution(sf_dir: str):
+    """USER TENURE histogram: whole weeks between a user's first and
+    last event (floor((last−first)/7d)), bucketed — the engagement-
+    lifetime curve.  Exact integers: per-block (user, min, max)
+    partials → tiered combine (native Min/Max groupby above
+    `EVENTS_DRIVER_MAX_ROWS`) → user-scale tenure compute → an
+    output-scale (weeks → n_users) histogram."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    WEEK_US = np.int64(7 * 86_400_000_000)
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = (b["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({
+            "u": b["user_id"].to_numpy(zero_copy_only=False),
+            "lo": us, "hi": us})
+        agg = (df.groupby("u", as_index=False)
+               .agg(lo=("lo", "min"), hi=("hi", "max")))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
+        per_user = (_parts_pandas(parts_ds, {"u": np.int64,
+                                             "lo": np.int64,
+                                             "hi": np.int64})
+                    .groupby("u", as_index=False)
+                    .agg(lo=("lo", "min"), hi=("hi", "max")))
+    else:
+        per_user = (parts_ds.groupby("u")
+                    .aggregate(Min("lo", alias_name="lo"),
+                               Max("hi", alias_name="hi")).to_pandas())
+    weeks = ((per_user.hi.to_numpy(np.int64)
+              - per_user.lo.to_numpy(np.int64)) // WEEK_US)
+    out = (pd.DataFrame({"tenure_weeks": weeks})
+           .groupby("tenure_weeks", as_index=False)
+           .size().rename(columns={"size": "n_users"}))
+    out["tenure_weeks"] = out.tenure_weeks.astype(np.int64)
+    out["n_users"] = out.n_users.astype(np.int64)
+    return out.sort_values("tenure_weeks").reset_index(drop=True)
+
+
+def order_size_distribution(sf_dir: str):
+    """ORDER SIZE counts-of-counts: how many orders have exactly k
+    lineitems, plus the integer overdispersion witness (n·Σk² vs
+    (Σk)² — variance/mean > 1 ⇔ n·Σk² − (Σk)² > Σk·(n−?)… reported as
+    raw exact sums so the 6-dp index is one final division).  Shape:
+    per-block (orderkey, n) partials → tiered order rollup → the
+    histogram is output-scale (k ≤ max items/order)."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v, c = np.unique(b["l_orderkey"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"ok": pa.array(v.astype(np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    parts_ds = li.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(li)
+    if n_rows is not None and n_rows <= LINEITEM_DRIVER_MAX_ROWS:
+        per_order = (_parts_pandas(parts_ds, {"ok": np.int64,
+                                              "n": np.int64})
+                     .groupby("ok", as_index=False).n.sum())
+    else:
+        per_order = (parts_ds.groupby("ok")
+                     .aggregate(Sum("n", alias_name="n")).to_pandas())
+    k = per_order.n.to_numpy(np.int64)
+    out = (pd.DataFrame({"n_items": k})
+           .groupby("n_items", as_index=False)
+           .size().rename(columns={"size": "n_orders"}))
+    n = len(k)
+    mean = k.sum() / n
+    var = (k * k).sum() / n - mean * mean
+    out["n_items"] = out.n_items.astype(np.int64)
+    out["n_orders"] = out.n_orders.astype(np.int64)
+    out["dispersion_r6"] = np.round(var / mean, 6)
+    return out.sort_values("n_items").reset_index(drop=True)

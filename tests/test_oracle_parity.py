@@ -151,6 +151,7 @@ SQL_CHECKED = [
     "customer_value_migration", "dup_cluster_representatives",
     "sample_budget_allocation", "nation_whale_share",
     "session_bounce_rate", "quality_gate_sweep",
+    "user_tenure_distribution", "order_size_distribution",
 ]
 
 

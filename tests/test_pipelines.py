@@ -3188,3 +3188,42 @@ def test_round4_wave66_sketch_calibration(ray_session):
     for r in cal.itertuples():
         target = -(-int(r.q * 1000) * n // 1000)
         assert r.exact == nch[target - 1]
+
+
+def test_round4_wave67_tiers_agree(ray_session, monkeypatch):
+    """user_tenure_distribution + order_size_distribution: tier
+    parity + direct recomputation."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast_tn = A.user_tenure_distribution(sf)
+    fast_os = A.order_size_distribution(sf)
+
+    monkeypatch.setattr(A, "EVENTS_DRIVER_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "LINEITEM_DRIVER_MAX_ROWS", 0)
+    slow_tn = A.user_tenure_distribution(sf)[list(fast_tn.columns)]
+    slow_os = A.order_size_distribution(sf)[list(fast_os.columns)]
+    assert len(fast_tn) > 0 and fast_tn.equals(slow_tn)
+    assert len(fast_os) > 0 and fast_os.equals(slow_os)
+
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["user_id", "ts"])
+    g = ev.groupby("user_id").ts.agg(["min", "max"])
+    w = ((g["max"].astype("datetime64[us]").astype(np.int64)
+          - g["min"].astype("datetime64[us]").astype(np.int64))
+         // (7 * 86_400_000_000))
+    assert fast_tn.n_users.sum() == ev.user_id.nunique()
+    want = w.value_counts().sort_index()
+    got = fast_tn.set_index("tenure_weeks").n_users
+    assert (got == want).all()
+
+    li = pd.read_parquet(f"{sf}/lineitem.parquet",
+                         columns=["l_orderkey"])
+    k = li.l_orderkey.value_counts().to_numpy()
+    assert fast_os.n_orders.sum() == li.l_orderkey.nunique()
+    assert (fast_os.n_items * fast_os.n_orders).sum() == len(li)
+    mean = k.sum() / len(k)
+    var = (k * k).sum() / len(k) - mean * mean
+    assert fast_os.dispersion_r6.nunique() == 1
+    assert abs(fast_os.dispersion_r6.iloc[0]
+               - round(var / mean, 6)) <= 1e-6
