@@ -13277,8 +13277,16 @@ def state_dwell_times(sf_dir: str):
                   .groupby(["user_id", "bucket"])
                   .map_groups(local_dwell, batch_format="pyarrow"))
         shards = shards.materialize()
-        within = shards.filter(lambda r: r["kind"] == 0)
-        bound = (shards.filter(lambda r: r["kind"] == 1)
+
+        def keep_kind(k: int):
+            def f(b: pa.Table) -> pa.Table:
+                return b.filter(pc.equal(b["kind"], k))
+            return f
+
+        within = shards.map_batches(keep_kind(0),
+                                    batch_format="pyarrow")
+        bound = (shards.map_batches(keep_kind(1),
+                                    batch_format="pyarrow")
                  .groupby("user_id")
                  .map_groups(stitch, batch_format="pandas"))
 
@@ -14185,12 +14193,8 @@ def neardup_calibration_report(sf_dir: str, threshold: float = 0.5,
         truth = truth.to_pandas()
 
     def keyset(df: pd.DataFrame) -> set:
-        cols = [c for c in df.columns if c.lower() in
-                ("doc_a", "doc_b", "id_a", "id_b", "a", "b")][:2]
-        if len(cols) < 2:
-            cols = list(df.columns[:2])
-        a = df[cols[0]].to_numpy(np.int64)
-        b = df[cols[1]].to_numpy(np.int64)
+        a = df["id_a"].to_numpy(np.int64)
+        b = df["id_b"].to_numpy(np.int64)
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return set(zip(lo.tolist(), hi.tolist()))
 
