@@ -13599,8 +13599,11 @@ def bloom_fpr_report(sf_dir: str, n_probes: int = 200_000):
                          "n_probes": pa.array(
                              [len(ids)] * len(fids), pa.int64())})
 
+    # batch_size=None → one batch per block: the bank deserializes 8
+    # times total, not once per default-size minibatch
     parts = (ray.data.range(n_probes, override_num_blocks=8)
-             .map_batches(probe, batch_format="pyarrow"))
+             .map_batches(probe, batch_format="pyarrow",
+                          batch_size=None))
     agg = (_parts_pandas(parts, {"filter_id": object,
                                  "n_hits": np.int64,
                                  "n_probes": np.int64})
