@@ -13193,6 +13193,12 @@ def state_dwell_times(sf_dir: str):
 
     if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
         df = ds.to_pandas()
+        if not len(df):  # empty to_pandas loses the schema
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "n_gaps": pd.Series([], dtype=np.int64),
+                "total_dwell_s": pd.Series([], dtype=np.int64),
+                "mean_dwell_r6": pd.Series([], dtype=np.float64)})
         df["ts_us"] = df["ts"].astype("datetime64[us]").astype(np.int64)
         df = df.sort_values(["user_id", "ts_us", "event_id"])
         uid = df.user_id.to_numpy()
@@ -13471,6 +13477,11 @@ def order_fulfillment_latency(sf_dir: str):
                                        "ship_us": np.int64})
               .groupby("ok", as_index=False).ship_us.max())
         op = orders.to_pandas()
+        if not len(op):  # empty to_pandas loses the schema
+            op = pd.DataFrame({
+                "o_orderkey": pd.Series([], dtype=np.int64),
+                "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+                "o_orderpriority": pd.Series([], dtype=object)})
         op["od_us"] = op.o_orderdate.astype(
             "datetime64[us]").astype(np.int64)
         m = ms.merge(op, left_on="ok", right_on="o_orderkey")
@@ -13668,6 +13679,10 @@ def rfm_segments(sf_dir: str):
                            Sum("m", alias_name="m"),
                            Max("last_us", alias_name="last_us"))
                 .to_pandas())
+    if not len(cust):  # empty input -> empty census, not a crash
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in ["r_q", "f_q", "m_q",
+                                       "n_customers"]})
     mx = int(cust.last_us.max())
     cust["r"] = (mx - cust.last_us.to_numpy(np.int64)) // DAY_US
 
@@ -13776,12 +13791,19 @@ def customer_value_migration(sf_dir: str):
     def ts_minmax(b: pa.Table) -> pa.Table:
         us = (b["o_orderdate"].cast(pa.timestamp("us"))
               .cast(pa.int64()).to_numpy(zero_copy_only=False))
+        if not len(us):  # empty block
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
         return pa.table({"lo": pa.array([int(us.min())], pa.int64()),
                          "hi": pa.array([int(us.max())], pa.int64())})
 
     mm = _parts_pandas(
         orders.map_batches(ts_minmax, batch_format="pyarrow"),
         {"lo": np.int64, "hi": np.int64})
+    if not len(mm):  # empty input -> empty matrix, not a crash
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in ["q_first", "q_second",
+                                       "n_customers"]})
     mid = (int(mm.lo.min()) + int(mm.hi.max())) // 2
 
     def partial(b: pa.Table) -> pa.Table:
@@ -13899,6 +13921,10 @@ def sample_budget_allocation(sf_dir: str, budget: int = 997):
     c = c.sort_values("source").reset_index(drop=True)
     n = c.n_docs.to_numpy(np.int64)
     N = int(n.sum())
+    if N == 0:  # empty input -> empty allocation, not a crash
+        for col in ["alloc", "floor_quota", "remainder"]:
+            c[col] = pd.Series([], dtype=np.int64)
+        return c
     B = np.int64(budget)
     quota = (B * n) // N
     rem = (B * n) % N
@@ -14037,10 +14063,18 @@ def session_bounce_rate(sf_dir: str, gap_minutes: int = 30):
     n_rows = _cheap_count(ds)
     if n_rows is not None and n_rows <= EVENTS_DRIVER_MAX_ROWS:
         df = ds.to_pandas()
-        df["ts_ns"] = df.ts.astype("datetime64[ns]").astype(np.int64)
-        df = df.sort_values(["user_id", "ts_ns", "event_id"])
-        agg = fold(df.user_id.to_numpy(), df.ts_ns.to_numpy(),
-                   df.event_type.to_numpy(dtype=object))
+        if not len(df):  # empty to_pandas loses the schema
+            agg = pd.DataFrame({
+                "entry_type": pd.Series([], dtype=object),
+                "n_sessions": pd.Series([], dtype=np.int64),
+                "n_bounce": pd.Series([], dtype=np.int64),
+                "n_events": pd.Series([], dtype=np.int64)})
+        else:
+            df["ts_ns"] = df.ts.astype("datetime64[ns]").astype(
+                np.int64)
+            df = df.sort_values(["user_id", "ts_ns", "event_id"])
+            agg = fold(df.user_id.to_numpy(), df.ts_ns.to_numpy(),
+                       df.event_type.to_numpy(dtype=object))
     else:
         def per_user(g: pd.DataFrame) -> pd.DataFrame:
             g = g.sort_values(["ts", "event_id"])
@@ -14490,6 +14524,9 @@ def order_size_distribution(sf_dir: str):
            .groupby("n_items", as_index=False)
            .size().rename(columns={"size": "n_orders"}))
     n = len(k)
+    if n == 0:  # empty input -> empty histogram, not a crash
+        out["dispersion_r6"] = pd.Series([], dtype=np.float64)
+        return out
     mean = k.sum() / n
     var = (k * k).sum() / n - mean * mean
     out["n_items"] = out.n_items.astype(np.int64)

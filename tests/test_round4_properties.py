@@ -374,3 +374,57 @@ def test_dwell_kernel_vs_sequential_loop(events):
             s_loop[a.event_type] += (b.ts_us - a.ts_us) // 1_000_000
     assert dict(vec["size"]) == dict(n_loop)
     assert dict(vec["sum"]) == dict(s_loop)
+
+
+def test_wave57plus_ops_empty_inputs(ray_session):
+    """Empty tables produce empty results, not crashes, for the wave
+    57-67 operators (the ADVICE-r3 empty-input class)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    with tempfile.TemporaryDirectory() as td:
+        pd.DataFrame({"event_id": pd.Series([], dtype=np.int64),
+                      "user_id": pd.Series([], dtype=np.int64),
+                      "event_type": pd.Series([], dtype=str),
+                      "props": pd.Series([], dtype=str),
+                      "ts": pd.Series([], dtype="datetime64[us]"),
+                      "value": pd.Series([], dtype=np.float64)}
+                     ).to_parquet(os.path.join(td, "events.parquet"))
+        pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                      "lang": pd.Series([], dtype=str),
+                      "source": pd.Series([], dtype=str),
+                      "text": pd.Series([], dtype=str),
+                      "n_chars": pd.Series([], dtype=np.int64)}
+                     ).to_parquet(os.path.join(td, "documents.parquet"))
+        pd.DataFrame({"o_orderkey": pd.Series([], dtype=np.int64),
+                      "o_custkey": pd.Series([], dtype=np.int64),
+                      "o_orderstatus": pd.Series([], dtype=str),
+                      "o_totalprice": pd.Series([], dtype=np.float64),
+                      "o_orderdate": pd.Series([],
+                                               dtype="datetime64[us]"),
+                      "o_orderpriority": pd.Series([], dtype=str)}
+                     ).to_parquet(os.path.join(td, "orders.parquet"))
+        pd.DataFrame({"l_orderkey": pd.Series([], dtype=np.int64),
+                      "l_partkey": pd.Series([], dtype=np.int64),
+                      "l_suppkey": pd.Series([], dtype=np.int64),
+                      "l_quantity": pd.Series([], dtype=np.float64),
+                      "l_extendedprice": pd.Series([],
+                                                   dtype=np.float64),
+                      "l_discount": pd.Series([], dtype=np.float64),
+                      "l_returnflag": pd.Series([], dtype=str),
+                      "l_shipdate": pd.Series([],
+                                              dtype="datetime64[us]")}
+                     ).to_parquet(os.path.join(td, "lineitem.parquet"))
+
+        assert len(A.rfm_segments(td)) == 0
+        assert len(A.customer_value_migration(td)) == 0
+        assert len(A.sample_budget_allocation(td)) == 0
+        assert len(A.order_size_distribution(td)) == 0
+        assert len(A.state_dwell_times(td)) == 0
+        assert len(A.session_bounce_rate(td)) == 0
+        assert len(A.user_tenure_distribution(td)) == 0
+        assert len(A.weighted_median_quantity(td)) == 0
+        assert len(A.incremental_dedup_report(td)) == 0
+        assert len(A.lang_temperature_mix(td)) == 0
+        assert len(A.vocab_coverage_topp(td)) == 0
+        assert len(A.quality_gate_sweep(td)) == 0
+        assert len(A.order_fulfillment_latency(td)) == 0
