@@ -20,8 +20,16 @@ import sys
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="biobloom_ray")
-    p.add_argument("--ref", required=True,
-                   help="parquet dir/file of reference corpora (filter_id, doc)")
+    p.add_argument("--job", default="categorize",
+                   choices=["categorize", "curate"],
+                   help="categorize (build bank + classify) or curate "
+                        "(quality gate + resumable cross-partition "
+                        "exact dedup)")
+    p.add_argument("--ref", default=None,
+                   help="parquet dir/file of reference corpora "
+                        "(filter_id, doc); required for categorize")
+    p.add_argument("--min-alpha-pct", type=int, default=50,
+                   help="curate: keep iff 100*n_alpha >= pct*n_chars")
     p.add_argument("--input", required=True, help="parquet dir of pages")
     p.add_argument("--out", required=True, help="output dir (partitioned)")
     p.add_argument("--kmer", type=int, default=25)
@@ -48,8 +56,20 @@ def main(argv=None) -> int:
 
     from biobloom_ray.config import BuildConfig, CategorizeConfig
     from biobloom_ray.pipelines import build_filters
-    from biobloom_ray.pipelines.resumable import run_partitioned_categorize
+    from biobloom_ray.pipelines.resumable import (
+        run_partitioned_categorize,
+        run_partitioned_curation,
+    )
 
+    if args.job == "curate":
+        result = run_partitioned_curation(
+            args.input, args.out, min_alpha_pct=args.min_alpha_pct)
+        print(json.dumps(result))
+        ray.shutdown()
+        return 0
+
+    if not args.ref:
+        p.error("--ref is required for --job categorize")
     ref = _rp(args.ref)
     built = build_filters(ref, text_col="doc", label_col="filter_id",
                           cfg=BuildConfig(kmer_size=args.kmer,

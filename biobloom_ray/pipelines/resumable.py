@@ -102,3 +102,177 @@ def run_partitioned_categorize(
         total_rows += int(n_rows)
         fresh += 1
     return {"completed": completed, "skipped": skipped, "rows": total_rows}
+
+
+#: seen-key table size above which the cross-partition dedup membership
+#: switches from a broadcast sorted-array probe to a left_anti hash
+#: join against the accumulated checkpoint parquet (narrow 32-hex rows)
+SEEN_BROADCAST_MAX_KEYS = 2_000_000
+
+
+def run_partitioned_curation(
+    input_dir: str,
+    out_dir: str,
+    min_alpha_pct: int = 50,
+    max_partitions: int | None = None,
+    fail_after: int | None = None,
+) -> dict:
+    """Resumable CURATION run: per input fragment, quality-gate (keep
+    iff 100·n_alpha ≥ min_alpha_pct·n_chars — the exact integer gate),
+    exact-dedup within the partition (first-wins by doc_id), then drop
+    docs whose content hash was already published by an EARLIER
+    partition — the cross-partition dedup state is a per-partition
+    ``state/seen_<i>.parquet`` key checkpoint (BASELINE: "every
+    partition emits lineage + sketch-state checkpoints"), so a killed
+    run resumes without recomputing finished partitions AND without
+    re-admitting their duplicates.  Membership against the accumulated
+    seen set is a broadcast sorted-array probe below
+    ``SEEN_BROADCAST_MAX_KEYS`` and a ``left_anti`` hash join against
+    the checkpoint parquet above it.  Deterministic end-to-end, so a
+    resumed run is byte-identical to an uninterrupted one."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from biobloom_ray.io import hash_join
+    from biobloom_ray.stages.dedup import add_content_hash
+
+    frags = input_fragments(input_dir)
+    done = completed_partitions(out_dir)
+    state_dir = os.path.join(out_dir, "state")
+    os.makedirs(state_dir, exist_ok=True)
+    completed, skipped = [], []
+    total_rows = 0
+    fresh = 0
+    for i, frag in enumerate(frags):
+        if max_partitions is not None and i >= max_partitions:
+            break
+        if i in done:
+            skipped.append(i)
+            continue
+        if fail_after is not None and fresh >= fail_after:
+            break
+        t0 = time.perf_counter()
+        ds = _rp(frag)
+        n_in = ds.count()
+
+        def gate_hash(b: pa.Table) -> pa.Table:
+            s = b["text"].to_pandas()
+            n_chars = s.str.len().fillna(0).astype("int64").to_numpy()
+            n_alpha = (s.str.count(r"[A-Za-z]").fillna(0)
+                       .astype("int64").to_numpy())
+            keep = 100 * n_alpha >= min_alpha_pct * n_chars
+            sub = b.filter(pa.array(keep))
+            return add_content_hash(sub)
+
+        hashed = ds.map_batches(gate_hash, batch_format="pyarrow")
+
+        # within-partition first-wins dedup: per-block (fp, min id)
+        # partials fold on the driver (partition-bounded), winners
+        # broadcast back as a filter
+        def fp_min(b: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            df = pd.DataFrame({
+                "fp": b["fp_md5"].to_pandas().to_numpy(dtype=object),
+                "doc_id": b["doc_id"].to_numpy(zero_copy_only=False)})
+            agg = df.groupby("fp", as_index=False).doc_id.min()
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+        import pandas as pd
+
+        mins = (hashed.map_batches(fp_min, batch_format="pyarrow")
+                .to_pandas())
+        if len(mins):
+            mins = mins.groupby("fp", as_index=False).doc_id.min()
+        winners = np.sort(mins.doc_id.to_numpy("int64")) \
+            if len(mins) else np.array([], "int64")
+        win_ref = ray.put(winners)
+
+        def keep_winners(b: pa.Table) -> pa.Table:
+            w = ray.get(win_ref)
+            v = b["doc_id"].to_numpy(zero_copy_only=False)
+            if not len(w):
+                return b.slice(0, 0)
+            pos = np.searchsorted(w, v)
+            pos[pos >= len(w)] = 0
+            return b.filter(pa.array(w[pos] == v))
+
+        deduped = hashed.map_batches(keep_winners,
+                                     batch_format="pyarrow")
+
+        # cross-partition dedup vs the accumulated seen checkpoints
+        seen_files = sorted(
+            glob.glob(os.path.join(state_dir, "seen_*.parquet")))
+        seen_files = [f for f in seen_files
+                      if int(os.path.basename(f)[5:-8]) < i]
+        if seen_files:
+            seen_ds = _rp(seen_files)
+            n_seen = seen_ds.count()
+            if n_seen <= SEEN_BROADCAST_MAX_KEYS:
+                sk = np.sort(seen_ds.to_pandas().fp
+                             .to_numpy(dtype=object))
+                seen_ref = ray.put(sk)
+
+                def drop_seen(b: pa.Table) -> pa.Table:
+                    kk = ray.get(seen_ref)
+                    f = b["fp_md5"].to_pandas().to_numpy(dtype=object)
+                    pos = np.searchsorted(kk, f)
+                    pos[pos >= len(kk)] = 0
+                    hit = (kk[pos] == f) if len(kk) \
+                        else np.zeros(len(f), bool)
+                    return b.filter(pa.array(~hit))
+
+                deduped = deduped.map_batches(drop_seen,
+                                              batch_format="pyarrow")
+            else:
+                def fp_narrow(b: pa.Table) -> pa.Table:
+                    return pa.table({
+                        "fp": b["fp"].cast(pa.string())})
+
+                deduped = hash_join(
+                    deduped,
+                    seen_ds.map_batches(fp_narrow,
+                                        batch_format="pyarrow"),
+                    on=("fp_md5",), right_on=("fp",),
+                    join_type="left_anti")
+
+        pdir = partition_dir(out_dir, i)
+        tmpdir = pdir + ".tmp"
+        if os.path.isdir(tmpdir):
+            import shutil
+            shutil.rmtree(tmpdir)
+        if not os.path.isdir(pdir):
+            os.makedirs(tmpdir, exist_ok=True)
+            deduped.write_parquet(tmpdir)
+            os.rename(tmpdir, pdir)
+        out_ds = _rp(pdir)
+        n_out = out_ds.count()
+        # sketch-state checkpoint: the partition's published keys
+        seen_path = os.path.join(state_dir, f"seen_{i}.parquet")
+        if not os.path.exists(seen_path):
+            tmp = seen_path + ".tmp"
+            kept = out_ds.map_batches(
+                lambda b: pa.table({"fp": b["fp_md5"].cast(
+                    pa.string())}),
+                batch_format="pyarrow").to_pandas()
+            pa_tbl = pa.Table.from_pandas(kept, preserve_index=False)
+            import pyarrow.parquet as pq
+
+            pq.write_table(pa_tbl, tmp)
+            os.replace(tmp, seen_path)
+        write_manifest(out_dir, PartitionManifest(
+            partition=i,
+            inputs=[frag],
+            row_count=int(n_out),
+            metrics={"wall_s": round(time.perf_counter() - t0, 3),
+                     "rows_in": int(n_in)},
+            sketch_blobs=[seen_path],
+            complete=True,
+        ))
+        completed.append(i)
+        total_rows += int(n_out)
+        fresh += 1
+    return {"completed": completed, "skipped": skipped,
+            "rows": total_rows}

@@ -113,3 +113,85 @@ def test_crashed_partition_files_never_mix(setup, tmp_path):
     assert sorted(f for f in os.listdir(p0)
                   if f.endswith(".parquet")) == files_before
     assert len(_all_rows(out2)) == len(b)
+
+
+def _doc_fragments(tmpdir, n_frags=4):
+    """Split the sf0.01 documents (doc_id-sorted ranges) into
+    fragment files, planting cross-partition prefix duplicates by
+    copying some texts of fragment 0 into fragments 1..3."""
+    import numpy as np
+    import pandas as pd
+
+    docs = (pd.read_parquet("/root/testdata/sf0.01/documents.parquet")
+            .sort_values("doc_id").reset_index(drop=True))
+    # plant exact duplicates across fragments: every 10th doc of the
+    # first quarter reappears (new doc_id) in later quarters
+    q = len(docs) // n_frags
+    planted = []
+    for j in range(1, n_frags):
+        src = docs.iloc[: q: 10].copy()
+        src["doc_id"] = docs.doc_id.max() * j * 10 + src.doc_id
+        planted.append(src)
+    full = pd.concat([docs] + planted, ignore_index=True)
+    full = full.sort_values("doc_id").reset_index(drop=True)
+    cuts = np.array_split(np.arange(len(full)), n_frags)
+    os.makedirs(tmpdir, exist_ok=True)
+    for i, idx in enumerate(cuts):
+        full.iloc[idx].to_parquet(
+            os.path.join(tmpdir, f"frag_{i:02d}.parquet"))
+    return full
+
+
+def test_curation_kill_resume_and_exact_dedup(ray_session, tmp_path):
+    """run_partitioned_curation: kill/resume byte-identical; the
+    concatenated output equals a single-shot gate+first-wins dedup
+    recomputation; seen-state checkpoints exist per partition."""
+    import pandas as pd
+
+    from biobloom_ray.pipelines.resumable import (
+        run_partitioned_curation)
+
+    input_dir = str(tmp_path / "frags")
+    full = _doc_fragments(input_dir)
+    out_a = str(tmp_path / "killed")
+    out_b = str(tmp_path / "clean")
+
+    r1 = run_partitioned_curation(input_dir, out_a, fail_after=2)
+    assert r1["completed"] == [0, 1]
+    r2 = run_partitioned_curation(input_dir, out_a)
+    assert r2["skipped"] == [0, 1] and r2["completed"] == [2, 3]
+    r3 = run_partitioned_curation(input_dir, out_b)
+    assert r3["completed"] == [0, 1, 2, 3]
+
+    def all_rows(d):
+        frames = []
+        for name in sorted(os.listdir(d)):
+            p = os.path.join(d, name)
+            if not name.startswith("part="):
+                continue
+            for f in sorted(os.listdir(p)):
+                if f.endswith(".parquet"):
+                    frames.append(pq.read_table(
+                        os.path.join(p, f)).to_pandas())
+        return (pd.concat(frames).sort_values("doc_id")
+                .reset_index(drop=True))
+
+    a, b = all_rows(out_a), all_rows(out_b)
+    assert a.equals(b)
+
+    # single-shot recomputation: gate then global first-wins dedup
+    nc = full.text.str.len().astype("int64")
+    na = full.text.str.count(r"[A-Za-z]").astype("int64")
+    gated = full[100 * na >= 50 * nc]
+    keep = ~gated.text.duplicated(keep="first")
+    want = gated[keep].sort_values("doc_id").reset_index(drop=True)
+    assert list(a.doc_id) == list(want.doc_id)
+    # duplicates were actually planted AND removed across partitions
+    assert len(a) < len(gated)
+
+    # every partition has its seen-state checkpoint and manifest
+    for i in range(4):
+        assert os.path.exists(os.path.join(
+            out_b, "state", f"seen_{i}.parquet"))
+        m = read_manifest(out_b, i)
+        assert m.complete and m.sketch_blobs
