@@ -1448,6 +1448,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 wave 67: tenure histogram / order-size dispersion
         "user_tenure_distribution": A.user_tenure_distribution,
         "order_size_distribution": A.order_size_distribution,
+        # round-4: the resumable curation RUNNER under the oracle
+        "curation_run_summary": A.curation_run_summary,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "doc_compression_ratio": A.doc_compression_ratio,
@@ -4795,6 +4797,18 @@ def oracle_sql() -> dict[str, str]:
             " CAST(COUNT(*) AS BIGINT) AS n_orders,"
             " ANY_VALUE(d.disp) AS dispersion_r6"
             " FROM c, d GROUP BY c.k ORDER BY 1",
+        # the resumable curation runner's end-to-end twin: alpha gate
+        # at 82% + global first-wins (min doc_id per text) dedup —
+        # doc_id-ordered fragments make the runner's per-partition
+        # first-wins equal the global rule
+        "curation_run_summary":
+            "WITH g AS (SELECT doc_id, lang, text FROM documents"
+            " WHERE 100*length(regexp_replace(text, '[^A-Za-z]', '',"
+            " 'g')) >= 82*length(text)), "
+            "w AS (SELECT lang, doc_id,"
+            " MIN(doc_id) OVER (PARTITION BY text) AS win FROM g) "
+            "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept"
+            " FROM w WHERE doc_id = win GROUP BY 1 ORDER BY 1",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

@@ -288,7 +288,8 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "quality_gate_sweep",
                "neardup_calibration_report", "hll_error_sweep",
                "cms_error_sweep", "quantile_sketch_calibration",
-               "user_tenure_distribution", "order_size_distribution"]
+               "user_tenure_distribution", "order_size_distribution",
+               "curation_run_summary"]
 
 
 def run_queries() -> dict[str, float]:

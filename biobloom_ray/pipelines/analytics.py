@@ -14533,3 +14533,58 @@ def order_size_distribution(sf_dir: str):
     out["n_orders"] = out.n_orders.astype(np.int64)
     out["dispersion_r6"] = np.round(var / mean, 6)
     return out.sort_values("n_items").reset_index(drop=True)
+
+
+def curation_run_summary(sf_dir: str):
+    """The RESUMABLE CURATION RUNNER under the correctness oracle: the
+    documents table splits into two deterministic doc_id-ordered
+    fragments under /tmp, `run_partitioned_curation` executes its full
+    per-partition DAG (alpha gate → within-partition first-wins dedup
+    → cross-partition dedup vs the seen-key checkpoint → crash-atomic
+    publish), and the published partitions roll up to per-lang kept
+    counts.  Because fragments are doc_id-ordered, the runner's
+    first-wins semantics equal the SQL twin's global
+    min-doc_id-per-text rule — so the whole checkpointed runner, not
+    just its kernels, is oracle-checked."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from biobloom_ray.pipelines.resumable import (
+        run_partitioned_curation)
+
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "lang", "text"]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(),
+                        f"biobloom_curation_{tag}")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(in_dir, exist_ok=True)
+    h = len(docs) // 2
+    docs.iloc[:h].to_parquet(os.path.join(in_dir, "frag_00.parquet"))
+    docs.iloc[h:].to_parquet(os.path.join(in_dir, "frag_01.parquet"))
+    # 82% splits the fixture's alpha-ratio distribution (median ~82.2)
+    # so the gate is exercised, not a pass-through
+    run_partitioned_curation(in_dir, out_dir, min_alpha_pct=82)
+
+    kept = _rp(out_dir + "/part=0").union(_rp(out_dir + "/part=1"))
+
+    def lang_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": b["lang"].to_pandas().to_numpy(dtype=object)})
+        agg = df.groupby("lang", as_index=False).agg(
+            n_kept=("lang", "size"))
+        agg["n_kept"] = agg.n_kept.astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    out = (_parts_pandas(kept.map_batches(lang_partial,
+                                          batch_format="pyarrow"),
+                         {"lang": object, "n_kept": np.int64})
+           .groupby("lang", as_index=False).n_kept.sum())
+    shutil.rmtree(base, ignore_errors=True)
+    out["n_kept"] = out.n_kept.astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)
