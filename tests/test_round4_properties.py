@@ -428,3 +428,121 @@ def test_wave57plus_ops_empty_inputs(ray_session):
         assert len(A.vocab_coverage_topp(td)) == 0
         assert len(A.quality_gate_sweep(td)) == 0
         assert len(A.order_fulfillment_latency(td)) == 0
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(1, 10**5), min_size=1, max_size=200),
+       st.integers(1, 99))
+def test_nucleus_coverage_counts_of_counts_vs_expansion(counts, pct):
+    """The counts-of-counts crossing walk (vocab_coverage_topp kernel)
+    equals the brute-force minimal prefix over the expanded sorted
+    count vector."""
+    cnt = np.sort(np.asarray(counts, np.int64))[::-1]
+    tot = int(cnt.sum())
+    thr = -(-pct * tot // 100)
+    cum = np.cumsum(cnt)
+    want = int(np.argmax(cum >= thr)) + 1
+    # counts-of-counts walk
+    vals, k = np.unique(cnt, return_counts=True)
+    vals, k = vals[::-1], k[::-1]
+    mass = vals * k
+    cmass = np.cumsum(mass)
+    j = int(np.argmax(cmass >= thr))
+    before = int(cmass[j - 1]) if j else 0
+    need = thr - before
+    got = int(k[:j].sum()) + int(-(-need // vals[j]))
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.integers(1, 3),        # user
+                          st.integers(0, 10**5),    # second offset
+                          st.integers(0, 2)),       # type
+                min_size=1, max_size=60))
+def test_bounce_fold_vs_sequential(events):
+    """The vectorized session fold (session_bounce_rate kernel) equals
+    a sequential per-user session walk."""
+    types = np.array(["x", "y", "z"], dtype=object)
+    df = pd.DataFrame({
+        "user_id": [u for u, _, _ in events],
+        "ts_ns": [t * 10**9 for _, t, _ in events],
+        "event_id": range(len(events)),
+        "event_type": types[[k for _, _, k in events]]})
+    df = df.sort_values(["user_id", "ts_ns", "event_id"])
+    uid = df.user_id.to_numpy()
+    ts = df.ts_ns.to_numpy(np.int64)
+    et = df.event_type.to_numpy(dtype=object)
+    gap = 30 * 60 * 10**9
+    new_s = np.ones(len(df), bool)
+    new_s[1:] = (uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] > gap)
+    starts = np.nonzero(new_s)[0]
+    ln = np.diff(np.r_[starts, len(df)])
+    vec = (pd.DataFrame({"t": et[starts], "ln": ln}).groupby("t")
+           .agg(ns=("ln", "size"),
+                nb=("ln", lambda s: int((s == 1).sum())),
+                ne=("ln", "sum")))
+    # sequential walk
+    from collections import defaultdict
+    ns = defaultdict(int)
+    nb = defaultdict(int)
+    ne = defaultdict(int)
+    rows = list(df.itertuples())
+    cur_entry, cur_len, prev = None, 0, None
+    for r in rows:
+        if (prev is None or r.user_id != prev.user_id
+                or r.ts_ns - prev.ts_ns > gap):
+            if cur_entry is not None:
+                ns[cur_entry] += 1
+                ne[cur_entry] += cur_len
+                nb[cur_entry] += int(cur_len == 1)
+            cur_entry, cur_len = r.event_type, 1
+        else:
+            cur_len += 1
+        prev = r
+    if cur_entry is not None:
+        ns[cur_entry] += 1
+        ne[cur_entry] += cur_len
+        nb[cur_entry] += int(cur_len == 1)
+    assert dict(vec["ns"]) == dict(ns)
+    assert dict(vec["nb"]) == dict(nb)
+    assert dict(vec["ne"]) == dict(ne)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.integers(0, 200),    # doc_id
+                          st.integers(0, 6)),     # prefix-class
+                min_size=1, max_size=80, unique_by=lambda t: t[0]))
+def test_incremental_classify_invariants(docs):
+    """The incremental-dedup classification (day-1 = even ids) is a
+    partition of day-2 docs and matches a brute-force rule."""
+    ids = np.array([d for d, _ in docs], np.int64)
+    fp = np.array([c for _, c in docs], np.int64)
+    odd = ids % 2 == 1
+    SENT = np.int64(2**62)
+    rows = pd.DataFrame({"fp": fp, "has1": (~odd).astype(np.int64),
+                         "modd": np.where(odd, ids, SENT)})
+    r = (rows.groupby("fp").agg(has1=("has1", "max"),
+                                modd=("modd", "min")))
+    cls = []
+    for i, f in zip(ids[odd], fp[odd]):
+        if r.has1[f] > 0:
+            cls.append(0)
+        elif i > r.modd[f]:
+            cls.append(1)
+        else:
+            cls.append(2)
+    cls = np.array(cls, np.int64)
+    # brute force
+    even_fps = set(fp[~odd])
+    for i, f, c in zip(ids[odd], fp[odd], cls):
+        if f in even_fps:
+            assert c == 0
+        else:
+            first_odd = ids[odd & (fp == f)].min()
+            assert c == (2 if i == first_odd else 1)
+    # exactly one "new" per fp among odd-only fps
+    for f in set(fp[odd]) - even_fps:
+        assert (cls[fp[odd] == f] == 2).sum() == 1
