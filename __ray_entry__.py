@@ -1459,6 +1459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_error_sweep": A.hll_error_sweep,
         "cms_error_sweep": A.cms_error_sweep,
         "quantile_sketch_calibration": A.quantile_sketch_calibration,
+        "kmeans_quality_report": A.kmeans_quality_report,
         "mibf_classify": _mibf_classify,
         "mibf_classify_paired": _mibf_classify_paired,
         "categorize_length": _categorize_length,

@@ -14588,3 +14588,63 @@ def curation_run_summary(sf_dir: str):
     shutil.rmtree(base, ignore_errors=True)
     out["n_kept"] = out.n_kept.astype(np.int64)
     return out.sort_values("lang").reset_index(drop=True)
+
+
+def kmeans_quality_report(sf_dir: str, k: int = 8, iters: int = 6):
+    """CLUSTER-QUALITY (silhouette-lite) report for the distributed
+    spherical k-means: per cluster — size, mean cosine to the OWN
+    centroid (cohesion), mean cosine to the nearest OTHER centroid
+    (separation), and their gap (positive = separated clusters).  One
+    extra map-only pass over the corpus with the k·dim centroid matrix
+    broadcast; per-block partials are ×2^40 FIXED-POINT int64 sums per
+    cluster (integer addition is associative, so the report is
+    bit-identical under any partitioning — same contract as the
+    k-means itself).  No SQL twin (list column + pipeline-owned
+    centroids); the pytest twin recomputes in numpy."""
+    import ray
+
+    from biobloom_ray.stages.ann import (_matrix, _normalize_rows,
+                                         embedding_kmeans)
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    _assigns, cent = embedding_kmeans(emb, k=k, iters=iters)
+    cent_ref = ray.put(cent)
+    FP = np.int64(1) << np.int64(40)
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _normalize_rows(_matrix(b["embedding"]))
+        sims = m @ c.T                      # (n, k)
+        own = np.argmax(sims, axis=1)
+        own_sim = sims[np.arange(len(m)), own]
+        sims[np.arange(len(m)), own] = -np.inf
+        other_sim = sims.max(axis=1)
+        q_own = np.round(own_sim * float(FP)).astype(np.int64)
+        q_oth = np.round(other_sim * float(FP)).astype(np.int64)
+        n = np.bincount(own, minlength=len(c))
+        s_own = np.zeros(len(c), np.int64)
+        s_oth = np.zeros(len(c), np.int64)
+        np.add.at(s_own, own, q_own)
+        np.add.at(s_oth, own, q_oth)
+        nz = np.nonzero(n)[0]
+        return pa.table({
+            "cluster": pa.array(nz.astype(np.int64)),
+            "n": pa.array(n[nz].astype(np.int64)),
+            "s_own": pa.array(s_own[nz]),
+            "s_oth": pa.array(s_oth[nz])})
+
+    p = (_parts_pandas(emb.map_batches(partial,
+                                       batch_format="pyarrow"),
+                       {"cluster": np.int64, "n": np.int64,
+                        "s_own": np.int64, "s_oth": np.int64})
+         .groupby("cluster", as_index=False)
+         [["n", "s_own", "s_oth"]].sum())
+    fp = float(FP)
+    p["cohesion_r6"] = (p.s_own / fp / p.n).round(6)
+    p["separation_r6"] = (p.s_oth / fp / p.n).round(6)
+    p["silhouette_r6"] = ((p.s_own - p.s_oth) / fp / p.n).round(6)
+    out = p[["cluster", "n", "cohesion_r6", "separation_r6",
+             "silhouette_r6"]].copy()
+    for c in ["cluster", "n"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("cluster").reset_index(drop=True)

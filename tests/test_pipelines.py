@@ -3227,3 +3227,44 @@ def test_round4_wave67_tiers_agree(ray_session, monkeypatch):
     assert fast_os.dispersion_r6.nunique() == 1
     assert abs(fast_os.dispersion_r6.iloc[0]
                - round(var / mean, 6)) <= 1e-6
+
+
+def test_round4_wave68_kmeans_quality(ray_session):
+    """kmeans_quality_report: numpy recomputation twin (exact to the
+    fixed-point contract), partition counts match the kmeans
+    assignments, and cohesion > separation for every cluster (the
+    centroid is by construction the best-matching one)."""
+    import biobloom_ray.io as io
+    import biobloom_ray.pipelines.analytics as A
+    from biobloom_ray.stages.ann import (_matrix, _normalize_rows,
+                                         embedding_kmeans)
+
+    sf = "/root/testdata/sf0.01"
+    rep = A.kmeans_quality_report(sf)
+    assert (rep.cohesion_r6 > rep.separation_r6).all()
+    assert (rep.silhouette_r6 > 0).all()
+
+    emb = io.read_parquet(f"{sf}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    assigns, cent = embedding_kmeans(emb, k=8, iters=6)
+    a = assigns.to_pandas()
+    got_n = rep.set_index("cluster").n
+    want_n = a.cluster.value_counts().sort_index()
+    assert (got_n == want_n).all()
+
+    ep = emb.to_pandas().sort_values("vec_id")
+    m = _normalize_rows(np.stack(ep.embedding.to_numpy())
+                        .astype(np.float64))
+    order = a.sort_values("vec_id").cluster.to_numpy()
+    sims = m @ cent.T
+    own_sim = sims[np.arange(len(m)), order]
+    sims[np.arange(len(m)), order] = -np.inf
+    other = sims.max(axis=1)
+    FP = float(np.int64(1) << np.int64(40))
+    q_own = np.round(own_sim * FP).astype(np.int64)
+    q_oth = np.round(other * FP).astype(np.int64)
+    df = pd.DataFrame({"c": order, "o": q_own, "t": q_oth})
+    g = df.groupby("c").agg(n=("o", "size"), so=("o", "sum"),
+                            st=("t", "sum"))
+    want = ((g.so - g.st) / FP / g.n).round(6)
+    assert (rep.set_index("cluster").silhouette_r6 == want).all()
