@@ -1450,6 +1450,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_size_distribution": A.order_size_distribution,
         # round-4: the resumable curation RUNNER under the oracle
         "curation_run_summary": A.curation_run_summary,
+        # round-4 wave 69: class-confusability affinity matrix
+        "label_centroid_affinity": A.label_centroid_affinity,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "doc_compression_ratio": A.doc_compression_ratio,
@@ -4810,6 +4812,25 @@ def oracle_sql() -> dict[str, str]:
             " MIN(doc_id) OVER (PARTITION BY text) AS win FROM g) "
             "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept"
             " FROM w WHERE doc_id = win GROUP BY 1 ORDER BY 1",
+        # label-centroid pairwise cosine (mirrored op order: mean =
+        # SUM/COUNT per dim, dot over dims, norm = sqrt(sum m^2))
+        "label_centroid_affinity":
+            "WITH e AS (SELECT label,"
+            " CAST(unnest(embedding) AS DOUBLE) AS v,"
+            " unnest(generate_series(1, len(embedding))) AS i"
+            " FROM embeddings), "
+            "c AS (SELECT label, i - 1 AS dim, SUM(v)/COUNT(*) AS m"
+            " FROM e GROUP BY 1, 2), "
+            "n AS (SELECT label, SQRT(SUM(m*m)) AS nrm FROM c"
+            " GROUP BY 1), "
+            "d AS (SELECT a.label AS la, b.label AS lb,"
+            " SUM(a.m*b.m) AS dot FROM c a JOIN c b"
+            " ON a.dim = b.dim AND a.label < b.label GROUP BY 1, 2) "
+            "SELECT CAST(d.la AS BIGINT) AS label_a,"
+            " CAST(d.lb AS BIGINT) AS label_b,"
+            " ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cos_r6"
+            " FROM d JOIN n na ON d.la = na.label"
+            " JOIN n nb ON d.lb = nb.label ORDER BY 1, 2",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

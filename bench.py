@@ -289,7 +289,8 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "neardup_calibration_report", "hll_error_sweep",
                "cms_error_sweep", "quantile_sketch_calibration",
                "user_tenure_distribution", "order_size_distribution",
-               "curation_run_summary", "kmeans_quality_report"]
+               "curation_run_summary", "kmeans_quality_report",
+               "label_centroid_affinity"]
 
 
 def run_queries() -> dict[str, float]:

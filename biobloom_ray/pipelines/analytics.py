@@ -14648,3 +14648,62 @@ def kmeans_quality_report(sf_dir: str, k: int = 8, iters: int = 6):
     for c in ["cluster", "n"]:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("cluster").reset_index(drop=True)
+
+
+def label_centroid_affinity(sf_dir: str):
+    """LABEL-CENTROID AFFINITY matrix — pairwise cosine between the
+    per-label mean embeddings (the class-confusability diagnostic; low
+    affinity = separable classes).  The corpus reduces map-side to
+    (label, dim, Σv, n) partials (|labels|·dim rows per block via one
+    ``np.add.at``) — driver combine below `RANK_DRIVER_MAX_ROWS`
+    input rows, native Sum groupby above — and the pairwise math runs
+    on the |labels|×dim centroid matrix.  Float outputs follow the
+    6-dp contract with mirrored op order (mean = Σ/n, dot over dims,
+    norm = √Σm²)."""
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.stack(b["embedding"].to_pandas().to_numpy()) \
+            .astype(np.float64)
+        codes, uniq = pd.factorize(lab)
+        sums = np.zeros((len(uniq), m.shape[1]), np.float64)
+        np.add.at(sums, codes, m)
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        dim = m.shape[1]
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, dim)),
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64),
+                                    len(uniq))),
+            "s": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(n, dim))})
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= RANK_DRIVER_MAX_ROWS:
+        c = (_parts_pandas(parts_ds, {"label": np.int64,
+                                      "dim": np.int64,
+                                      "s": np.float64, "n": np.int64})
+             .groupby(["label", "dim"], as_index=False)
+             [["s", "n"]].sum())
+    else:
+        c = (parts_ds.groupby(["label", "dim"])
+             .aggregate(Sum("s", alias_name="s"),
+                        Sum("n", alias_name="n")).to_pandas())
+    c = c.sort_values(["label", "dim"])
+    labels = np.sort(c.label.unique())
+    dim = int(c.dim.max()) + 1
+    M = (c.s.to_numpy(np.float64) / c.n.to_numpy(np.int64)) \
+        .reshape(len(labels), dim)
+    nrm = np.sqrt((M * M).sum(axis=1))
+    rows = []
+    for i in range(len(labels)):
+        for j in range(i + 1, len(labels)):
+            dot = float((M[i] * M[j]).sum())
+            rows.append((int(labels[i]), int(labels[j]),
+                         round(dot / (nrm[i] * nrm[j]), 6)))
+    out = pd.DataFrame(rows, columns=["label_a", "label_b", "cos_r6"])
+    out["label_a"] = out.label_a.astype(np.int64)
+    out["label_b"] = out.label_b.astype(np.int64)
+    return out.sort_values(["label_a", "label_b"]) \
+        .reset_index(drop=True)

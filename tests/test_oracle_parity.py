@@ -152,7 +152,7 @@ SQL_CHECKED = [
     "sample_budget_allocation", "nation_whale_share",
     "session_bounce_rate", "quality_gate_sweep",
     "user_tenure_distribution", "order_size_distribution",
-    "curation_run_summary",
+    "curation_run_summary", "label_centroid_affinity",
 ]
 
 

@@ -3268,3 +3268,29 @@ def test_round4_wave68_kmeans_quality(ray_session):
                             st=("t", "sum"))
     want = ((g.so - g.st) / FP / g.n).round(6)
     assert (rep.set_index("cluster").silhouette_r6 == want).all()
+
+
+def test_round4_wave69_tiers_agree(ray_session, monkeypatch):
+    """label_centroid_affinity: tier parity + symmetry-free pair set
+    + numpy recomputation."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast = A.label_centroid_affinity(sf)
+    monkeypatch.setattr(A, "RANK_DRIVER_MAX_ROWS", 0)
+    slow = A.label_centroid_affinity(sf)[list(fast.columns)]
+    assert len(fast) == 45 and fast.equals(slow)
+    assert (fast.label_a < fast.label_b).all()
+    assert fast.cos_r6.between(-1, 1).all()
+
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    M = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    lab = emb.label.to_numpy()
+    cents = np.stack([M[lab == l].mean(axis=0)
+                      for l in sorted(set(lab))])
+    nrm = np.sqrt((cents * cents).sum(axis=1))
+    got = fast.set_index(["label_a", "label_b"]).cos_r6
+    for i in range(10):
+        for j in range(i + 1, 10):
+            want = (cents[i] * cents[j]).sum() / (nrm[i] * nrm[j])
+            assert abs(got[(i, j)] - round(want, 6)) <= 2e-6
