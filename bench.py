@@ -99,9 +99,12 @@ def _force_cluster_tiers():
     import biobloom_ray.pipelines.analytics as A
     import biobloom_ray.pipelines.mibf as M
     import biobloom_ray.pipelines.progressive as P
+    import biobloom_ray.pipelines.resumable as RS
     import biobloom_ray.stages.ann as ANN
     import biobloom_ray.stages.dedup as D
     import biobloom_ray.stages.pairs as PR
+
+    RS.SEEN_BROADCAST_MAX_KEYS = 0
 
     A.CUST_BROADCAST_MAX_ROWS = 0
     A.LINEITEM_DRIVER_MAX_ROWS = 0

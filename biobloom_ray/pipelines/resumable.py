@@ -231,8 +231,15 @@ def run_partitioned_curation(
                     return pa.table({
                         "fp": b["fp"].cast(pa.string())})
 
+                def key_cast(b: pa.Table) -> pa.Table:
+                    # join keys must not mix string/large_string
+                    i = b.schema.get_field_index("fp_md5")
+                    return b.set_column(
+                        i, "fp_md5", b["fp_md5"].cast(pa.string()))
+
                 deduped = hash_join(
-                    deduped,
+                    deduped.map_batches(key_cast,
+                                        batch_format="pyarrow"),
                     seen_ds.map_batches(fp_narrow,
                                         batch_format="pyarrow"),
                     on=("fp_md5",), right_on=("fp",),

@@ -195,3 +195,39 @@ def test_curation_kill_resume_and_exact_dedup(ray_session, tmp_path):
             out_b, "state", f"seen_{i}.parquet"))
         m = read_manifest(out_b, i)
         assert m.complete and m.sketch_blobs
+
+
+def test_curation_left_anti_seen_tier_parity(ray_session, tmp_path,
+                                             monkeypatch):
+    """Forcing the seen-set gate to 0 routes the cross-partition dedup
+    through the left_anti hash join against the checkpoint parquet —
+    output identical to the broadcast-probe tier."""
+    import pandas as pd
+
+    import biobloom_ray.pipelines.resumable as RS
+
+    input_dir = str(tmp_path / "frags")
+    _doc_fragments(input_dir)
+    out_a = str(tmp_path / "broadcast")
+    out_b = str(tmp_path / "anti_join")
+
+    RS.run_partitioned_curation(input_dir, out_a)
+    monkeypatch.setattr(RS, "SEEN_BROADCAST_MAX_KEYS", 0)
+    RS.run_partitioned_curation(input_dir, out_b)
+
+    def all_rows(d):
+        frames = []
+        for name in sorted(os.listdir(d)):
+            p = os.path.join(d, name)
+            if not name.startswith("part="):
+                continue
+            for f in sorted(os.listdir(p)):
+                if f.endswith(".parquet"):
+                    frames.append(pq.read_table(
+                        os.path.join(p, f)).to_pandas())
+        return (pd.concat(frames).sort_values("doc_id")
+                .reset_index(drop=True))
+
+    a = all_rows(out_a)
+    b = all_rows(out_b)[a.columns.tolist()]
+    assert len(a) > 0 and a.equals(b)
