@@ -1452,6 +1452,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_run_summary": A.curation_run_summary,
         # round-4 wave 69: class-confusability affinity matrix
         "label_centroid_affinity": A.label_centroid_affinity,
+        # round-4 wave 70: exact-integer Spearman rank correlation
+        "supplier_rank_correlation": A.supplier_rank_correlation,
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "doc_compression_ratio": A.doc_compression_ratio,
@@ -4831,6 +4833,27 @@ def oracle_sql() -> dict[str, str]:
             " ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cos_r6"
             " FROM d JOIN n na ON d.la = na.label"
             " JOIN n nb ON d.lb = nb.label ORDER BY 1, 2",
+        # Spearman with average ranks carried as 2·rank integers
+        # (2·avg = 2·RANK + #ties − 1); S folds exactly, one final
+        # 6-dp division with mirrored op order
+        "supplier_rank_correlation":
+            "WITH r AS (SELECT l_suppkey AS sk,"
+            " SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)"
+            " * (100 - CAST(ROUND(l_discount*100) AS BIGINT)))"
+            " AS rev FROM lineitem GROUP BY 1), "
+            "m AS (SELECT r.sk, r.rev,"
+            " CAST(ROUND(s.s_acctbal*100) AS BIGINT) AS bal"
+            " FROM r JOIN supplier s ON r.sk = s.s_suppkey), "
+            "rk AS (SELECT sk,"
+            " 2*RANK() OVER (ORDER BY rev)"
+            " + COUNT(*) OVER (PARTITION BY rev) - 1 AS ra,"
+            " 2*RANK() OVER (ORDER BY bal)"
+            " + COUNT(*) OVER (PARTITION BY bal) - 1 AS rb FROM m), "
+            "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,"
+            " CAST(SUM((ra-rb)*(ra-rb)) AS BIGINT) AS s FROM rk) "
+            "SELECT n AS n_suppliers, s AS sum_d2_4x,"
+            " ROUND(1.0 - 3.0*s / (2.0*n*(n*n - 1)), 6)"
+            " AS spearman_r6 FROM t",
         # hourly forward-fill resample: LAST_VALUE IGNORE NULLS over
         # the dense (type, hour) grid
         "event_value_ffill_hourly":

@@ -293,7 +293,7 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "cms_error_sweep", "quantile_sketch_calibration",
                "user_tenure_distribution", "order_size_distribution",
                "curation_run_summary", "kmeans_quality_report",
-               "label_centroid_affinity"]
+               "label_centroid_affinity", "supplier_rank_correlation"]
 
 
 def run_queries() -> dict[str, float]:

@@ -14707,3 +14707,64 @@ def label_centroid_affinity(sf_dir: str):
     out["label_b"] = out.label_b.astype(np.int64)
     return out.sort_values(["label_a", "label_b"]) \
         .reset_index(drop=True)
+
+
+def supplier_rank_correlation(sf_dir: str):
+    """SPEARMAN rank correlation between supplier account balance and
+    supplier revenue (does the ledger agree with the business?) —
+    EXACT integer internals: both metrics rank with AVERAGE ranks for
+    ties carried as 2·rank integers (2·avg = 2·RANK + #ties − 1), the
+    statistic folds as S = Σ(2rᵃ − 2rᵇ)², and
+    ρ = 1 − 3S / (2n(n²−1)) is one final 6-dp division (the
+    average-rank d² form; mirrored verbatim in the oracle).  Shape:
+    tiered per-supplier revenue rollup (native Sum groupby above
+    `LINEITEM_DRIVER_MAX_ROWS`), balance attach on the supplier-scale
+    table, rank walks on that table (suppliers ≪ facts; the at-scale
+    caveat matches the other entity-scale walks)."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_extendedprice", "l_discount"])
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_acctbal"]).to_pandas()
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = _cents_away(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False))
+        disc = _cents_away(
+            b["l_discount"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({
+            "sk": b["l_suppkey"].to_numpy(zero_copy_only=False),
+            "rev": cents * (100 - disc)})
+        agg = df.groupby("sk", as_index=False).rev.sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts_ds = li.map_batches(partial, batch_format="pyarrow")
+    n_rows = _cheap_count(li)
+    if n_rows is not None and n_rows <= LINEITEM_DRIVER_MAX_ROWS:
+        rev = (_parts_pandas(parts_ds, {"sk": np.int64,
+                                        "rev": np.int64})
+               .groupby("sk", as_index=False).rev.sum())
+    else:
+        rev = (parts_ds.groupby("sk")
+               .aggregate(Sum("rev", alias_name="rev")).to_pandas())
+    m = rev.merge(supp, left_on="sk", right_on="s_suppkey")
+    bal = _cents_away(m.s_acctbal.to_numpy())
+
+    def rank2(v: np.ndarray) -> np.ndarray:
+        """2x average rank (exact integer): 2*RANK + ties - 1."""
+        order = np.argsort(v, kind="stable")
+        sv = v[order]
+        uniq, start, cnt = np.unique(sv, return_index=True,
+                                     return_counts=True)
+        pos = np.searchsorted(uniq, v)
+        return (2 * (start[pos] + 1) + cnt[pos] - 1).astype(np.int64)
+
+    ra = rank2(m.rev.to_numpy(np.int64))
+    rb = rank2(bal)
+    n = len(m)
+    S = int(((ra - rb) ** 2).sum())
+    rho = 1.0 - 3.0 * S / (2.0 * n * (n * n - 1))
+    out = pd.DataFrame({
+        "n_suppliers": np.asarray([n], np.int64),
+        "sum_d2_4x": np.asarray([S], np.int64),
+        "spearman_r6": [round(rho, 6)]})
+    return out

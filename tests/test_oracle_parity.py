@@ -153,6 +153,7 @@ SQL_CHECKED = [
     "session_bounce_rate", "quality_gate_sweep",
     "user_tenure_distribution", "order_size_distribution",
     "curation_run_summary", "label_centroid_affinity",
+    "supplier_rank_correlation",
 ]
 
 

@@ -3294,3 +3294,42 @@ def test_round4_wave69_tiers_agree(ray_session, monkeypatch):
         for j in range(i + 1, 10):
             want = (cents[i] * cents[j]).sum() / (nrm[i] * nrm[j])
             assert abs(got[(i, j)] - round(want, 6)) <= 2e-6
+
+
+def test_round4_wave70_tiers_agree(ray_session, monkeypatch):
+    """supplier_rank_correlation: tier parity + scipy-free brute-force
+    Spearman recomputation on average ranks."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    fast = A.supplier_rank_correlation(sf)
+    monkeypatch.setattr(A, "LINEITEM_DRIVER_MAX_ROWS", 0)
+    slow = A.supplier_rank_correlation(sf)[list(fast.columns)]
+    assert len(fast) == 1 and fast.equals(slow)
+    assert -1 <= fast.spearman_r6.iloc[0] <= 1
+
+    li = pd.read_parquet(f"{sf}/lineitem.parquet",
+                         columns=["l_suppkey", "l_extendedprice",
+                                  "l_discount"])
+    sup = pd.read_parquet(f"{sf}/supplier.parquet",
+                          columns=["s_suppkey", "s_acctbal"])
+
+    def cents(x):
+        return (np.sign(x) * np.floor(np.abs(x) * 100 + 0.5)) \
+            .astype(np.int64)
+
+    rev = (pd.DataFrame({
+        "sk": li.l_suppkey,
+        "r": cents(li.l_extendedprice.to_numpy())
+        * (100 - cents(li.l_discount.to_numpy()))})
+        .groupby("sk", as_index=False).r.sum()
+        .merge(sup, left_on="sk", right_on="s_suppkey"))
+    ra = rev.r.rank(method="average").to_numpy() * 2
+    rb = cents(rev.s_acctbal.to_numpy())
+    rb = pd.Series(rb).rank(method="average").to_numpy() * 2
+    S = int(((ra - rb) ** 2).sum())
+    n = len(rev)
+    rho = 1.0 - 3.0 * S / (2.0 * n * (n * n - 1))
+    assert fast.n_suppliers.iloc[0] == n
+    assert fast.sum_d2_4x.iloc[0] == S
+    assert abs(fast.spearman_r6.iloc[0] - round(rho, 6)) <= 1e-6
