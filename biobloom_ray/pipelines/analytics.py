@@ -14257,22 +14257,18 @@ def hll_error_sweep(sf_dir: str, precisions=(8, 10, 12, 14)):
     The pytest twin asserts |rel_err| ≤ 3× bound for every p."""
     from biobloom_ray.sketches.hll import HLL
     from biobloom_ray.stages.textstats import _token_arrays
-    from biobloom_ray.hashing import splitmix64
-
-    import hashlib
+    from biobloom_ray.hashing import hash_strings
 
     ds = _read(sf_dir, "documents", columns=["text"])
     ps = tuple(precisions)
 
     def partial(b: pa.Table) -> pa.Table:
         flat, _, _ = _token_arrays(b)
-        # 64-bit token hashes: stable md5-low64 per distinct token
-        # (md5 here is per DISTINCT token per block, not per token)
+        # 64-bit token hashes: vectorized splitmix64-finalized
+        # polynomial hash per distinct token (same kernel as the
+        # production token-hash path; no per-item Python hashing)
         uniq = pd.unique(pd.Index(flat, dtype=object))
-        h = np.fromiter(
-            (int.from_bytes(hashlib.md5(t.encode()).digest()[:8],
-                            "little") for t in uniq),
-            dtype=np.uint64, count=len(uniq))
+        h = hash_strings(uniq)
         blobs = []
         for p in ps:
             sk = HLL(p=p)
@@ -14297,11 +14293,8 @@ def hll_error_sweep(sf_dir: str, precisions=(8, 10, 12, 14)):
     def tok_hash(b: pa.Table) -> pa.Table:
         flat, _, _ = _token_arrays(b)
         uniq = pd.unique(pd.Index(flat, dtype=object))
-        h = np.fromiter(
-            (int.from_bytes(hashlib.md5(t.encode()).digest()[:8],
-                            "little") for t in uniq),
-            dtype=np.uint64, count=len(uniq))
-        return pa.table({"h": pa.array(h.astype(np.int64))})
+        h = hash_strings(uniq)
+        return pa.table({"h": pa.array(h.view(np.int64))})
 
     exact = (ds.map_batches(tok_hash, batch_format="pyarrow")
              .groupby("h").count().count())
