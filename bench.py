@@ -126,6 +126,7 @@ def _force_cluster_tiers():
     A.NB_BROADCAST_MAX_ROWS = 0
     A.ANTI_BROADCAST_MAX_ROWS = 0
     A.PART_DRIVER_MAX_ROWS = 0
+    A.Q11_SUPP_BROADCAST_MAX_ROWS = 0
     D.EXACT_DEDUP_DRIVER_MAX_ROWS = 0
     D.BAND_DRIVER_MAX_ROWS = 0
     PR.PAIR_BROADCAST_MAX_ROWS = 0
@@ -293,7 +294,9 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "cms_error_sweep", "quantile_sketch_calibration",
                "user_tenure_distribution", "order_size_distribution",
                "curation_run_summary", "kmeans_quality_report",
-               "label_centroid_affinity", "supplier_rank_correlation"]
+               "label_centroid_affinity", "supplier_rank_correlation",
+               # round-5: TPC-H Q11 over the key-derived partsupp
+               "q11_important_stock"]
 
 
 def run_queries() -> dict[str, float]:

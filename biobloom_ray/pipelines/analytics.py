@@ -14761,3 +14761,153 @@ def supplier_rank_correlation(sf_dir: str):
         "sum_d2_4x": np.asarray([S], np.int64),
         "spearman_r6": [round(rho, 6)]})
     return out
+
+
+# -- TPC-H Q11 (important stock) over a KEY-DERIVED partsupp ------------------
+
+#: supplier-side broadcast gate for Q11: below this many suppliers the
+#: in-nation suppkey membership ships to every part task as one bool
+#: array (n_supp bytes); above it the derived partsupp rows hash-join
+#: the filtered supplier Dataset instead
+Q11_SUPP_BROADCAST_MAX_ROWS = 2_000_000
+
+#: Q11 partsupp fan-out: suppliers per part (TPC-H uses 4)
+Q11_SUPP_PER_PART = 4
+
+
+def _partsupp_terms(pk: np.ndarray, i: int, n_supp: int):
+    """Deterministic partsupp derivation from keys — the fixture ships
+    no partsupp file, so BOTH sides derive the identical table: part
+    ``pk`` gets ``Q11_SUPP_PER_PART`` suppliers at stride
+    ``n_supp // 4 + 1`` (TPC-H dbgen's rotation idea, ``dbgen/build.c``
+    mk_part), with arithmetic availqty / supplycost-in-cents.  The SQL
+    oracle's CTE mirrors this expression EXACTLY (see
+    ``__ray_entry__.oracle_sql['q11_important_stock']``)."""
+    step = n_supp // 4 + 1
+    sk = (pk + i * step) % n_supp
+    avail = (pk * 7 + i * 131 + sk) % 9999 + 1
+    cost_c = (pk * 31 + sk * 17 + i) % 99900 + 100
+    return sk, avail, cost_c
+
+
+def q11_important_stock(sf_dir: str, nation: str = "NATION_7"):
+    """TPC-H Q11 shape — grouped value with a GLOBAL scalar-subquery
+    HAVING (``BioBloomCategorizer``'s summary-threshold census twin):
+    per part, the total supplycost·availqty held by suppliers of one
+    nation, keeping parts whose value exceeds the MEAN group value
+    (``value·n_groups > total`` — exact integer cross-multiplication,
+    no float fraction).  partsupp itself is derived arithmetically from
+    (p_partkey, supplier count) — see ``_partsupp_terms``.
+
+    Scale plan: the derivation is MAP-ONLY (all 4 supplier terms of a
+    part live in its own input row, so the per-part German-value sum
+    needs NO groupby).  Below ``Q11_SUPP_BROADCAST_MAX_ROWS`` suppliers
+    the in-nation membership broadcasts as one bool array via
+    ``ray.put``; above it the exploded (partkey, suppkey, v) rows
+    hash-join the nation-filtered supplier table and reduce with a
+    native Sum.  The global (total, n_groups) scalars come from one
+    partial-fold pass; below ``PART_DRIVER_MAX_ROWS`` parts the final
+    HAVING filter folds on the driver, above it it runs as a
+    map_batches filter over the grouped Dataset with the two broadcast
+    scalars (production would ``write_parquet`` that stream)."""
+    import ray
+
+    from biobloom_ray.io import hash_join
+
+    part = _read(sf_dir, "part", columns=["p_partkey"])
+    supp_ds = _read(sf_dir, "supplier",
+                    columns=["s_suppkey", "s_nationkey"])
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name"]).to_pandas()
+    nk = set(nat[nat.n_name == nation].n_nationkey.astype(int).tolist())
+    n_supp = _cheap_count(supp_ds)
+    if n_supp is None:
+        n_supp = int(supp_ds.count())
+
+    n_parts = _cheap_count(part)
+    if n_supp <= Q11_SUPP_BROADCAST_MAX_ROWS:
+        sp = supp_ds.to_pandas()
+        keep = np.zeros(n_supp, dtype=bool)
+        keep[sp[sp.s_nationkey.isin(nk)].s_suppkey
+             .to_numpy(np.int64)] = True
+        keep_ref = ray.put(keep)
+
+        def per_part(b: pa.Table) -> pa.Table:
+            import ray as _r
+            kp = _r.get(keep_ref)
+            pk = b["p_partkey"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            acc = np.zeros(len(pk), dtype=np.int64)
+            for i in range(Q11_SUPP_PER_PART):
+                sk, avail, cost_c = _partsupp_terms(pk, i, n_supp)
+                acc += np.where(kp[sk], cost_c * avail, 0)
+            m = acc > 0
+            return pa.table({
+                "ps_partkey": pa.array(pk[m]),
+                "value_cents": pa.array(acc[m])})
+
+        grouped = part.map_batches(per_part, batch_format="pyarrow")
+    else:
+        def explode_ps(b: pa.Table) -> pa.Table:
+            pk = b["p_partkey"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            pks, sks, vs = [], [], []
+            for i in range(Q11_SUPP_PER_PART):
+                sk, avail, cost_c = _partsupp_terms(pk, i, n_supp)
+                pks.append(pk)
+                sks.append(sk)
+                vs.append(cost_c * avail)
+            return pa.table({
+                "ps_partkey": pa.array(np.concatenate(pks)),
+                "sk": pa.array(np.concatenate(sks)),
+                "v": pa.array(np.concatenate(vs))})
+
+        nk_arr = np.asarray(sorted(nk), dtype=np.int64)
+
+        def in_nation(b: pa.Table) -> pa.Table:
+            m = np.isin(b["s_nationkey"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64), nk_arr)
+            return pa.table({"s_suppkey":
+                             b["s_suppkey"].filter(pa.array(m))
+                             .cast(pa.int64())})
+
+        german = supp_ds.map_batches(in_nation, batch_format="pyarrow")
+        joined = hash_join(part.map_batches(explode_ps,
+                                            batch_format="pyarrow"),
+                           german, on=("sk",), right_on=("s_suppkey",))
+        grouped = (joined.groupby("ps_partkey")
+                   .aggregate(Sum("v", alias_name="value_cents")))
+
+    if n_parts is not None and n_parts <= PART_DRIVER_MAX_ROWS:
+        g = _parts_pandas(grouped, {"ps_partkey": np.int64,
+                                    "value_cents": np.int64})
+        tot = int(g.value_cents.sum())
+        ng = len(g)
+        out = g[g.value_cents * ng > tot]
+    else:
+        scal = _parts_pandas(
+            grouped.map_batches(
+                lambda b: pa.table({
+                    "tot": pa.array([int(pc.sum(b["value_cents"])
+                                         .as_py() or 0)], pa.int64()),
+                    "ng": pa.array([b.num_rows], pa.int64())}),
+                batch_format="pyarrow"),
+            {"tot": np.int64, "ng": np.int64})
+        tot, ng = int(scal.tot.sum()), int(scal.ng.sum())
+
+        def having(b: pa.Table) -> pa.Table:
+            v = b["value_cents"].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(v * ng > tot))
+
+        out = grouped.map_batches(having,
+                                  batch_format="pyarrow").to_pandas()
+        if len(out) == 0:  # empty to_pandas loses the schema
+            out = pd.DataFrame(
+                {"ps_partkey": pd.Series([], dtype=np.int64),
+                 "value_cents": pd.Series([], dtype=np.int64)})
+    out = out.copy()
+    out["ps_partkey"] = out.ps_partkey.astype(np.int64)
+    out["value_cents"] = out.value_cents.astype(np.int64)
+    return (out.sort_values(["value_cents", "ps_partkey"],
+                            ascending=[False, True])
+            .reset_index(drop=True))

@@ -154,6 +154,17 @@ SQL_CHECKED = [
     "user_tenure_distribution", "order_size_distribution",
     "curation_run_summary", "label_centroid_affinity",
     "supplier_rank_correlation",
+    # round-5: TPC-H Q11 over the key-derived partsupp
+    "q11_important_stock",
+]
+
+#: slots 1-7 of the registry: the namesake sketch family (no SQL
+#: oracle can express them — the driver records its rows-only check;
+#: value correctness is pinned by golden/bound/parity tests)
+SKETCH_FAMILY_SLOTS = [
+    "categorize_summary", "mibf_classify", "bloom_build_info",
+    "bloom_fpr_report", "hll_error_sweep", "cms_error_sweep",
+    "quantile_sketch_calibration",
 ]
 
 
@@ -197,13 +208,16 @@ def test_entry_smoke(entrymod):
     assert "filter_id" in df.columns
 
 
-def test_top50_registry_slots_are_all_oracled(entrymod):
+def test_top50_registry_slots_contract(entrymod):
     """The driver records CORRECTNESS rows for ~the first 50 registry
-    entries only; the ordering contract (queries() docstring) promises
-    every one of those slots to a DuckDB-oracled query."""
+    entries only.  Round-5 ordering contract (queries() docstring,
+    VERDICT r4 #5): slots 1-7 are the namesake sketch family (driver
+    rows-only check; pytest golden/bound oracles), slots 8-50 are all
+    DuckDB-oracled."""
     names = list(entrymod.queries())
     oracled = set(entrymod.oracle_sql())
-    not_oracled = [n for n in names[:50] if n not in oracled]
+    assert names[:7] == SKETCH_FAMILY_SLOTS
+    not_oracled = [n for n in names[7:50] if n not in oracled]
     assert not_oracled == []
     # and every oracled query is exercised by this test module
     assert set(SQL_CHECKED) == oracled

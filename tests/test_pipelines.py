@@ -3333,3 +3333,59 @@ def test_round4_wave70_tiers_agree(ray_session, monkeypatch):
     assert fast.n_suppliers.iloc[0] == n
     assert fast.sum_d2_4x.iloc[0] == S
     assert abs(fast.spearman_r6.iloc[0] - round(rho, 6)) <= 1e-6
+
+
+def test_round5_q11_tiers_agree(ray_session, monkeypatch):
+    """TPC-H Q11 over the key-derived partsupp: broadcast+driver tier
+    vs forced hash-join+Dataset-scalar tier bit-identical; result obeys
+    the mean-gate HAVING; independent pandas recomputation of the
+    derived partsupp matches."""
+    import biobloom_ray.pipelines.analytics as A
+
+    sf = "/root/testdata/sf0.001"
+    # sf0.001 has no NATION_7 suppliers: empty result keeps its typed
+    # schema in BOTH tiers (the empty-to_pandas guard)
+    empty = A.q11_important_stock(sf)
+    assert list(empty.columns) == ["ps_partkey", "value_cents"]
+    assert len(empty) == 0
+    # non-empty parity on a nation that exists at sf0.001
+    fast = A.q11_important_stock(sf, nation="NATION_3")
+    assert len(fast) > 0
+    monkeypatch.setattr(A, "Q11_SUPP_BROADCAST_MAX_ROWS", 0)
+    monkeypatch.setattr(A, "PART_DRIVER_MAX_ROWS", 0)
+    slow = A.q11_important_stock(sf, nation="NATION_3")[
+        list(fast.columns)]
+    assert fast.equals(slow)
+    empty2 = A.q11_important_stock(sf)
+    assert list(empty2.columns) == ["ps_partkey", "value_cents"]
+    assert len(empty2) == 0
+
+    # independent recomputation from the arithmetic rule
+    part = pd.read_parquet(f"{sf}/part.parquet", columns=["p_partkey"])
+    supp = pd.read_parquet(f"{sf}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"])
+    nat = pd.read_parquet(f"{sf}/nation.parquet",
+                          columns=["n_nationkey", "n_name"])
+    nk = set(nat[nat.n_name == "NATION_3"].n_nationkey.astype(int))
+    german = set(supp[supp.s_nationkey.isin(nk)]
+                 .s_suppkey.astype(int).tolist())
+    n_supp = len(supp)
+    step = n_supp // 4 + 1
+    pk = part.p_partkey.to_numpy(np.int64)
+    acc = np.zeros(len(pk), np.int64)
+    for i in range(4):
+        sk = (pk + i * step) % n_supp
+        avail = (pk * 7 + i * 131 + sk) % 9999 + 1
+        cost = (pk * 31 + sk * 17 + i) % 99900 + 100
+        acc += np.where(np.isin(sk, np.asarray(sorted(german))),
+                        cost * avail, 0)
+    g = pd.DataFrame({"ps_partkey": pk, "value_cents": acc})
+    g = g[g.value_cents > 0]
+    tot, ng = int(g.value_cents.sum()), len(g)
+    want = (g[g.value_cents * ng > tot]
+            .sort_values(["value_cents", "ps_partkey"],
+                         ascending=[False, True])
+            .reset_index(drop=True))
+    assert fast.reset_index(drop=True).equals(want)
+    # HAVING is the exact mean gate
+    assert (fast.value_cents * ng > tot).all()
