@@ -1133,6 +1133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_sketch_calibration": A.quantile_sketch_calibration,
         # --- slots 8-50: SQL-oracled, driver-row priority ---
         "q11_important_stock": A.q11_important_stock,
+        "curation_neardup_summary": A.curation_neardup_summary,
         "lang_counts": A.lang_counts,
         "frame_counts": A.frame_counts,
         "exact_dedup": _exact_dedup_ds,
@@ -1181,12 +1182,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_documents": A.pack_documents,
         "deterministic_sample_hash": A.deterministic_sample_hash,
         "events_range_join": A.events_range_join,
-        # slot 50: one round-4 twin keeps its row; the other eight
-        # earned their green driver record in r04 and rotate just past
-        # the cap (below) to make room for slots 1-8
-        "user_event_counts": _user_event_counts,
         # round-4 rotation twins, demoted with a green r04 driver row
-        # each; pytest-oracled on every run
+        # each (slots 1-9 took their places); pytest-oracled every run
+        "user_event_counts": _user_event_counts,
         "events_hourly": A.events_hourly,
         "quality_scores": A.quality_scores,
         "bpe_token_counts": _bpe_token_counts,
@@ -4914,6 +4912,36 @@ def oracle_sql() -> dict[str, str]:
             " COUNT(*) AS ng FROM g) s"
             " WHERE g.value_cents * s.ng > s.tot"
             " ORDER BY g.value_cents DESC, g.ps_partkey",
+        # the curation runner WITH the MinHash near-dup stage: with
+        # doc_id-ordered fragments the runner's survivors equal the
+        # plain greedy min-neighbor rule over the gated corpus (drop a
+        # doc iff a smaller-id gated doc shares its text or has exact
+        # 5-shingle Jaccard >= 0.6 — at sf0.01 every true pair's J is
+        # >= 0.93, so the LSH pair set equals the exact pair set; same
+        # argument as minhash_dedup_kept)
+        "curation_neardup_summary":
+            "WITH g AS (SELECT doc_id, lang, text FROM documents"
+            " WHERE 100*length(regexp_replace(text, '[^A-Za-z]', '',"
+            " 'g')) >= 82*length(text)), "
+            "sh AS (SELECT DISTINCT doc_id, substr(text, i.i, 5) AS s5"
+            " FROM g, LATERAL (SELECT unnest(range(1, len(text)-3))"
+            " AS i) i WHERE len(text) >= 5), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh"
+            " GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+            " count(*) AS c FROM sh a JOIN sh b ON a.s5 = b.s5"
+            " AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "nd AS (SELECT DISTINCT id_b FROM inter"
+            " JOIN sizes sa ON sa.doc_id = id_a"
+            " JOIN sizes sb ON sb.doc_id = id_b"
+            " WHERE c*1.0/(sa.n + sb.n - c) >= 0.6), "
+            "ex AS (SELECT doc_id FROM (SELECT doc_id,"
+            " MIN(doc_id) OVER (PARTITION BY text) AS win FROM g)"
+            " WHERE doc_id != win) "
+            "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept FROM g"
+            " WHERE doc_id NOT IN (SELECT id_b FROM nd)"
+            " AND doc_id NOT IN (SELECT doc_id FROM ex)"
+            " GROUP BY 1 ORDER BY 1",
     }
     # hybrid RRF fusion composes the two retrieval oracles verbatim:
     # lexical list = the bm25_topk SQL (already pool=20); dense list =

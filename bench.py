@@ -105,6 +105,7 @@ def _force_cluster_tiers():
     import biobloom_ray.stages.pairs as PR
 
     RS.SEEN_BROADCAST_MAX_KEYS = 0
+    RS.NEARDUP_STATE_BROADCAST_MAX_ROWS = 0
 
     A.CUST_BROADCAST_MAX_ROWS = 0
     A.LINEITEM_DRIVER_MAX_ROWS = 0
@@ -295,8 +296,9 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "user_tenure_distribution", "order_size_distribution",
                "curation_run_summary", "kmeans_quality_report",
                "label_centroid_affinity", "supplier_rank_correlation",
-               # round-5: TPC-H Q11 over the key-derived partsupp
-               "q11_important_stock"]
+               # round-5: TPC-H Q11 over the key-derived partsupp;
+               # near-dup curation runner
+               "q11_important_stock", "curation_neardup_summary"]
 
 
 def run_queries() -> dict[str, float]:

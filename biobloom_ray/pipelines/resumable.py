@@ -109,6 +109,140 @@ def run_partitioned_categorize(
 #: join against the accumulated checkpoint parquet (narrow 32-hex rows)
 SEEN_BROADCAST_MAX_KEYS = 2_000_000
 
+#: accumulated prior-partition signature rows above which the
+#: cross-partition NEAR-dup probe switches from a broadcast
+#: (band-key index + signature matrix, ~1 KB/doc at 128 perms —
+#: ~50 MB at this gate) to band-key hash joins against the signature
+#: checkpoint parquet
+NEARDUP_STATE_BROADCAST_MAX_ROWS = 50_000
+
+
+def _cross_neardup_drops(sig_ds, prior_files: list[str],
+                         threshold: float, num_perm: int,
+                         num_bands: int) -> "np.ndarray":
+    """doc_ids of THIS partition's candidate docs that are near-dups
+    (MinHash est-Jaccard ≥ threshold) of ANY earlier partition's
+    candidate doc — earlier partitions always win.  Tiered like the
+    exact seen-set probe: below ``NEARDUP_STATE_BROADCAST_MAX_ROWS``
+    accumulated prior signature rows, the prior state broadcasts once
+    as (sorted band keys, band→row index, signature matrix) and ONE
+    distributed map probes + verifies; above it, band rows hash-join
+    the checkpoint parquet and signatures attach via two more joins."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from biobloom_ray.io import cheap_count, hash_join
+    from biobloom_ray.sketches.minhash import (_EMPTY_SENTINEL,
+                                               lsh_band_keys)
+    from biobloom_ray.stages.dedup import (_band_rows,
+                                           _collect_numpy_sigs,
+                                           _sig_matrix)
+
+    prior_ds = _rp(prior_files)
+    n_prior = cheap_count(prior_ds)
+    if n_prior is None:
+        n_prior = int(prior_ds.count())
+    if n_prior == 0:
+        return np.empty(0, dtype=np.int64)
+
+    if n_prior <= NEARDUP_STATE_BROADCAST_MAX_ROWS:
+        prior = _collect_numpy_sigs(prior_ds, "doc_id", num_perm)
+        psigs = prior["sigs"]
+        keep = psigs[:, 0] != _EMPTY_SENTINEL
+        psigs = psigs[keep]
+        if not len(psigs):
+            return np.empty(0, dtype=np.int64)
+        keys = lsh_band_keys(psigs, num_bands) \
+            .reshape(-1).view(np.int64)
+        idx = np.repeat(np.arange(len(psigs)), num_bands)
+        order = np.argsort(keys, kind="stable")
+        state_ref = ray.put((keys[order], idx[order], psigs))
+
+        def probe(b: pa.Table) -> pa.Table:
+            kb, pidx, ps = ray.get(state_ref)
+            sig = _sig_matrix(b["sig"], num_perm)
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            ne = sig[:, 0] != _EMPTY_SENTINEL
+            sig, ids = sig[ne], ids[ne]
+            if not len(ids):
+                return pa.table({"doc_id": pa.array([], pa.int64())})
+            ks = lsh_band_keys(sig, num_bands) \
+                .reshape(-1).view(np.int64)
+            row_of = np.repeat(np.arange(len(ids)), num_bands)
+            lo = np.searchsorted(kb, ks, side="left")
+            hi = np.searchsorted(kb, ks, side="right")
+            cnt = hi - lo
+            m = cnt > 0
+            if not m.any():
+                return pa.table({"doc_id": pa.array([], pa.int64())})
+            lo_m, cnt_m, row_m = lo[m], cnt[m], row_of[m]
+            total = int(cnt_m.sum())
+            starts = np.repeat(lo_m, cnt_m)
+            offs = (np.arange(total)
+                    - np.repeat(np.cumsum(cnt_m) - cnt_m, cnt_m))
+            pi = pidx[starts + offs]
+            ni = np.repeat(row_m, cnt_m)
+            # dedup (prior row, new row) so each pair verifies once
+            pk = np.unique(pi.astype(np.int64) * len(ids) + ni)
+            pi, ni = pk // len(ids), pk % len(ids)
+            est = (ps[pi] == sig[ni]).mean(axis=1)
+            hit = ni[est >= threshold]
+            return pa.table({"doc_id": pa.array(
+                np.unique(ids[hit]).astype(np.int64))})
+
+        dropped = sig_ds.map_batches(probe,
+                                     batch_format="pyarrow").to_pandas()
+        if len(dropped) == 0:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(dropped.doc_id.to_numpy(np.int64))
+
+    # join tier: band-key hash join against the checkpoint parquet
+    def prior_bands(b: pa.Table) -> pa.Table:
+        t = _band_rows(b, "doc_id", num_perm, num_bands)
+        return pa.table({"band_key": t["band_key"],
+                         "prior_id": t["doc_id"]})
+
+    new_band = sig_ds.map_batches(
+        lambda b: _band_rows(b, "doc_id", num_perm, num_bands),
+        batch_format="pyarrow")
+    cand = hash_join(new_band,
+                     prior_ds.map_batches(prior_bands,
+                                          batch_format="pyarrow"),
+                     on=("band_key",))
+    def pair_narrow(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"],
+                         "prior_id": b["prior_id"]})
+
+    j1 = hash_join(cand.map_batches(pair_narrow,
+                                    batch_format="pyarrow"),
+                   sig_ds, on=("doc_id",))
+
+    def rename_sig(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("sig")
+        return b.set_column(i, "sig_new", b["sig"])
+
+    def prior_sig_narrow(b: pa.Table) -> pa.Table:
+        return pa.table({"prior_id2": b["doc_id"], "sig": b["sig"]})
+
+    j2 = hash_join(j1.map_batches(rename_sig, batch_format="pyarrow"),
+                   prior_ds.map_batches(prior_sig_narrow,
+                                        batch_format="pyarrow"),
+                   on=("prior_id",), right_on=("prior_id2",))
+
+    def verify(b: pa.Table) -> pa.Table:
+        A = _sig_matrix(b["sig_new"], num_perm)
+        B = _sig_matrix(b["sig"], num_perm)
+        est = (A == B).mean(axis=1) if len(A) else np.empty(0)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(
+            np.unique(ids[est >= threshold]).astype(np.int64))})
+
+    dropped = j2.map_batches(verify, batch_format="pyarrow").to_pandas()
+    if len(dropped) == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(dropped.doc_id.to_numpy(np.int64))
+
 
 def run_partitioned_curation(
     input_dir: str,
@@ -116,6 +250,11 @@ def run_partitioned_curation(
     min_alpha_pct: int = 50,
     max_partitions: int | None = None,
     fail_after: int | None = None,
+    neardup: bool = False,
+    neardup_threshold: float = 0.6,
+    shingle_k: int = 5,
+    num_perm: int = 128,
+    num_bands: int = 16,
 ) -> dict:
     """Resumable CURATION run: per input fragment, quality-gate (keep
     iff 100·n_alpha ≥ min_alpha_pct·n_chars — the exact integer gate),
@@ -129,7 +268,21 @@ def run_partitioned_curation(
     seen set is a broadcast sorted-array probe below
     ``SEEN_BROADCAST_MAX_KEYS`` and a ``left_anti`` hash join against
     the checkpoint parquet above it.  Deterministic end-to-end, so a
-    resumed run is byte-identical to an uninterrupted one."""
+    resumed run is byte-identical to an uninterrupted one.
+
+    ``neardup=True`` adds a MinHash NEAR-dup stage (VERDICT r4 #4):
+    each partition's CANDIDATE set (gated + within-partition
+    exact-deduped — including docs later dropped by cross-partition
+    checks, so the drop rule is non-recursive) checkpoints its
+    signature table to ``state/sigs_<i>.parquet`` alongside the seen
+    keys; a doc is dropped when it has an est-Jaccard ≥
+    ``neardup_threshold`` neighbor either earlier in its own
+    partition (smaller doc_id — the ``minhash_dedup`` greedy) or in
+    ANY earlier partition's candidate set (``_cross_neardup_drops``,
+    tiered broadcast / band-key hash join).  With doc_id-ordered
+    fragments this equals the plain greedy min-neighbor rule over the
+    gated corpus — the property the ``curation_neardup_summary`` SQL
+    oracle checks."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -202,6 +355,18 @@ def run_partitioned_curation(
         deduped = hashed.map_batches(keep_winners,
                                      batch_format="pyarrow")
 
+        sig_ds = None
+        if neardup:
+            from biobloom_ray.stages.dedup import (
+                MinHashSigStage, minhash_pairs_from_sigs)
+
+            # the partition CANDIDATE set's signatures (materialized:
+            # used for within-pairs, cross-probe AND the checkpoint;
+            # partition-bounded by the runner's checkpoint unit)
+            sig_ds = deduped.map_batches(
+                MinHashSigStage("text", "doc_id", shingle_k, num_perm),
+                batch_format="pyarrow").materialize()
+
         # cross-partition dedup vs the accumulated seen checkpoints
         seen_files = sorted(
             glob.glob(os.path.join(state_dir, "seen_*.parquet")))
@@ -245,6 +410,39 @@ def run_partitioned_curation(
                     on=("fp_md5",), right_on=("fp",),
                     join_type="left_anti")
 
+        if neardup:
+            # within-partition greedy (drop the larger id of any
+            # est >= threshold pair) + cross-partition drops against
+            # the accumulated signature checkpoints
+            n_cand = sig_ds.count()
+            pairs = minhash_pairs_from_sigs(
+                sig_ds, n_cand, id_col="doc_id",
+                threshold=neardup_threshold, num_perm=num_perm,
+                num_bands=num_bands).to_pandas()
+            drops = (np.unique(pairs.id_b.to_numpy(np.int64))
+                     if len(pairs) else np.empty(0, np.int64))
+            sig_files = sorted(
+                glob.glob(os.path.join(state_dir, "sigs_*.parquet")))
+            sig_files = [f for f in sig_files
+                         if int(os.path.basename(f)[5:-8]) < i]
+            if sig_files:
+                cross = _cross_neardup_drops(
+                    sig_ds, sig_files, neardup_threshold,
+                    num_perm, num_bands)
+                drops = np.union1d(drops, cross)
+            if len(drops):
+                drop_ref = ray.put(drops)
+
+                def drop_neardups(b: pa.Table) -> pa.Table:
+                    d = ray.get(drop_ref)
+                    v = b["doc_id"].to_numpy(zero_copy_only=False)
+                    pos = np.searchsorted(d, v)
+                    pos[pos >= len(d)] = 0
+                    return b.filter(pa.array(d[pos] != v))
+
+                deduped = deduped.map_batches(drop_neardups,
+                                              batch_format="pyarrow")
+
         pdir = partition_dir(out_dir, i)
         tmpdir = pdir + ".tmp"
         if os.path.isdir(tmpdir):
@@ -269,13 +467,31 @@ def run_partitioned_curation(
 
             pq.write_table(pa_tbl, tmp)
             os.replace(tmp, seen_path)
+        blobs = [seen_path]
+        if neardup:
+            # NEAR-dup sketch-state checkpoint: the partition's
+            # candidate-set signature table (deterministic, so a
+            # crash-resume rewrite is byte-identical)
+            sigs_path = os.path.join(state_dir, f"sigs_{i}.parquet")
+            if not os.path.exists(sigs_path):
+                tmp = sigs_path + ".tmp"
+                import pyarrow.parquet as pq
+
+                sig_tbl = pa.concat_tables(list(sig_ds.iter_batches(
+                    batch_size=None, batch_format="pyarrow"))) \
+                    if sig_ds.count() else pa.table(
+                        {"doc_id": pa.array([], pa.int64()),
+                         "sig": pa.array([], pa.large_binary())})
+                pq.write_table(sig_tbl, tmp)
+                os.replace(tmp, sigs_path)
+            blobs.append(sigs_path)
         write_manifest(out_dir, PartitionManifest(
             partition=i,
             inputs=[frag],
             row_count=int(n_out),
             metrics={"wall_s": round(time.perf_counter() - t0, 3),
                      "rows_in": int(n_in)},
-            sketch_blobs=[seen_path],
+            sketch_blobs=blobs,
             complete=True,
         ))
         completed.append(i)

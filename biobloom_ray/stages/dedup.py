@@ -540,12 +540,31 @@ def minhash_neardup_pairs_ds(ds, text_col: str = "text",
     dedup) and the signatures attach via two hash joins, so nothing
     driver-bound grows with the corpus.
     """
+    stage = MinHashSigStage(text_col, id_col, shingle_k, num_perm)
+    sig_ds, n_in = _sig_checkpoint(ds, stage, checkpoint, checkpoint_dir)
+    return minhash_pairs_from_sigs(
+        sig_ds, n_in, id_col=id_col, threshold=threshold,
+        num_perm=num_perm, num_bands=num_bands, max_bucket=max_bucket,
+        num_partitions=num_partitions, broadcast_limit=broadcast_limit,
+        band_driver_limit=band_driver_limit)
+
+
+def minhash_pairs_from_sigs(sig_ds, n_in, id_col: str = "doc_id",
+                            threshold: float = 0.7, num_perm: int = 128,
+                            num_bands: int = 16, max_bucket: int = 2000,
+                            num_partitions=DEFAULT_JOIN_PARTITIONS,
+                            broadcast_limit: int | None = None,
+                            band_driver_limit: int | None = None):
+    """The post-signature half of :func:`minhash_neardup_pairs_ds`:
+    band → bucket → candidate pairs → signature verify, starting from a
+    MATERIALIZED signature Dataset (id, sig blob).  Exposed so callers
+    that already hold the signature table — e.g. the resumable curation
+    runner, which also checkpoints it per partition — don't pay the
+    shingle+permute scan twice."""
     if broadcast_limit is None:
         broadcast_limit = BROADCAST_LIMIT
     if band_driver_limit is None:
         band_driver_limit = BAND_DRIVER_MAX_ROWS
-    stage = MinHashSigStage(text_col, id_col, shingle_k, num_perm)
-    sig_ds, n_in = _sig_checkpoint(ds, stage, checkpoint, checkpoint_dir)
     band = sig_ds.map_batches(
         lambda b: _band_rows(b, id_col, num_perm, num_bands),
         batch_format="pyarrow")

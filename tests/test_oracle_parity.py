@@ -154,8 +154,9 @@ SQL_CHECKED = [
     "user_tenure_distribution", "order_size_distribution",
     "curation_run_summary", "label_centroid_affinity",
     "supplier_rank_correlation",
-    # round-5: TPC-H Q11 over the key-derived partsupp
-    "q11_important_stock",
+    # round-5: TPC-H Q11 over the key-derived partsupp; the curation
+    # runner with the MinHash near-dup stage
+    "q11_important_stock", "curation_neardup_summary",
 ]
 
 #: slots 1-7 of the registry: the namesake sketch family (no SQL

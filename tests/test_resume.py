@@ -231,3 +231,124 @@ def test_curation_left_anti_seen_tier_parity(ray_session, tmp_path,
     a = all_rows(out_a)
     b = all_rows(out_b)[a.columns.tolist()]
     assert len(a) > 0 and a.equals(b)
+
+
+def _neardup_fragments(tmpdir, n_frags=4):
+    """Fragment fixture planting cross-partition NEAR-duplicates
+    (VERDICT r4 #4): every 10th doc of the first quarter reappears in
+    later quarters with a small word suffix appended — high shingle
+    Jaccard but NOT byte-identical, so only the MinHash stage can
+    catch it."""
+    import numpy as np
+    import pandas as pd
+
+    docs = (pd.read_parquet("/root/testdata/sf0.01/documents.parquet")
+            .sort_values("doc_id").reset_index(drop=True))
+    q = len(docs) // n_frags
+    planted = []
+    for j in range(1, n_frags):
+        src = docs.iloc[: q: 10].copy()
+        src["text"] = src.text + " qq zz xx"
+        src["doc_id"] = docs.doc_id.max() * j * 10 + src.doc_id
+        planted.append(src)
+    full = pd.concat([docs] + planted, ignore_index=True)
+    full = full.sort_values("doc_id").reset_index(drop=True)
+    cuts = np.array_split(np.arange(len(full)), n_frags)
+    os.makedirs(tmpdir, exist_ok=True)
+    for i, idx in enumerate(cuts):
+        full.iloc[idx].to_parquet(
+            os.path.join(tmpdir, f"frag_{i:02d}.parquet"))
+    planted_ids = np.sort(np.concatenate(
+        [p.doc_id.to_numpy() for p in planted]))
+    return full, planted_ids
+
+
+def _curation_rows(d):
+    import pandas as pd
+
+    frames = []
+    for name in sorted(os.listdir(d)):
+        p = os.path.join(d, name)
+        if not name.startswith("part="):
+            continue
+        for f in sorted(os.listdir(p)):
+            if f.endswith(".parquet"):
+                frames.append(pq.read_table(
+                    os.path.join(p, f)).to_pandas())
+    return (pd.concat(frames).sort_values("doc_id")
+            .reset_index(drop=True))
+
+
+def test_curation_neardup_kill_resume(ray_session, tmp_path):
+    """run_partitioned_curation(neardup=True): kill/resume
+    byte-identical; survivors equal the plain greedy min-neighbor
+    rule over the gated corpus (recomputed with the pipeline's own
+    pair machinery); planted cross-partition NEAR-dups (non-exact)
+    are removed; per-partition signature checkpoints exist."""
+    import numpy as np
+    import pandas as pd
+
+    import biobloom_ray.pipelines.resumable as RS
+    from biobloom_ray.stages.dedup import minhash_neardup_pairs
+
+    input_dir = str(tmp_path / "frags")
+    full, planted_ids = _neardup_fragments(input_dir)
+    out_a = str(tmp_path / "killed")
+    out_b = str(tmp_path / "clean")
+
+    r1 = RS.run_partitioned_curation(input_dir, out_a, neardup=True,
+                                     fail_after=2)
+    assert r1["completed"] == [0, 1]
+    r2 = RS.run_partitioned_curation(input_dir, out_a, neardup=True)
+    assert r2["skipped"] == [0, 1] and r2["completed"] == [2, 3]
+    r3 = RS.run_partitioned_curation(input_dir, out_b, neardup=True)
+    assert r3["completed"] == [0, 1, 2, 3]
+
+    a, b = _curation_rows(out_a), _curation_rows(out_b)
+    assert a.equals(b)
+
+    # single-shot replay: gate, exact first-wins, then the greedy
+    # min-neighbor near-dup rule via the pipeline's own pair function
+    nc = full.text.str.len().astype("int64")
+    na = full.text.str.count(r"[A-Za-z]").astype("int64")
+    gated = full[100 * na >= 50 * nc]
+    ex = gated.text.duplicated(keep="first")
+    pairs = minhash_neardup_pairs(
+        ray.data.from_pandas(gated[["doc_id", "text"]]
+                             .reset_index(drop=True)),
+        threshold=0.6)
+    drop = set(pairs.id_b.tolist()) if len(pairs) else set()
+    want = gated[~ex & ~gated.doc_id.isin(drop)]
+    assert list(a.doc_id) == list(want.doc_id)
+
+    # the planted near-dups are NOT exact dups, yet none survive
+    assert not set(planted_ids) & set(a.doc_id)
+    assert len(planted_ids) > 0
+
+    # per-partition signature checkpoints + manifests carry them
+    for i in range(4):
+        assert os.path.exists(os.path.join(
+            out_b, "state", f"sigs_{i}.parquet"))
+        m = read_manifest(out_b, i)
+        assert m.complete and len(m.sketch_blobs) == 2
+
+
+def test_curation_neardup_cross_tier_parity(ray_session, tmp_path,
+                                            monkeypatch):
+    """Forcing NEARDUP_STATE_BROADCAST_MAX_ROWS to 0 routes the
+    cross-partition near-dup probe through the band-key hash-join
+    tier — output identical to the broadcast tier."""
+    import biobloom_ray.pipelines.resumable as RS
+
+    input_dir = str(tmp_path / "frags")
+    _neardup_fragments(input_dir, n_frags=2)
+    out_a = str(tmp_path / "broadcast")
+    out_b = str(tmp_path / "joined")
+
+    RS.run_partitioned_curation(input_dir, out_a, neardup=True)
+    monkeypatch.setattr(RS, "NEARDUP_STATE_BROADCAST_MAX_ROWS", 0)
+    RS.run_partitioned_curation(input_dir, out_b, neardup=True)
+
+    a = _curation_rows(out_a)
+    b = _curation_rows(out_b)[a.columns.tolist()]
+    assert len(a) > 0 and a.equals(b)
