@@ -30,6 +30,12 @@ def main(argv=None) -> int:
                         "(filter_id, doc); required for categorize")
     p.add_argument("--min-alpha-pct", type=int, default=50,
                    help="curate: keep iff 100*n_alpha >= pct*n_chars")
+    p.add_argument("--neardup", action="store_true",
+                   help="curate: also drop MinHash near-duplicates "
+                        "(within + cross partition, per-partition "
+                        "signature checkpoints)")
+    p.add_argument("--neardup-threshold", type=float, default=0.6,
+                   help="curate --neardup: est-Jaccard drop threshold")
     p.add_argument("--input", required=True, help="parquet dir of pages")
     p.add_argument("--out", required=True, help="output dir (partitioned)")
     p.add_argument("--kmer", type=int, default=25)
@@ -63,7 +69,9 @@ def main(argv=None) -> int:
 
     if args.job == "curate":
         result = run_partitioned_curation(
-            args.input, args.out, min_alpha_pct=args.min_alpha_pct)
+            args.input, args.out, min_alpha_pct=args.min_alpha_pct,
+            neardup=args.neardup,
+            neardup_threshold=args.neardup_threshold)
         print(json.dumps(result))
         ray.shutdown()
         return 0
