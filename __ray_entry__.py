@@ -1158,6 +1158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_centroids": A.lang_centroids,
         "epoch_shuffle_head": A.epoch_shuffle_head,
         "clean_corpus": A.clean_corpus,
+        "curation_funnel": A.curation_funnel,
         "source_overlap": A.source_overlap,
         "quality_weighted_sample": A.quality_weighted_sample,
         "token_entropy": A.token_entropy,
@@ -2151,6 +2152,61 @@ def oracle_sql() -> dict[str, str]:
             " w.doc_id JOIN tok t ON t.doc_id = w.doc_id LEFT JOIN"
             " contam c ON c.doc_id = w.doc_id WHERE c.doc_id IS NULL"
             " ORDER BY w.doc_id",
+        # stage-attrition funnel: docs + whitespace tokens surviving
+        # raw -> Gopher gate + benchmark exclusion -> first-wins exact
+        # dedup -> trigram decontamination (clean_corpus's stages,
+        # counted); engine output is 4 rows at any corpus size
+        "curation_funnel":
+            "WITH tok AS (SELECT doc_id, regexp_extract_all(text,"
+            " '\\S+') AS toks FROM documents), "
+            "ntok AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS"
+            " n_tokens FROM tok), "
+            "uni AS (SELECT doc_id, unnest(toks) AS token FROM tok), "
+            "st AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,"
+            " CAST(SUM(len(token)) AS BIGINT) AS sum_word_len,"
+            " CAST(SUM(CASE WHEN token IN ('the','a','an','and','or',"
+            "'of','to','in','is','are','was','were','be','been','it',"
+            "'this','that','for','on','with','as','at','by','from',"
+            "'not','but') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,"
+            " CAST(SUM(CASE WHEN regexp_full_match(token, '[A-Za-z]+')"
+            " THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_words"
+            " FROM uni GROUP BY doc_id), "
+            "pass AS (SELECT doc_id FROM st WHERE n_words >= 20 AND"
+            " n_words <= 100000 AND sum_word_len >= 2*n_words AND"
+            " sum_word_len <= 10*n_words AND n_stop >= 2 AND"
+            " 10*n_alpha_words >= 8*n_words), "
+            "cand AS (SELECT d.doc_id, d.text FROM documents d"
+            " JOIN pass USING (doc_id) WHERE d.doc_id % 97 <> 0), "
+            "win AS (SELECT MIN(doc_id) AS doc_id FROM cand"
+            " GROUP BY text), "
+            "triidx AS (SELECT doc_id, toks, unnest(generate_series(1,"
+            " len(toks)-2)) AS i FROM tok WHERE len(toks) >= 3), "
+            "tri AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' '"
+            " || toks[i+2] AS tg FROM triidx), "
+            "bench AS (SELECT DISTINCT tg FROM tri WHERE doc_id % 97"
+            " = 0), "
+            "contam AS (SELECT DISTINCT t.doc_id FROM tri t JOIN bench"
+            " b ON t.tg = b.tg), "
+            "kept AS (SELECT w.doc_id FROM win w LEFT JOIN contam c"
+            " ON c.doc_id = w.doc_id WHERE c.doc_id IS NULL) "
+            "SELECT * FROM ("
+            "SELECT CAST(0 AS BIGINT) AS stage_id, 'raw' AS stage,"
+            " CAST(COUNT(*) AS BIGINT) AS n_docs,"
+            " CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS n_tokens"
+            " FROM ntok "
+            "UNION ALL SELECT 1, 'quality_gate',"
+            " CAST(COUNT(*) AS BIGINT),"
+            " CAST(COALESCE(SUM(n.n_tokens), 0) AS BIGINT)"
+            " FROM cand c JOIN ntok n USING (doc_id) "
+            "UNION ALL SELECT 2, 'exact_dedup',"
+            " CAST(COUNT(*) AS BIGINT),"
+            " CAST(COALESCE(SUM(n.n_tokens), 0) AS BIGINT)"
+            " FROM win w JOIN ntok n USING (doc_id) "
+            "UNION ALL SELECT 3, 'decontaminated',"
+            " CAST(COUNT(*) AS BIGINT),"
+            " CAST(COALESCE(SUM(n.n_tokens), 0) AS BIGINT)"
+            " FROM kept k JOIN ntok n USING (doc_id)"
+            ") ORDER BY stage_id",
         # cross-source shared-trigram matrix: distinct (source,
         # trigram) pairs self-joined on the trigram; engine identity
         # is the 64-bit combined-token hash (repeated_substrings

@@ -1120,6 +1120,50 @@ DECON_BENCH_MOD = 97
 DECON_BLOOM_FPR = 1e-4
 
 
+def _bench_trigram_state(ds, bench_mod: int, n: int, filter_id: str):
+    """Build + broadcast the benchmark n-gram subtract-filter state
+    shared by the decontamination family (:func:`decontaminate`,
+    :func:`clean_corpus`, :func:`curation_funnel`): scan ``ds`` for
+    the deterministic benchmark slice (``doc_id % bench_mod == 0``),
+    collect its distinct token n-grams driver-side (the eval suite of
+    a decontamination job is small and fixed by design), and
+    ``ray.put`` ``(bloom words, m, hash_num, exact n-gram frozenset)``
+    ONCE so every probe batch reads the same object-store copy —
+    the Bloom filter is the bit-cheap vectorized prefilter, the exact
+    set the verify probed only for the Bloom-positive fraction."""
+    import ray
+
+    from biobloom_ray.sketches.bloom import BloomFilter
+    from biobloom_ray.stages.textstats import (_token_arrays,
+                                               ngram_strings_at,
+                                               token_ngram_hashes)
+
+    def bench_grams(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        sel = np.nonzero(ids % bench_mod == 0)[0]
+        if len(sel) == 0:
+            return pa.table({"tg": pa.array([], type=pa.string()),
+                             "h1": pa.array([], type=pa.uint64()),
+                             "h2": pa.array([], type=pa.uint64())})
+        sub = b.take(sel)
+        flat, lens, row_of = _token_arrays(sub)
+        h1, h2, _, start = token_ngram_hashes(flat, row_of, n)
+        tg = ngram_strings_at(flat, start, n)
+        df = pd.DataFrame({"tg": tg.to_numpy(dtype=object),
+                           "h1": h1, "h2": h2}).drop_duplicates("tg")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    bench = (ds.map_batches(bench_grams, batch_format="pyarrow")
+             .to_pandas().drop_duplicates("tg"))
+    bf = BloomFilter.for_entries(max(len(bench), 1), DECON_BLOOM_FPR,
+                                 kmer_size=n, filter_id=filter_id)
+    if len(bench):
+        bf.insert(bench.h1.to_numpy(dtype=np.uint64),
+                  bench.h2.to_numpy(dtype=np.uint64))
+    return ray.put((bf.words, bf.m, bf.hash_num,
+                    frozenset(bench.tg.to_numpy(dtype=object))))
+
+
 def decontaminate(sf_dir: str, n: int = 3, bench_mod: int = DECON_BENCH_MOD):
     """Benchmark decontamination: count, per training document, the token
     n-gram positions whose n-gram also occurs in a benchmark corpus, and
@@ -1143,39 +1187,13 @@ def decontaminate(sf_dir: str, n: int = 3, bench_mod: int = DECON_BENCH_MOD):
     tokens excluded — they have no n-grams): ``doc_id, n_trigrams,
     n_contam, contaminated``.
     """
-    import ray
-
     from biobloom_ray.sketches.bloom import BloomFilter
     from biobloom_ray.stages.textstats import (_token_arrays,
                                                ngram_strings_at,
                                                token_ngram_hashes)
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def bench_grams(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        sel = np.nonzero(ids % bench_mod == 0)[0]
-        if len(sel) == 0:
-            return pa.table({"tg": pa.array([], type=pa.string()),
-                             "h1": pa.array([], type=pa.uint64()),
-                             "h2": pa.array([], type=pa.uint64())})
-        sub = b.take(sel)
-        flat, lens, row_of = _token_arrays(sub)
-        h1, h2, _, start = token_ngram_hashes(flat, row_of, n)
-        tg = ngram_strings_at(flat, start, n)
-        df = pd.DataFrame({"tg": tg.to_numpy(dtype=object),
-                           "h1": h1, "h2": h2}).drop_duplicates("tg")
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    bench = (ds.map_batches(bench_grams, batch_format="pyarrow")
-             .to_pandas().drop_duplicates("tg"))
-    bf = BloomFilter.for_entries(max(len(bench), 1), DECON_BLOOM_FPR,
-                                 kmer_size=n, filter_id="decon_bench")
-    if len(bench):
-        bf.insert(bench.h1.to_numpy(dtype=np.uint64),
-                  bench.h2.to_numpy(dtype=np.uint64))
-    state_ref = ray.put((bf.words, bf.m, bf.hash_num,
-                         frozenset(bench.tg.to_numpy(dtype=object))))
+    state_ref = _bench_trigram_state(ds, bench_mod, n, "decon_bench")
 
     def probe(b: pa.Table) -> pa.Table:
         import ray as _r
@@ -2625,8 +2643,6 @@ def clean_corpus(sf_dir: str, bench_mod: int = DECON_BENCH_MOD):
     only shuffle is the dedup groupby.
 
     Output (kept docs, sorted by doc_id): ``doc_id, lang, n_tokens``."""
-    import ray
-
     from biobloom_ray.sketches.bloom import BloomFilter
     from biobloom_ray.stages.dedup import add_content_hash
     from biobloom_ray.stages.textstats import (_token_arrays,
@@ -2639,30 +2655,7 @@ def clean_corpus(sf_dir: str, bench_mod: int = DECON_BENCH_MOD):
 
     # benchmark trigram state over the FULL corpus bench slice (the
     # eval suite is fixed before any cleaning decision)
-    def bench_grams(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        sel = np.nonzero(ids % bench_mod == 0)[0]
-        if len(sel) == 0:
-            return pa.table({"tg": pa.array([], type=pa.string()),
-                             "h1": pa.array([], type=pa.uint64()),
-                             "h2": pa.array([], type=pa.uint64())})
-        sub = b.take(sel)
-        flat, lens, row_of = _token_arrays(sub)
-        h1, h2, _, start = token_ngram_hashes(flat, row_of, n)
-        tg = ngram_strings_at(flat, start, n)
-        df = pd.DataFrame({"tg": tg.to_numpy(dtype=object),
-                           "h1": h1, "h2": h2}).drop_duplicates("tg")
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    bench = (ds.map_batches(bench_grams, batch_format="pyarrow")
-             .to_pandas().drop_duplicates("tg"))
-    bf = BloomFilter.for_entries(max(len(bench), 1), DECON_BLOOM_FPR,
-                                 kmer_size=n, filter_id="clean_bench")
-    if len(bench):
-        bf.insert(bench.h1.to_numpy(dtype=np.uint64),
-                  bench.h2.to_numpy(dtype=np.uint64))
-    state_ref = ray.put((bf.words, bf.m, bf.hash_num,
-                         frozenset(bench.tg.to_numpy(dtype=object))))
+    state_ref = _bench_trigram_state(ds, bench_mod, n, "clean_bench")
 
     def cand(b: pa.Table) -> pa.Table:
         flags = gopher_flags_batch(b)
@@ -2709,6 +2702,107 @@ def clean_corpus(sf_dir: str, bench_mod: int = DECON_BENCH_MOD):
 
     out = winners.map_batches(probe, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def curation_funnel(sf_dir: str, bench_mod: int = DECON_BENCH_MOD):
+    """Stage-attrition funnel of the canonical cleaning pipeline — the
+    YIELD table a curation team reads first on a new crawl: documents
+    and whitespace tokens surviving after each stage of
+    :func:`clean_corpus`'s composition, in pipeline order (raw ->
+    Gopher quality gate + benchmark exclusion -> first-wins exact
+    dedup -> benchmark trigram decontamination; the C4/Gopher/GPT-3
+    preparation order).  This is the report that tells you whether a
+    stage is eating your token budget before you commit a 100-TB run.
+
+    Scale shape: two map-only corpus scans each emitting ONE tiny
+    partial row per block (raw/gate doc+token counts; candidate
+    ``(fp_md5, text)`` rows), one native ``groupby(fp_md5)`` — the
+    only shuffle — and a map-only probe of the dedup winners against
+    the broadcast benchmark-trigram state (Bloom prefilter + exact
+    set via :func:`_bench_trigram_state`, BioBloom's subtract-filter
+    shape, ``BioBloomClassifier.cpp:102-110``).  Driver folds are
+    over block-count-scale partial rows only (no ``*_MAX_ROWS`` gate
+    needed — there is no corpus-scale driver tier at any size); the
+    output is exactly 4 rows regardless of corpus size.
+
+    Output: ``stage_id, stage, n_docs, n_tokens`` sorted by stage_id.
+    """
+    from biobloom_ray.sketches.bloom import BloomFilter
+    from biobloom_ray.stages.dedup import add_content_hash
+    from biobloom_ray.stages.textstats import (_token_arrays,
+                                               ngram_strings_at,
+                                               token_ngram_hashes)
+    from biobloom_ray.stages.webclean import gopher_flags_batch
+
+    n = 3
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    state_ref = _bench_trigram_state(ds, bench_mod, n, "funnel_bench")
+
+    def gate_mask(b: pa.Table) -> np.ndarray:
+        flags = gopher_flags_batch(b)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return ((flags["pass_gopher"].to_numpy(zero_copy_only=False)
+                 == 1) & (ids % bench_mod != 0))
+
+    def raw_gate_partial(b: pa.Table) -> pa.Table:
+        _, lens, _ = _token_arrays(b)
+        ok = gate_mask(b)
+        return pa.table({
+            "raw_docs": pa.array([b.num_rows], type=pa.int64()),
+            "raw_toks": pa.array([int(lens.sum())], type=pa.int64()),
+            "gate_docs": pa.array([int(ok.sum())], type=pa.int64()),
+            "gate_toks": pa.array([int(lens[ok].sum())],
+                                  type=pa.int64())})
+
+    def cand(b: pa.Table) -> pa.Table:
+        sub = b.filter(pa.array(gate_mask(b)))
+        h = add_content_hash(sub)
+        return pa.table({"fp_md5": h["fp_md5"], "text": sub["text"]})
+
+    # first-wins dedup needs only the TEXT (identical within an md5
+    # group, so Min recovers it; stage counts don't depend on WHICH
+    # doc_id wins — tokens and trigrams are functions of the text)
+    winners = (ds.map_batches(cand, batch_format="pyarrow")
+               .groupby("fp_md5")
+               .aggregate(Min("text", alias_name="text")))
+
+    def probe(b: pa.Table) -> pa.Table:
+        import ray as _r
+        words, m, hnum, exact = _r.get(state_ref)
+        pf = BloomFilter(m=m, hash_num=hnum, kmer_size=n, words=words)
+        flat, lens, row_of = _token_arrays(b)
+        h1, h2, trow, tstart = token_ngram_hashes(flat, row_of, n)
+        contam = np.zeros(len(lens), dtype=bool)
+        if len(h1):
+            hit = pf.contains(h1, h2)
+            if hit.any():
+                cs = ngram_strings_at(flat, tstart[hit], n)
+                verified = cs.isin(exact).to_numpy()
+                contam[trow[hit][verified]] = True
+        keep = ~contam
+        return pa.table({
+            "win_docs": pa.array([len(lens)], type=pa.int64()),
+            "win_toks": pa.array([int(lens.sum())], type=pa.int64()),
+            "kept_docs": pa.array([int(keep.sum())], type=pa.int64()),
+            "kept_toks": pa.array([int(lens[keep].sum())],
+                                  type=pa.int64())})
+
+    p1 = _parts_pandas(
+        ds.map_batches(raw_gate_partial, batch_format="pyarrow"),
+        {c: np.int64 for c in
+         ["raw_docs", "raw_toks", "gate_docs", "gate_toks"]}).sum()
+    p2 = _parts_pandas(
+        winners.map_batches(probe, batch_format="pyarrow"),
+        {c: np.int64 for c in
+         ["win_docs", "win_toks", "kept_docs", "kept_toks"]}).sum()
+    return pd.DataFrame({
+        "stage_id": np.arange(4, dtype=np.int64),
+        "stage": ["raw", "quality_gate", "exact_dedup",
+                  "decontaminated"],
+        "n_docs": np.array([p1.raw_docs, p1.gate_docs,
+                            p2.win_docs, p2.kept_docs], np.int64),
+        "n_tokens": np.array([p1.raw_toks, p1.gate_toks,
+                              p2.win_toks, p2.kept_toks], np.int64)})
 
 
 def source_overlap(sf_dir: str):

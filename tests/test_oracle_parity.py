@@ -71,7 +71,8 @@ SQL_CHECKED = [
     "bigram_ppl_buckets", "dup_clusters", "source_stats",
     "source_quality_gate", "token_freq_histogram", "inverted_index",
     "bm25_topk", "source_mix_sample", "lang_centroids",
-    "epoch_shuffle_head", "clean_corpus", "source_overlap",
+    "epoch_shuffle_head", "clean_corpus", "curation_funnel",
+    "source_overlap",
     "quality_weighted_sample", "ann_topk_filtered", "token_entropy",
     "corpus_report", "events_range_join",
     # round-4 additions
