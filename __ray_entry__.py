@@ -1159,6 +1159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle_head": A.epoch_shuffle_head,
         "clean_corpus": A.clean_corpus,
         "curation_funnel": A.curation_funnel,
+        "curation_funnel_by_source": A.curation_funnel_by_source,
         "source_overlap": A.source_overlap,
         "quality_weighted_sample": A.quality_weighted_sample,
         "token_entropy": A.token_entropy,
@@ -2207,6 +2208,80 @@ def oracle_sql() -> dict[str, str]:
             " CAST(COALESCE(SUM(n.n_tokens), 0) AS BIGINT)"
             " FROM kept k JOIN ntok n USING (doc_id)"
             ") ORDER BY stage_id",
+        # per-source yield attribution: curation_funnel broken down
+        # by source; dedup winners attributed to the min-doc_id
+        # member's source; zero rows pinned to the full source grid
+        "curation_funnel_by_source":
+            "WITH tok AS (SELECT doc_id, regexp_extract_all(text,"
+            " '\\S+') AS toks FROM documents), "
+            "ntok AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS"
+            " n_tokens FROM tok), "
+            "uni AS (SELECT doc_id, unnest(toks) AS token FROM tok), "
+            "st AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,"
+            " CAST(SUM(len(token)) AS BIGINT) AS sum_word_len,"
+            " CAST(SUM(CASE WHEN token IN ('the','a','an','and','or',"
+            "'of','to','in','is','are','was','were','be','been','it',"
+            "'this','that','for','on','with','as','at','by','from',"
+            "'not','but') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,"
+            " CAST(SUM(CASE WHEN regexp_full_match(token, '[A-Za-z]+')"
+            " THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_words"
+            " FROM uni GROUP BY doc_id), "
+            "pass AS (SELECT doc_id FROM st WHERE n_words >= 20 AND"
+            " n_words <= 100000 AND sum_word_len >= 2*n_words AND"
+            " sum_word_len <= 10*n_words AND n_stop >= 2 AND"
+            " 10*n_alpha_words >= 8*n_words), "
+            "cand AS (SELECT d.doc_id, d.text, d.source FROM documents"
+            " d JOIN pass USING (doc_id) WHERE d.doc_id % 97 <> 0), "
+            "win AS (SELECT MIN(doc_id) AS doc_id FROM cand"
+            " GROUP BY text), "
+            "winsrc AS (SELECT w.doc_id, d.source FROM win w"
+            " JOIN documents d ON d.doc_id = w.doc_id), "
+            "triidx AS (SELECT doc_id, toks, unnest(generate_series(1,"
+            " len(toks)-2)) AS i FROM tok WHERE len(toks) >= 3), "
+            "tri AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' '"
+            " || toks[i+2] AS tg FROM triidx), "
+            "bench AS (SELECT DISTINCT tg FROM tri WHERE doc_id % 97"
+            " = 0), "
+            "contam AS (SELECT DISTINCT t.doc_id FROM tri t JOIN bench"
+            " b ON t.tg = b.tg), "
+            "kept AS (SELECT ws.doc_id, ws.source FROM winsrc ws"
+            " LEFT JOIN contam c ON c.doc_id = ws.doc_id"
+            " WHERE c.doc_id IS NULL), "
+            "srcs AS (SELECT DISTINCT source FROM documents), "
+            "r0 AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS nd,"
+            " CAST(COALESCE(SUM(n.n_tokens), 0) AS BIGINT) AS nt"
+            " FROM documents d JOIN ntok n USING (doc_id)"
+            " GROUP BY d.source), "
+            "r1 AS (SELECT c.source, CAST(COUNT(*) AS BIGINT) AS nd,"
+            " CAST(COALESCE(SUM(n.n_tokens), 0) AS BIGINT) AS nt"
+            " FROM cand c JOIN ntok n USING (doc_id)"
+            " GROUP BY c.source), "
+            "r2 AS (SELECT w.source, CAST(COUNT(*) AS BIGINT) AS nd,"
+            " CAST(COALESCE(SUM(n.n_tokens), 0) AS BIGINT) AS nt"
+            " FROM winsrc w JOIN ntok n USING (doc_id)"
+            " GROUP BY w.source), "
+            "r3 AS (SELECT k.source, CAST(COUNT(*) AS BIGINT) AS nd,"
+            " CAST(COALESCE(SUM(n.n_tokens), 0) AS BIGINT) AS nt"
+            " FROM kept k JOIN ntok n USING (doc_id)"
+            " GROUP BY k.source) "
+            "SELECT * FROM ("
+            "SELECT s.source, CAST(0 AS BIGINT) AS stage_id,"
+            " 'raw' AS stage, CAST(COALESCE(r.nd, 0) AS BIGINT) AS"
+            " n_docs, CAST(COALESCE(r.nt, 0) AS BIGINT) AS n_tokens"
+            " FROM srcs s LEFT JOIN r0 r USING (source) "
+            "UNION ALL SELECT s.source, 1, 'quality_gate',"
+            " CAST(COALESCE(r.nd, 0) AS BIGINT),"
+            " CAST(COALESCE(r.nt, 0) AS BIGINT)"
+            " FROM srcs s LEFT JOIN r1 r USING (source) "
+            "UNION ALL SELECT s.source, 2, 'exact_dedup',"
+            " CAST(COALESCE(r.nd, 0) AS BIGINT),"
+            " CAST(COALESCE(r.nt, 0) AS BIGINT)"
+            " FROM srcs s LEFT JOIN r2 r USING (source) "
+            "UNION ALL SELECT s.source, 3, 'decontaminated',"
+            " CAST(COALESCE(r.nd, 0) AS BIGINT),"
+            " CAST(COALESCE(r.nt, 0) AS BIGINT)"
+            " FROM srcs s LEFT JOIN r3 r USING (source)"
+            ") ORDER BY source, stage_id",
         # cross-source shared-trigram matrix: distinct (source,
         # trigram) pairs self-joined on the trigram; engine identity
         # is the 64-bit combined-token hash (repeated_substrings

@@ -2805,6 +2805,132 @@ def curation_funnel(sf_dir: str, bench_mod: int = DECON_BENCH_MOD):
                               p2.win_toks, p2.kept_toks], np.int64)})
 
 
+def curation_funnel_by_source(sf_dir: str,
+                              bench_mod: int = DECON_BENCH_MOD):
+    """Per-source yield attribution for the cleaning pipeline — the
+    companion table to :func:`curation_funnel` a curation team reads
+    when deciding which crawl sources to keep buying: for EVERY
+    source × stage, docs and whitespace tokens surviving (raw ->
+    Gopher gate + benchmark exclusion -> first-wins exact dedup ->
+    trigram decontamination).  Dedup winners are attributed to the
+    minimum-doc_id member's source (the first-wins contract), carried
+    through the groupby as a zero-padded ``doc_id|source`` composite
+    whose lex order IS doc_id order — same trick as
+    :func:`clean_corpus`'s winner-lang recovery, no join back.
+
+    Scale shape: identical to :func:`curation_funnel` (two map-only
+    scans with per-block PER-SOURCE partial rows, one groupby
+    shuffle, broadcast probe); driver folds are over
+    |sources| × block-count partial rows and the output is
+    |sources| × 4 rows — both result-scale at any corpus size.
+    Sources absent from a stage get explicit zero rows (the grid is
+    pinned to the raw-stage source set).
+
+    Output: ``source, stage_id, stage, n_docs, n_tokens`` sorted by
+    (source, stage_id).
+    """
+    from biobloom_ray.sketches.bloom import BloomFilter
+    from biobloom_ray.stages.dedup import add_content_hash
+    from biobloom_ray.stages.textstats import (_token_arrays,
+                                               ngram_strings_at,
+                                               token_ngram_hashes)
+    from biobloom_ray.stages.webclean import gopher_flags_batch
+
+    n = 3
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text",
+                                             "source"])
+    state_ref = _bench_trigram_state(ds, bench_mod, n,
+                                     "funnel_src_bench")
+
+    def gate_mask(b: pa.Table) -> np.ndarray:
+        flags = gopher_flags_batch(b)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return ((flags["pass_gopher"].to_numpy(zero_copy_only=False)
+                 == 1) & (ids % bench_mod != 0))
+
+    def raw_gate_partial(b: pa.Table) -> pa.Table:
+        _, lens, _ = _token_arrays(b)
+        ok = gate_mask(b)
+        df = pd.DataFrame({
+            "source": b["source"].to_pandas().to_numpy(dtype=object),
+            "raw_docs": np.ones(b.num_rows, np.int64),
+            "raw_toks": lens,
+            "gate_docs": ok.astype(np.int64),
+            "gate_toks": np.where(ok, lens, 0)})
+        agg = (df.groupby("source", as_index=False)
+               [["raw_docs", "raw_toks", "gate_docs", "gate_toks"]]
+               .sum())
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def cand(b: pa.Table) -> pa.Table:
+        sub = b.filter(pa.array(gate_mask(b)))
+        h = add_content_hash(sub)
+        wk = (pd.Series(sub["doc_id"].to_numpy(zero_copy_only=False))
+              .astype(str).str.zfill(19)
+              + "|" + sub["source"].to_pandas().reset_index(drop=True))
+        return pa.table({"fp_md5": h["fp_md5"],
+                         "wk": pa.array(wk.to_numpy(dtype=object),
+                                        type=pa.string()),
+                         "text": sub["text"]})
+
+    winners = (ds.map_batches(cand, batch_format="pyarrow")
+               .groupby("fp_md5")
+               .aggregate(Min("wk", alias_name="wk"),
+                          Min("text", alias_name="text")))
+
+    def probe(b: pa.Table) -> pa.Table:
+        import ray as _r
+        words, m, hnum, exact = _r.get(state_ref)
+        pf = BloomFilter(m=m, hash_num=hnum, kmer_size=n, words=words)
+        src = b["wk"].to_pandas().str.slice(20).to_numpy(dtype=object)
+        flat, lens, row_of = _token_arrays(b)
+        h1, h2, trow, tstart = token_ngram_hashes(flat, row_of, n)
+        contam = np.zeros(len(lens), dtype=bool)
+        if len(h1):
+            hit = pf.contains(h1, h2)
+            if hit.any():
+                cs = ngram_strings_at(flat, tstart[hit], n)
+                verified = cs.isin(exact).to_numpy()
+                contam[trow[hit][verified]] = True
+        keep = ~contam
+        df = pd.DataFrame({
+            "source": src,
+            "win_docs": np.ones(len(lens), np.int64),
+            "win_toks": lens,
+            "kept_docs": keep.astype(np.int64),
+            "kept_toks": np.where(keep, lens, 0)})
+        agg = (df.groupby("source", as_index=False)
+               [["win_docs", "win_toks", "kept_docs", "kept_toks"]]
+               .sum())
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    c1 = ["raw_docs", "raw_toks", "gate_docs", "gate_toks"]
+    c2 = ["win_docs", "win_toks", "kept_docs", "kept_toks"]
+    sch1 = {"source": object}; sch1.update({c: np.int64 for c in c1})
+    sch2 = {"source": object}; sch2.update({c: np.int64 for c in c2})
+    p1 = (_parts_pandas(ds.map_batches(raw_gate_partial,
+                                       batch_format="pyarrow"), sch1)
+          .groupby("source", as_index=False)[c1].sum())
+    p2 = (_parts_pandas(winners.map_batches(probe,
+                                            batch_format="pyarrow"),
+                        sch2)
+          .groupby("source", as_index=False)[c2].sum())
+    m = p1.merge(p2, on="source", how="left").fillna(0)
+    stages = [(0, "raw", "raw_docs", "raw_toks"),
+              (1, "quality_gate", "gate_docs", "gate_toks"),
+              (2, "exact_dedup", "win_docs", "win_toks"),
+              (3, "decontaminated", "kept_docs", "kept_toks")]
+    out = pd.concat([pd.DataFrame({
+        "source": m.source,
+        "stage_id": np.full(len(m), sid, np.int64),
+        "stage": stage,
+        "n_docs": m[dc].astype(np.int64).to_numpy(),
+        "n_tokens": m[tc].astype(np.int64).to_numpy()})
+        for sid, stage, dc, tc in stages])
+    return (out.sort_values(["source", "stage_id"])
+            .reset_index(drop=True))
+
+
 def source_overlap(sf_dir: str):
     """Cross-source contamination matrix — for every pair of sources,
     the number of distinct token trigrams they share (the leakage
