@@ -1160,6 +1160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": A.clean_corpus,
         "curation_funnel": A.curation_funnel,
         "curation_funnel_by_source": A.curation_funnel_by_source,
+        "contamination_topk": A.contamination_topk,
         "source_overlap": A.source_overlap,
         "quality_weighted_sample": A.quality_weighted_sample,
         "token_entropy": A.token_entropy,
@@ -2208,6 +2209,23 @@ def oracle_sql() -> dict[str, str]:
             " CAST(COALESCE(SUM(n.n_tokens), 0) AS BIGINT)"
             " FROM kept k JOIN ntok n USING (doc_id)"
             ") ORDER BY stage_id",
+        # contamination attribution: top-k benchmark trigrams by
+        # distinct leaked-into training docs (tie-break: trigram
+        # text), with total occurrence counts
+        "contamination_topk":
+            "WITH tok AS (SELECT doc_id, regexp_extract_all(text,"
+            " '\\S+') AS toks FROM documents), "
+            "triidx AS (SELECT doc_id, toks, unnest(generate_series(1,"
+            " len(toks)-2)) AS i FROM tok WHERE len(toks) >= 3), "
+            "tri AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' '"
+            " || toks[i+2] AS tg FROM triidx), "
+            "bench AS (SELECT DISTINCT tg FROM tri WHERE doc_id % 97"
+            " = 0), "
+            "hits AS (SELECT t.doc_id, t.tg FROM tri t JOIN bench b"
+            " USING (tg) WHERE t.doc_id % 97 <> 0) "
+            "SELECT tg, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS"
+            " n_docs, CAST(COUNT(*) AS BIGINT) AS n_occ FROM hits"
+            " GROUP BY tg ORDER BY n_docs DESC, tg LIMIT 20",
         # per-source yield attribution: curation_funnel broken down
         # by source; dedup winners attributed to the min-doc_id
         # member's source; zero rows pinned to the full source grid

@@ -2805,6 +2805,101 @@ def curation_funnel(sf_dir: str, bench_mod: int = DECON_BENCH_MOD):
                               p2.win_toks, p2.kept_toks], np.int64)})
 
 
+def contamination_topk(sf_dir: str, n: int = 3,
+                       bench_mod: int = DECON_BENCH_MOD, k: int = 20):
+    """Contamination ATTRIBUTION — the debugging table behind
+    :func:`decontaminate`: the top-k benchmark trigrams by how many
+    distinct training documents they leak into (tie-broken by trigram
+    text), with total occurrence counts.  A curation team reads this
+    to decide whether a 'contaminated' flag means real eval leakage
+    or a ubiquitous phrase that should be allowlisted.
+
+    Scale shape: one map-only probe scan over the corpus against the
+    broadcast benchmark state (Bloom prefilter + exact verify via
+    :func:`_bench_trigram_state`); each block emits per-trigram
+    partial rows ``(tg, n_docs, n_occ)`` — a document never splits
+    across blocks, so per-block distinct ``(tg, doc)`` counts sum to
+    the global distinct-doc count.  Partials are overlap-scale
+    (verified hits only).  Tiered combine: driver fold below
+    ``RANK_DRIVER_MAX_ROWS`` input rows, else native ``groupby(tg)``
+    + per-block local top-k + driver final top-k over #blocks x k
+    rows (the standard top-k reduction).
+    """
+    from biobloom_ray.sketches.bloom import BloomFilter
+    from biobloom_ray.stages.textstats import (_token_arrays,
+                                               ngram_strings_at,
+                                               token_ngram_hashes)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    state_ref = _bench_trigram_state(ds, bench_mod, n, "contam_bench")
+
+    def hits(b: pa.Table) -> pa.Table:
+        import ray as _r
+        words, m, hnum, exact = _r.get(state_ref)
+        pf = BloomFilter(m=m, hash_num=hnum, kmer_size=n, words=words)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        sel = np.nonzero(ids % bench_mod != 0)[0]
+        empty = pa.table({"tg": pa.array([], type=pa.string()),
+                          "n_docs": pa.array([], type=pa.int64()),
+                          "n_occ": pa.array([], type=pa.int64())})
+        if len(sel) == 0:
+            return empty
+        sub = b.take(sel)
+        ids = ids[sel]
+        flat, lens, row_of = _token_arrays(sub)
+        h1, h2, trow, tstart = token_ngram_hashes(flat, row_of, n)
+        if not len(h1):
+            return empty
+        cand = pf.contains(h1, h2)
+        if not cand.any():
+            return empty
+        cs = ngram_strings_at(flat, tstart[cand], n)
+        ver = cs.isin(exact).to_numpy()
+        if not ver.any():
+            return empty
+        df = pd.DataFrame({"tg": cs.to_numpy(dtype=object)[ver],
+                           "doc": ids[trow[cand][ver]]})
+        occ = df.groupby("tg", as_index=False).size()
+        docs = (df.drop_duplicates()
+                .groupby("tg", as_index=False).size())
+        agg = occ.merge(docs, on="tg", suffixes=("_occ", "_docs"))
+        return pa.table({
+            "tg": pa.array(agg.tg.to_numpy(dtype=object),
+                           type=pa.string()),
+            "n_docs": pa.array(agg.size_docs.to_numpy()
+                               .astype(np.int64)),
+            "n_occ": pa.array(agg.size_occ.to_numpy()
+                              .astype(np.int64))})
+
+    parts_ds = ds.map_batches(hits, batch_format="pyarrow")
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= RANK_DRIVER_MAX_ROWS:
+        agg = (_parts_pandas(parts_ds, {"tg": object,
+                                        "n_docs": np.int64,
+                                        "n_occ": np.int64})
+               .groupby("tg", as_index=False)[["n_docs", "n_occ"]]
+               .sum())
+    else:
+        g = (parts_ds.groupby("tg")
+             .aggregate(Sum("n_docs", alias_name="n_docs"),
+                        Sum("n_occ", alias_name="n_occ")))
+
+        def local_topk(t: pa.Table) -> pa.Table:
+            d = t.to_pandas()
+            return pa.Table.from_pandas(
+                d.sort_values(["n_docs", "tg"],
+                              ascending=[False, True]).head(k),
+                preserve_index=False)
+
+        agg = (g.map_batches(local_topk, batch_format="pyarrow")
+               .to_pandas())
+    out = (agg.sort_values(["n_docs", "tg"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    out["n_docs"] = out.n_docs.astype(np.int64)
+    out["n_occ"] = out.n_occ.astype(np.int64)
+    return out[["tg", "n_docs", "n_occ"]]
+
+
 def curation_funnel_by_source(sf_dir: str,
                               bench_mod: int = DECON_BENCH_MOD):
     """Per-source yield attribution for the cleaning pipeline — the

@@ -44,3 +44,18 @@ def test_funnel_monotone_and_source_tiling(ray_session):
     wided = per.pivot_table(index="source", columns="stage",
                             values="n_tokens")
     assert (wided["decontaminated"] <= wided["exact_dedup"]).all()
+
+
+def test_contamination_topk_tiers_agree(ray_session, monkeypatch):
+    """contamination_topk: driver-fold tier vs native groupby +
+    local-top-k tier produce identical rows (value parity vs DuckDB is
+    in test_oracle_parity)."""
+    import biobloom_ray.pipelines.analytics as A
+
+    fast = A.contamination_topk(SF_DIR)
+    monkeypatch.setattr(A, "RANK_DRIVER_MAX_ROWS", 0)
+    slow = A.contamination_topk(SF_DIR)[list(fast.columns)]
+    assert len(fast) > 0 and fast.equals(slow)
+    # occurrences bound docs from above, both positive
+    assert (fast.n_occ >= fast.n_docs).all()
+    assert (fast.n_docs > 0).all()

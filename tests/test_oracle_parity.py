@@ -72,7 +72,8 @@ SQL_CHECKED = [
     "source_quality_gate", "token_freq_histogram", "inverted_index",
     "bm25_topk", "source_mix_sample", "lang_centroids",
     "epoch_shuffle_head", "clean_corpus", "curation_funnel",
-    "curation_funnel_by_source", "source_overlap",
+    "curation_funnel_by_source", "contamination_topk",
+    "source_overlap",
     "quality_weighted_sample", "ann_topk_filtered", "token_entropy",
     "corpus_report", "events_range_join",
     # round-4 additions
