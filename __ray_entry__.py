@@ -1161,6 +1161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_funnel": A.curation_funnel,
         "curation_funnel_by_source": A.curation_funnel_by_source,
         "contamination_topk": A.contamination_topk,
+        "dup_group_size_histogram": A.dup_group_size_histogram,
         "source_overlap": A.source_overlap,
         "quality_weighted_sample": A.quality_weighted_sample,
         "token_entropy": A.token_entropy,
@@ -2209,6 +2210,14 @@ def oracle_sql() -> dict[str, str]:
             " CAST(COALESCE(SUM(n.n_tokens), 0) AS BIGINT)"
             " FROM kept k JOIN ntok n USING (doc_id)"
             ") ORDER BY stage_id",
+        # duplicate-group size distribution: counts-of-counts over
+        # exact-content groups
+        "dup_group_size_histogram":
+            "WITH g AS (SELECT CAST(COUNT(*) AS BIGINT) AS group_size"
+            " FROM documents GROUP BY text) "
+            "SELECT group_size, CAST(COUNT(*) AS BIGINT) AS n_groups,"
+            " CAST(group_size * COUNT(*) AS BIGINT) AS n_docs FROM g"
+            " GROUP BY group_size ORDER BY group_size",
         # contamination attribution: top-k benchmark trigrams by
         # distinct leaked-into training docs (tie-break: trigram
         # text), with total occurrence counts

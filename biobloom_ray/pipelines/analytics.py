@@ -2805,6 +2805,44 @@ def curation_funnel(sf_dir: str, bench_mod: int = DECON_BENCH_MOD):
                               p2.win_toks, p2.kept_toks], np.int64)})
 
 
+def dup_group_size_histogram(sf_dir: str):
+    """Duplicate-group size distribution — the dedup diagnostic read
+    before picking a dedup strategy: for each exact-content group
+    size, how many groups have that size and how many documents they
+    account for.  A long tail of big groups means template/boilerplate
+    pages; all-1s means exact dedup is a no-op and the budget belongs
+    to near-dup.
+
+    Scale shape: one map-only content-hash scan (32-hex md5 keys,
+    never text) -> ONE native ``groupby(fp_md5).Count`` — group sizes
+    are corpus-distinct-scale, so the counts-of-counts fold is tiered:
+    driver fold below ``RANK_DRIVER_MAX_ROWS`` input rows, else a
+    second native ``groupby(group_size)`` whose output is
+    size-distribution-scale (tiny) at any corpus size.
+
+    Output: ``group_size, n_groups, n_docs`` sorted by group_size.
+    """
+    ds = _read(sf_dir, "documents", columns=["text"])
+    fps = ds.map_batches(
+        lambda b: add_content_hash(b).select(["fp_md5"]),
+        batch_format="pyarrow")
+    grp = fps.groupby("fp_md5").aggregate(
+        Count(alias_name="group_size"))
+    n_rows = _cheap_count(ds)
+    if n_rows is not None and n_rows <= RANK_DRIVER_MAX_ROWS:
+        sizes = grp.to_pandas()
+        out = (sizes.groupby("group_size", as_index=False).size()
+               .rename(columns={"size": "n_groups"}))
+    else:
+        out = (grp.groupby("group_size")
+               .aggregate(Count(alias_name="n_groups")).to_pandas())
+    out["group_size"] = out.group_size.astype(np.int64)
+    out["n_groups"] = out.n_groups.astype(np.int64)
+    out["n_docs"] = out.group_size * out.n_groups
+    return (out.sort_values("group_size").reset_index(drop=True)
+            [["group_size", "n_groups", "n_docs"]])
+
+
 def contamination_topk(sf_dir: str, n: int = 3,
                        bench_mod: int = DECON_BENCH_MOD, k: int = 20):
     """Contamination ATTRIBUTION — the debugging table behind

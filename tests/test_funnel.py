@@ -59,3 +59,18 @@ def test_contamination_topk_tiers_agree(ray_session, monkeypatch):
     # occurrences bound docs from above, both positive
     assert (fast.n_occ >= fast.n_docs).all()
     assert (fast.n_docs > 0).all()
+
+
+def test_dup_histogram_tiers_agree_and_totals(ray_session, monkeypatch):
+    """dup_group_size_histogram: driver counts-of-counts vs native
+    second groupby agree; n_docs column totals the corpus."""
+    import biobloom_ray.pipelines.analytics as A
+
+    fast = A.dup_group_size_histogram(SF_DIR)
+    monkeypatch.setattr(A, "RANK_DRIVER_MAX_ROWS", 0)
+    slow = A.dup_group_size_histogram(SF_DIR)[list(fast.columns)]
+    assert len(fast) > 0 and fast.equals(slow)
+    import pyarrow.parquet as pq
+    n = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+    assert int(fast.n_docs.sum()) == n
+    assert (fast.n_docs == fast.group_size * fast.n_groups).all()
