@@ -1153,8 +1153,10 @@ def _bench_trigram_state(ds, bench_mod: int, n: int, filter_id: str):
                            "h1": h1, "h2": h2}).drop_duplicates("tg")
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    bench = (ds.map_batches(bench_grams, batch_format="pyarrow")
-             .to_pandas().drop_duplicates("tg"))
+    bench = _parts_pandas(
+        ds.map_batches(bench_grams, batch_format="pyarrow"),
+        {"tg": object, "h1": np.uint64, "h2": np.uint64}
+    ).drop_duplicates("tg")
     bf = BloomFilter.for_entries(max(len(bench), 1), DECON_BLOOM_FPR,
                                  kmer_size=n, filter_id=filter_id)
     if len(bench):
@@ -2830,12 +2832,15 @@ def dup_group_size_histogram(sf_dir: str):
         Count(alias_name="group_size"))
     n_rows = _cheap_count(ds)
     if n_rows is not None and n_rows <= RANK_DRIVER_MAX_ROWS:
-        sizes = grp.to_pandas()
+        sizes = _parts_pandas(grp, {"fp_md5": object,
+                                    "group_size": np.int64})
         out = (sizes.groupby("group_size", as_index=False).size()
                .rename(columns={"size": "n_groups"}))
     else:
-        out = (grp.groupby("group_size")
-               .aggregate(Count(alias_name="n_groups")).to_pandas())
+        out = _parts_pandas(
+            grp.groupby("group_size")
+            .aggregate(Count(alias_name="n_groups")),
+            {"group_size": np.int64, "n_groups": np.int64})
     out["group_size"] = out.group_size.astype(np.int64)
     out["n_groups"] = out.n_groups.astype(np.int64)
     out["n_docs"] = out.group_size * out.n_groups

@@ -153,6 +153,14 @@ def test_wave_ops_empty_inputs(ray_session):
         assert len(A.name_typo_pairs(td)) == 0
         assert len(A.cohort_retention(td)) == 0
         assert len(A.type_day_dense_counts(td)) == 0
+        # round-5 yield family: zero-row corpus -> zero funnel
+        f = A.curation_funnel(td)
+        assert list(f.stage) == ["raw", "quality_gate", "exact_dedup",
+                                 "decontaminated"]
+        assert (f.n_docs == 0).all() and (f.n_tokens == 0).all()
+        assert len(A.curation_funnel_by_source(td)) == 0
+        assert len(A.contamination_topk(td)) == 0
+        assert len(A.dup_group_size_histogram(td)) == 0
 
 
 # ---- continuation-session (waves 36-56) kernel properties ----------------
