@@ -1467,6 +1467,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_size_distribution": A.order_size_distribution,
         # round-4: the resumable curation RUNNER under the oracle
         "curation_run_summary": A.curation_run_summary,
+        # round-5: the runner's per-partition lineage manifests
+        # themselves under the oracle
+        "curation_partition_metrics": A.curation_partition_metrics,
         # round-4 wave 69: class-confusability affinity matrix
         "label_centroid_affinity": A.label_centroid_affinity,
         # round-4 wave 70: exact-integer Spearman rank correlation
@@ -4978,6 +4981,40 @@ def oracle_sql() -> dict[str, str]:
             " MIN(doc_id) OVER (PARTITION BY text) AS win FROM g) "
             "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept"
             " FROM w WHERE doc_id = win GROUP BY 1 ORDER BY 1",
+        # per-partition lineage metrics: SQL replays the runner's
+        # doc_id-ordered halves split, the 82%-alpha gate, the
+        # within-partition first-wins dedup and the non-recursive
+        # cross-partition drop rule; the engine side reads the
+        # numbers from the published _lineage.json manifests
+        "curation_partition_metrics":
+            "WITH nn AS (SELECT COUNT(*) AS n FROM documents), "
+            "p AS (SELECT doc_id, text, CASE WHEN ROW_NUMBER() OVER"
+            " (ORDER BY doc_id) <= (SELECT n // 2 FROM nn) THEN 0"
+            " ELSE 1 END AS part FROM documents), "
+            "g AS (SELECT part, doc_id, text FROM p WHERE"
+            " 100*length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+            " >= 82*length(text)), "
+            "w AS (SELECT part, text, MIN(doc_id) AS win FROM g"
+            " GROUP BY part, text), "
+            "pub0 AS (SELECT DISTINCT text FROM g WHERE part = 0), "
+            "outc AS (SELECT 0 AS part, CAST(COUNT(*) AS BIGINT) AS"
+            " rows_out FROM w WHERE part = 0"
+            " UNION ALL SELECT 1, CAST(COUNT(*) AS BIGINT) FROM w"
+            " LEFT JOIN pub0 ON w.text = pub0.text"
+            " WHERE w.part = 1 AND pub0.text IS NULL), "
+            "ins AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS rows_in"
+            " FROM p GROUP BY part), "
+            "gk AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS"
+            " gate_kept FROM g GROUP BY part), "
+            "ek AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS"
+            " exact_kept FROM w GROUP BY part) "
+            "SELECT CAST(i.part AS BIGINT) AS part_id, i.rows_in,"
+            " CAST(COALESCE(gk.gate_kept, 0) AS BIGINT) AS gate_kept,"
+            " CAST(COALESCE(ek.exact_kept, 0) AS BIGINT) AS"
+            " exact_kept, o.rows_out FROM ins i"
+            " LEFT JOIN gk ON gk.part = i.part"
+            " LEFT JOIN ek ON ek.part = i.part"
+            " JOIN outc o ON o.part = i.part ORDER BY part_id",
         # label-centroid pairwise cosine (mirrored op order: mean =
         # SUM/COUNT per dim, dot over dims, norm = sqrt(sum m^2))
         "label_centroid_affinity":

@@ -300,7 +300,8 @@ QUERIES = ["lang_counts", "frame_counts", "exact_dedup",
                "label_centroid_affinity", "supplier_rank_correlation",
                # round-5: TPC-H Q11 over the key-derived partsupp;
                # near-dup curation runner
-               "q11_important_stock", "curation_neardup_summary"]
+               "q11_important_stock", "curation_neardup_summary",
+               "curation_partition_metrics"]
 
 
 def run_queries() -> dict[str, float]:

@@ -14952,6 +14952,52 @@ def curation_run_summary(sf_dir: str):
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def curation_partition_metrics(sf_dir: str):
+    """The runner's PER-PARTITION LINEAGE METRICS under the oracle —
+    the north-rule artifact ("every partition emits lineage +
+    metrics") checked end-to-end: the same deterministic two-fragment
+    demo as :func:`curation_run_summary` runs, then the table comes
+    FROM THE PUBLISHED ``_lineage.json`` MANIFESTS (via
+    :func:`biobloom_ray.pipelines.resumable.curation_partition_report`),
+    not from recomputation — so a hash match proves the manifests
+    record the true per-stage attrition (rows in → 82%-alpha gate →
+    within-partition first-wins dedup → published rows after
+    cross-partition drops).  The SQL twin replays the doc_id-ordered
+    halves split and the runner's non-recursive drop rule.
+
+    Output: ``part_id, rows_in, gate_kept, exact_kept, rows_out``
+    (one row per partition, sorted)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from biobloom_ray.pipelines.resumable import (
+        curation_partition_report, run_partitioned_curation)
+
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "lang", "text"]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(),
+                        f"biobloom_curation_pm_{tag}")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(in_dir, exist_ok=True)
+    h = len(docs) // 2
+    docs.iloc[:h].to_parquet(os.path.join(in_dir, "frag_00.parquet"))
+    docs.iloc[h:].to_parquet(os.path.join(in_dir, "frag_01.parquet"))
+    run_partitioned_curation(in_dir, out_dir, min_alpha_pct=82)
+    rep = curation_partition_report(out_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    rep = rep[["part_id", "rows_in", "gate_kept", "exact_kept",
+               "rows_out"]]
+    for c in rep.columns:
+        rep[c] = rep[c].astype(np.int64)
+    return rep.sort_values("part_id").reset_index(drop=True)
+
+
 def kmeans_quality_report(sf_dir: str, k: int = 8, iters: int = 6):
     """CLUSTER-QUALITY (silhouette-lite) report for the distributed
     spherical k-means: per cluster — size, mean cosine to the OWN

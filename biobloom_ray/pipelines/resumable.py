@@ -31,6 +31,7 @@ from biobloom_ray.state.lineage import (
     PartitionManifest,
     completed_partitions,
     partition_dir,
+    read_manifest,
     write_manifest,
 )
 
@@ -330,15 +331,21 @@ def run_partitioned_curation(
             df = pd.DataFrame({
                 "fp": b["fp_md5"].to_pandas().to_numpy(dtype=object),
                 "doc_id": b["doc_id"].to_numpy(zero_copy_only=False)})
-            agg = df.groupby("fp", as_index=False).doc_id.min()
+            agg = df.groupby("fp", as_index=False).agg(
+                doc_id=("doc_id", "min"), cnt=("doc_id", "size"))
             return pa.Table.from_pandas(agg, preserve_index=False)
 
         import pandas as pd
 
         mins = (hashed.map_batches(fp_min, batch_format="pyarrow")
                 .to_pandas())
+        # per-stage attrition for the lineage metrics — free: the
+        # fp-min partials already carry per-group row counts
+        gate_kept = int(mins.cnt.sum()) if len(mins) else 0
         if len(mins):
-            mins = mins.groupby("fp", as_index=False).doc_id.min()
+            mins = mins.groupby("fp", as_index=False).agg(
+                doc_id=("doc_id", "min"))
+        exact_kept = len(mins)
         winners = np.sort(mins.doc_id.to_numpy("int64")) \
             if len(mins) else np.array([], "int64")
         win_ref = ray.put(winners)
@@ -421,6 +428,7 @@ def run_partitioned_curation(
                 num_bands=num_bands).to_pandas()
             drops = (np.unique(pairs.id_b.to_numpy(np.int64))
                      if len(pairs) else np.empty(0, np.int64))
+            nd_within = int(len(drops))
             sig_files = sorted(
                 glob.glob(os.path.join(state_dir, "sigs_*.parquet")))
             sig_files = [f for f in sig_files
@@ -430,6 +438,7 @@ def run_partitioned_curation(
                     sig_ds, sig_files, neardup_threshold,
                     num_perm, num_bands)
                 drops = np.union1d(drops, cross)
+            nd_total = int(len(drops))
             if len(drops):
                 drop_ref = ray.put(drops)
 
@@ -485,12 +494,18 @@ def run_partitioned_curation(
                 pq.write_table(sig_tbl, tmp)
                 os.replace(tmp, sigs_path)
             blobs.append(sigs_path)
+        metrics = {"wall_s": round(time.perf_counter() - t0, 3),
+                   "rows_in": int(n_in),
+                   "gate_kept": gate_kept,
+                   "exact_kept": exact_kept}
+        if neardup:
+            metrics["neardup_within_dropped"] = nd_within
+            metrics["neardup_dropped_total"] = nd_total
         write_manifest(out_dir, PartitionManifest(
             partition=i,
             inputs=[frag],
             row_count=int(n_out),
-            metrics={"wall_s": round(time.perf_counter() - t0, 3),
-                     "rows_in": int(n_in)},
+            metrics=metrics,
             sketch_blobs=blobs,
             complete=True,
         ))
@@ -499,3 +514,31 @@ def run_partitioned_curation(
         fresh += 1
     return {"completed": completed, "skipped": skipped,
             "rows": total_rows}
+
+
+def curation_partition_report(out_dir: str):
+    """Per-partition lineage-metrics table of a (possibly resumed)
+    curation run, read from the published ``_lineage.json`` manifests
+    — the operator-facing view of the north-rule requirement that
+    "every partition emits lineage + metrics": rows in, quality-gate
+    survivors, within-partition exact-dedup winners, published rows
+    (after cross-partition drops), and wall seconds.  Reads only the
+    manifests — never the data — so it is instant at any scale."""
+    import pandas as pd
+
+    rows = []
+    for i in sorted(completed_partitions(out_dir)):
+        m = read_manifest(out_dir, i)
+        if m is None:
+            continue
+        r = {"part_id": i,
+             "rows_in": int(m.metrics.get("rows_in", 0)),
+             "gate_kept": int(m.metrics.get("gate_kept", 0)),
+             "exact_kept": int(m.metrics.get("exact_kept", 0)),
+             "rows_out": int(m.row_count),
+             "wall_s": float(m.metrics.get("wall_s", 0.0))}
+        if "neardup_dropped_total" in m.metrics:
+            r["neardup_dropped_total"] = int(
+                m.metrics["neardup_dropped_total"])
+        rows.append(r)
+    return pd.DataFrame(rows)

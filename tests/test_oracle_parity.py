@@ -73,7 +73,8 @@ SQL_CHECKED = [
     "bm25_topk", "source_mix_sample", "lang_centroids",
     "epoch_shuffle_head", "clean_corpus", "curation_funnel",
     "curation_funnel_by_source", "contamination_topk",
-    "dup_group_size_histogram", "source_overlap",
+    "dup_group_size_histogram", "curation_partition_metrics",
+    "source_overlap",
     "quality_weighted_sample", "ann_topk_filtered", "token_entropy",
     "corpus_report", "events_range_join",
     # round-4 additions
